@@ -1,0 +1,16 @@
+from pydi_spark.blocking.base import block_stats, estimate_pairs
+from pydi_spark.blocking.embedding import EmbeddingBlocker
+from pydi_spark.blocking.no_blocking import NoBlocker
+from pydi_spark.blocking.sorted_neighbourhood import SortedNeighbourhoodBlocker
+from pydi_spark.blocking.standard import StandardBlocker
+from pydi_spark.blocking.token import TokenBlocker
+
+__all__ = [
+    "EmbeddingBlocker",
+    "NoBlocker",
+    "SortedNeighbourhoodBlocker",
+    "StandardBlocker",
+    "TokenBlocker",
+    "block_stats",
+    "estimate_pairs",
+]

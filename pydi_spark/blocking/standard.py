@@ -1,0 +1,75 @@
+"""Equality blocking = hash equi-join on a derived key.
+
+Reference: StandardBlocker (PyDI/entitymatching/blocking/standard.py:17-181)
+builds per-side dict indexes key->ids, intersects keys, and emits the
+cartesian product within each block. That *is* a hash equi-join: Catalyst
+picks broadcast-hash / shuffled-hash / sort-merge automatically, AQE
+handles skewed keys, and block stats are a groupBy — nothing is
+materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydi_spark.blocking.base import orient_self_pairs, resolve_side
+from pydi_spark.core.dataset import Dataset
+
+
+def standard_key_expr(on: list[str], preprocess: bool = True) -> Column:
+    """Multi-column key ``lower(col1)||'||'||lower(col2)``
+    (reference: standard.py:80-97)."""
+    parts = []
+    for c in on:
+        col = F.col(c).cast("string")
+        if preprocess:
+            col = F.lower(F.trim(col))
+        parts.append(F.coalesce(col, F.lit("")))
+    return F.concat_ws("||", *parts)
+
+
+@dataclass
+class StandardBlocker:
+    """Equality blocking on one or more key columns."""
+
+    on: list[str] | str
+    preprocess: bool = True
+    key_expr: Column | None = None  # custom key expression escape hatch
+
+    def _key(self) -> Column:
+        if self.key_expr is not None:
+            return self.key_expr
+        on = [self.on] if isinstance(self.on, str) else self.on
+        return standard_key_expr(on, self.preprocess)
+
+    def block(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame | None = None,
+        id_column: str | None = None,
+        broadcast_right: bool = False,
+    ) -> DataFrame:
+        """Emit ``[id1, id2, block_key]`` pairs.
+
+        ``broadcast_right=True`` hints a broadcast-hash join when the right
+        side is dimension-sized — at 100 TB this keeps the big side
+        shuffle-free.
+        """
+        self_join = right is None or right is left
+        dl, idl = resolve_side(left, id_column)
+        dr, idr = resolve_side(left if self_join else right, id_column)
+
+        key = self._key()
+        l = dl.select(F.col(idl).cast("string").alias("id1"), key.alias("block_key"))
+        r = dr.select(F.col(idr).cast("string").alias("id2"), key.alias("block_key"))
+        r = r.where(F.col("block_key") != "")
+        l = l.where(F.col("block_key") != "")
+        if broadcast_right:
+            r = F.broadcast(r)
+        pairs = l.join(r, "block_key").select("id1", "id2", "block_key")
+        if self_join:
+            pairs = orient_self_pairs(pairs)
+        return pairs

@@ -1,0 +1,80 @@
+"""Token blocking = explode + equi-join + distinct.
+
+Reference: TokenBlocker (PyDI/entitymatching/blocking/token_blocking.py:
+17-315): inverted index token->ids per side, pair when >= 1 shared token,
+global ``seen_pairs`` dedup. Spark shape: ``select(id, explode(tokens))``
+on each side, equi-join on token, ``dropDuplicates`` — the inverted index
+is the shuffle, the dedup set is a shuffle, both scale linearly.
+
+Scale knob the reference lacks: ``max_token_frequency`` prunes stop-token
+hot keys (a token appearing in f docs per side creates f^2 pairs — at
+100 TB one hot token is the whole job). Pruning is computed with one small
+aggregate and applied as a semi-join filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydi_spark.blocking.base import orient_self_pairs, resolve_side
+from pydi_spark.core.dataset import Dataset
+from pydi_spark.functions.tokenize import char_ngrams, word_tokens
+
+
+@dataclass
+class TokenBlocker:
+    column: str
+    ngram_type: str = "word"  # word | character
+    ngram_size: int = 3
+    min_token_len: int = 1
+    max_token_frequency: int | None = None  # scale knob: prune hot tokens
+
+    def _tokens(self) -> Column:
+        if self.ngram_type == "word":
+            toks = word_tokens(self.column)
+        elif self.ngram_type == "character":
+            toks = char_ngrams(self.column, self.ngram_size)
+        else:
+            raise ValueError(f"unknown ngram_type: {self.ngram_type}")
+        if self.min_token_len > 1:
+            toks = F.filter(toks, lambda t: F.length(t) >= self.min_token_len)
+        return F.array_distinct(toks)
+
+    def _exploded(self, df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(idc).cast("string").alias(out_id),
+            F.explode(self._tokens()).alias("block_key"),
+        )
+
+    def block(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame | None = None,
+        id_column: str | None = None,
+    ) -> DataFrame:
+        self_join = right is None or right is left
+        dl, idl = resolve_side(left, id_column)
+        dr, idr = resolve_side(left if self_join else right, id_column)
+
+        l = self._exploded(dl, idl, "id1")
+        r = self._exploded(dr, idr, "id2")
+        if self.max_token_frequency is not None:
+            cap = int(self.max_token_frequency)
+            freq = (
+                l.groupBy("block_key").count()
+                .unionByName(r.groupBy("block_key").count())
+                .groupBy("block_key").agg(F.max("count").alias("df"))
+                .where(F.col("df") <= cap)
+                .select("block_key")
+            )
+            l = l.join(F.broadcast(freq), "block_key", "left_semi")
+            r = r.join(F.broadcast(freq), "block_key", "left_semi")
+        pairs = l.join(r, "block_key").select("id1", "id2", "block_key")
+        if self_join:
+            pairs = orient_self_pairs(pairs)
+        # keep one (id1,id2) row; block_key kept as the min matching token so
+        # output stays deterministic (reference keeps first-seen token)
+        return pairs.groupBy("id1", "id2").agg(F.min("block_key").alias("block_key"))

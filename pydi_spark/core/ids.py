@@ -1,0 +1,50 @@
+"""Unique-ID injection for entity tables.
+
+Reference semantics (PyDI/io/loaders.py:127-176): every loaded dataset gets
+a synthetic string ID column ``{name}_id`` with zero-padded values
+``"{prefix}-0007"``. Here the ID is computed distributedly:
+
+- ``deterministic=True`` -> global ``row_number`` over an explicit ordering
+  (one narrow shuffle of only the ordering keys via range partitioning —
+  Spark's sort-based row_number; reproducible, oracle-checkable).
+- ``deterministic=False`` -> ``monotonically_increasing_id`` (no shuffle at
+  all; unique but not dense — the right default at 100 TB when the caller
+  only needs uniqueness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_id_column(
+    df: DataFrame,
+    prefix: str,
+    id_column: str | None = None,
+    order_by: list[str] | None = None,
+    pad: int = 4,
+    deterministic: bool = True,
+) -> tuple[DataFrame, str]:
+    """Inject a unique string id column ``{prefix}-{i:0{pad}d}``.
+
+    Returns ``(df_with_id, id_column_name)``. When ``order_by`` is None and
+    deterministic ids are requested, orders by all existing columns (stable
+    for deterministic inputs).
+    """
+    id_column = id_column or f"{prefix}_id"
+    if id_column in df.columns:
+        return df, id_column
+    if deterministic:
+        keys = order_by or df.columns
+        w = Window.orderBy(*[F.col(c) for c in keys])
+        idx = F.row_number().over(w) - F.lit(1)
+    else:
+        idx = F.monotonically_increasing_id()
+    value = F.format_string(f"{prefix}-%0{pad}d", idx)
+    return df.withColumn(id_column, value), id_column
+
+
+def id_format_expr(prefix: str, index_col: Column, pad: int = 4) -> Column:
+    """Column expression for the reference's zero-padded id format."""
+    return F.format_string(f"{prefix}-%0{pad}d", index_col)

@@ -1,0 +1,18 @@
+from pydi_spark.functions.similarity import (
+    NATIVE_METRICS,
+    PY_METRICS,
+    list_metrics,
+    similarity,
+    token_similarity,
+)
+from pydi_spark.functions.tokenize import char_ngrams, word_tokens
+
+__all__ = [
+    "NATIVE_METRICS",
+    "PY_METRICS",
+    "char_ngrams",
+    "list_metrics",
+    "similarity",
+    "token_similarity",
+    "word_tokens",
+]

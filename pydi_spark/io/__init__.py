@@ -1,0 +1,31 @@
+from pydi_spark.io.readers import (
+    explode_delimited,
+    list_to_string,
+    load_csv,
+    load_excel,
+    load_feather,
+    load_fwf,
+    load_html,
+    load_json,
+    load_parquet,
+    load_table,
+    load_xml,
+)
+from pydi_spark.io.writers import write_csv, write_json, write_parquet
+
+__all__ = [
+    "explode_delimited",
+    "list_to_string",
+    "load_csv",
+    "load_excel",
+    "load_feather",
+    "load_fwf",
+    "load_html",
+    "load_json",
+    "load_parquet",
+    "load_table",
+    "load_xml",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+]

@@ -1,0 +1,11 @@
+from pydi_spark.matching.feature_extraction import FeatureExtractor
+from pydi_spark.matching.ml_based import MLBasedMatcher
+from pydi_spark.matching.rule_based import RuleBasedMatcher
+from pydi_spark.matching.text_formatting import TextFormatter
+
+__all__ = [
+    "FeatureExtractor",
+    "MLBasedMatcher",
+    "RuleBasedMatcher",
+    "TextFormatter",
+]
