@@ -1,38 +1,960 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-matching pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the north-star LLM-data operators); ``oracle_sql()``
+holds the DuckDB-equivalent SQL for each. Column names and float
+rounding are aligned on both sides (the driver hashes values after
+sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# word_tokens tokenization, kept textually identical on both engines
+_TOK_RE = r"[^\p{L}\p{N}#']+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ======================================================================
+# flagship
+# ======================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block -> rule-match -> stable 1:1 on supplier x customer."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.clustering import StableMatcher
+    from pydi_spark.functions.comparators import NumericComparator, StringComparator
+    from pydi_spark.matching import RuleBasedMatcher
+
+    supp = _t(spark, SF_DEFAULT, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").alias("k"),
+    )
+    cust = _t(spark, SF_DEFAULT, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    matcher = RuleBasedMatcher(
+        comparators=[
+            (StringComparator("name", "levenshtein"), 0.5),
+            (NumericComparator("bal", max_difference=5000.0), 0.5),
+        ]
+    )
+    corr = matcher.match(supp, cust, pairs, threshold=0.1, id_column="rid")
+    return StableMatcher().cluster(corr)
+
+
+# ======================================================================
+# query helpers (shared by several queries)
+# ======================================================================
+
+def _rule_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier x customer: nationkey block + levenshtein/acctbal score."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.functions.comparators import NumericComparator, StringComparator
+    from pydi_spark.matching import RuleBasedMatcher
+
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("rid"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("bal"),
+            F.col("s_nationkey").alias("k"),
+        )
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("rid"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_nationkey").alias("k"),
+        )
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    matcher = RuleBasedMatcher(
+        comparators=[
+            (StringComparator("name", "levenshtein"), 0.5),
+            (NumericComparator("bal", max_difference=5000.0), 0.5),
+        ]
+    )
+    return matcher.match(supp, cust, pairs, threshold=0.0, id_column="rid")
+
+
+_RULE_CORR_SQL = """
+WITH s AS (SELECT CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1, s_nationkey k FROM supplier),
+     c AS (SELECT CAST(c_custkey AS VARCHAR) id2, c_name n2, c_acctbal b2, c_nationkey k FROM customer),
+     j AS (SELECT id1, id2,
+             0.5 * (1.0 - levenshtein(n1, n2)::DOUBLE / greatest(length(n1), length(n2)))
+           + 0.5 * greatest(0.0, 1.0 - abs(b1 - b2) / 5000.0) AS score
+           FROM s JOIN c USING (k))
+SELECT id1, id2, score FROM j
+"""
+
+
+def _orders_datasets(spark: SparkSession, sf_dir: str, split: bool = False):
+    """orders as Dataset(s) with chain-edge correspondences per customer."""
+    from pydi_spark.core.dataset import Dataset
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "rid", F.col("o_orderkey").cast("string")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.withColumn("prev", F.lag("o_orderkey").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").cast("string").alias("id1"),
+            F.col("o_orderkey").cast("string").alias("id2"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    if not split:
+        return [Dataset.wrap(orders, "orders", id_column="rid")], edges
+    a = Dataset.wrap(
+        orders.where(F.col("o_orderkey") % 2 == 0), "orders_a",
+        id_column="rid", trust_score=0.9,
+    )
+    b = Dataset.wrap(
+        orders.where(F.col("o_orderkey") % 2 == 1), "orders_b",
+        id_column="rid", trust_score=0.4,
+    )
+    return [a, b], edges
+
+
+# group_id in the engine = min record-id STRING of the customer's orders
+_GROUP_SQL = "SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey"
+
+
+# ======================================================================
+# queries
+# ======================================================================
+
+def q_blocking_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import StandardBlocker
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_nationkey").alias("k")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_nationkey").alias("k")
+    )
+    return StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+
+
+def q_blocking_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import TokenBlocker
+
+    part = _t(spark, sf_dir, "part")
+    return TokenBlocker(column="p_name").block(part, id_column="p_partkey")
+
+
+def q_blocking_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import SortedNeighbourhoodBlocker
+
+    cust = _t(spark, sf_dir, "customer")
+    return SortedNeighbourhoodBlocker(key="c_name", window=3).block(
+        cust, id_column="c_custkey"
+    )
+
+
+def q_blocking_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import NoBlocker
+
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "rid")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "rid")
+    return NoBlocker().block(region, nation, id_column="rid")
+
+
+def q_match_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corr = _rule_corr(spark, sf_dir)
+    return corr.where(F.col("score") >= 0.3).select(
+        "id1", "id2", F.round("score", 6).alias("score")
+    )
+
+
+def q_cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.clustering import connected_components
+
+    _, edges = _orders_datasets(spark, sf_dir)
+    return connected_components(edges.select("id1", "id2"))
+
+
+def q_cluster_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.clustering import StableMatcher
+
+    corr = _rule_corr(spark, sf_dir).select(
+        "id1", "id2", F.round("score", 6).alias("score")
+    )
+    return StableMatcher().cluster(corr)
+
+
+def q_fusion_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    df = ds.df.select(
+        "rid",
+        F.col("o_totalprice").alias("tp_avg"),
+        F.col("o_totalprice").alias("tp_med"),
+        F.col("o_totalprice").alias("tp_max"),
+        F.col("o_totalprice").alias("tp_min"),
+        F.col("o_totalprice").alias("tp_sum"),
+    )
+    ds = ds.with_df(df)
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("tp_avg", "average")
+        .add_attribute_fuser("tp_med", "median")
+        .add_attribute_fuser("tp_max", "maximum")
+        .add_attribute_fuser("tp_min", "minimum")
+        .add_attribute_fuser("tp_sum", "sum_values")
+    )
+    fused = DataFusionEngine(strat).run([ds], edges)
+    # no rounding: sorted-sum/median/extrema are bit-identical with the
+    # oracle; rounding would REINTRODUCE divergence (HALF_UP vs rint on
+    # halfway doubles)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"),
+        "tp_avg", "tp_med", "tp_max", "tp_min", "tp_sum",
+        F.col("_fusion_group_size").alias("group_size"),
+    )
+
+
+def q_fusion_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    df = ds.df.select(
+        "rid",
+        F.col("o_orderpriority").alias("pri_vote"),
+        F.col("o_orderpriority").alias("pri_long"),
+        F.col("o_orderpriority").alias("pri_short"),
+        F.col("o_orderstatus").alias("st_first"),
+        F.col("o_orderdate").alias("dt_recent"),
+        F.col("o_orderdate").alias("dt_early"),
+    )
+    ds = ds.with_df(df)
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("pri_vote", "voting")
+        .add_attribute_fuser("pri_long", "longest_string")
+        .add_attribute_fuser("pri_short", "shortest_string")
+        .add_attribute_fuser("st_first", "first_non_null")
+        .add_attribute_fuser("dt_recent", "most_recent")
+        .add_attribute_fuser("dt_early", "earliest")
+    )
+    fused = DataFusionEngine(strat).run([ds], edges)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"),
+        "pri_vote", "pri_long", "pri_short", "st_first",
+        F.col("dt_recent").cast("date").cast("string").alias("dt_recent"),
+        F.col("dt_early").cast("date").cast("string").alias("dt_early"),
+    )
+
+
+def q_fusion_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    datasets, edges = _orders_datasets(spark, sf_dir, split=True)
+    new = []
+    for ds in datasets:
+        new.append(
+            ds.with_df(
+                ds.df.select(
+                    "rid",
+                    F.col("o_orderpriority").alias("pri_trust"),
+                    F.col("o_orderstatus").alias("st_wvote"),
+                    F.col("o_orderstatus").alias("st_favour"),
+                    F.col("o_orderpriority").alias("pri_rand"),
+                )
+            )
+        )
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("pri_trust", "prefer_higher_trust")
+        .add_attribute_fuser("st_wvote", "weighted_voting")
+        .add_attribute_fuser("st_favour", "favour_sources",
+                             source_preferences=["orders_b", "orders_a"])
+        .add_attribute_fuser("pri_rand", "random_value", seed=7)
+    )
+    fused = DataFusionEngine(strat).run(new, edges)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"),
+        "pri_trust", "st_wvote", "st_favour", "pri_rand",
+        F.array_join("_fusion_sources", ",").alias("sources"),
+    )
+
+
+def q_fusion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    df = ds.df.select(
+        "rid",
+        F.array(F.col("o_orderstatus")).alias("st_union"),
+        F.array(F.col("o_orderstatus")).alias("st_inter"),
+        F.array(F.col("o_orderpriority")).alias("pri_k2"),
+    )
+    ds = ds.with_df(df)
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("st_union", "union")
+        .add_attribute_fuser("st_inter", "intersection")
+        .add_attribute_fuser("pri_k2", "intersection_k_sources", k=2)
+    )
+    fused = DataFusionEngine(strat).run([ds], edges)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"),
+        F.array_join("st_union", ",").alias("st_union"),
+        F.array_join("st_inter", ",").alias("st_inter"),
+        F.array_join("pri_k2", ",").alias("pri_k2"),
+    )
+
+
+def q_eval_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import TokenBlocker
+    from pydi_spark.evaluation import evaluate_blocking
+
+    part = _t(spark, sf_dir, "part")
+    cands = TokenBlocker(column="p_name").block(part, id_column="p_partkey")
+    gold = (
+        part.alias("a")
+        .join(part.alias("b"), F.col("a.p_name") == F.col("b.p_name"))
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").cast("string").alias("id1"),
+            F.col("b.p_partkey").cast("string").alias("id2"),
+        )
+    )
+    # orient gold like the blocker's string-ordered pairs
+    gold = gold.select(
+        F.least("id1", "id2").alias("id1"), F.greatest("id1", "id2").alias("id2")
+    )
+    n = part.count()
+    return evaluate_blocking(cands, gold, n, n).select(
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("pair_quality", 6).alias("pair_quality"),
+        "total_candidates",
+        "true_positives_found",
+        "total_true_pairs",
+    )
+
+
+def q_eval_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.evaluation import evaluate_matching
+
+    corr = _rule_corr(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    gold = (
+        supp.join(cust, supp["s_nationkey"] == cust["c_nationkey"])
+        .select(
+            F.col("s_suppkey").cast("string").alias("id1"),
+            F.col("c_custkey").cast("string").alias("id2"),
+            (F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 2000).cast("int").alias("label"),
+        )
+    )
+    return evaluate_matching(corr, gold, threshold=0.75).select(
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        "tp", "fp", "fn", "tn",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "id", "content_hash", "canonical_id",
+        F.col("is_duplicate").cast("int").alias("is_duplicate"),
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_near_duplicates(docs, num_hashes=8, bands=4, jaccard_threshold=0.7)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import ngram_jaccard_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_duplicates(
+        docs, shingle_size=3, jaccard_threshold=0.5, max_shingle_frequency=None
+    )
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import quality_scores, token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_counts(docs)
+    out = quality_scores(out)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens_ws",
+        "n_tokens_distinct",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "predicted_lang",
+        F.round("lang_score", 6).alias("lang_score"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import document_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return document_fingerprint(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "fingerprint"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal aggregation: exact (no float summation-order drift vs the
+    # oracle) and still whole-stage-codegen'd
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(qty), 6).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / F.count(disc), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    rows = []
+    aggs = []
+    for c in cust.columns:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    total = cust.count()
+    r = cust.agg(*aggs).collect()[0]
+    for c in cust.columns:
+        rows.append((c, total, int(r[f"nn_{c}"]), int(r[f"nd_{c}"])))
+    return spark.createDataFrame(
+        rows, "column_name string, n_rows long, non_null long, n_distinct long"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "blocking_standard": q_blocking_standard,
+        "blocking_token": q_blocking_token,
+        "blocking_sorted_neighbourhood": q_blocking_snb,
+        "blocking_cross": q_blocking_cross,
+        "match_rule_based": q_match_rule_based,
+        "cluster_connected_components": q_cluster_connected_components,
+        "cluster_stable_matching": q_cluster_stable_matching,
+        "fusion_numeric": q_fusion_numeric,
+        "fusion_selection": q_fusion_selection,
+        "fusion_trust": q_fusion_trust,
+        "fusion_lists": q_fusion_lists,
+        "eval_blocking": q_eval_blocking,
+        "eval_matching": q_eval_matching,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk": q_ann_topk,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "profile_summary": q_profile_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================================
+# oracles (DuckDB SQL over pre-registered views)
+# ======================================================================
+
+_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^\\p{{L}}\\p{{N}}#'']+'), x -> x != '')"
+)
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n    ".join(
+        f"min(md5('{i}:' || tok)) AS s{i}" for i in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "'%d:' || md5(%s) AS b%d"
+        % (b, " || ',' || ".join(f"s{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, b{b} AS band_key FROM bands" for b in range(bands)
+    )
+    toks = _TOK_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({toks}) AS tok_set FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, unnest(tok_set) AS tok FROM toks
+),
+sigs AS (
+  SELECT doc_id, {sig_cols} FROM tok_rows GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+),
+band_rows AS ({band_union}),
+cands AS (
+  SELECT DISTINCT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2
+  FROM band_rows a JOIN band_rows b USING (band_key)
+  WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+),
+verified AS (
+  SELECT id1, id2,
+    CASE WHEN len(list_distinct(list_concat(ta.tok_set, tb.tok_set))) > 0
+      THEN len(list_intersect(ta.tok_set, tb.tok_set))::DOUBLE
+           / len(list_distinct(list_concat(ta.tok_set, tb.tok_set)))
+      ELSE 1.0 END AS jaccard
+  FROM cands
+  JOIN toks ta ON CAST(ta.doc_id AS VARCHAR) = id1
+  JOIN toks tb ON CAST(tb.doc_id AS VARCHAR) = id2
+)
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def _ngram_jaccard_sql(n: int, threshold: float) -> str:
+    toks = _TOK_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tok FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) < {n} THEN [array_to_string(tok, ' ')]
+    ELSE list_distinct([array_to_string(tok[i:i+{n - 1}], ' ')
+                        for i in range(1, len(tok) - {n - 2})])
+    END AS sh_set
+  FROM toks
+),
+sh_rows AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sh),
+cands AS (
+  SELECT DISTINCT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2
+  FROM sh_rows a JOIN sh_rows b USING (shingle)
+  WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+),
+verified AS (
+  SELECT id1, id2,
+    CASE WHEN len(list_distinct(list_concat(sa.sh_set, sb.sh_set))) > 0
+      THEN len(list_intersect(sa.sh_set, sb.sh_set))::DOUBLE
+           / len(list_distinct(list_concat(sa.sh_set, sb.sh_set)))
+      ELSE 1.0 END AS jaccard
+  FROM cands
+  JOIN sh sa ON CAST(sa.doc_id AS VARCHAR) = id1
+  JOIN sh sb ON CAST(sb.doc_id AS VARCHAR) = id2
+)
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_text = _TOK_SQL.format(col="text")
+    return {
+        "blocking_standard": """
+SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
+       CAST(s_nationkey AS VARCHAR) block_key
+FROM supplier JOIN customer ON s_nationkey = c_nationkey
+""",
+        "blocking_token": """
+WITH tok AS (
+  SELECT p_partkey, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(p_name), '[^\\p{L}\\p{N}#'']+'), x -> x != '')
+  )) AS t FROM part
+)
+SELECT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2,
+       min(a.t) AS block_key
+FROM tok a JOIN tok b ON a.t = b.t
+WHERE CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+GROUP BY 1, 2
+""",
+        "blocking_sorted_neighbourhood": """
+WITH ranked AS (
+  SELECT CAST(c_custkey AS VARCHAR) rid,
+         row_number() OVER (ORDER BY lower(c_name), CAST(c_custkey AS VARCHAR)) rn
+  FROM customer
+)
+SELECT DISTINCT least(a.rid, b.rid) id1, greatest(a.rid, b.rid) id2, 'snb' block_key
+FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3
+""",
+        "blocking_cross": """
+SELECT CAST(r_regionkey AS VARCHAR) id1, CAST(n_nationkey AS VARCHAR) id2, '*' block_key
+FROM region CROSS JOIN nation
+""",
+        "match_rule_based": f"""
+WITH j AS ({_RULE_CORR_SQL})
+SELECT id1, id2, round(score, 6) AS score FROM j WHERE score >= 0.3
+""",
+        "cluster_connected_components": """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2, o_custkey
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+nodes AS (
+  SELECT DISTINCT id, o_custkey FROM (
+    SELECT id1 AS id, o_custkey FROM edges
+    UNION ALL SELECT id2, o_custkey FROM edges
+  )
+)
+SELECT id AS record_id, min(id) OVER (PARTITION BY o_custkey) AS cluster_id FROM nodes
+""",
+        "cluster_stable_matching": f"""
+WITH corr AS (SELECT id1, id2, round(score, 6) AS score FROM ({_RULE_CORR_SQL})),
+b1 AS (SELECT * FROM corr QUALIFY row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2) = 1),
+b2 AS (SELECT * FROM corr QUALIFY row_number() OVER (PARTITION BY id2 ORDER BY score DESC, id1) = 1)
+SELECT corr.id1, corr.id2, corr.score FROM corr
+JOIN b1 ON corr.id1 = b1.id1 AND corr.id2 = b1.id2
+JOIN b2 ON corr.id1 = b2.id1 AND corr.id2 = b2.id2
+""",
+        "fusion_numeric": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey)
+SELECT g.group_id,
+       list_sum(list_sort(list(o_totalprice))) / count(*) AS tp_avg,
+       median(o_totalprice) AS tp_med,
+       max(o_totalprice) AS tp_max,
+       min(o_totalprice) AS tp_min,
+       list_sum(list_sort(list(o_totalprice))) AS tp_sum,
+       count(*) AS group_size
+FROM orders o JOIN g ON o.o_custkey = g.o_custkey
+GROUP BY g.group_id
+""",
+        "fusion_selection": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
+base AS (SELECT g.group_id, o.* FROM orders o JOIN g ON o.o_custkey = g.o_custkey),
+vote AS (
+  SELECT group_id, o_orderpriority AS pri_vote FROM (
+    SELECT group_id, o_orderpriority, count(*) c FROM base GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY c DESC, o_orderpriority) = 1
+),
+lng AS (
+  SELECT group_id, o_orderpriority AS pri_long FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY length(o_orderpriority) DESC, o_orderpriority) = 1
+),
+shrt AS (
+  SELECT group_id, o_orderpriority AS pri_short FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY length(o_orderpriority), o_orderpriority) = 1
+),
+fst AS (
+  SELECT group_id, o_orderstatus AS st_first FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY CAST(o_orderkey AS VARCHAR)) = 1
+),
+dts AS (
+  SELECT group_id,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS dt_recent,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS dt_early
+  FROM base GROUP BY group_id
+)
+SELECT vote.group_id, pri_vote, pri_long, pri_short, st_first, dt_recent, dt_early
+FROM vote JOIN lng USING (group_id) JOIN shrt USING (group_id)
+JOIN fst USING (group_id) JOIN dts USING (group_id)
+""",
+        "fusion_trust": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT g.group_id, o.*, CAST(o.o_orderkey AS VARCHAR) AS rid,
+         CASE WHEN o.o_orderkey % 2 = 0 THEN 0.9 ELSE 0.4 END AS trust,
+         CASE WHEN o.o_orderkey % 2 = 0 THEN 'orders_a' ELSE 'orders_b' END AS ds
+  FROM orders o JOIN g ON o.o_custkey = g.o_custkey
+),
+trustpick AS (
+  SELECT group_id, o_orderpriority AS pri_trust FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY trust DESC, rid DESC) = 1
+),
+wvote AS (
+  SELECT group_id, o_orderstatus AS st_wvote FROM (
+    SELECT group_id, o_orderstatus, sum(trust) w FROM base GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY w DESC, o_orderstatus) = 1
+),
+favour AS (
+  SELECT group_id, o_orderstatus AS st_favour FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id
+    ORDER BY CASE WHEN ds = 'orders_b' THEN 0 ELSE 1 END, rid) = 1
+),
+rnd AS (
+  SELECT group_id, o_orderpriority AS pri_rand FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY md5(rid || ':7')) = 1
+),
+srcs AS (
+  SELECT group_id, array_to_string(list_sort(list_distinct(list(ds))), ',') AS sources
+  FROM base GROUP BY group_id
+)
+SELECT trustpick.group_id, pri_trust, st_wvote, st_favour, pri_rand, sources
+FROM trustpick JOIN wvote USING (group_id) JOIN favour USING (group_id)
+JOIN rnd USING (group_id) JOIN srcs USING (group_id)
+""",
+        "fusion_lists": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
+base AS (SELECT g.group_id, o.* FROM orders o JOIN g ON o.o_custkey = g.o_custkey),
+uni AS (
+  SELECT group_id, array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS st_union
+  FROM base GROUP BY group_id
+),
+inter AS (
+  SELECT group_id,
+    coalesce(array_to_string(list_sort(list(o_orderstatus) FILTER (WHERE cnt = total)), ','), '') AS st_inter
+  FROM (
+    SELECT group_id, o_orderstatus,
+           count(*) AS cnt,
+           (SELECT count(*) FROM base b2 WHERE b2.group_id = b1.group_id) AS total
+    FROM base b1 GROUP BY group_id, o_orderstatus
+  ) GROUP BY group_id
+),
+k2 AS (
+  SELECT group_id,
+    coalesce(array_to_string(list_sort(list(o_orderpriority) FILTER (WHERE cnt >= 2)), ','), '') AS pri_k2
+  FROM (
+    SELECT group_id, o_orderpriority, count(*) AS cnt
+    FROM (SELECT DISTINCT group_id, o_orderkey, o_orderpriority FROM base)
+    GROUP BY group_id, o_orderpriority
+  ) GROUP BY group_id
+)
+SELECT uni.group_id, st_union, st_inter, pri_k2
+FROM uni JOIN inter USING (group_id) JOIN k2 USING (group_id)
+""",
+        "eval_blocking": """
+WITH tok AS (
+  SELECT p_partkey, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(p_name), '[^\\p{L}\\p{N}#'']+'), x -> x != '')
+  )) AS t FROM part
+),
+cands AS (
+  SELECT DISTINCT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2
+  FROM tok a JOIN tok b ON a.t = b.t
+  WHERE CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+),
+gold AS (
+  SELECT DISTINCT least(CAST(a.p_partkey AS VARCHAR), CAST(b.p_partkey AS VARCHAR)) id1,
+                  greatest(CAST(a.p_partkey AS VARCHAR), CAST(b.p_partkey AS VARCHAR)) id2
+  FROM part a JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+),
+m AS (
+  SELECT (SELECT count(*) FROM cands) n_cand,
+         (SELECT count(*) FROM gold) n_gold,
+         (SELECT count(*) FROM gold JOIN cands USING (id1, id2)) n_found
+)
+SELECT round(n_found::DOUBLE / n_gold, 6) pair_completeness,
+       round(n_found::DOUBLE / n_cand, 6) pair_quality,
+       n_cand AS total_candidates,
+       n_found AS true_positives_found,
+       n_gold AS total_true_pairs
+FROM m
+""",
+        "eval_matching": f"""
+WITH corr AS (SELECT id1, id2 FROM ({_RULE_CORR_SQL}) WHERE score >= 0.75),
+gold AS (
+  SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
+         CASE WHEN abs(s_acctbal - c_acctbal) < 2000 THEN 1 ELSE 0 END AS lbl
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM gold JOIN corr USING (id1, id2) WHERE lbl = 1) tp,
+    (SELECT count(*) FROM gold JOIN corr USING (id1, id2) WHERE lbl = 0) fp,
+    (SELECT count(*) FROM gold WHERE lbl = 1
+       AND NOT EXISTS (SELECT 1 FROM corr WHERE corr.id1 = gold.id1 AND corr.id2 = gold.id2)) fn,
+    (SELECT count(*) FROM gold WHERE lbl = 0
+       AND NOT EXISTS (SELECT 1 FROM corr WHERE corr.id1 = gold.id1 AND corr.id2 = gold.id2)) tn
+)
+SELECT round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS "precision",
+       round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS recall,
+       round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+       tp, fp, fn, tn
+FROM m
+""",
+        "dedup_exact": """
+WITH h AS (SELECT CAST(doc_id AS VARCHAR) id, md5(text) content_hash FROM documents),
+c AS (SELECT content_hash, min(id) canonical_id FROM h GROUP BY 1)
+SELECT id, h.content_hash, canonical_id,
+       CASE WHEN id != canonical_id THEN 1 ELSE 0 END is_duplicate
+FROM h JOIN c USING (content_hash)
+""",
+        "dedup_minhash": _minhash_sql(8, 4, 0.7),
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        "text_stats": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws,
+         {toks_text} AS tok
+  FROM documents
+)
+SELECT doc_id,
+       len(ws) AS n_tokens_ws,
+       len(list_distinct(tok)) AS n_tokens_distinct,
+       round(CASE WHEN len(tok) > 0
+         THEN list_sum(list_transform(tok, x -> length(x)))::DOUBLE / len(tok)
+         ELSE 0 END, 6) AS mean_token_len,
+       round(CASE WHEN len(tok) > 0
+         THEN len(list_filter(tok, x -> list_contains(
+            ['the','and','of','to','a','in','is','that','it','for'], x)))::DOUBLE / len(tok)
+         ELSE 0 END, 6) AS stopword_ratio
+FROM t
+""",
+        "text_langid": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, list_distinct({toks_text}) AS tok
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, tok, lang, len(list_intersect(tok, markers)) AS score
+  FROM t CROSS JOIN (
+    SELECT * FROM (VALUES
+      ('de', ['der','die','das','und','ist','nicht','ein','mit','von','zu']),
+      ('en', ['the','and','of','to','a','in','is','that','it','for']),
+      ('es', ['el','la','de','que','y','en','un','es','por','con']),
+      ('fr', ['le','la','de','et','est','un','une','dans','que','pour']),
+      ('zh', ['de','shi','le','bu','wo','ni','ta','men','zai','you'])
+    ) AS m(lang, markers)
+  )
+)
+SELECT doc_id, lang AS predicted_lang,
+       round(CASE WHEN len(tok) > 0 THEN score::DOUBLE / len(tok) ELSE 0 END, 6) AS lang_score
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+""",
+        "text_fingerprint": f"""
+SELECT CAST(doc_id AS VARCHAR) doc_id,
+       md5(array_to_string(list_sort(list_distinct({toks_text})), '|')) AS fingerprint
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS cos
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) avg_disc,
+       count(*) count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        "profile_summary": """
+SELECT 'c_custkey' column_name, count(*) n_rows, count(c_custkey) non_null, count(DISTINCT c_custkey) n_distinct FROM customer
+UNION ALL
+SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(*), count(c_acctbal), count(DISTINCT c_acctbal) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
+""",
+    }

@@ -1,0 +1,79 @@
+"""Greedy 1:1 matching.
+
+Reference: GreedyOneToOneMatchingAlgorithm (PyDI/entitymatching/
+post_clustering/greedy_one_to_one.py:19-211): sort pairs desc by score,
+keep a pair iff neither endpoint is already used. Order-dependent global
+state -> driver-side sweep over the *collected* correspondence set
+(output-sized; SURVEY §4.3 decision). Deterministic tie-break
+(score desc, id1, id2).
+
+A distributed approximation (``rounds > 0``): iterate
+[rank-1-per-id1 ∧ rank-1-per-id2 -> accept, remove endpoints] — each
+round is two windows + anti-joins; converges to the same result as the
+sequential greedy for most inputs and stays fully distributed for huge
+edge sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pydi_spark.clustering.base import apply_threshold
+
+
+@dataclass
+class GreedyOneToOneMatcher:
+    threshold: float | None = None
+    distributed_rounds: int = 0  # 0 = exact driver-side sweep
+
+    def cluster(self, correspondences: DataFrame) -> DataFrame:
+        corr = apply_threshold(correspondences, self.threshold)
+        if self.distributed_rounds > 0:
+            return self._distributed(corr)
+        return self._exact(corr)
+
+    def _exact(self, corr: DataFrame) -> DataFrame:
+        spark = corr.sparkSession
+        rows = (
+            corr.select("id1", "id2", "score")
+            .orderBy(F.desc("score"), "id1", "id2")
+            .collect()
+        )
+        used1: set = set()
+        used2: set = set()
+        kept = []
+        for r in rows:
+            if r["id1"] in used1 or r["id2"] in used2:
+                continue
+            used1.add(r["id1"])
+            used2.add(r["id2"])
+            kept.append((r["id1"], r["id2"], float(r["score"])))
+        out = spark.createDataFrame(kept, "id1 string, id2 string, score double")
+        return corr.join(out.select("id1", "id2"), ["id1", "id2"], "left_semi")
+
+    def _distributed(self, corr: DataFrame) -> DataFrame:
+        remaining = corr.select("id1", "id2", "score")
+        accepted = None
+        for _ in range(self.distributed_rounds):
+            if remaining.isEmpty():
+                break
+            w1 = Window.partitionBy("id1").orderBy(F.desc("score"), F.col("id2"))
+            w2 = Window.partitionBy("id2").orderBy(F.desc("score"), F.col("id1"))
+            best = (
+                remaining.withColumn("__r1", F.row_number().over(w1))
+                .withColumn("__r2", F.row_number().over(w2))
+                .where("__r1 = 1 AND __r2 = 1")
+                .drop("__r1", "__r2")
+            )
+            accepted = best if accepted is None else accepted.unionByName(best)
+            remaining = (
+                remaining.join(best.select("id1"), "id1", "left_anti")
+                .join(best.select("id2"), "id2", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if accepted is None:
+            return corr.limit(0)
+        return corr.join(accepted.select("id1", "id2"), ["id1", "id2"], "left_semi")

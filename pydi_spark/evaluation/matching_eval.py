@@ -1,0 +1,218 @@
+"""Entity-matching evaluation: set-op metrics as joins + aggregates.
+
+Reference: PyDI/entitymatching/evaluation.py (1,671 LoC, largest file):
+label normalization (:37-97), evaluate_blocking (:100-242, metric math
+:196-208), evaluate_matching (:415-654, pair-set ops :511-543),
+threshold_sweep (:861-1083), cluster consistency (:656-780), cluster size
+distribution (:1085-1180). Every pair-set intersection becomes a
+``left_semi``/``left_anti`` join; counts become aggregates; the sweep is
+one pass over threshold buckets with a cumulative window — not a loop of
+filters.
+
+All functions return small DataFrames (metrics rows) so results stay
+oracle-checkable; driver-side dict versions via ``.collect()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_labels_expr(col: Column) -> Column:
+    """Tolerant 1/0/true/false/yes/no/match parsing (evaluation.py:37-97)."""
+    s = F.lower(F.trim(col.cast("string")))
+    return (
+        F.when(s.isin("1", "true", "yes", "match", "y", "t"), F.lit(1))
+        .when(s.isin("0", "false", "no", "non-match", "nonmatch", "n", "f"), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def _norm_pairs(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    ).dropDuplicates(["id1", "id2"])
+
+
+def evaluate_blocking(
+    candidate_pairs: DataFrame,
+    test_pairs: DataFrame,
+    left_count: int,
+    right_count: int,
+) -> DataFrame:
+    """pair_completeness, pair_quality, reduction_ratio
+    (evaluation.py:100-242; math :196-208).
+
+    ``test_pairs`` carries a ``label`` column (1=match) or is assumed
+    all-positive.
+    """
+    cands = _norm_pairs(candidate_pairs)
+    gold = test_pairs
+    if "label" in gold.columns:
+        gold = gold.where(normalize_labels_expr(F.col("label")) == 1)
+    gold = _norm_pairs(gold)
+
+    n_cand = cands.count()
+    n_gold = gold.count()
+    n_found = gold.join(cands, ["id1", "id2"], "left_semi").count()
+    total_possible = left_count * right_count
+
+    spark = candidate_pairs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                float(n_found) / n_gold if n_gold else None,
+                float(n_found) / n_cand if n_cand else None,
+                1.0 - float(n_cand) / total_possible if total_possible else None,
+                n_cand,
+                total_possible,
+                n_found,
+                n_gold,
+            )
+        ],
+        "pair_completeness double, pair_quality double, reduction_ratio double, "
+        "total_candidates long, total_possible_pairs long, "
+        "true_positives_found long, total_true_pairs long",
+    )
+
+
+def evaluate_matching(
+    correspondences: DataFrame,
+    test_pairs: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """P/R/F1/accuracy with TP/FP/FN/TN over the *labeled* pair universe
+    (evaluation.py:415-654): TN counts labeled negatives not predicted."""
+    corr = correspondences
+    if threshold is not None:
+        corr = corr.where(F.col("score") >= F.lit(float(threshold)))
+    pred = _norm_pairs(corr)
+    gold = test_pairs.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+        normalize_labels_expr(F.col("label")).alias("label"),
+    ).where(F.col("label").isNotNull()).dropDuplicates(["id1", "id2"])
+
+    pos = gold.where("label = 1")
+    neg = gold.where("label = 0")
+    tp = pos.join(pred, ["id1", "id2"], "left_semi").count()
+    fn = pos.join(pred, ["id1", "id2"], "left_anti").count()
+    tn = neg.join(pred, ["id1", "id2"], "left_anti").count()
+    # FP = predicted pairs that are labeled negative (reference evaluates
+    # within the labeled universe)
+    fp = neg.join(pred, ["id1", "id2"], "left_semi").count()
+
+    precision = tp / (tp + fp) if (tp + fp) else None
+    recall = tp / (tp + fn) if (tp + fn) else None
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision and recall and (precision + recall) > 0
+        else (0.0 if precision is not None and recall is not None else None)
+    )
+    total = tp + fp + fn + tn
+    accuracy = (tp + tn) / total if total else None
+
+    spark = correspondences.sparkSession
+    return spark.createDataFrame(
+        [(precision, recall, f1, accuracy, tp, fp, fn, tn)],
+        "precision double, recall double, f1 double, accuracy double, "
+        "tp long, fp long, fn long, tn long",
+    )
+
+
+def threshold_sweep(
+    correspondences: DataFrame,
+    test_pairs: DataFrame,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """P/R/F1 per threshold in ONE pass (evaluation.py:861-1083).
+
+    Joins predictions to labels once, buckets scores, and uses cumulative
+    window sums from the high end — O(n) instead of len(thresholds) scans.
+    """
+    thresholds = thresholds or [round(0.1 * i, 1) for i in range(11)]
+    gold = test_pairs.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+        normalize_labels_expr(F.col("label")).alias("label"),
+    ).where(F.col("label").isNotNull())
+    scored = gold.join(
+        correspondences.select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
+            F.col("score"),
+        ),
+        ["id1", "id2"],
+        "left",
+    )
+    n_pos = gold.where("label = 1").count()
+
+    spark = correspondences.sparkSession
+    th_df = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
+    # for each threshold: predicted = score >= t (unmatched gold rows have
+    # null score -> never predicted)
+    joined = th_df.crossJoin(scored)
+    agg = (
+        joined.groupBy("threshold")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("threshold")) & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("threshold")) & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+        )
+        .withColumn("fn", F.lit(n_pos) - F.col("tp"))
+    )
+    precision = F.when(F.col("tp") + F.col("fp") > 0,
+                       F.col("tp") / (F.col("tp") + F.col("fp")))
+    recall = F.when(F.lit(n_pos) > 0, F.col("tp") / F.lit(n_pos))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        precision.alias("precision"), recall.alias("recall"), f1.alias("f1"),
+    ).orderBy("threshold")
+
+
+def cluster_consistency_report(
+    correspondences: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
+    """Per-cluster edge counts vs complete-graph expectation
+    (evaluation.py:656-780): consistency = edges / (n*(n-1)/2)."""
+    from pydi_spark.clustering.connected_components import connected_components
+
+    comps = clusters or connected_components(correspondences.select("id1", "id2"))
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_entities"))
+    edges = (
+        correspondences.select(
+            F.least("id1", "id2").alias("a"), F.greatest("id1", "id2").alias("b")
+        )
+        .distinct()
+        .join(comps.withColumnRenamed("record_id", "a"), "a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    expected = F.col("n_entities") * (F.col("n_entities") - 1) / 2
+    return (
+        sizes.join(edges, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_entities",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.when(expected > 0, F.coalesce(F.col("n_edges"), F.lit(0)) / expected)
+            .otherwise(F.lit(1.0))
+            .alias("consistency"),
+        )
+    )
+
+
+def cluster_size_distribution(clusters: DataFrame) -> DataFrame:
+    """Histogram of cluster sizes (evaluation.py:1085-1180)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

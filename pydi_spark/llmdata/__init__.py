@@ -1,0 +1,33 @@
+from pydi_spark.llmdata.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_signatures,
+    minhash_near_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_fingerprint,
+    simhash_near_duplicates,
+)
+from pydi_spark.llmdata.similarity import brute_force_topk, cosine_expr, lsh_topk
+from pydi_spark.llmdata.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "cosine_expr",
+    "document_fingerprint",
+    "embedding_near_duplicates",
+    "exact_duplicates",
+    "language_id",
+    "lsh_topk",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "ngram_jaccard_duplicates",
+    "quality_scores",
+    "simhash_fingerprint",
+    "simhash_near_duplicates",
+    "token_counts",
+]

@@ -1,0 +1,294 @@
+"""Corpus deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north-star): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
+each a lazy DataFrame transformation designed for 100 TB corpora:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on a 32-byte key,
+  never on the document bytes.
+- **minhash**: portable min-wise hashing — signature_i = min over tokens
+  of md5(seed_i || token). Using md5 keeps signatures engine-portable
+  (identical in DuckDB for the oracle) and deterministic across runs.
+  LSH bands equi-join candidates (linear), exact token-set Jaccard
+  verifies survivors. No O(n^2) stage.
+- **simhash**: 60-bit fingerprints from per-token md5 bits; Hamming-
+  near pairs found with the band trick (split bits into b bands; a pair
+  within Hamming distance b-1 shares >= 1 exact band) — again equi-join,
+  not all-pairs.
+- **ngram_jaccard**: shingle token sets, token-block candidates, verify
+  with array-set Jaccard.
+- **embedding cosine**: delegated to llmdata.similarity (brute/LSH).
+
+All computations are native Column expressions (md5, transform,
+aggregate, array_*); no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydi_spark.functions.tokenize import word_tokens
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[id, content_hash, canonical_id, is_duplicate]: canonical = min id
+    per hash; dedup = filter is_duplicate."""
+    hashed = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    canon = hashed.groupBy("content_hash").agg(F.min("id").alias("canonical_id"))
+    return (
+        hashed.join(canon, "content_hash")
+        .select(
+            "id",
+            "content_hash",
+            "canonical_id",
+            (F.col("id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    text: Column, num_hashes: int = 16
+) -> Column:
+    """array<string> of length num_hashes; element i = min over word
+    tokens of md5(i || ':' || token). Lexicographic min over md5 hex is a
+    valid min-wise hash family and is portable across engines."""
+    toks = F.array_distinct(word_tokens(text))
+
+    def seeded(i: int):
+        # single-arg lambda: a 2-arg lambda would make Spark's transform
+        # pass the element index as the second argument
+        return lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
+
+    sigs = [F.array_min(F.transform(toks, seeded(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_band_keys(sig: Column, num_hashes: int, bands: int) -> Column:
+    """array<string> of band keys: md5 of the concatenated band slice."""
+    rows = num_hashes // bands
+    keys = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(F.concat_ws(",", *[sig[b * rows + r] for r in range(rows)])),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def token_set_jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """[id1, id2, jaccard]: LSH-band candidates verified by true token-set
+    Jaccard >= threshold. id1 < id2 (string order)."""
+    # band join on (id, band_key) ONLY — candidate pairs stay narrow
+    # through the shuffle; token sets re-attach afterwards from the
+    # (small-per-row) toks side table. Carrying the arrays through the
+    # quadratic join would multiply shuffle bytes by avg doc length.
+    toks = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
+    )
+    banded = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(
+            minhash_band_keys(
+                minhash_signatures(F.col(text_col), num_hashes), num_hashes, bands
+            )
+        ).alias("band_key"),
+    )
+    l = banded.select(F.col("id").alias("id1"), "band_key")
+    r = banded.select(F.col("id").alias("id2"), "band_key")
+    cands = (
+        l.join(r, "band_key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    t1 = toks.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
+    t2 = toks.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
+    return (
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("jaccard", token_set_jaccard(F.col("toks1"), F.col("toks2")))
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+
+
+def _token_hash60(t: Column) -> Column:
+    """First 15 hex chars of md5 as a bigint (portable across engines)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprint(text: Column) -> Column:
+    """60-bit SimHash over word tokens as a bigint Column."""
+    toks = F.array_distinct(word_tokens(text))
+    hashes = F.transform(toks, _token_hash60)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda bit, j: F.shiftleft(bit, j),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """[id1, id2, hamming]: band-trick candidates (bands of 15 bits;
+    Hamming <= bands-1 guarantees a shared band) verified exactly."""
+    rows = SIMHASH_BITS // bands
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    banded = base.withColumn(
+        "band_key",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftrightunsigned(F.col("fp"), b * rows)
+                        .bitwiseAND(F.lit((1 << rows) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
+    l = banded.select(F.col("id").alias("id1"), F.col("fp").alias("fp1"), "band_key")
+    r = banded.select(F.col("id").alias("id2"), F.col("fp").alias("fp2"), "band_key")
+    return (
+        l.join(r, "band_key")
+        .where(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", hamming_distance(F.col("fp1"), F.col("fp2")))
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_shingle_frequency: int | None = 100,
+) -> DataFrame:
+    """[id1, id2, jaccard] over word-shingle sets: shingle-block
+    candidates (with hot-shingle pruning) verified with exact set
+    Jaccard."""
+    toks = word_tokens(F.col(text_col))
+    n = shingle_size
+    shingles = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(shingles).alias("sh"),
+    )
+    exploded = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_frequency:
+        freq = (
+            exploded.groupBy("shingle").count()
+            .where(F.col("count") <= max_shingle_frequency)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(freq), "shingle", "left_semi")
+    # ids-only candidate join (narrow shuffle), shingle sets re-attached
+    # for verification afterwards
+    l = exploded.select(F.col("id").alias("id1"), "shingle")
+    r = exploded.select(F.col("id").alias("id2"), "shingle")
+    cands = (
+        l.join(r, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", token_set_jaccard(F.col("sh1"), F.col("sh2")))
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    method: str = "lsh",
+) -> DataFrame:
+    """[id1, id2, cosine]: near-dup pairs by embedding cosine similarity."""
+    from pydi_spark.blocking.embedding import EmbeddingBlocker
+
+    blocker = EmbeddingBlocker(
+        vector_column=vec_col, method=method, threshold=threshold, top_k=1000
+    )
+    pairs = blocker.block(df, df, id_column=id_col)
+    return pairs.select("id1", "id2", F.col("score").alias("cosine"))

@@ -1,0 +1,120 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star adds (BASELINE.json): language-ID (stopword-overlap
+heuristic), quality scoring (length/punctuation/stopword ratios), token
+counting (whitespace + BPE-ish regex), document fingerprinting
+(normalized content hash). All native Column expressions — these run on
+every document of a 100 TB corpus, so no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydi_spark.functions.tokenize import word_tokens
+
+# Minimal per-language stopword marker sets (top function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+    "zh": ["de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"],
+}
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens_ws (whitespace), n_tokens_bpe (BPE-ish: word pieces +
+    digits + punctuation as separate tokens), n_tokens_distinct."""
+    c = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit("")))
+    # BPE-ish: letter runs, digit runs, and single punctuation marks
+    bpe = F.size(
+        F.filter(
+            F.split(c, r"(?<=[\p{L}\p{N}])(?=[^\p{L}\p{N}\s])|(?<=[^\p{L}\p{N}\s])(?=[\p{L}\p{N}])|\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    distinct = F.size(F.array_distinct(word_tokens(c)))
+    return (
+        df.withColumn("n_tokens_ws", ws)
+        .withColumn("n_tokens_bpe", bpe)
+        .withColumn("n_tokens_distinct", distinct)
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds quality heuristics: n_chars, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio (en), mean_token_len, and a composite
+    quality_score in [0,1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    count_of = lambda pat: F.length(c) - F.length(F.regexp_replace(c, pat, ""))  # noqa: E731
+    punct = count_of(r"[\p{Punct}]")
+    digits = count_of(r"[0-9]")
+    uppers = count_of(r"[A-Z]")
+    toks = word_tokens(c)
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    mean_tok = safe(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)), n_toks
+    )
+    punct_ratio = safe(punct, n_chars)
+    digit_ratio = safe(digits, n_chars)
+    upper_ratio = safe(uppers, n_chars)
+    stop_ratio = safe(n_stop, n_toks)
+    # composite: reward prose-like ranges, penalize extremes
+    quality = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), digit_ratio * 4) * F.lit(0.25)
+        - F.when(mean_tok < 2, F.lit(0.25)).when(mean_tok > 12, F.lit(0.25)).otherwise(F.lit(0.0))
+        - F.when(n_toks < 5, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("quality_score", F.greatest(F.lit(0.0), quality))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds predicted_lang + lang_score: argmax over per-language marker
+    overlap counts; deterministic tie-break = lexicographic language
+    code. Pure expression (scores per language, array_sort pick)."""
+    toks = F.array_distinct(word_tokens(F.col(text_col)))
+    entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.array_intersect(toks, markers))
+        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    ranked = F.array_sort(
+        F.array(*entries),
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .when(a["lang"] < b["lang"], F.lit(-1))
+        .when(a["lang"] > b["lang"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    top = ranked[0]
+    n = F.size(toks)
+    return df.withColumn("predicted_lang", top["lang"]).withColumn(
+        "lang_score",
+        F.when(n > 0, top["score"].cast("double") / n).otherwise(F.lit(0.0)),
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds fingerprint: md5 over the sorted distinct word tokens —
+    order/whitespace/case-insensitive content identity (rolling-hash
+    style identity for shuffled near-dups)."""
+    toks = F.array_sort(F.array_distinct(word_tokens(F.col(text_col))))
+    return df.withColumn("fingerprint", F.md5(F.array_join(toks, "|")))
