@@ -148,16 +148,25 @@ class EmbeddingBlocker:
                     norms[norms == 0] = 1.0
                     q = q / norms
                 sims = q @ mat_r.T  # (batch, n_right)
-                k = min(top_k, sims.shape[1])
+                # +1 so self-matches (excluded below) don't eat a slot
+                k = min(top_k + 1, sims.shape[1])
                 idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
                 out_id1, out_id2, out_s = [], [], []
                 for row_i in range(sims.shape[0]):
-                    for j in idx[row_i]:
+                    qid = pdf["rid"].iloc[row_i]
+                    kept = 0
+                    order = idx[row_i][np.argsort(-sims[row_i, idx[row_i]], kind="stable")]
+                    for j in order:
+                        if ids_r[j] == qid:
+                            continue
+                        if kept >= top_k:
+                            break
                         s = float(sims[row_i, j])
                         if s >= threshold:
-                            out_id1.append(pdf["rid"].iloc[row_i])
+                            out_id1.append(qid)
                             out_id2.append(ids_r[j])
                             out_s.append(s)
+                            kept += 1
                 yield pd.DataFrame(
                     {"id1": out_id1, "id2": out_id2,
                      "block_key": ["knn"] * len(out_s), "score": out_s}

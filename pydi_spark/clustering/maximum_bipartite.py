@@ -39,24 +39,42 @@ class MaximumBipartiteMatcher:
     @staticmethod
     def _solve(rows, li, ri, left_ids, right_ids):
         try:
-            import numpy as np
-            from scipy.optimize import linear_sum_assignment
+            # the reference's own solver choice (NetworkX,
+            # maximum_bipartite_matching.py:28-348)
+            import networkx as nx
 
-            cost = np.zeros((len(left_ids), len(right_ids)))
+            g = nx.Graph()
             for r in rows:
-                cost[li[r["id1"]], ri[r["id2"]]] = float(r["score"])
-            rr, cc = linear_sum_assignment(-cost)
-            return [
-                (left_ids[i], right_ids[j])
-                for i, j in zip(rr, cc)
-                if cost[i, j] > 0
-            ]
+                g.add_edge(("L", r["id1"]), ("R", r["id2"]), weight=float(r["score"]))
+            matching = nx.algorithms.matching.max_weight_matching(g)
+            out = []
+            for a, b in matching:
+                if a[0] == "R":
+                    a, b = b, a
+                out.append((a[1], b[1]))
+            return sorted(out)
         except ImportError:
-            # greedy fallback: same contract, approximate weight
-            used1, used2, kept = set(), set(), []
-            for r in sorted(rows, key=lambda r: (-float(r["score"]), r["id1"], r["id2"])):
-                if r["id1"] in used1 or r["id2"] in used2:
-                    continue
-                used1.add(r["id1"]); used2.add(r["id2"])
-                kept.append((r["id1"], r["id2"]))
-            return kept
+            try:
+                import numpy as np
+                from scipy.optimize import linear_sum_assignment
+
+                cost = np.zeros((len(left_ids), len(right_ids)))
+                for r in rows:
+                    cost[li[r["id1"]], ri[r["id2"]]] = float(r["score"])
+                rr, cc = linear_sum_assignment(-cost)
+                return [
+                    (left_ids[i], right_ids[j])
+                    for i, j in zip(rr, cc)
+                    if cost[i, j] > 0
+                ]
+            except ImportError:
+                # greedy fallback: same contract, approximate weight
+                used1, used2, kept = set(), set(), []
+                for r in sorted(
+                    rows, key=lambda r: (-float(r["score"]), r["id1"], r["id2"])
+                ):
+                    if r["id1"] in used1 or r["id2"] in used2:
+                        continue
+                    used1.add(r["id1"]); used2.add(r["id2"])
+                    kept.append((r["id1"], r["id2"]))
+                return kept

@@ -165,18 +165,26 @@ def load_xml(
                      index_column_name, id_prefix, trust_score)
 
 
-def _sniff_record_tag(path: str) -> str:
-    """Most frequent child tag of the root, from the file head
-    (reference: io/loaders.py:778-785)."""
+def _sniff_record_tag(path: str, max_events: int = 10000) -> str:
+    """Most frequent *direct child of the root* (reference:
+    io/loaders.py:778-785). Incremental parse of the head only — never
+    materializes a large file on the driver."""
     import collections
-    import re
+    import xml.etree.ElementTree as ET
 
-    with open(path, "rb") as fh:
-        head = fh.read(1 << 20).decode("utf-8", errors="ignore")
-    tags = re.findall(r"<([A-Za-z_][\w.-]*)[\s>/]", head)
-    if len(tags) < 2:
+    counts: collections.Counter = collections.Counter()
+    depth = 0
+    for i, (event, elem) in enumerate(ET.iterparse(path, events=("start", "end"))):
+        if event == "start":
+            depth += 1
+            if depth == 2:
+                counts[elem.tag] += 1
+        else:
+            depth -= 1
+        if i >= max_events and counts:
+            break
+    if not counts:
         raise ValueError(f"cannot auto-detect record tag in {path}")
-    counts = collections.Counter(tags[1:])  # skip root
     return counts.most_common(1)[0][0]
 
 
@@ -207,6 +215,11 @@ def _flatten_xml(df: DataFrame, nested_handling: str) -> DataFrame:
     df = flatten_structs(df)
     if nested_handling == "aggregate":
         # arrays of structs -> per-field arrays ("aggregate" list cells)
+        def field_getter(field_name: str):
+            # closure, NOT a defaulted 2-arg lambda (transform would pass
+            # the element index as the second argument)
+            return lambda x: x[field_name]
+
         for f in list(df.schema.fields):
             if isinstance(f.dataType, ArrayType) and isinstance(
                 f.dataType.elementType, StructType
@@ -214,7 +227,7 @@ def _flatten_xml(df: DataFrame, nested_handling: str) -> DataFrame:
                 for sub in f.dataType.elementType.fields:
                     df = df.withColumn(
                         f"{f.name}_{sub.name}",
-                        F.transform(F.col(f.name), lambda x, s=sub.name: x[s]),
+                        F.transform(F.col(f.name), field_getter(sub.name)),
                     )
                 df = df.drop(f.name)
         return df

@@ -148,31 +148,27 @@ def _token_hash60(t: Column) -> Column:
 
 
 def simhash_fingerprint(text: Column) -> Column:
-    """60-bit SimHash over word tokens as a bigint Column."""
+    """60-bit SimHash over word tokens as a bigint Column.
+
+    Bit positions are unrolled as literal shifts (shiftright needs a
+    literal count); the token hashes array is computed once and shared.
+    """
     toks = F.array_distinct(word_tokens(text))
     hashes = F.transform(toks, _token_hash60)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda bit, j: F.shiftleft(bit, j),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+
+    def bit_at(j: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        )
+        return F.when(vote >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp.bitwiseOR(F.shiftleft(bit_at(j), j))
+    return fp
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

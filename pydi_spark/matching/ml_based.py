@@ -68,11 +68,19 @@ class MLBasedMatcher:
         )
         fcols = [c for c in feats.columns if c.startswith("feat_")]
         spark = feats.sparkSession
-        bc = spark.sparkContext.broadcast(self.model)
+        # cloudpickle serializes the model CLASS by value, so models
+        # defined in notebooks/__main__ (or tests) survive the trip to
+        # executors; deserialized once per python worker
+        from pyspark import cloudpickle
+
+        blob = cloudpickle.dumps(self.model)
+        bc = spark.sparkContext.broadcast(blob)
 
         @F.pandas_udf(DoubleType())
         def score_udf(*cols: pd.Series) -> pd.Series:
-            model = bc.value
+            import pickle
+
+            model = pickle.loads(bc.value)
             X = pd.concat(cols, axis=1).values
             if hasattr(model, "predict_proba"):
                 return pd.Series(model.predict_proba(X)[:, 1])

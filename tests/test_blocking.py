@@ -1,0 +1,107 @@
+"""Blocking operators: pair-set semantics and containment properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.blocking import (
+    EmbeddingBlocker,
+    NoBlocker,
+    SortedNeighbourhoodBlocker,
+    StandardBlocker,
+    TokenBlocker,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ("p1", "alice smith", "ny", 30),
+        ("p2", "alice smyth", "ny", 31),
+        ("p3", "bob jones", "la", 40),
+        ("p4", "carol jones", "la", 35),
+        ("p5", "dave brown", "sf", 50),
+    ]
+    return spark.createDataFrame(rows, "rid string, name string, city string, age int")
+
+
+def pairs_set(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_standard_blocker_self(people):
+    out = StandardBlocker(on=["city"]).block(people, id_column="rid")
+    assert pairs_set(out) == {("p1", "p2"), ("p3", "p4")}
+
+
+def test_standard_blocker_two_tables(spark, people):
+    other = spark.createDataFrame(
+        [("q1", "ny"), ("q2", "sf")], "rid string, city string"
+    )
+    out = StandardBlocker(on=["city"]).block(people, other, id_column="rid")
+    assert pairs_set(out) == {("p1", "q1"), ("p2", "q1"), ("p5", "q2")}
+
+
+def test_no_blocker_cross(people):
+    out = NoBlocker().block(people, id_column="rid")
+    assert out.count() == 5 * 4 / 2
+    # every other blocker's pairs are a subset of the cross product
+    tok = TokenBlocker(column="name").block(people, id_column="rid")
+    assert pairs_set(tok) <= pairs_set(out)
+
+
+def test_token_blocker(people):
+    out = TokenBlocker(column="name").block(people, id_column="rid")
+    ps = pairs_set(out)
+    assert ("p3", "p4") in ps  # share token 'jones'
+    assert ("p1", "p5") not in ps
+
+
+def test_token_blocker_hot_token_pruning(people):
+    out = TokenBlocker(column="name", max_token_frequency=1).block(
+        people, id_column="rid"
+    )
+    assert out.count() == 0  # every shared token has df >= 2
+
+
+def test_sorted_neighbourhood_window(people):
+    out = SortedNeighbourhoodBlocker(key="name", window=1).block(
+        people, id_column="rid"
+    )
+    # sorted by name: p1,p2,p3,p4,p5 -> adjacent pairs only
+    assert pairs_set(out) == {("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5")}
+
+
+def test_sorted_neighbourhood_two_sided(spark, people):
+    right = spark.createDataFrame(
+        [("r1", "alice smith"), ("r2", "zzz")], "rid string, name string"
+    )
+    out = SortedNeighbourhoodBlocker(key="name", window=2).block(
+        people, right, id_column="rid"
+    )
+    for id1, id2 in pairs_set(out):
+        assert id1.startswith("p") and id2.startswith("r")
+
+
+def test_embedding_blocker_brute(spark):
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [0.99, 0.1]), ("c", [0.0, 1.0]), ("d", [0.1, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, "rid string, vec array<float>")
+    out = EmbeddingBlocker(vector_column="vec", method="brute", top_k=1,
+                           threshold=0.5).block(df, df, id_column="rid")
+    ps = pairs_set(out)
+    assert ("a", "b") in ps and ("c", "d") in ps
+    assert all(not (p in ps) for p in [("a", "c"), ("a", "d"), ("b", "c")])
+
+
+def test_embedding_blocker_lsh_finds_identical(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((30, 16)).astype(float)
+    rows = [(f"v{i}", [float(x) for x in vecs[i]]) for i in range(30)]
+    rows.append(("dup", [float(x) for x in vecs[0]]))
+    df = spark.createDataFrame(rows, "rid string, vec array<float>")
+    out = EmbeddingBlocker(vector_column="vec", method="lsh", top_k=5,
+                           threshold=0.99).block(df, df, id_column="rid")
+    assert ("dup", "v0") in pairs_set(out) or ("v0", "dup") in pairs_set(out)

@@ -1,0 +1,111 @@
+"""Post-clustering: CC vs union-find oracle, 1:1 properties."""
+
+import random
+
+import pytest
+
+from pydi_spark.clustering import (
+    CentreClusterer,
+    ConnectedComponentClusterer,
+    GreedyOneToOneMatcher,
+    HierarchicalClusterer,
+    MaximumBipartiteMatcher,
+    StableMatcher,
+    connected_components,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    random.seed(7)
+    nodes = [f"n{i:04d}" for i in range(300)]
+    edges = []
+    # chains + random extra edges
+    for i in range(0, 280, 7):
+        seg = nodes[i:i + 7]
+        edges += list(zip(seg, seg[1:]))
+    edges += [tuple(random.sample(nodes, 2)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    got = {r["record_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    touched = sorted({a for a, _ in edges} | {b for _, b in edges})
+    want = _union_find(touched, edges)
+    assert got == {n: want[n] for n in touched}
+
+
+def test_cc_clusterer_closure_edges(spark):
+    corr = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8), ("x", "y", 0.7)],
+        "id1 string, id2 string, score double",
+    )
+    out = ConnectedComponentClusterer().cluster(corr)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")}
+
+
+def test_stable_matching_mutual_best(spark):
+    corr = spark.createDataFrame(
+        [("l1", "r1", 0.9), ("l1", "r2", 0.5), ("l2", "r1", 0.6), ("l2", "r2", 0.8)],
+        "id1 string, id2 string, score double",
+    )
+    out = {(r["id1"], r["id2"]) for r in StableMatcher().cluster(corr).collect()}
+    assert out == {("l1", "r1"), ("l2", "r2")}
+
+
+def test_greedy_one_to_one(spark):
+    corr = spark.createDataFrame(
+        [("l1", "r1", 0.9), ("l2", "r1", 0.95), ("l2", "r2", 0.5), ("l1", "r2", 0.1)],
+        "id1 string, id2 string, score double",
+    )
+    out = {(r["id1"], r["id2"]) for r in GreedyOneToOneMatcher().cluster(corr).collect()}
+    # greedy takes l2-r1 (0.95) first, then l1-r2 (0.1)
+    assert out == {("l2", "r1"), ("l1", "r2")}
+    # property: at most one match per id
+    ids1 = [a for a, _ in out]
+    ids2 = [b for _, b in out]
+    assert len(ids1) == len(set(ids1)) and len(ids2) == len(set(ids2))
+
+
+def test_bipartite_beats_greedy_total_weight(spark):
+    corr = spark.createDataFrame(
+        [("l1", "r1", 0.9), ("l2", "r1", 0.95), ("l2", "r2", 0.94)],
+        "id1 string, id2 string, score double",
+    )
+    out = {(r["id1"], r["id2"]) for r in MaximumBipartiteMatcher().cluster(corr).collect()}
+    assert out == {("l1", "r1"), ("l2", "r2")}  # total 1.84 > greedy 0.95
+
+
+def test_centre_clusterer(spark):
+    corr = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8), ("c", "d", 0.7)],
+        "id1 string, id2 string, score double",
+    )
+    got = {r["record_id"]: r["cluster_id"] for r in CentreClusterer().assign(corr).collect()}
+    # 'a' becomes the first centre; d can't attach to non-centre c
+    assert got["a"] == "a" and got["b"] == "a" and got["c"] == "a"
+    assert "d" not in got
+
+
+def test_hierarchical_min_similarity(spark):
+    corr = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.3)],
+        "id1 string, id2 string, score double",
+    )
+    got = {r["record_id"]: r["cluster_id"] for r in
+           HierarchicalClusterer(min_similarity=0.5).assign(corr).collect()}
+    assert got["a"] == got["b"]
+    assert got["c"] != got["a"]

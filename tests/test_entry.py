@@ -1,0 +1,27 @@
+"""Driver-contract sanity: entry(), queries()/oracle_sql() alignment."""
+
+import __spark_entry__ as entry
+
+
+def test_entry_returns_rows(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert {"id1", "id2", "score"} <= set(df.columns)
+
+
+def test_queries_oracles_aligned():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert qs, "no queries registered"
+    # every oracle refers to a registered query
+    assert set(oracles) <= set(qs)
+    # and (current policy) every query has an oracle
+    missing = set(qs) - set(oracles)
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_two_sample_queries_run(spark, sf_dir):
+    qs = entry.queries()
+    assert qs["tpch_q1"](spark, sf_dir).count() > 0
+    out = qs["blocking_standard"](spark, sf_dir)
+    assert out.columns == ["id1", "id2", "block_key"]

@@ -1,0 +1,88 @@
+"""IO loaders: provenance, ID injection, formats."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.core.dataset import Dataset
+from pydi_spark.core.ids import add_id_column
+from pydi_spark.io import explode_delimited, load_csv, load_fwf, load_json, load_parquet, load_xml
+
+
+def test_load_parquet_with_provenance(spark, sf_dir):
+    ds = load_parquet(spark, f"{sf_dir}/customer.parquet", "customer", trust_score=0.8)
+    assert ds.name == "customer"
+    assert ds.trust_score == 0.8
+    assert ds.provenance["reader"] == "parquet"
+    assert ds.provenance["source_path"].endswith("customer.parquet")
+    assert ds.df.count() == 150
+
+
+def test_id_injection_format(spark, sf_dir):
+    ds = load_parquet(
+        spark, f"{sf_dir}/region.parquet", "region", add_index=True, id_prefix="reg"
+    )
+    ids = sorted(r[ds.id_column] for r in ds.df.select(ds.id_column).collect())
+    assert ids == [f"reg-{i:04d}" for i in range(5)]
+    assert ds.schema_columns() == ["r_regionkey", "r_name"]
+
+
+def test_add_id_column_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "x string")
+    out, col = add_id_column(df, "t", order_by=["x"])
+    got = {r["x"]: r[col] for r in out.collect()}
+    assert got == {"a": "t-0000", "b": "t-0001", "c": "t-0002"}
+
+
+def test_load_csv_json_fwf(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    ds = load_csv(spark, str(csv), "t")
+    assert ds.df.count() == 2 and set(ds.df.columns) == {"a", "b"}
+
+    js = tmp_path / "t.json"
+    js.write_text('[{"a": 1, "tags": ["p", "q"]}, {"a": 2, "tags": []}]')
+    dj = load_json(spark, str(js), "tj")
+    row = dj.df.orderBy("a").collect()[0]
+    assert list(row["tags"]) == ["p", "q"]  # list cells native
+
+    fw = tmp_path / "t.fwf"
+    fw.write_text("alpha  12\nbeta   34\n")
+    dw = load_fwf(spark, str(fw), "tw", colspecs=[(0, 7), (7, 9)], columns=["name", "n"])
+    rows = {r["name"]: r["n"] for r in dw.df.collect()}
+    assert rows == {"alpha": "12", "beta": "34"}
+
+
+def test_load_xml_aggregate_and_explode(spark, tmp_path):
+    xml = tmp_path / "movies.xml"
+    xml.write_text(
+        """<movies>
+  <movie><title>Heat</title><actors><actor><name>Al</name></actor>
+    <actor><name>Bob</name></actor></actors><year>1995</year></movie>
+  <movie><title>Solo</title><actors><actor><name>Cy</name></actor></actors>
+    <year>2000</year></movie>
+</movies>"""
+    )
+    ds = load_xml(spark, str(xml), "movies", nested_handling="aggregate")
+    rows = {r["title"]: r for r in ds.df.collect()}
+    assert sorted(rows) == ["Heat", "Solo"]
+    heat = rows["Heat"]
+    names = [c for c in ds.df.columns if "name" in c]
+    assert names, ds.df.columns
+    assert sorted(heat[names[0]]) == ["Al", "Bob"]
+
+    exploded = load_xml(spark, str(xml), "movies", nested_handling="explode")
+    assert exploded.df.count() == 3  # Heat x2 actors + Solo x1
+
+
+def test_explode_delimited(spark):
+    df = spark.createDataFrame([("a, b and c",)], "x string")
+    out = [r["x"] for r in explode_delimited(df, "x").collect()]
+    assert out == ["a", "b", "c"]
+
+
+def test_provenance_append(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    ds = Dataset.wrap(df, "t").with_provenance("normalize", cols=["a"])
+    assert ds.provenance["operations"][0]["op"] == "normalize"

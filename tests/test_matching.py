@@ -1,0 +1,104 @@
+"""Matchers: rule-based scoring, features, ML bridge, text formatting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.blocking import NoBlocker
+from pydi_spark.functions.comparators import (
+    DateComparator,
+    NumericComparator,
+    StringComparator,
+)
+from pydi_spark.matching import (
+    FeatureExtractor,
+    MLBasedMatcher,
+    RuleBasedMatcher,
+    TextFormatter,
+)
+
+
+@pytest.fixture(scope="module")
+def two_tables(spark):
+    left = spark.createDataFrame(
+        [("l1", "alpha beta", 10.0, "2020-01-01"),
+         ("l2", "gamma delta", 20.0, "2021-06-15")],
+        "rid string, name string, val double, d string",
+    )
+    right = spark.createDataFrame(
+        [("r1", "alpha beta", 11.0, "2020-03-01"),
+         ("r2", "epsilon", 99.0, "1999-01-01")],
+        "rid string, name string, val double, d string",
+    )
+    return left, right
+
+
+def test_rule_matcher_weighted_score(spark, two_tables):
+    left, right = two_tables
+    pairs = NoBlocker().block(left, right, id_column="rid")
+    m = RuleBasedMatcher(
+        comparators=[
+            (StringComparator("name", "jaccard"), 0.5),
+            (NumericComparator("val", max_difference=10.0), 0.3),
+            (DateComparator("d", max_days_difference=365.0), 0.2),
+        ]
+    )
+    out = {(r["id1"], r["id2"]): r["score"] for r in
+           m.match(left, right, pairs, threshold=0.0, id_column="rid").collect()}
+    # l1-r1: jaccard 1.0, numeric 1-1/10=0.9, date 1-60/365
+    expected = 0.5 * 1.0 + 0.3 * 0.9 + 0.2 * (1 - 60 / 365)
+    assert out[("l1", "r1")] == pytest.approx(expected, abs=1e-6)
+    assert out[("l2", "r2")] < 0.1
+
+
+def test_rule_matcher_threshold_and_debug(spark, two_tables):
+    left, right = two_tables
+    pairs = NoBlocker().block(left, right, id_column="rid")
+    m = RuleBasedMatcher(comparators=[(StringComparator("name", "jaccard"), 1.0)])
+    out = m.match(left, right, pairs, threshold=0.9, id_column="rid", debug=True)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id1"] == "l1"
+    assert "sim_name_0" in out.columns
+
+
+def test_feature_extractor(spark, two_tables):
+    left, right = two_tables
+    pairs = NoBlocker().block(left, right, id_column="rid")
+    fx = FeatureExtractor(
+        [StringComparator("name", "jaccard"), NumericComparator("val")]
+    )
+    feats = fx.create_features(left, right, pairs, id_column="rid")
+    assert set(feats.columns) == {"id1", "id2", "feat_name_0", "feat_val_1"}
+    assert feats.count() == 4
+
+
+def test_ml_matcher_with_stub(spark, two_tables):
+    class _StubModel:
+        """sklearn-shaped stub, defined in function scope so cloudpickle
+        ships the class by value (scikit-learn is not a baked dep)."""
+
+        def fit(self, X, y):
+            self.threshold = 0.5
+            return self
+
+        def predict_proba(self, X):
+            import numpy as np
+
+            p = (X[:, 0] >= 0.5).astype(float)
+            return np.stack([1 - p, p], axis=1)
+
+    left, right = two_tables
+    pairs = NoBlocker().block(left, right, id_column="rid")
+    fx = FeatureExtractor([StringComparator("name", "jaccard")])
+    m = MLBasedMatcher(fx, model=_StubModel())
+    out = m.match(left, right, pairs, threshold=0.5, id_column="rid")
+    assert {(r["id1"], r["id2"]) for r in out.collect()} == {("l1", "r1")}
+
+
+def test_text_formatter(spark, two_tables):
+    left, _ = two_tables
+    fmt = TextFormatter(["name", "val"], separator=" | ")
+    row = left.select(fmt.expr().alias("t")).collect()[0]
+    assert row["t"] == "alpha beta | 10.0"
+    tmpl = TextFormatter(["name"], template="name is {name}")
+    row2 = left.select(tmpl.expr().alias("t")).collect()[0]
+    assert row2["t"] == "name is alpha beta"
