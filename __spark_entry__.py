@@ -520,6 +520,164 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.llmdata import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3, bands=4)
+
+
+def q_normalize_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.normalization import apply_column_transforms
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pk"),
+        F.concat(F.lit("  "), F.col("p_name"), F.lit("   x ")).alias("name"),
+        F.upper(F.col("p_type")).alias("ptype"),
+        F.concat(
+            F.col("p_size").cast("string"), F.lit(","),
+            F.col("p_partkey").cast("string"), F.lit(".5"),
+        ).alias("price_str"),
+    )
+    out = apply_column_transforms(
+        part,
+        {
+            "name": ["strip", "normalize_whitespace", "upper"],
+            "ptype": "lower",
+            "price_str": "to_numeric",
+        },
+    )
+    return out.select("pk", "name", "ptype", F.col("price_str").alias("price"))
+
+
+def q_type_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.normalization import type_match_rates
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("string").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    rates = type_match_rates(cust, ["k", "name", "bal", "seg"], sample_size=0)
+    return rates.select(
+        "column_name", "type_name", F.round("match_rate", 6).alias("match_rate")
+    )
+
+
+def q_units_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.normalization.units import normalize_units
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pk"),
+        F.concat(F.col("p_size").cast("string"), F.lit(" cm")).alias("q_len"),
+        F.concat(F.col("p_size").cast("string"), F.lit(" °F")).alias("q_temp"),
+    )
+    out = normalize_units(part, "q_len")
+    out = normalize_units(out, "q_temp")
+    return out.select(
+        "pk",
+        "q_len_value", "q_len_unit", "q_len_category",
+        "q_temp_value", "q_temp_unit", "q_temp_category",
+    )
+
+
+def q_extract_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.extraction import RegexExtractor
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("ok"),
+        F.concat(
+            F.lit("Order for $"),
+            F.col("o_totalprice").cast("string"),
+            F.lit(" at 45% margin, see https://shop.example.com/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("text"),
+    )
+    ex = RegexExtractor(
+        {
+            "money": {"source_column": "text",
+                      "pattern": r"[$]\s?([0-9][0-9,.]*)",
+                      "group": 0,
+                      "postprocess": "parse_money"},
+            "percent": {"source_column": "text",
+                        "pattern": r"([+-]?[0-9.]+\s?%)",
+                        "postprocess": "parse_percent"},
+            "domain": {"source_column": "text",
+                       "pattern": r"((?:https?://)[^\s]+)",
+                       "postprocess": "extract_domain"},
+        }
+    )
+    out = ex.extract(orders)
+    return out.select(
+        "ok",
+        F.col("money"),
+        F.round("percent", 6).alias("percent"),
+        "domain",
+    )
+
+
+def q_validators_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.normalization import DataQualityChecker
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        DataQualityChecker()
+        .add_range("c_acctbal", 0.0, 9000.0)
+        .add_pattern("c_name", r"^Customer#[0-9]+$")
+        .add_completeness("c_nationkey")
+        .run(cust)
+    )
+
+
+def q_schema_duplicate_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.schemamatching import DuplicateBasedSchemaMatcher
+
+    cust = _t(spark, sf_dir, "customer")
+    src = Dataset.wrap(
+        cust.select(
+            F.col("c_custkey").cast("string").alias("rid"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "src", id_column="rid",
+    )
+    tgt = Dataset.wrap(
+        cust.select(
+            F.col("c_custkey").cast("string").alias("rid"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+        ),
+        "tgt", id_column="rid",
+    )
+    corr = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").cast("string").alias("id1"),
+        F.col("c_custkey").cast("string").alias("id2"),
+        F.lit(1.0).alias("score"),
+    )
+    out = DuplicateBasedSchemaMatcher(min_votes=2).match(src, tgt, corr, threshold=0.5)
+    return out.select(
+        "source_column", "target_column", F.round("score", 6).alias("score")
+    )
+
+
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event aggregation — the same plan runs as a Structured
+    Streaming query (tests/test_extraction_profiling.py drives it via
+    readStream); the batch run here is what the oracle checks."""
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import windowed_event_counts
+
+    events = nanos_to_timestamp(_t(spark, sf_dir, "events"))
+    out = windowed_event_counts(events, "6 hours", value_column=None)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -545,6 +703,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "profile_summary": q_profile_summary,
+        "dedup_simhash": q_dedup_simhash,
+        "normalize_transforms": q_normalize_transforms,
+        "type_detection": q_type_detection,
+        "units_normalize": q_units_normalize,
+        "extract_rules": q_extract_rules,
+        "validators_quality": q_validators_quality,
+        "schema_duplicate_based": q_schema_duplicate_based,
+        "streaming_windowed": q_streaming_windowed,
     }
 
 
@@ -636,6 +802,56 @@ verified AS (
 )
 SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
 """
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    toks = _TOK_SQL.format(col="text")
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    bits_sums = ",\n    ".join(
+        f"sum(((h60 >> {j}) & 1)*2 - 1) AS v{j}" for j in range(60)
+    )
+    fp_expr = " + ".join(
+        f"((CASE WHEN v{j} >= 0 THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(60)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({toks}) tok_set FROM documents),
+tr AS (SELECT doc_id, unnest(tok_set) tok FROM toks),
+hx AS (SELECT doc_id, md5(tok) AS md5h FROM tr),
+h60s AS (SELECT doc_id, ({hex2int}) AS h60 FROM hx),
+votes AS (SELECT doc_id, {bits_sums} FROM h60s GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_expr}) AS f FROM votes)
+SELECT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2,
+       bit_count(xor(a.f, b.f)) AS hamming
+FROM fp a JOIN fp b ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
+def _type_detection_sql() -> str:
+    from pydi_spark.normalization.detectors import NULL_TOKENS
+    from pydi_spark.normalization.typedetect import TYPE_PATTERNS
+
+    null_list = ", ".join("'" + t.replace("'", "''") + "'" for t in NULL_TOKENS)
+    col_exprs = {
+        "k": "CAST(c_custkey AS VARCHAR)",
+        "name": "c_name",
+        "bal": "CAST(c_acctbal AS VARCHAR)",
+        "seg": "c_mktsegment",
+    }
+    selects = []
+    for col, expr in col_exprs.items():
+        for tname, (pat, _) in TYPE_PATTERNS.items():
+            p = pat.replace("'", "''").replace("\\", "\\")
+            selects.append(
+                f"SELECT '{col}' AS column_name, '{tname}' AS type_name,\n"
+                f"  round(count(*) FILTER (WHERE regexp_matches(lower(trim({expr})), '{p}'))::DOUBLE\n"
+                f"        / nullif(count(*) FILTER (WHERE {expr} IS NOT NULL AND lower(trim({expr})) NOT IN ({null_list})), 0), 6) AS match_rate\n"
+                f"FROM customer WHERE {expr} IS NOT NULL AND lower(trim({expr})) NOT IN ({null_list})"
+            )
+    return "\nUNION ALL\n".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -945,6 +1161,91 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
+""",
+        "dedup_simhash": _simhash_sql(3),
+        "type_detection": _type_detection_sql(),
+        "normalize_transforms": """
+SELECT CAST(p_partkey AS VARCHAR) pk,
+       upper(trim(regexp_replace(trim('  ' || p_name || '   x '), '\\s+', ' ', 'g'))) AS name,
+       lower(upper(p_type)) AS ptype,
+       try_cast(replace(CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) || '.5', ',', '') AS DOUBLE) AS price
+FROM part
+""",
+        "units_normalize": """
+SELECT CAST(p_partkey AS VARCHAR) pk,
+       p_size::DOUBLE * 0.01 AS q_len_value,
+       'm' AS q_len_unit,
+       'length' AS q_len_category,
+       (p_size::DOUBLE - 32.0) * 5.0 / 9.0 AS q_temp_value,
+       '°c' AS q_temp_unit,
+       'temperature' AS q_temp_category
+FROM part
+""",
+        "extract_rules": """
+SELECT CAST(o_orderkey AS VARCHAR) ok,
+       try_cast(replace(CAST(o_totalprice AS VARCHAR), ',', '') AS DOUBLE) AS money,
+       round(45.0 / 100.0, 6) AS percent,
+       'shop.example.com' AS domain
+FROM orders
+""",
+        "validators_quality": """
+SELECT 'range:c_acctbal' AS "check",
+       count(c_acctbal) AS n_checked,
+       count(*) FILTER (WHERE c_acctbal IS NOT NULL
+                        AND NOT (c_acctbal >= 0.0 AND c_acctbal <= 9000.0)) AS n_violations,
+       count(*) FILTER (WHERE c_acctbal IS NOT NULL
+                        AND NOT (c_acctbal >= 0.0 AND c_acctbal <= 9000.0))::DOUBLE
+         / count(c_acctbal) AS violation_rate
+FROM customer
+UNION ALL
+SELECT 'pattern:c_name', count(c_name),
+       count(*) FILTER (WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')),
+       count(*) FILTER (WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$'))::DOUBLE
+         / count(c_name)
+FROM customer
+UNION ALL
+SELECT 'completeness:c_nationkey', count(*),
+       count(*) FILTER (WHERE c_nationkey IS NULL),
+       count(*) FILTER (WHERE c_nationkey IS NULL)::DOUBLE / count(*)
+FROM customer
+""",
+        "schema_duplicate_based": """
+WITH corr AS (
+  SELECT CAST(c_custkey AS VARCHAR) id FROM customer WHERE c_custkey % 3 = 0
+),
+n AS (SELECT count(*) nc FROM corr),
+s AS (
+  SELECT CAST(c_custkey AS VARCHAR) id, 'cust_name' col, c_name v
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 'segment', c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+),
+t AS (
+  SELECT CAST(c_custkey AS VARCHAR) id, 'customer_name' col, c_name v
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 'market_segment', c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+),
+votes AS (
+  SELECT s.col sc, t.col tc, count(DISTINCT s.id) votes
+  FROM s JOIN t USING (id)
+  WHERE lower(trim(s.v)) = lower(trim(t.v))
+    AND s.v IS NOT NULL AND trim(s.v) != '' AND s.v != '0'
+    AND t.v IS NOT NULL AND trim(t.v) != '' AND t.v != '0'
+  GROUP BY 1, 2
+)
+SELECT sc AS source_column, tc AS target_column,
+       round(votes::DOUBLE / nc, 6) AS score
+FROM votes, n
+WHERE votes >= 2 AND votes::DOUBLE / nc >= 0.5
+""",
+        "streaming_windowed": """
+SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS VARCHAR) window_start,
+       event_type, count(*) n_events
+FROM events
+GROUP BY 1, 2
 """,
         "profile_summary": """
 SELECT 'c_custkey' column_name, count(*) n_rows, count(c_custkey) non_null, count(DISTINCT c_custkey) n_distinct FROM customer

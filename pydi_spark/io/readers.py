@@ -303,6 +303,19 @@ def load_feather(
     return _finalize(df, name, path, "feather", add_index, None, None)
 
 
+def nanos_to_timestamp(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Convert a nanosecond-epoch long column (how Spark reads
+    TIMESTAMP(NANOS) parquet under spark.sql.legacy.parquet.nanosAsLong)
+    to a proper timestamp (microsecond truncation)."""
+    from pyspark.sql.types import LongType
+
+    if not isinstance(df.schema[column].dataType, LongType):
+        return df
+    return df.withColumn(
+        column, F.timestamp_micros((F.col(column) / 1000).cast("long"))
+    )
+
+
 # -- value-shape helpers (reference: io/loaders.py:85-107, 886-922) ------
 
 def list_to_string(col: str, sep: str = ", ") -> F.Column:

@@ -1,0 +1,28 @@
+from pydi_spark.normalization.datasets import DatasetNormalizer, apply_column_transforms
+from pydi_spark.normalization.detectors import (
+    NULL_TOKENS,
+    duplicate_stats,
+    null_standardize_expr,
+    outlier_bounds,
+)
+from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
+from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
+from pydi_spark.normalization.units import UNITS_TABLE, normalize_units_expr, parse_quantity_expr
+from pydi_spark.normalization.validators import DataQualityChecker
+
+__all__ = [
+    "BUILTIN_TRANSFORMS",
+    "DataQualityChecker",
+    "DatasetNormalizer",
+    "NULL_TOKENS",
+    "UNITS_TABLE",
+    "apply_column_transforms",
+    "detect_column_types",
+    "duplicate_stats",
+    "normalize_units_expr",
+    "null_standardize_expr",
+    "outlier_bounds",
+    "parse_quantity_expr",
+    "transform_expr",
+    "type_match_rates",
+]

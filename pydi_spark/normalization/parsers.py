@@ -1,0 +1,133 @@
+"""Typed value parsers as Column expressions.
+
+Reference: PyDI/normalization/types.py — CoordinateParser decimal/DMS
+(:30-213), BooleanParser multi-language (:215-294), LinkNormalizer
+(:296-381), NumericParser locale-aware (:383-743), DateNormalizer
+(:745-837), TypeConverter facade (:838-897); plus
+utils/normalization.py scalar helpers (phone :106, currency :145,
+percentage :182, country :246, accents :353).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRUE = ["true", "yes", "y", "t", "1", "ja", "si", "sí", "oui", "wahr", "vrai"]
+_FALSE = ["false", "no", "n", "f", "0", "nein", "non", "falsch", "faux"]
+
+
+def parse_boolean(col: Column | str) -> Column:
+    """Multi-language boolean (reference: types.py:215-294)."""
+    c = F.lower(F.trim((F.col(col) if isinstance(col, str) else col).cast("string")))
+    return (
+        F.when(c.isin(*_TRUE), F.lit(True))
+        .when(c.isin(*_FALSE), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def parse_numeric(col: Column | str, decimal_sep: str = ".") -> Column:
+    """Locale-tolerant numeric: strips currency/space, normalizes
+    thousands/decimal separators (reference: types.py:383-743)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    c = F.regexp_replace(c, r"[$€£\s]", "")
+    if decimal_sep == ",":
+        c = F.regexp_replace(c, r"\.", "")
+        c = F.regexp_replace(c, ",", ".")
+    else:
+        c = F.regexp_replace(c, ",", "")
+    return (c).try_cast("double")
+
+
+def parse_percentage(col: Column | str, as_fraction: bool = True) -> Column:
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    num = (F.regexp_replace(c, r"\s*%$", "")).try_cast("double")
+    return (num / 100.0) if as_fraction else num
+
+
+def parse_currency(col: Column | str) -> Column:
+    """struct(amount double, currency string)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    sym = F.regexp_extract(c, r"([$€£])", 1)
+    code = F.regexp_extract(F.upper(c), r"\b(USD|EUR|GBP|CHF|JPY)\b", 1)
+    currency = F.when(sym == "$", "USD").when(sym == "€", "EUR").when(sym == "£", "GBP")
+    currency = F.coalesce(F.nullif(code, F.lit("")), currency)
+    amount = (F.regexp_replace(c, r"[^0-9.\-]", "")).try_cast("double")
+    return F.struct(amount.alias("amount"), currency.alias("currency"))
+
+
+_DMS = r"(\d{1,3})[°\s]\s*(\d{1,2})['′\s]\s*(\d{1,2}(?:\.\d+)?)[\"″]?\s*([NSEW])"
+
+
+def _dms_to_decimal(part: Column, idx_base: int, c: Column) -> Column:
+    deg = (F.regexp_extract(c, _DMS, idx_base)).try_cast("double")
+    mins = (F.regexp_extract(c, _DMS, idx_base + 1)).try_cast("double")
+    secs = (F.regexp_extract(c, _DMS, idx_base + 2)).try_cast("double")
+    hemi = F.regexp_extract(c, _DMS, idx_base + 3)
+    val = deg + mins / 60.0 + secs / 3600.0
+    return F.when(hemi.isin("S", "W"), -val).otherwise(val)
+
+
+def parse_coordinate(col: Column | str) -> Column:
+    """struct(lat double, lon double): decimal 'lat, lon' or single DMS
+    (reference: types.py:30-213). DMS pairs fall back to first token."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    dec = r"^\s*([+-]?\d{1,3}(?:\.\d+)?)\s*[,;]\s*([+-]?\d{1,3}(?:\.\d+)?)\s*$"
+    lat_dec = (F.regexp_extract(c, dec, 1)).try_cast("double")
+    lon_dec = (F.regexp_extract(c, dec, 2)).try_cast("double")
+    lat = F.when(c.rlike(dec), lat_dec).otherwise(_dms_to_decimal(c, 1, c))
+    lon = F.when(c.rlike(dec), lon_dec)
+    valid = (F.abs(lat) <= 90) & (F.abs(F.coalesce(lon, F.lit(0))) <= 180)
+    return F.when(valid, F.struct(lat.alias("lat"), lon.alias("lon")))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Lowercase scheme/host, add https:// when missing, strip trailing /
+    (reference: types.py:296-381)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    with_scheme = F.when(c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c).otherwise(
+        F.concat(F.lit("https://"), c)
+    )
+    no_trail = F.regexp_replace(with_scheme, r"/$", "")
+    scheme = F.lower(F.regexp_extract(no_trail, r"^([a-zA-Z0-9+.-]+)://", 1))
+    rest = F.regexp_replace(no_trail, r"^[a-zA-Z0-9+.-]+://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/]+)", 1))
+    path = F.regexp_replace(rest, r"^[^/]+", "")
+    return F.concat(scheme, F.lit("://"), host, path)
+
+
+def extract_domain(col: Column | str) -> Column:
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    return F.lower(
+        F.regexp_extract(c, r"^(?:[a-zA-Z0-9+.-]+://)?(?:www\.)?([^/:\s]+)", 1)
+    )
+
+
+def normalize_phone(col: Column | str, default_country: str = "") -> Column:
+    """Digits + leading + (reference: utils/normalization.py:106)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    digits = F.regexp_replace(c, r"[^0-9+]", "")
+    digits = F.regexp_replace(digits, r"(?<=.)\+", "")  # inner plus signs
+    digits = F.regexp_replace(digits, r"^00", "+")
+    if default_country:
+        digits = F.when(
+            digits.rlike(r"^\+"), digits
+        ).otherwise(F.concat(F.lit(default_country), F.regexp_replace(digits, "^0", "")))
+    return F.nullif(digits, F.lit(""))
+
+
+def remove_accents(col: Column | str) -> Column:
+    """ASCII-fold common accents via translate (reference:
+    utils/normalization.py:353)."""
+    src = "àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+    dst = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, src, dst)
+
+
+def parse_date_multi(col: Column | str, formats: list[str] | None = None) -> Column:
+    """First-parseable date format chain (reference: types.py:745-837)."""
+    from pydi_spark.normalization.transforms import to_datetime
+
+    return to_datetime(F.col(col) if isinstance(col, str) else col, formats)

@@ -1,0 +1,11 @@
+from pydi_spark.schemamatching.duplicate_based import DuplicateBasedSchemaMatcher
+from pydi_spark.schemamatching.evaluation import SchemaMappingEvaluator
+from pydi_spark.schemamatching.instance_based import InstanceBasedSchemaMatcher
+from pydi_spark.schemamatching.label_based import LabelBasedSchemaMatcher
+
+__all__ = [
+    "DuplicateBasedSchemaMatcher",
+    "InstanceBasedSchemaMatcher",
+    "LabelBasedSchemaMatcher",
+    "SchemaMappingEvaluator",
+]

@@ -1,0 +1,140 @@
+"""Structured Streaming extensions (beyond the reference).
+
+The reference has no streaming at all (SURVEY §2.13); its only
+streaming-ish construct is the blocker batch iterator
+(PyDI/entitymatching/blocking/base.py:59-64). These operators expose the
+engine's dedup/aggregation semantics over unbounded streams:
+
+- ``streaming_dedup``: watermarked ``dropDuplicates`` — exact streaming
+  dedup with bounded state (late duplicates beyond the watermark are the
+  documented trade-off).
+- ``windowed_event_counts``: tumbling/sliding windowed aggregation with
+  late-data handling.
+- ``sessionize``: session windows per key.
+
+All three take either a streaming or batch DataFrame — the SAME plan
+works for both (Structured Streaming's unified semantics), which is how
+the batch DuckDB oracle can check the windowed logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_columns: list[str],
+    ts_column: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keep the first event per key within the watermark horizon."""
+    out = df
+    if out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    return out.dropDuplicates(key_columns)
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    ts_column: str = "ts",
+    key_column: str | None = "event_type",
+    watermark: str = "30 minutes",
+    value_column: str | None = "value",
+) -> DataFrame:
+    """Tumbling (or sliding) window counts + sums per key."""
+    out = df
+    if out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    win = (
+        F.window(F.col(ts_column), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_column), window_duration)
+    )
+    keys = [win] + ([F.col(key_column)] if key_column else [])
+    aggs = [F.count("*").alias("n_events")]
+    if value_column:
+        aggs.append(F.sum(F.col(value_column)).alias("sum_value"))
+    agg = out.groupBy(*keys).agg(*aggs)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *([F.col(key_column)] if key_column else []),
+        "n_events",
+        *(["sum_value"] if value_column else []),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_column: str = "ts",
+    key_column: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per key (gap-based)."""
+    out = df
+    if out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    return (
+        out.groupBy(F.session_window(F.col(ts_column), gap), F.col(key_column))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_column,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_from_parquet(
+    spark,
+    path: str,
+    transform,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    output_mode: str = "append",
+    query_name: str = "pydi_stream_result",
+):
+    """Drive a parquet directory as a bounded stream (availableNow) and
+    return the collected result — the test harness for streaming ops.
+
+    Use ``output_mode='complete'`` for aggregations you want fully
+    emitted on bounded input (append mode only emits windows the
+    watermark has passed — the final windows would be withheld).
+    """
+    import os
+    import tempfile
+
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    stage_ctx = None
+    if os.path.isfile(path):
+        # file stream sources require a directory
+        stage_ctx = tempfile.TemporaryDirectory()
+        os.symlink(os.path.abspath(path), os.path.join(stage_ctx.name, os.path.basename(path)))
+        path = stage_ctx.name
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    out = transform(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    if stage_ctx is not None:
+        stage_ctx.cleanup()
+    return spark.table(query_name)

@@ -1,0 +1,135 @@
+"""Extraction + profiling + streaming extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.extraction import (
+    CodeExtractor,
+    ExtractorPipeline,
+    InformationExtractionEvaluator,
+    RegexExtractor,
+    RuleDiscovery,
+)
+from pydi_spark.profiling import DataProfiler
+
+
+@pytest.fixture(scope="module")
+def product_docs(spark):
+    rows = [
+        ("d1", "Laptop with 16 GB RAM, 2.4 GHz CPU for $1,299.00 — see https://shop.example.com/a"),
+        ("d2", "Phone, 128 GB storage, price €599. Contact sales@example.com"),
+        ("d3", "Monitor 27 inch, 60 W power draw, 75 Hz refresh"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_regex_extractor(product_docs):
+    ex = RegexExtractor(
+        {
+            "price": {"source_column": "text",
+                      "patterns": [r"[$€£]\s?([0-9][0-9,.]*)"],
+                      "postprocess": lambda c: F.regexp_replace(c, ",", "").try_cast("double")},
+            "storage_gb": {"source_column": "text",
+                           "pattern": r"(?i)([0-9.]+\s*(?:tb|gb|mb))",
+                           "postprocess": "parse_storage_gb"},
+            "email": {"source_column": "text",
+                      "pattern": r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"},
+        }
+    )
+    out = {r["doc_id"]: r for r in ex.extract(product_docs).collect()}
+    assert out["d1"]["price"] == 1299.0
+    assert out["d1"]["storage_gb"] == 16.0
+    assert out["d2"]["email"] == "sales@example.com"
+    assert out["d3"]["price"] is None
+
+
+def test_code_extractor_and_pipeline(product_docs):
+    code = CodeExtractor(
+        {
+            "n_words": {"function": lambda v: len(str(v).split()),
+                        "source_column": "text"},
+            "combo": {"function": lambda row: f"{row['doc_id']}:{len(row['text'])}",
+                      "row_based": True, "columns": ["doc_id", "text"]},
+        }
+    )
+    regex = RegexExtractor(
+        {"freq": {"source_column": "text", "pattern": r"(?i)([0-9.]+\s*hz)",
+                  "postprocess": "parse_frequency_hz"}}
+    )
+    out = {r["doc_id"]: r for r in
+           ExtractorPipeline([regex, code]).run(product_docs).collect()}
+    assert out["d3"]["freq"] == 75.0
+    assert int(out["d1"]["n_words"]) > 5
+    assert out["d2"]["combo"].startswith("d2:")
+
+
+def test_rule_discovery(product_docs):
+    extracted, coverage = RuleDiscovery(coverage_threshold=0.5).extract_and_select(
+        product_docs, "text"
+    )
+    assert coverage["x_number"] == 1.0
+    assert "x_number" in extracted.columns
+    assert "x_date_iso" not in extracted.columns  # no dates present
+
+
+def test_ie_evaluator(spark):
+    pred = spark.createDataFrame(
+        [("1", "100", "x"), ("2", None, "y"), ("3", "7", "z")],
+        "id string, price string, name string",
+    )
+    gold = spark.createDataFrame(
+        [("1", "100", "x"), ("2", "5", "y"), ("3", "8", "z")],
+        "id string, price string, name string",
+    )
+    m = InformationExtractionEvaluator().evaluate(pred, gold, "id")
+    assert m["per_attribute"]["price"]["tp"] == 1
+    assert m["per_attribute"]["price"]["fn"] == 1
+    assert m["per_attribute"]["price"]["fp"] == 1
+    assert m["per_attribute"]["name"]["f1"] == 1.0
+    assert m["micro"]["precision"] == pytest.approx(4 / 5)
+
+
+def test_profiler(spark, sf_dir, tmp_path):
+    from pydi_spark.io import load_parquet
+
+    ds = load_parquet(spark, f"{sf_dir}/customer.parquet", "customer")
+    prof = DataProfiler().profile(ds, out_dir=str(tmp_path))
+    assert prof["rows"] == 150
+    assert prof["columns"]["c_acctbal"]["median"] is not None
+    assert prof["columns"]["c_mktsegment"]["top_values"]
+    assert (tmp_path / "customer_profile.html").exists()
+
+    cmp = DataProfiler().compare(ds, ds)
+    assert cmp["only_a"] == [] and cmp["shared_columns"]
+
+
+def test_streaming_ops(spark, sf_dir):
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import streaming_dedup, windowed_event_counts
+    from pydi_spark.streaming.dedup import run_stream_from_parquet
+
+    path = f"{sf_dir}/events.parquet"
+    batch = nanos_to_timestamp(spark.read.parquet(path))
+
+    # batch/stream parity: the same plan on the batch frame is the oracle
+    expected_dedup = batch.dropDuplicates(["user_id", "event_type"]).count()
+    got = run_stream_from_parquet(
+        spark, path,
+        lambda s: streaming_dedup(nanos_to_timestamp(s), ["user_id", "event_type"]),
+        output_mode="append", query_name="dedup_result",
+    )
+    assert got.count() == expected_dedup
+
+    expected_counts = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(batch, "6 hours").collect()
+    }
+    got2 = run_stream_from_parquet(
+        spark, path,
+        lambda s: windowed_event_counts(nanos_to_timestamp(s), "6 hours"),
+        output_mode="complete", query_name="window_result",
+    )
+    got_counts = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got2.collect()
+    }
+    assert got_counts == expected_counts

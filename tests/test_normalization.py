@@ -1,0 +1,141 @@
+"""Normalization: transforms, nulls, types, units, parsers, validators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.normalization import (
+    DataQualityChecker,
+    apply_column_transforms,
+    detect_column_types,
+    null_standardize_expr,
+    outlier_bounds,
+)
+from pydi_spark.normalization.datasets import DatasetNormalizer, NormalizationConfig
+from pydi_spark.normalization.parsers import (
+    extract_domain,
+    normalize_phone,
+    normalize_url,
+    parse_boolean,
+    parse_coordinate,
+    parse_currency,
+    parse_numeric,
+    parse_percentage,
+    remove_accents,
+)
+from pydi_spark.normalization.text import handle_brackets, normalize_header_str, normalize_text
+from pydi_spark.normalization.units import normalize_units, parse_unit_from_header
+
+
+def one(spark, expr, value, schema="x string"):
+    return spark.createDataFrame([(value,)], schema).select(expr.alias("r")).collect()[0]["r"]
+
+
+def test_transforms(spark):
+    df = spark.createDataFrame(
+        [("  Hello   World ", "1,234.5", "n/a")], "a string, b string, c string"
+    )
+    out = apply_column_transforms(
+        df, {"a": ["strip", "normalize_whitespace", "lower"], "b": "to_numeric"}
+    ).collect()[0]
+    assert out["a"] == "hello world"
+    assert out["b"] == 1234.5
+
+
+def test_null_standardization(spark):
+    df = spark.createDataFrame(
+        [("n/a",), ("-",), ("unbekannt",), ("real",), ("",)], "x string"
+    )
+    out = [r["r"] for r in df.select(null_standardize_expr("x").alias("r")).collect()]
+    assert out == [None, None, None, "real", None]
+
+
+def test_type_detection(spark):
+    rows = [(str(i), f"{i}.5", "2024-01-0" + str(i % 9 + 1), f"u{i}@x.io", "yes" if i % 2 else "no", "txt " + str(i))
+            for i in range(1, 30)]
+    df = spark.createDataFrame(
+        rows, "i string, f string, d string, e string, b string, s string"
+    )
+    types = {c: v["type"] for c, v in detect_column_types(df, sample_size=0).items()}
+    assert types["i"] == "integer"
+    assert types["f"] == "float"
+    assert types["d"] == "date"
+    assert types["e"] == "email"
+    assert types["b"] == "boolean"
+    assert types["s"] == "string"
+
+
+def test_dataset_normalizer_coerces(spark):
+    df = spark.createDataFrame(
+        [("1,200", "2021-05-06", "yes", "n/a"), ("3,400", "2022-07-08", "no", "x")],
+        "num string, dt string, flag string, misc string",
+    )
+    out, result = DatasetNormalizer(NormalizationConfig(sample_size=0)).normalize_dataset(df)
+    row = out.orderBy("num").collect()[0]
+    assert row["num"] == 1200.0
+    assert str(row["dt"]).startswith("2021-05-06")
+    assert row["flag"] is True
+    assert row["misc"] is None  # textual null standardized
+    assert "num" in result.applied
+
+
+def test_outlier_bounds(spark):
+    df = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4, 100]], "x double")
+    lo, hi = outlier_bounds(df, "x", method="iqr")
+    assert lo < 1 and hi < 100
+
+
+def test_units(spark):
+    df = spark.createDataFrame(
+        [("12 km",), ("3 mi",), ("100 °F",), ("2.5 thousand m",)], "q string"
+    )
+    out = normalize_units(df, "q")
+    got = {r["q"]: (r["q_value"], r["q_unit"], r["q_category"]) for r in out.collect()}
+    assert got["12 km"][0] == pytest.approx(12000.0)
+    assert got["3 mi"][0] == pytest.approx(4828.032)
+    assert got["100 °F"][0] == pytest.approx(37.777, abs=1e-2)
+    assert got["2.5 thousand m"][0] == pytest.approx(2500.0)
+    assert got["12 km"][1:] == ("m", "length")
+    assert parse_unit_from_header("Speed (km/h)") == "km/h"
+    assert parse_unit_from_header("Name") is None
+
+
+def test_parsers(spark):
+    assert one(spark, parse_boolean("x"), "Oui") is True
+    assert one(spark, parse_numeric("x"), "1.234,56") == 1.23456  # default sep '.'
+    assert one(spark, parse_numeric("x", decimal_sep=","), "1.234,56") == 1234.56
+    assert one(spark, parse_percentage("x"), "45%") == pytest.approx(0.45)
+    cur = one(spark, parse_currency("x"), "€1,234.50")
+    assert cur["amount"] == 1234.50 and cur["currency"] == "EUR"
+    coord = one(spark, parse_coordinate("x"), "48.85, 2.35")
+    assert coord["lat"] == pytest.approx(48.85) and coord["lon"] == pytest.approx(2.35)
+    assert one(spark, normalize_url("x"), "Example.COM/Path/") == "https://example.com/Path"
+    assert one(spark, extract_domain("x"), "https://www.foo.org/bar") == "foo.org"
+    assert one(spark, normalize_phone("x"), "+1 (555) 123-4567") == "+15551234567"
+    assert one(spark, remove_accents("x"), "café naïve") == "cafe naive"
+
+
+def test_text_normalizers(spark):
+    assert (
+        one(spark, normalize_text("x", strip_html=True), "<b>Hello</b>&nbsp; WORLD")
+        == "hello world"
+    )
+    assert normalize_header_str("myColumnName (EUR)") == "my_column_name_eur"
+    assert one(spark, handle_brackets("x", "remove"), "Title (2024)") == "Title"
+    assert one(spark, handle_brackets("x", "extract"), "Title (2024)") == "2024"
+
+
+def test_quality_checker(spark):
+    df = spark.createDataFrame(
+        [("a@x.io", 5), ("bad-email", 50), (None, 500)], "email string, n int"
+    )
+    rep = (
+        DataQualityChecker()
+        .add_email("email")
+        .add_range("n", 0, 100)
+        .add_completeness("email")
+        .run(df)
+    )
+    got = {r["check"]: (r["n_checked"], r["n_violations"]) for r in rep.collect()}
+    assert got["email:email"] == (2, 1)  # nulls not checked
+    assert got["range:n"] == (3, 1)
+    assert got["completeness:email"] == (3, 1)
