@@ -207,6 +207,68 @@ def cluster_consistency_report(
     )
 
 
+def write_debug_results(
+    correspondences: DataFrame, path: str, test_pairs: DataFrame | None = None
+) -> None:
+    """Winter-style debugResultsMatchingRule.csv (evaluation.py:1321+):
+    scored pairs, optionally joined with gold labels."""
+    out = correspondences
+    if test_pairs is not None:
+        gold = test_pairs.select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
+            normalize_labels_expr(F.col("label")).alias("gold_label"),
+        )
+        out = out.join(gold, ["id1", "id2"], "left")
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_cluster_details(
+    correspondences: DataFrame, path: str
+) -> None:
+    """Per-cluster JSON with entities, edges, and score stats
+    (evaluation.py:1182-1319)."""
+    from pydi_spark.clustering.connected_components import connected_components
+
+    comps = connected_components(correspondences.select("id1", "id2"))
+    edges = correspondences.select(
+        F.least("id1", "id2").alias("a"), F.greatest("id1", "id2").alias("b"), "score"
+    ).join(comps.withColumnRenamed("record_id", "a"), "a")
+    details = (
+        edges.groupBy("cluster_id")
+        .agg(
+            F.sort_array(F.collect_set("a")).alias("some_entities"),
+            F.count("*").alias("n_edges"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.avg("score").alias("avg_score"),
+        )
+        .join(
+            comps.groupBy("cluster_id").agg(
+                F.sort_array(F.collect_set("record_id")).alias("entities"),
+                F.count("*").alias("n_entities"),
+            ),
+            "cluster_id",
+        )
+        .select("cluster_id", "entities", "n_entities", "n_edges",
+                "min_score", "max_score", "avg_score")
+    )
+    details.write.mode("overwrite").json(path)
+
+
+def write_record_groups_by_consistency(
+    correspondences: DataFrame, path: str, buckets: list[float] = (0.5, 0.8, 1.0)
+) -> None:
+    """Groups bucketed by consistency ratio (evaluation.py:782-859)."""
+    rep = cluster_consistency_report(correspondences)
+    bucket = F.lit("low")
+    for b in sorted(buckets):
+        bucket = F.when(F.col("consistency") >= b, F.lit(f">={b}")).otherwise(bucket)
+    rep.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).json(path)
+
+
 def cluster_size_distribution(clusters: DataFrame) -> DataFrame:
     """Histogram of cluster sizes (evaluation.py:1085-1180)."""
     return (

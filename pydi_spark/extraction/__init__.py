@@ -1,5 +1,6 @@
 from pydi_spark.extraction.code import CodeExtractor
 from pydi_spark.extraction.evaluation import InformationExtractionEvaluator
+from pydi_spark.extraction.llm import LLMExtractor
 from pydi_spark.extraction.pipeline import ExtractorPipeline
 from pydi_spark.extraction.regex import RegexExtractor
 from pydi_spark.extraction.rules import BUILTIN_RULES, RuleDiscovery
@@ -9,6 +10,7 @@ __all__ = [
     "CodeExtractor",
     "ExtractorPipeline",
     "InformationExtractionEvaluator",
+    "LLMExtractor",
     "RegexExtractor",
     "RuleDiscovery",
 ]

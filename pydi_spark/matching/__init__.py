@@ -1,11 +1,18 @@
-from pydi_spark.matching.feature_extraction import FeatureExtractor
+from pydi_spark.matching.feature_extraction import (
+    FeatureExtractor,
+    VectorFeatureExtractor,
+)
 from pydi_spark.matching.ml_based import MLBasedMatcher
+from pydi_spark.matching.model_based import LLMBasedMatcher, PLMBasedMatcher
 from pydi_spark.matching.rule_based import RuleBasedMatcher
 from pydi_spark.matching.text_formatting import TextFormatter
 
 __all__ = [
     "FeatureExtractor",
+    "LLMBasedMatcher",
     "MLBasedMatcher",
+    "PLMBasedMatcher",
     "RuleBasedMatcher",
     "TextFormatter",
+    "VectorFeatureExtractor",
 ]

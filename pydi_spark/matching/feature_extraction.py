@@ -51,6 +51,48 @@ class FeatureExtractor:
         return feats
 
 
+@dataclass
+class VectorFeatureExtractor:
+    """Embedding-distance features per pair (reference:
+    feature_extraction.py:230-593): embed the configured text columns on
+    both sides with an injectable embedder (per-executor; deterministic
+    fake by default), then emit cosine/euclidean/manhattan distance
+    columns as native array expressions."""
+
+    columns: list[str] = field(default_factory=list)
+    embedder: object = None  # Callable[[list[str]], np.ndarray]
+    distance_metrics: tuple = ("cosine", "euclidean", "manhattan")
+    pooling: str = "concatenate"  # concatenate | mean of per-column texts
+
+    def create_features(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame,
+        pairs: DataFrame,
+        id_column: str | None = None,
+    ) -> DataFrame:
+        from pydi_spark.blocking.base import resolve_side
+        from pydi_spark.blocking.embedding import EmbeddingBlocker, deterministic_embedder
+
+        embedder = self.embedder or deterministic_embedder()
+        text = F.concat_ws(" ", *[F.col(c).cast("string") for c in self.columns])
+
+        def embed_side(data, out_vec):
+            df, idc = resolve_side(data, id_column)
+            blocker = EmbeddingBlocker(text_column="__text", embedder=embedder)
+            vecs = blocker._with_vectors(df.withColumn("__text", text), idc)
+            return vecs.select(
+                F.col("rid"), F.col("vec").alias(out_vec)
+            )
+
+        lv = embed_side(left, "vec_l").withColumnRenamed("rid", "id1")
+        rv = embed_side(right, "vec_r").withColumnRenamed("rid", "id2")
+        joined = pairs.select("id1", "id2").join(lv, "id1").join(rv, "id2")
+        return vector_distance_features(
+            joined, "vec_l", "vec_r", self.distance_metrics
+        ).drop("vec_l", "vec_r")
+
+
 def vector_distance_features(
     df: DataFrame,
     left_vec: str,

@@ -1,0 +1,195 @@
+"""PLM- and LLM-based matching: batched model inference over pair text.
+
+Reference: PLMBasedMatcher (PyDI/entitymatching/plm_based.py:39-612,
+"{left} [SEP] {right}" serialization :103-160, batch inference) and
+LLMBasedMatcher (llm_based.py:28-534: per-pair JSON prompt, zero/few-
+shot, retries/rate-limit, parse {match, score, explanation}).
+
+Spark shape: serialize pairs with TextFormatter expressions (JVM-side),
+then ONE ``mapInPandas`` stage per matcher:
+
+- the model/client is constructed *lazily inside the task* via an
+  injectable zero-arg factory — loaded once per executor process, never
+  shipped from the driver (transformer weights don't pickle well and
+  LLM clients hold sockets);
+- inference sees Arrow-sized batches (vectorized for PLMs, one retryable
+  call loop for LLMs);
+- deterministic fakes (`fake_cross_encoder`, `fake_llm_client`) make
+  pipelines testable offline — the reference has the same injectable
+  hook for its embedder (blocking/embedding.py:78-80).
+
+Heavy deps (torch/transformers, API SDKs) are NOT imported here; the
+factory the caller passes owns them.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from pydi_spark.core.dataset import Dataset
+from pydi_spark.matching.rule_based import join_pairs_to_records
+from pydi_spark.matching.text_formatting import TextFormatter, pair_text_expr
+
+SCORED_SCHEMA = StructType(
+    [
+        StructField("id1", StringType()),
+        StructField("id2", StringType()),
+        StructField("score", DoubleType()),
+        StructField("notes", StringType()),
+    ]
+)
+
+
+# ------------------------------------------------------------ fakes
+
+def fake_cross_encoder() -> Callable[[list[str]], list[float]]:
+    """Deterministic stand-in for a HF cross-encoder: token-overlap score
+    of the two [SEP]-separated sides."""
+
+    def score(texts: list[str]) -> list[float]:
+        out = []
+        for t in texts:
+            left, _, right = t.partition(" [SEP] ")
+            a, b = set(left.lower().split()), set(right.lower().split())
+            out.append(len(a & b) / len(a | b) if (a or b) else 0.0)
+        return out
+
+    return score
+
+
+def fake_llm_client() -> Callable[[str], str]:
+    """Deterministic stand-in for a chat model: answers match-judgement
+    prompts with JSON based on token overlap of quoted record texts."""
+
+    def complete(prompt: str) -> str:
+        parts = prompt.split("<record>")
+        texts = [p.split("</record>")[0] for p in parts[1:]]
+        if len(texts) >= 2:
+            a, b = set(texts[0].lower().split()), set(texts[1].lower().split())
+            sim = len(a & b) / len(a | b) if (a or b) else 0.0
+            return json.dumps(
+                {"match": sim >= 0.5, "score": round(sim, 4),
+                 "explanation": "token overlap (fake client)"}
+            )
+        return json.dumps({"match": False, "score": 0.0, "explanation": "unparseable"})
+
+    return complete
+
+
+# ------------------------------------------------------------ PLM
+
+@dataclass
+class PLMBasedMatcher:
+    """Cross-encoder style matcher; ``model_factory`` returns a callable
+    ``list[str] -> list[float]`` (scores in [0,1]); constructed once per
+    executor."""
+
+    text_formatter: TextFormatter
+    model_factory: Callable[[], Callable[[list[str]], list[float]]] = fake_cross_encoder
+    batch_size: int = 64
+
+    def match(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame,
+        candidates: DataFrame,
+        threshold: float = 0.5,
+        id_column: str | None = None,
+    ) -> DataFrame:
+        joined = join_pairs_to_records(candidates, left, right, id_column)
+        pairs_text = joined.select(
+            F.col("p.id1").alias("id1"),
+            F.col("p.id2").alias("id2"),
+            pair_text_expr(self.text_formatter).alias("pair_text"),
+        )
+        factory, batch_size = self.model_factory, self.batch_size
+
+        def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            model = factory()  # once per task/executor
+            for pdf in batches:
+                scores: list[float] = []
+                for i in range(0, len(pdf), batch_size):
+                    scores.extend(model(pdf["pair_text"].iloc[i:i + batch_size].tolist()))
+                yield pd.DataFrame(
+                    {"id1": pdf["id1"], "id2": pdf["id2"],
+                     "score": scores, "notes": "plm_based"}
+                )
+
+        out = pairs_text.mapInPandas(infer, SCORED_SCHEMA)
+        return out.where(F.col("score") >= F.lit(float(threshold)))
+
+
+# ------------------------------------------------------------ LLM
+
+DEFAULT_MATCH_PROMPT = """Do these two records refer to the same real-world entity?
+<record>{left}</record>
+<record>{right}</record>
+Answer with JSON: {{"match": bool, "score": float, "explanation": str}}"""
+
+
+@dataclass
+class LLMBasedMatcher:
+    """Per-pair prompt matcher; ``client_factory`` returns a callable
+    ``prompt -> completion`` (one per executor). Retries with fallback
+    parsing mirror the reference (llm_based.py:75-137)."""
+
+    text_formatter: TextFormatter
+    client_factory: Callable[[], Callable[[str], str]] = fake_llm_client
+    prompt_template: str = DEFAULT_MATCH_PROMPT
+    few_shot_examples: list[dict] = field(default_factory=list)
+    max_retries: int = 2
+
+    def _render(self, left_text: str, right_text: str) -> str:
+        shots = "".join(
+            f"Example: {json.dumps(ex)}\n" for ex in self.few_shot_examples
+        )
+        return shots + self.prompt_template.format(left=left_text, right=right_text)
+
+    def match(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame,
+        candidates: DataFrame,
+        threshold: float = 0.5,
+        id_column: str | None = None,
+    ) -> DataFrame:
+        joined = join_pairs_to_records(candidates, left, right, id_column)
+        pairs_text = joined.select(
+            F.col("p.id1").alias("id1"),
+            F.col("p.id2").alias("id2"),
+            self.text_formatter.expr("l.").alias("lt"),
+            self.text_formatter.expr("r.").alias("rt"),
+        )
+        factory, render, retries = self.client_factory, self._render, self.max_retries
+
+        def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            client = factory()
+            for pdf in batches:
+                scores, notes = [], []
+                for lt, rt in zip(pdf["lt"], pdf["rt"]):
+                    score, note = 0.0, "llm_error"
+                    for _ in range(retries + 1):
+                        try:
+                            raw = client(render(lt, rt))
+                            obj = json.loads(raw[raw.find("{"): raw.rfind("}") + 1])
+                            score = float(obj.get("score", 1.0 if obj.get("match") else 0.0))
+                            note = str(obj.get("explanation", ""))[:200]
+                            break
+                        except Exception as exc:  # retry, then record failure
+                            note = f"llm_error: {type(exc).__name__}"
+                    scores.append(score)
+                    notes.append(note)
+                yield pd.DataFrame(
+                    {"id1": pdf["id1"], "id2": pdf["id2"],
+                     "score": scores, "notes": notes}
+                )
+
+        out = pairs_text.mapInPandas(infer, SCORED_SCHEMA)
+        return out.where(F.col("score") >= F.lit(float(threshold)))

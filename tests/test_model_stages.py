@@ -1,0 +1,144 @@
+"""Model-based stages (PLM/LLM matchers, LLM extractor, vector features,
+fusion analysis, EM debug writers) with deterministic fakes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydi_spark.blocking import NoBlocker
+from pydi_spark.core.dataset import Dataset
+from pydi_spark.matching import (
+    LLMBasedMatcher,
+    PLMBasedMatcher,
+    TextFormatter,
+    VectorFeatureExtractor,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_setup(spark):
+    left = spark.createDataFrame(
+        [("l1", "the matrix", "1999"), ("l2", "heat", "1995")],
+        "rid string, title string, year string",
+    )
+    right = spark.createDataFrame(
+        [("r1", "the matrix reloaded", "2003"), ("r2", "completely different", "1970")],
+        "rid string, title string, year string",
+    )
+    pairs = NoBlocker().block(left, right, id_column="rid")
+    return left, right, pairs
+
+
+def test_plm_matcher_fake(spark, pair_setup):
+    left, right, pairs = pair_setup
+    m = PLMBasedMatcher(TextFormatter(["title"]))
+    out = {(r["id1"], r["id2"]): r["score"] for r in
+           m.match(left, right, pairs, threshold=0.0, id_column="rid").collect()}
+    assert out[("l1", "r1")] > out[("l2", "r2")]
+    assert out[("l1", "r1")] == pytest.approx(2 / 3)  # {the,matrix} / union of 3
+
+
+def test_llm_matcher_fake(spark, pair_setup):
+    left, right, pairs = pair_setup
+    m = LLMBasedMatcher(TextFormatter(["title", "year"]))
+    out = m.match(left, right, pairs, threshold=0.4, id_column="rid")
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert ("l1", "r1") in got
+    assert ("l2", "r2") not in got
+
+
+def test_llm_matcher_broken_client(spark, pair_setup):
+    left, right, pairs = pair_setup
+
+    def broken_factory():
+        def client(prompt):
+            raise RuntimeError("api down")
+
+        return client
+
+    m = LLMBasedMatcher(TextFormatter(["title"]), client_factory=broken_factory)
+    out = m.match(left, right, pairs, threshold=0.0, id_column="rid").collect()
+    assert all(r["score"] == 0.0 and r["notes"].startswith("llm_error") for r in out)
+
+
+def test_llm_extractor_fake(spark):
+    from pydi_spark.extraction import LLMExtractor
+
+    df = spark.createDataFrame(
+        [("1", "name: Alice, age: 30"), ("2", "age: 44; name: Bob"), ("3", None)],
+        "id string, text string",
+    )
+    out = {r["id"]: r for r in
+           LLMExtractor(["name", "age"]).extract(df, "text").collect()}
+    assert out["1"]["name"] == "Alice" and out["1"]["age"] == "30"
+    assert out["2"]["name"] == "Bob"
+    assert out["3"]["name"] is None
+
+
+def test_vector_feature_extractor(spark, pair_setup):
+    left, right, pairs = pair_setup
+    fx = VectorFeatureExtractor(columns=["title"])
+    out = fx.create_features(left, right, pairs, id_column="rid")
+    rows = {(r["id1"], r["id2"]): r for r in out.collect()}
+    assert set(out.columns) == {"id1", "id2", "dist_cosine", "dist_euclidean", "dist_manhattan"}
+    # identical-ish titles are closer than disjoint ones
+    assert rows[("l1", "r1")]["dist_cosine"] < rows[("l2", "r2")]["dist_cosine"]
+
+
+def test_fusion_analysis_and_report(spark):
+    from pydi_spark.fusion.analysis import (
+        FusionReport,
+        compare_dataset_schemas,
+        detect_attribute_conflicts,
+        suggest_fusion_rules,
+    )
+    from pydi_spark.fusion import DataFusionEngine
+
+    d1 = Dataset.wrap(
+        spark.createDataFrame(
+            [("a1", "X", 1.0), ("a2", "Y", 2.0)], "rid string, name string, v double"
+        ),
+        "d1", id_column="rid",
+    )
+    d2 = Dataset.wrap(
+        spark.createDataFrame(
+            [("b1", "X2", 1.5), ("b2", "Y", 9.0)], "rid string, name string, v double"
+        ),
+        "d2", id_column="rid",
+    )
+    corr = spark.createDataFrame(
+        [("a1", "b1", 1.0), ("a2", "b2", 1.0)], "id1 string, id2 string, score double"
+    )
+    schemas = compare_dataset_schemas([d1, d2])
+    assert all(r["is_shared"] for r in schemas.collect())
+
+    conflicts = {r["attribute"]: r["conflicting_groups"] for r in
+                 detect_attribute_conflicts([d1, d2], corr).collect()}
+    assert conflicts["name"] == 1  # X vs X2
+    assert conflicts["v"] == 2
+
+    rules = suggest_fusion_rules([d1, d2], corr)
+    assert rules["v"] == "average"
+
+    fused = DataFusionEngine().run([d1, d2], corr)
+    summary = FusionReport(fused).summary()
+    assert summary["n_groups"] == 2 and summary["n_records"] == 4
+
+
+def test_em_debug_writers(spark, tmp_path):
+    from pydi_spark.evaluation.matching_eval import (
+        write_cluster_details,
+        write_debug_results,
+    )
+
+    corr = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.7)], "id1 string, id2 string, score double"
+    )
+    gold = spark.createDataFrame([("a", "b", 1)], "id1 string, id2 string, label int")
+    write_debug_results(corr, str(tmp_path / "debug"), gold)
+    out = spark.read.option("header", True).csv(str(tmp_path / "debug"))
+    assert out.count() == 2 and "gold_label" in out.columns
+
+    write_cluster_details(corr, str(tmp_path / "clusters"))
+    det = spark.read.json(str(tmp_path / "clusters"))
+    row = det.collect()[0]
+    assert row["n_entities"] == 3 and row["n_edges"] == 2
