@@ -97,7 +97,12 @@ class DataFusionEngine:
         schema_correspondences: DataFrame | None = None,
         id_column: str | None = None,
         attributes: list[str] | None = None,
+        debug: bool = False,
     ) -> DataFrame:
+        """``debug=True`` keeps per-attribute confidence columns
+        (``_conf_{attr}``) for the per-group per-attribute trace
+        (reference debug log, engine.py:257-354); pair with
+        ``fusion_debug_long`` + ``write_json`` for the JSONL artifact."""
         if schema_correspondences is not None:
             from pydi_spark.translation.mapping_translator import MappingTranslator
 
@@ -210,6 +215,11 @@ class DataFusionEngine:
             / F.lit(max(len(conf_exprs), 1))
         ).alias("_fusion_confidence")
 
+        debug_cols = (
+            [F.col(f"__conf_{a}").alias(f"_conf_{a}") for a in attrs if f"__conf_{a}" in conf_cols]
+            if debug
+            else []
+        )
         result = fused.select(
             F.concat(F.lit("fused_"), F.col("group_id")).alias("_id"),
             F.col("group_id").alias("_fusion_group_id"),
@@ -218,5 +228,33 @@ class DataFusionEngine:
             F.col("_fusion_group_size"),
             mean_conf,
             F.lit(json.dumps({"rules": rules})).alias("_fusion_metadata"),
+            *debug_cols,
         )
         return result
+
+
+def fusion_debug_long(fused: DataFrame) -> DataFrame:
+    """Melt a debug-mode fused frame to the reference's per-group
+    per-attribute trace shape [group_id, attribute, value, confidence,
+    rule] (engine.py:257-354); write with io.writers.write_json for the
+    JSONL artifact."""
+    conf_attrs = [c[len("_conf_"):] for c in fused.columns if c.startswith("_conf_")]
+    if not conf_attrs:
+        raise ValueError("run the engine with debug=True first")
+    rules_map = F.from_json(
+        F.col("_fusion_metadata"), "struct<rules: map<string,string>>"
+    )["rules"]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("attribute"),
+                F.col(a).cast("string").alias("value"),
+                F.col(f"_conf_{a}").alias("confidence"),
+                rules_map[a].alias("rule"),
+            )
+            for a in conf_attrs
+        ]
+    )
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"), F.explode(entries).alias("e")
+    ).select("group_id", "e.attribute", "e.value", "e.confidence", "e.rule")

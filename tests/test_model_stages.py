@@ -142,3 +142,59 @@ def test_em_debug_writers(spark, tmp_path):
     det = spark.read.json(str(tmp_path / "clusters"))
     row = det.collect()[0]
     assert row["n_entities"] == 3 and row["n_edges"] == 2
+
+
+def test_llm_schema_matcher_fake(spark):
+    from pydi_spark.schemamatching import LLMBasedSchemaMatcher
+
+    src = Dataset.wrap(
+        spark.createDataFrame(
+            [("s1", "Heat", "Mann"), ("s2", "Alien", "Scott")],
+            "sid string, movie string, dir string",
+        ),
+        "src", id_column="sid",
+    )
+    tgt = Dataset.wrap(
+        spark.createDataFrame(
+            [("t1", "Heat", "Mann"), ("t2", "Alien", "Scott")],
+            "tid string, title string, director string",
+        ),
+        "tgt", id_column="tid",
+    )
+    out = LLMBasedSchemaMatcher().match(src, tgt, threshold=0.5)
+    pairs = {(r["source_column"], r["target_column"]) for r in out.collect()}
+    assert ("movie", "title") in pairs
+    assert ("dir", "director") in pairs
+
+
+def test_fusion_debug_trace(spark):
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+    from pydi_spark.fusion.engine import fusion_debug_long
+
+    ds = Dataset.wrap(
+        spark.createDataFrame(
+            [("r1", "x"), ("r2", "y")], "rid string, a string"
+        ),
+        "s", id_column="rid",
+    )
+    corr = spark.createDataFrame([("r1", "r2", 1.0)], "id1 string, id2 string, score double")
+    strat = DataFusionStrategy().add_attribute_fuser("a", "voting")
+    fused = DataFusionEngine(strat).run([ds], corr, debug=True)
+    assert "_conf_a" in fused.columns
+    trace = fusion_debug_long(fused).collect()
+    assert trace[0]["rule"] == "voting"
+    assert trace[0]["attribute"] == "a"
+
+
+def test_provenance_tracker(spark):
+    from pydi_spark.fusion.provenance import ProvenanceTracker, extract_source_trust_scores
+
+    d1 = Dataset.wrap(spark.createDataFrame([(1,)], "x int"), "a", trust_score=0.9)
+    d2 = Dataset.wrap(spark.createDataFrame([(2,)], "x int"), "b")
+    assert extract_source_trust_scores([d1, d2]) == {"a": 0.9, "b": 0.5}
+    tr = ProvenanceTracker()
+    tr.record("load", [], "a")
+    tr.record("load", [], "b")
+    tr.record_fusion([d1, d2], "fused")
+    lineage = tr.lineage_of("fused")
+    assert [e["op"] for e in lineage] == ["load", "load", "fusion"]
