@@ -698,6 +698,63 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.blocking import StandardBlocker, block_stats
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_nationkey").alias("k")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_nationkey").alias("k")
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    return block_stats(pairs)
+
+
+def q_fusion_most_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    ds = ds.with_df(
+        ds.df.select("rid", F.col("o_orderpriority").alias("pri_complete"))
+    )
+    strat = DataFusionStrategy().add_attribute_fuser("pri_complete", "most_complete")
+    fused = DataFusionEngine(strat).run([ds], edges)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"), "pri_complete"
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import sessionize
+
+    events = nanos_to_timestamp(_t(spark, sf_dir, "events"))
+    out = sessionize(events, gap="30 minutes")
+    return out.select(
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (no SQL oracle — the hyperplane
+    projection isn't SQL-expressible; the driver records a rows-only
+    check and tests compare recall against the exact brute force)."""
+    from pydi_spark.llmdata import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries_df, k=10, lsh_bits=12, lsh_bands=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -732,6 +789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validators_quality": q_validators_quality,
         "schema_duplicate_based": q_schema_duplicate_based,
         "streaming_windowed": q_streaming_windowed,
+        "blocking_stats": q_blocking_stats,
+        "fusion_most_complete": q_fusion_most_complete,
+        "streaming_sessionize": q_streaming_sessionize,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -1286,6 +1347,41 @@ SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS
        event_type, count(*) n_events
 FROM events
 GROUP BY 1, 2
+""",
+        "blocking_stats": """
+SELECT CAST(k AS VARCHAR) block_key, ns * nc AS pair_count
+FROM (SELECT s_nationkey k, count(*) ns FROM supplier GROUP BY 1) s
+JOIN (SELECT c_nationkey k, count(*) nc FROM customer GROUP BY 1) c USING (k)
+""",
+        "fusion_most_complete": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT g.group_id, trim(regexp_replace(o_orderpriority, '\\s+', ' ', 'g')) AS v
+  FROM orders o JOIN g ON o.o_custkey = g.o_custkey
+)
+SELECT group_id, v AS pri_complete FROM base
+QUALIFY row_number() OVER (
+  PARTITION BY group_id
+  ORDER BY len(string_split(v, ' ')) DESC, length(v) DESC, v
+) = 1
+""",
+        "streaming_sessionize": """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT CAST(min(ts) AS VARCHAR) session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) session_end,
+       user_id, count(*) n_events,
+       round(list_sum(list_sort(list(value))), 4) AS sum_value
+FROM g GROUP BY user_id, sid
 """,
         "profile_summary": """
 SELECT 'c_custkey' column_name, count(*) n_rows, count(c_custkey) non_null, count(DISTINCT c_custkey) n_distinct FROM customer

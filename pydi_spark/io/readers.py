@@ -311,8 +311,10 @@ def nanos_to_timestamp(df: DataFrame, column: str = "ts") -> DataFrame:
 
     if not isinstance(df.schema[column].dataType, LongType):
         return df
+    # integral `div`, NOT `/1000` (double division rounds the low digits
+    # and shifts ~25% of timestamps by 1 microsecond)
     return df.withColumn(
-        column, F.timestamp_micros((F.col(column) / 1000).cast("long"))
+        column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
     )
 
 

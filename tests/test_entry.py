@@ -15,8 +15,10 @@ def test_queries_oracles_aligned():
     assert qs, "no queries registered"
     # every oracle refers to a registered query
     assert set(oracles) <= set(qs)
-    # and (current policy) every query has an oracle
-    missing = set(qs) - set(oracles)
+    # every query has an oracle except declared rows-only ops (the driver
+    # records a weaker check for those)
+    ROWS_ONLY = {"ann_lsh"}
+    missing = set(qs) - set(oracles) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
 
 
