@@ -25,6 +25,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has TIMESTAMP(NANOS) parquet — self-sufficiently enable the
+    nanos-as-long read (the driver's session may not set it) and convert."""
+    from pydi_spark.io.readers import nanos_to_timestamp
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros produces TIMESTAMP (session-TZ rendered); pin UTC so
+    # string casts match the (naive) DuckDB oracle regardless of host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return nanos_to_timestamp(_t(spark, sf_dir, "events"))
+
+
 # ======================================================================
 # flagship
 # ======================================================================
@@ -686,10 +698,9 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event aggregation — the same plan runs as a Structured
     Streaming query (tests/test_extraction_profiling.py drives it via
     readStream); the batch run here is what the oracle checks."""
-    from pydi_spark.io.readers import nanos_to_timestamp
     from pydi_spark.streaming import windowed_event_counts
 
-    events = nanos_to_timestamp(_t(spark, sf_dir, "events"))
+    events = _events(spark, sf_dir)
     out = windowed_event_counts(events, "6 hours", value_column=None)
     return out.select(
         F.col("window_start").cast("string").alias("window_start"),
@@ -727,10 +738,9 @@ def q_fusion_most_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pydi_spark.io.readers import nanos_to_timestamp
     from pydi_spark.streaming import sessionize
 
-    events = nanos_to_timestamp(_t(spark, sf_dir, "events"))
+    events = _events(spark, sf_dir)
     out = sessionize(events, gap="30 minutes")
     return out.select(
         F.col("session_start").cast("string").alias("session_start"),

@@ -56,6 +56,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    min_rounds_before_check: int = 2,
 ) -> DataFrame:
     """edges[id1, id2] -> assignments[record_id, cluster_id].
 
@@ -103,11 +104,14 @@ def connected_components(
         new_e = _canonical(pairs1.unionByName(pairs2))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)
-        cur = _checksum(new_e)
         e = new_e
-        if cur == prev:
-            break
-        prev = cur
+        # convergence can't happen in the first couple of rounds on any
+        # non-star graph — skip the checksum job there
+        if i + 1 >= min_rounds_before_check:
+            cur = _checksum(new_e)
+            if cur == prev:
+                break
+            prev = cur
 
     mapping = (
         e.select(F.col("b").alias("node"), F.col("a").alias("comp"))

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure-Python metric tier.
+
+SURVEY §5.2 item 3: metric bounds/symmetry/identity over adversarial
+inputs. These drive metrics_py directly (no Spark) so hypothesis can
+run hundreds of cases cheaply; the Spark tier is pinned to this tier by
+tests/test_similarity.py::test_native_matches_python.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pydi_spark.functions import metrics_py
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=0x24F),
+    max_size=30,
+)
+
+SYMMETRIC = [
+    "hamming", "levenshtein", "damerau_levenshtein", "jaro", "jaccard",
+    "sorensen_dice", "overlap", "cosine", "bag", "lcsseq", "lcsstr",
+    "ratcliff_obershelp", "length", "identity", "tanimoto",
+]
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=TEXT, b=TEXT)
+def test_bounds_all_metrics(a, b):
+    for name, fn in metrics_py.REGISTRY.items():
+        v = fn(a, b)
+        assert -1e-9 <= v <= 1 + 1e-9, (name, a, b, v)
+        assert not math.isnan(v), (name, a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=TEXT)
+def test_identity_is_one(a):
+    for name, fn in metrics_py.REGISTRY.items():
+        v = fn(a, a)
+        assert v >= 1 - 1e-9, (name, a, v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=TEXT, b=TEXT)
+def test_symmetry(a, b):
+    for name in SYMMETRIC:
+        fn = metrics_py.REGISTRY[name]
+        assert abs(fn(a, b) - fn(b, a)) < 1e-9, (name, a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=TEXT, b=TEXT)
+def test_levenshtein_triangle_with_empty(a, b):
+    """d(a,b) <= d(a,'') + d('',b) = len(a)+len(b)."""
+    d = metrics_py.levenshtein_dist(a, b)
+    assert d <= len(a) + len(b)
+    assert d >= abs(len(a) - len(b))
+
+
+@settings(max_examples=100, deadline=None)
+@given(s=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), max_size=8))
+def test_mra_encode_stable(s):
+    for tok in s:
+        e1 = metrics_py._mra_encode(tok)
+        assert e1 == metrics_py._mra_encode(tok)
+        assert len(e1) <= 6
