@@ -25,14 +25,18 @@ BENCH_QUERIES = [
     "blocking_token",
     "blocking_sorted_neighbourhood",
     "match_rule_based",
+    "match_date_numeric",
     "cluster_connected_components",
     "fusion_numeric",
     "fusion_selection",
     "dedup_minhash",
     "dedup_exact",
+    "dedup_simhash",
     "text_stats",
     "text_langid",
     "ann_topk",
+    "streaming_windowed",
+    "units_normalize",
 ]
 
 

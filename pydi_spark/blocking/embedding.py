@@ -233,6 +233,28 @@ class EmbeddingBlocker:
             .select("id1", "id2", F.lit("lsh").alias("block_key"), "score")
         )
 
+    def estimate_pairs(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame | None = None,
+        id_column: str | None = None,
+        sample_size: int = 200,
+    ) -> int:
+        """Sampling-based pair estimate (reference: embedding.py:484-517):
+        run the blocker on a left-side sample and extrapolate."""
+        self_join = right is None or right is left
+        dl, _ = resolve_side(left, id_column)
+        n_left = dl.count()
+        if n_left == 0:
+            return 0
+        frac = min(1.0, sample_size * 1.2 / n_left)
+        sampled = dl.sample(fraction=frac, seed=self.seed).limit(sample_size)
+        n_sampled = sampled.count()
+        if n_sampled == 0:
+            return 0
+        pairs = self.block(sampled, left if self_join else right, id_column)
+        return int(pairs.count() * (n_left / n_sampled))
+
     # -- public -------------------------------------------------------
     def block(
         self,

@@ -178,6 +178,38 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[id, fp]: SimHash via explode + 60 native sum aggregates.
+
+    The Column-expression variant (simhash_fingerprint) runs inside
+    higher-order functions, which Spark interprets rather than
+    codegen-compiles — ~10x slower per document. This shape (explode the
+    tokens, one hash per row, groupBy with plain sums) stays entirely in
+    whole-stage codegen with map-side partial aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
+    )
+    hashed = toks.withColumn("h60", _token_hash60(F.col("tok")))
+    vote_aggs = [
+        F.sum(
+            (F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("id").agg(*vote_aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = fp.bitwiseOR(F.shiftleft(bit, j))
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -188,10 +220,7 @@ def simhash_near_duplicates(
     """[id1, id2, hamming]: band-trick candidates (bands of 15 bits;
     Hamming <= bands-1 guarantees a shared band) verified exactly."""
     rows = SIMHASH_BITS // bands
-    base = df.select(
-        F.col(id_col).cast("string").alias("id"),
-        simhash_fingerprint(F.col(text_col)).alias("fp"),
-    )
+    base = simhash_fingerprints(df, text_col, id_col)
     banded = base.withColumn(
         "band_key",
         F.explode(
