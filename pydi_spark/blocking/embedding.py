@@ -209,6 +209,10 @@ class EmbeddingBlocker:
     def _lsh(self, l: DataFrame, r: DataFrame, dim: int) -> DataFrame:
         sl = self._signatures(l, dim, "id1").withColumnRenamed("vec", "vec1")
         sr = self._signatures(r, dim, "id2").withColumnRenamed("vec", "vec2")
+        # quadratic band join: pin probe-side parallelism (see dedup.py)
+        sl = sl.repartition(
+            l.sparkSession.sparkContext.defaultParallelism, "band_key", "id1"
+        )
         cands = (
             sl.join(sr, "band_key")
             .dropDuplicates(["id1", "id2"])

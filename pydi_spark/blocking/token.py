@@ -66,6 +66,12 @@ class TokenBlocker:
 
         l = self._exploded(dl, idl, "id1")
         r = self._exploded(dr, idr, "id2")
+        # pin probe-side parallelism: the join output is quadratic per
+        # token, and a broadcast-join plan would otherwise inherit the
+        # scan's partitioning (possibly 1 partition for a single file)
+        l = l.repartition(
+            dl.sparkSession.sparkContext.defaultParallelism, "block_key", "id1"
+        )
         if self.max_token_frequency is not None:
             cap = int(self.max_token_frequency)
             freq = (

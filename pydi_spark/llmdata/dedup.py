@@ -102,6 +102,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """[id1, id2, jaccard]: LSH-band candidates verified by true token-set
     Jaccard >= threshold. id1 < id2 (string order)."""
@@ -113,15 +114,36 @@ def minhash_near_duplicates(
         F.col(id_col).cast("string").alias("id"),
         F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
     )
-    banded = df.select(
+    # signatures via explode + native min aggregates (codegen'd) instead
+    # of array_min(transform(...)) (interpreted higher-order functions)
+    tok_rows = df.select(
         F.col(id_col).cast("string").alias("id"),
-        F.explode(
-            minhash_band_keys(
-                minhash_signatures(F.col(text_col), num_hashes), num_hashes, bands
-            )
-        ).alias("band_key"),
+        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
     )
-    l = banded.select(F.col("id").alias("id1"), "band_key")
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = tok_rows.groupBy("id").agg(*sig_aggs)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(F.concat_ws(",", *[F.col(f"s{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)])),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
+    # explicit parallelism on the probe side: the banded table is tiny
+    # (docs x bands rows) so AQE coalesces it to ~1 partition — but the
+    # band join EXPLODES output quadratically per key, and that explosion
+    # inherits the probe side's partitioning. Without this, the whole
+    # candidate generation serializes into one task.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = banded.select(F.col("id").alias("id1"), "band_key").repartition(
+        parallelism, "band_key", "id1"
+    )
     r = banded.select(F.col("id").alias("id2"), "band_key")
     cands = (
         l.join(r, "band_key")
@@ -131,6 +153,12 @@ def minhash_near_duplicates(
     )
     t1 = toks.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
     t2 = toks.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
+    if broadcast_verify:
+        # pin the build side: Spark's size estimate for the derived toks
+        # table is unreliable here and a sort-merge join over the
+        # quadratic candidate set is 5-10x slower. Disable only when the
+        # per-doc token table itself exceeds executor memory.
+        t1, t2 = F.broadcast(t1), F.broadcast(t2)
     return (
         cands.join(t1, "id1")
         .join(t2, "id2")
@@ -237,7 +265,10 @@ def simhash_near_duplicates(
             )
         ),
     )
-    l = banded.select(F.col("id").alias("id1"), F.col("fp").alias("fp1"), "band_key")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = banded.select(
+        F.col("id").alias("id1"), F.col("fp").alias("fp1"), "band_key"
+    ).repartition(parallelism, "band_key", "id1")  # see minhash note
     r = banded.select(F.col("id").alias("id2"), F.col("fp").alias("fp2"), "band_key")
     return (
         l.join(r, "band_key")
@@ -258,6 +289,7 @@ def ngram_jaccard_duplicates(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
     max_shingle_frequency: int | None = 100,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """[id1, id2, jaccard] over word-shingle sets: shingle-block
     candidates (with hot-shingle pruning) verified with exact set
@@ -283,8 +315,12 @@ def ngram_jaccard_duplicates(
         )
         exploded = exploded.join(F.broadcast(freq), "shingle", "left_semi")
     # ids-only candidate join (narrow shuffle), shingle sets re-attached
-    # for verification afterwards
-    l = exploded.select(F.col("id").alias("id1"), "shingle")
+    # for verification afterwards; probe side explicitly repartitioned
+    # (quadratic join output inherits probe partitioning — see minhash)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = exploded.select(F.col("id").alias("id1"), "shingle").repartition(
+        parallelism, "shingle", "id1"
+    )
     r = exploded.select(F.col("id").alias("id2"), "shingle")
     cands = (
         l.join(r, "shingle")
@@ -294,6 +330,8 @@ def ngram_jaccard_duplicates(
     )
     s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    if broadcast_verify:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         cands.join(s1, "id1")
         .join(s2, "id2")
