@@ -52,11 +52,84 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_forest(batches):
+    """Per-partition union-find -> spanning forest edges (node, root).
+    Contracts each partition's edges to <= #local_nodes rows."""
+    import pandas as pd
+
+    for pdf in batches:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        yield pd.DataFrame(
+            {"a": list(parent.keys()), "b": [find(k) for k in parent.keys()]}
+        )
+
+
+def _hybrid_components(edges: DataFrame) -> DataFrame:
+    """Partition-local contraction + driver union-find on the forest.
+
+    Each partition's edges contract to a spanning mapping (<= #nodes
+    rows); the union of forests is node-count sized, so the final
+    union-find runs on the driver in one pass. Two Spark jobs total
+    instead of O(log n) shuffle rounds — the right trade whenever the
+    *node* set fits driver memory (cluster graphs usually contract well
+    below the raw edge count)."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("id1").cast("string").alias("a"), F.col("id2").cast("string").alias("b")
+    )
+    forest = e.mapInPandas(_local_forest, "a string, b string")
+    rows = forest.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row["a"], row["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    assignments = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(assignments, "record_id string, cluster_id string")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     min_rounds_before_check: int = 2,
+    strategy: str = "auto",
+    driver_node_limit: int = 5_000_000,
 ) -> DataFrame:
     """edges[id1, id2] -> assignments[record_id, cluster_id].
 
@@ -64,7 +137,25 @@ def connected_components(
     deterministic and oracle-checkable. Every node that appears in the
     input edge set gets a row (isolated records are the caller's
     singleton case).
+
+    strategy:
+    - 'hybrid': partition-local contraction + driver union-find — two
+      jobs; requires the NODE set (not edges) to fit the driver.
+    - 'distributed': large-star/small-star rounds — unbounded scale.
+    - 'auto' (default): hybrid when an approximate node count is under
+      ``driver_node_limit``, else distributed.
     """
+    if strategy == "hybrid":
+        return _hybrid_components(edges)
+    if strategy == "auto":
+        approx_nodes = (
+            edges.select(F.col("id1").alias("n"))
+            .unionByName(edges.select(F.col("id2").alias("n")))
+            .agg(F.approx_count_distinct("n").alias("c"))
+            .collect()[0]["c"]
+        )
+        if approx_nodes <= driver_node_limit:
+            return _hybrid_components(edges)
     nodes = (
         edges.select(F.col("id1").alias("node"))
         .unionByName(edges.select(F.col("id2").alias("node")))

@@ -31,7 +31,11 @@ def _union_find(nodes, edges):
     return {n: find(n) for n in nodes}
 
 
-def test_cc_matches_union_find_on_random_graph(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["hybrid", "distributed"])
+def test_cc_matches_union_find_on_random_graph(spark, strategy):
     random.seed(7)
     nodes = [f"n{i:04d}" for i in range(300)]
     edges = []
@@ -40,8 +44,9 @@ def test_cc_matches_union_find_on_random_graph(spark):
         seg = nodes[i:i + 7]
         edges += list(zip(seg, seg[1:]))
     edges += [tuple(random.sample(nodes, 2)) for _ in range(40)]
-    df = spark.createDataFrame(edges, "id1 string, id2 string")
-    got = {r["record_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    df = spark.createDataFrame(edges, "id1 string, id2 string").repartition(4)
+    got = {r["record_id"]: r["cluster_id"]
+           for r in connected_components(df, strategy=strategy).collect()}
     touched = sorted({a for a, _ in edges} | {b for _, b in edges})
     want = _union_find(touched, edges)
     assert got == {n: want[n] for n in touched}
