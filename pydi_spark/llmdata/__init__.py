@@ -7,7 +7,12 @@ from pydi_spark.llmdata.dedup import (
     simhash_fingerprint,
     simhash_near_duplicates,
 )
-from pydi_spark.llmdata.similarity import brute_force_topk, cosine_expr, lsh_topk
+from pydi_spark.llmdata.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    ivf_topk,
+    lsh_topk,
+)
 from pydi_spark.llmdata.textstats import (
     document_fingerprint,
     language_id,
@@ -21,6 +26,7 @@ __all__ = [
     "document_fingerprint",
     "embedding_near_duplicates",
     "exact_duplicates",
+    "ivf_topk",
     "language_id",
     "lsh_topk",
     "minhash_near_duplicates",

@@ -70,6 +70,131 @@ def brute_force_topk(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    sample_size: int,
+    seed: int,
+    iters: int = 10,
+):
+    """Driver-side Lloyd iterations on a sample (centroid table is tiny;
+    the reference pattern for IVF training everywhere). Deterministic
+    given seed."""
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, sample_size * 1.2 / max(n, 1))
+    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    X = np.array([r[vec_col] for r in sample.collect()], dtype=np.float32)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 2000,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + probe-limited exact search.
+
+    Train centroids on a sample (driver), broadcast them, assign every
+    corpus vector to its nearest cell and every query to its ``nprobe``
+    nearest cells, equi-join on cell id, re-score exactly with the
+    native cosine expression. The scale path when LSH recall tuning is
+    awkward: the corpus is scanned once, the join is an equi-join on a
+    small key domain, and recall/cost trades directly via nprobe.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    C = _kmeans_centroids(corpus, vec_col, n_centroids, sample_size, seed)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assigner(n_cells: int, out_id: str):
+        schema = StructType(
+            [
+                StructField(out_id, StringType()),
+                StructField("vec", ArrayType(FloatType())),
+                StructField("cell", IntegerType()),
+            ]
+        )
+
+        def assign(batches):
+            import pandas as pd
+
+            Cm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf["vec"]), dtype=np.float32)
+                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                sims = M @ Cm.T
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+                rows = []
+                for i in range(len(pdf)):
+                    for c in order[i]:
+                        rows.append((pdf[out_id].iloc[i], pdf["vec"].iloc[i], int(c)))
+                yield pd.DataFrame(rows, columns=[out_id, "vec", "cell"])
+
+        return assign
+
+    c_base = corpus.select(
+        F.col(id_col).cast("string").alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    q_base = queries.select(
+        F.col(id_col).cast("string").alias("query_id"), F.col(vec_col).alias("vec")
+    )
+    c_cells = c_base.mapInPandas(
+        assigner(1, "neighbor_id"),
+        "neighbor_id string, vec array<float>, cell int",
+    )
+    q_cells = q_base.mapInPandas(
+        assigner(nprobe, "query_id"),
+        "query_id string, vec array<float>, cell int",
+    ).withColumnRenamed("vec", "qvec")
+
+    joined = q_cells.join(
+        c_cells.withColumnRenamed("vec", "cvec"), "cell"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -123,3 +123,24 @@ def test_multimodal_plumbing(spark):
 
     stats = {r["media_type"]: r["n"] for r in media_stats(df).collect()}
     assert stats == {"image": 2, "video": 1}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from pydi_spark.llmdata import ivf_topk
+
+    rng = np.random.default_rng(5)
+    # clustered vectors so IVF cells are meaningful
+    centers = rng.standard_normal((4, 8)).astype(np.float32) * 3
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.standard_normal(8).astype(np.float32) * 0.3
+         for i in range(80)]
+    ).reshape(80, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 4")
+    exact = brute_force_topk(df, q, k=5)
+    approx = ivf_topk(df, q, k=5, n_centroids=4, nprobe=2, sample_size=80)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
