@@ -765,6 +765,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only check: k-means training isn't
+    SQL-expressible; recall vs brute force is asserted in tests)."""
+    from pydi_spark.llmdata import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -803,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_most_complete": q_fusion_most_complete,
         "streaming_sessionize": q_streaming_sessionize,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 

@@ -17,7 +17,7 @@ def test_queries_oracles_aligned():
     assert set(oracles) <= set(qs)
     # every query has an oracle except declared rows-only ops (the driver
     # records a weaker check for those)
-    ROWS_ONLY = {"ann_lsh"}
+    ROWS_ONLY = {"ann_lsh", "ann_ivf"}
     missing = set(qs) - set(oracles) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
 
