@@ -33,11 +33,21 @@ def standard_key_expr(on: list[str], preprocess: bool = True) -> Column:
 
 @dataclass
 class StandardBlocker:
-    """Equality blocking on one or more key columns."""
+    """Equality blocking on one or more key columns.
+
+    ``max_block_size`` is the skew control for candidate generation: one
+    hot key produces |L_k| x |R_k| pairs, and at corpus scale a single
+    degenerate block (empty string, 'unknown', a default date) can
+    dominate the whole job. Keys whose pair count would exceed the cap
+    are dropped (with the trade-off the reference's block-size logging
+    only *reports*); AQE's skew-join splitting handles the residual
+    imbalance below the cap.
+    """
 
     on: list[str] | str
     preprocess: bool = True
     key_expr: Column | None = None  # custom key expression escape hatch
+    max_block_size: int | None = None  # cap on |L_k| * |R_k| per key
 
     def _key(self) -> Column:
         if self.key_expr is not None:
@@ -67,6 +77,19 @@ class StandardBlocker:
         r = dr.select(F.col(idr).cast("string").alias("id2"), key.alias("block_key"))
         r = r.where(F.col("block_key") != "")
         l = l.where(F.col("block_key") != "")
+        if self.max_block_size is not None:
+            cap = int(self.max_block_size)
+            sizes = (
+                l.groupBy("block_key").count().withColumnRenamed("count", "nl")
+                .join(
+                    r.groupBy("block_key").count().withColumnRenamed("count", "nr"),
+                    "block_key",
+                )
+                .where(F.col("nl") * F.col("nr") <= cap)
+                .select("block_key")
+            )
+            l = l.join(F.broadcast(sizes), "block_key", "left_semi")
+            r = r.join(F.broadcast(sizes), "block_key", "left_semi")
         if broadcast_right:
             r = F.broadcast(r)
         pairs = l.join(r, "block_key").select("id1", "id2", "block_key")

@@ -105,3 +105,17 @@ def test_embedding_blocker_lsh_finds_identical(spark):
     out = EmbeddingBlocker(vector_column="vec", method="lsh", top_k=5,
                            threshold=0.99).block(df, df, id_column="rid")
     assert ("dup", "v0") in pairs_set(out) or ("v0", "dup") in pairs_set(out)
+
+
+def test_standard_blocker_max_block_size(spark, people):
+    # 'ny' and 'la' blocks have 1 pair each; add a hot city with 4 records
+    hot = spark.createDataFrame(
+        [(f"h{i}", f"name {i}", "hot", 20) for i in range(4)],
+        "rid string, name string, city string, age int",
+    )
+    df = people.unionByName(hot)
+    uncapped = StandardBlocker(on=["city"]).block(df, id_column="rid")
+    capped = StandardBlocker(on=["city"], max_block_size=4).block(df, id_column="rid")
+    assert uncapped.where("block_key = 'hot'").count() == 6
+    assert capped.where("block_key = 'hot'").count() == 0  # 4*4 > 4 dropped
+    assert capped.where("block_key = 'ny'").count() == 1   # 2*2 <= 4 kept
