@@ -43,9 +43,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry
-    from pydi_spark import get_spark
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("VANILLA"):
+        # driver-like session: no engine configs at all
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from pydi_spark import get_spark
+
+        spark = get_spark("check_oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
