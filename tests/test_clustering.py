@@ -114,3 +114,25 @@ def test_hierarchical_min_similarity(spark):
            HierarchicalClusterer(min_similarity=0.5).assign(corr).collect()}
     assert got["a"] == got["b"]
     assert got["c"] != got["a"]
+
+
+def test_incremental_assignment(spark):
+    from pydi_spark.clustering.incremental import assign_new_records
+
+    existing = spark.createDataFrame(
+        [("e1", "c1"), ("e2", "c1"), ("e3", "c9")], "record_id string, cluster_id string"
+    )
+    new_ids = spark.createDataFrame([("n1",), ("n2",), ("n3",), ("n4",)], "record_id string")
+    n2e = spark.createDataFrame(
+        [("n1", "e2", 0.9), ("n1", "e3", 0.8), ("n4", "e3", 0.2)],
+        "id1 string, id2 string, score double",
+    )
+    n2n = spark.createDataFrame(
+        [("n2", "n3", 0.95)], "id1 string, id2 string, score double"
+    )
+    out = {r["record_id"]: r["cluster_id"] for r in
+           assign_new_records(existing, new_ids, n2e, n2n, threshold=0.5).collect()}
+    assert out["n1"] == "c1"        # adopts best match's cluster
+    assert out["n2"] == out["n3"]   # new-new merge -> shared fresh cluster
+    assert out["n2"] == "n2"        # fresh id = min new record id
+    assert out["n4"] == "n4"        # sub-threshold match -> singleton
