@@ -1,0 +1,88 @@
+"""Physical-plan audit for every contract query.
+
+Flags scale anti-patterns without running the queries:
+- cartesian / broadcast nested-loop joins (quadratic without a key)
+- single-partition exchanges (global sorts/windows that serialize)
+- parquet scans with no column pruning (reading every column)
+- row-at-a-time Python UDFs (BatchEvalPython) in the plan
+
+Usage: python3 tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any UNEXPECTED finding appears (known/intended ones are
+allowlisted below with their justification).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query -> patterns that are intended there (with reasons, for the reader)
+ALLOWED = {
+    "blocking_cross": {"cartesian", "nested_loop"},  # NoBlocker IS the cartesian op
+    "ann_topk": {"nested_loop"},          # broadcast query-side brute force
+    "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
+    "eval_blocking": {"cartesian"},       # metrics row built via driver counts
+    "threshold": set(),
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    findings = []
+    if "CartesianProduct" in plan and "cartesian" not in ALLOWED.get(name, set()):
+        findings.append("CartesianProduct join")
+    if (
+        "BroadcastNestedLoopJoin" in plan
+        and "nested_loop" not in ALLOWED.get(name, set())
+    ):
+        findings.append("BroadcastNestedLoopJoin")
+    if "Exchange SinglePartition" in plan and "single_partition" not in ALLOWED.get(
+        name, set()
+    ):
+        findings.append("single-partition exchange")
+    if "BatchEvalPython" in plan:
+        findings.append("row-at-a-time Python UDF")
+    # scans reading >12 columns usually mean missing pruning on testdata
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+        if ncols > 12:
+            findings.append(f"wide scan ({ncols} columns)")
+    return findings
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from pydi_spark import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    bad = 0
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:120]}")
+            bad += 1
+            continue
+        findings = audit_plan(name, plan)
+        if findings:
+            print(f"WARN {name}: " + "; ".join(findings))
+            bad += 1
+        else:
+            print(f"ok   {name}")
+    print(f"\n{bad} queries with findings")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
