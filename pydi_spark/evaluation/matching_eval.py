@@ -15,7 +15,7 @@ oracle-checkable; driver-side dict versions via ``.collect()``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

@@ -11,12 +11,11 @@ schema is a real StructType so downstream plans stay typed.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from pydi_spark.core.dataset import Dataset, as_dataframe

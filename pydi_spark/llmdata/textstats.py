@@ -9,7 +9,7 @@ every document of a 100 TB corpus, so no Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pydi_spark.functions.tokenize import word_tokens

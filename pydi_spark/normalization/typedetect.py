@@ -12,7 +12,7 @@ same definitions run in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pydi_spark.normalization.detectors import is_textual_null_expr

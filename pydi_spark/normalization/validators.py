@@ -10,7 +10,6 @@ expression; the checker runs ONE aggregate pass for all of them.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

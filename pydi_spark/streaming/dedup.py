@@ -19,7 +19,7 @@ the batch DuckDB oracle can check the windowed logic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
