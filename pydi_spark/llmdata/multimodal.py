@@ -110,6 +110,60 @@ def extract_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_array(arr: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbour resize of an HxWxC array — pure numpy, no image
+    libs needed; bilinear/real codecs swap in via the decoder hook."""
+    a = np.asarray(arr)
+    h, w = a.shape[0], a.shape[1]
+    rows = (np.arange(height) * (h / height)).astype(int).clip(0, h - 1)
+    cols = (np.arange(width) * (w / width)).astype(int).clip(0, w - 1)
+    return a[rows][:, cols]
+
+
+def decode_and_resize(
+    df: DataFrame,
+    height: int,
+    width: int,
+    decoder: Callable[[bytes], Any] = fake_image_decoder,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """[media_id, pixels (flattened float array), h, w, decode_ok]:
+    decode + resize per Arrow batch (the brief's 'resize' stage; the
+    resample itself is real numpy, only the codec is injected)."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("pixels", ArrayType(FloatType())),
+            StructField("h", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("decode_ok", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "pixels": [], "h": [], "w": [], "decode_ok": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(str(mid))
+                try:
+                    arr = decoder(bytes(payload) if payload is not None else None)
+                    resized = resize_array(np.asarray(arr, dtype=np.float32),
+                                           height, width)
+                    out["pixels"].append(resized.reshape(-1).astype(np.float32))
+                    out["h"].append(height)
+                    out["w"].append(width)
+                    out["decode_ok"].append("ok")
+                except Exception as e:
+                    out["pixels"].append(np.zeros(height * width * 3, dtype=np.float32))
+                    out["h"].append(height)
+                    out["w"].append(width)
+                    out["decode_ok"].append(f"error: {type(e).__name__}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -144,3 +144,28 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.8, recall
+
+
+def test_decode_and_resize(spark):
+    from pydi_spark.llmdata.multimodal import decode_and_resize, fake_image_decoder
+
+    rows = [("m1", bytearray(b"z" * 64)), ("m2", None)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in
+           decode_and_resize(df, 8, 8, fake_image_decoder).collect()}
+    assert out["m1"]["decode_ok"] == "ok"
+    assert len(out["m1"]["pixels"]) == 8 * 8 * 3
+    assert out["m2"]["decode_ok"].startswith("error")
+
+
+def test_embedding_near_duplicates(spark):
+    from pydi_spark.llmdata import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id1"], r["id2"]) for r in
+           embedding_near_duplicates(df, threshold=0.99, method="brute").collect()}
+    assert out == {("1", "2")}
