@@ -765,6 +765,58 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parsers (boolean/percentage/url/phone) over crafted strings."""
+    from pydi_spark.normalization.parsers import (
+        extract_domain,
+        normalize_phone,
+        parse_boolean,
+        parse_percentage,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("yes")).otherwise(F.lit("Non")).alias("b_raw"),
+        F.concat((F.col("c_custkey") % 97).cast("string"), F.lit("%")).alias("p_raw"),
+        F.concat(F.lit("WWW.Shop"), (F.col("c_custkey") % 7).cast("string"),
+                 F.lit(".example.COM/x/")).alias("u_raw"),
+        F.concat(F.lit("+1 (555) 0"), F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                 F.lit("-22")).alias("ph_raw"),
+    )
+    return cust.select(
+        "k",
+        parse_boolean("b_raw").cast("int").alias("b"),
+        F.round(parse_percentage("p_raw"), 6).alias("pct"),
+        extract_domain("u_raw").alias("domain"),
+        normalize_phone("ph_raw").alias("phone"),
+    )
+
+
+def q_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.evaluation import threshold_sweep
+
+    corr = _rule_corr(spark, sf_dir).select(
+        "id1", "id2", F.round("score", 6).alias("score")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    gold = (
+        supp.join(cust, supp["s_nationkey"] == cust["c_nationkey"])
+        .select(
+            F.col("s_suppkey").cast("string").alias("id1"),
+            F.col("c_custkey").cast("string").alias("id2"),
+            (F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 2000).cast("int").alias("label"),
+        )
+    )
+    out = threshold_sweep(corr, gold, [0.0, 0.25, 0.5, 0.75, 0.9])
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only check: k-means training isn't
     SQL-expressible; recall vs brute force is asserted in tests)."""
@@ -817,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "normalize_parsers": q_normalize_parsers,
+        "eval_threshold_sweep": q_eval_threshold_sweep,
     }
 
 
@@ -1371,6 +1425,40 @@ SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS
        event_type, count(*) n_events
 FROM events
 GROUP BY 1, 2
+""",
+        "normalize_parsers": """
+SELECT CAST(c_custkey AS VARCHAR) k,
+       CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS b,
+       round((c_custkey % 97)::DOUBLE / 100.0, 6) AS pct,
+       'shop' || CAST(c_custkey % 7 AS VARCHAR) || '.example.com' AS domain,
+       '+15550' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '22' AS phone
+FROM customer
+""",
+        "eval_threshold_sweep": f"""
+WITH corr AS (SELECT id1, id2, round(score, 6) AS score FROM ({_RULE_CORR_SQL})),
+gold AS (
+  SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
+         CASE WHEN abs(s_acctbal - c_acctbal) < 2000 THEN 1 ELSE 0 END AS lbl
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+),
+scored AS (
+  SELECT g.lbl, c.score FROM gold g LEFT JOIN corr c USING (id1, id2)
+),
+th AS (SELECT CAST(unnest([0.0, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS threshold),
+agg AS (
+  SELECT threshold,
+         count(*) FILTER (WHERE score >= threshold AND lbl = 1) AS tp,
+         count(*) FILTER (WHERE score >= threshold AND lbl = 0) AS fp
+  FROM th CROSS JOIN scored GROUP BY threshold
+),
+npos AS (SELECT count(*) AS n FROM gold WHERE lbl = 1)
+SELECT threshold, tp, fp, (n - tp) AS fn,
+       round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6) AS "precision",
+       round(CASE WHEN n > 0 THEN tp::DOUBLE / n END, 6) AS recall,
+       round(CASE WHEN tp + fp > 0 AND n > 0 AND (tp::DOUBLE/(tp+fp) + tp::DOUBLE/n) > 0
+             THEN 2 * (tp::DOUBLE/(tp+fp)) * (tp::DOUBLE/n)
+                  / ((tp::DOUBLE/(tp+fp)) + (tp::DOUBLE/n)) END, 6) AS f1
+FROM agg, npos
 """,
         "blocking_stats": """
 SELECT CAST(k AS VARCHAR) block_key, ns * nc AS pair_count

@@ -98,10 +98,10 @@ def normalize_url(col: Column | str) -> Column:
 
 
 def extract_domain(col: Column | str) -> Column:
-    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
-    return F.lower(
-        F.regexp_extract(c, r"^(?:[a-zA-Z0-9+.-]+://)?(?:www\.)?([^/:\s]+)", 1)
-    )
+    # lowercase BEFORE matching so the www./scheme prefixes strip
+    # case-insensitively
+    c = F.lower(F.trim((F.col(col) if isinstance(col, str) else col).cast("string")))
+    return F.regexp_extract(c, r"^(?:[a-z0-9+.-]+://)?(?:www\.)?([^/:\s]+)", 1)
 
 
 def normalize_phone(col: Column | str, default_country: str = "") -> Column:
