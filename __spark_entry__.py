@@ -765,6 +765,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets are native in Spark — SURVEY
+    §2.13 capability the reference lacks)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_normalize_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed parsers (boolean/percentage/url/phone) over crafted strings."""
     from pydi_spark.normalization.parsers import (
@@ -871,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "normalize_parsers": q_normalize_parsers,
         "eval_threshold_sweep": q_eval_threshold_sweep,
+        "tpch_rollup": q_tpch_rollup,
     }
 
 
@@ -1425,6 +1446,14 @@ SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS
        event_type, count(*) n_events
 FROM events
 GROUP BY 1, 2
+""",
+        "tpch_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') returnflag,
+       coalesce(l_linestatus, 'ALL') linestatus,
+       count(*) n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "normalize_parsers": """
 SELECT CAST(c_custkey AS VARCHAR) k,

@@ -119,3 +119,15 @@ def test_standard_blocker_max_block_size(spark, people):
     assert uncapped.where("block_key = 'hot'").count() == 6
     assert capped.where("block_key = 'hot'").count() == 0  # 4*4 > 4 dropped
     assert capped.where("block_key = 'ny'").count() == 1   # 2*2 <= 4 kept
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pydi_spark.functions.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(60)], "k int, v string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, w string")
+    plain = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
+    salted = {(r["k"], r["v"], r["w"]) for r in salted_join(big, small, "k", 4).collect()}
+    assert salted == plain
