@@ -133,3 +133,28 @@ def test_streaming_ops(spark, sf_dir):
         (r["window_start"], r["event_type"]): r["n_events"] for r in got2.collect()
     }
     assert got_counts == expected_counts
+
+
+def test_hll_sketches_merge(spark, sf_dir):
+    from pydi_spark.profiling.sketches import hll_distinct, merge_hll_sketches
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    half1 = cust.where("c_custkey < 75")
+    half2 = cust.where("c_custkey >= 75")
+    s1 = hll_distinct(half1, ["c_custkey", "c_mktsegment"])
+    s2 = hll_distinct(half2, ["c_custkey", "c_mktsegment"])
+    merged = {r["column_name"]: r["approx_distinct"]
+              for r in merge_hll_sketches(s1, s2).collect()}
+    # HLL error at lg_k=12 is ~1%; exact: 150 keys, 5 segments
+    assert abs(merged["c_custkey"] - 150) <= 5
+    assert merged["c_mktsegment"] == 5
+
+
+def test_kll_quantiles(spark, sf_dir):
+    from pydi_spark.profiling.sketches import kll_quantiles
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = {r["quantile"]: r["value"] for r in
+           kll_quantiles(cust, "c_acctbal", [0.5]).collect()}
+    exact = cust.approxQuantile("c_acctbal", [0.5], 0.0)[0]
+    assert abs(got[0.5] - exact) / exact < 0.1
