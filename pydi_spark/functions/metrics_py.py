@@ -341,7 +341,12 @@ def lcsstr(a: str, b: str) -> float:
 def ratcliff_obershelp(a: str, b: str) -> float:
     if not a and not b:
         return 1.0
-    return SequenceMatcher(None, a, b).ratio()
+    # difflib's ratio() is order-sensitive in tie-breaking (found by the
+    # hypothesis symmetry property); canonical argument order makes the
+    # metric symmetric by construction
+    if b < a:
+        a, b = b, a
+    return SequenceMatcher(None, a, b, autojunk=False).ratio()
 
 
 # -------------------------------------------------------------------- simple
