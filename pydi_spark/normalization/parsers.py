@@ -126,6 +126,60 @@ def remove_accents(col: Column | str) -> Column:
     return F.translate(c, src, dst)
 
 
+# UTF-8 bytes mis-decoded as Latin-1/cp1252 (mojibake) — the common pairs
+_MOJIBAKE = [
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ã¤", "ä"), ("Ã¶", "ö"), ("Ã¼", "ü"),
+    ("Ã", "ß"), ("Ã¡", "á"), ("Ã­", "í"), ("Ã³", "ó"), ("Ãº", "ú"),
+    ("Ã±", "ñ"), ("Ã§", "ç"), ("Ã€", "À"), ("Ã‰", "É"), ("â€™", "'"),
+    ("â€œ", '"'), ("â€", '"'), ("â€“", "–"), ("â€”", "—"),
+    ("â€¦", "…"), ("Â ", " "), ("Â·", "·"),
+]
+
+
+def detect_encoding_issues(col: Column | str) -> Column:
+    """True when a value shows mojibake markers (reference:
+    utils/normalization.py:411-450)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    return c.rlike("Ã[©¨¤¶¼¡­³º±§€‰]|â€|Â[ ·]")
+
+
+def fix_encoding(col: Column | str) -> Column:
+    """Undo the common UTF-8-as-Latin-1 double-decoding pairs
+    (reference: utils/normalization.py:451-485)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    for bad, good in _MOJIBAKE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+# common alias -> canonical country name (reference:
+# utils/normalization.py:246 standardize_country_name)
+COUNTRY_ALIASES: dict[str, str] = {
+    "usa": "United States", "us": "United States", "u.s.": "United States",
+    "u.s.a.": "United States", "united states of america": "United States",
+    "america": "United States",
+    "uk": "United Kingdom", "u.k.": "United Kingdom",
+    "great britain": "United Kingdom", "england": "United Kingdom",
+    "deutschland": "Germany", "brd": "Germany",
+    "holland": "Netherlands", "the netherlands": "Netherlands",
+    "prc": "China", "people's republic of china": "China",
+    "republic of korea": "South Korea", "rok": "South Korea",
+    "uae": "United Arab Emirates", "russian federation": "Russia",
+    "czechia": "Czech Republic", "ivory coast": "Côte d'Ivoire",
+}
+
+
+def standardize_country_name(col: Column | str) -> Column:
+    """Map common aliases to canonical names; unknown values pass through
+    trimmed (reference: utils/normalization.py:246)."""
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    key = F.lower(c)
+    out = c
+    for alias, canonical in COUNTRY_ALIASES.items():
+        out = F.when(key == alias, F.lit(canonical)).otherwise(out)
+    return out
+
+
 def parse_date_multi(col: Column | str, formats: list[str] | None = None) -> Column:
     """First-parseable date format chain (reference: types.py:745-837)."""
     from pydi_spark.normalization.transforms import to_datetime

@@ -139,3 +139,18 @@ def test_quality_checker(spark):
     assert got["email:email"] == (2, 1)  # nulls not checked
     assert got["range:n"] == (3, 1)
     assert got["completeness:email"] == (3, 1)
+
+
+def test_encoding_and_country(spark):
+    from pydi_spark.normalization.parsers import (
+        detect_encoding_issues,
+        fix_encoding,
+        standardize_country_name,
+    )
+
+    assert one(spark, fix_encoding("x"), "CafÃ© rÃ©sumÃ©") == "Café résumé"
+    assert one(spark, detect_encoding_issues("x"), "CafÃ©") is True
+    assert one(spark, detect_encoding_issues("x"), "Café") is False
+    assert one(spark, standardize_country_name("x"), " USA ") == "United States"
+    assert one(spark, standardize_country_name("x"), "Great Britain") == "United Kingdom"
+    assert one(spark, standardize_country_name("x"), "France") == "France"
