@@ -102,3 +102,57 @@ def test_text_formatter(spark, two_tables):
     tmpl = TextFormatter(["name"], template="name is {name}")
     row2 = left.select(tmpl.expr().alias("t")).collect()[0]
     assert row2["t"] == "name is alpha beta"
+
+
+def test_string_comparator_list_strategies(spark):
+    df = spark.createDataFrame(
+        [(["alice smith", "a. smith"], ["alice smith", "bob jones"])],
+        "l array<string>, r array<string>",
+    )
+    from pydi_spark.functions.comparators import StringComparator
+
+    def run(strategy, fn="jaccard"):
+        cmp_ = StringComparator("x", fn, list_strategy=strategy)
+        return df.select(cmp_.expr(F.col("l"), F.col("r")).alias("s")).collect()[0]["s"]
+
+    assert run("set_jaccard") == pytest.approx(1 / 3)   # share 1 of 3 distinct
+    assert run("set_overlap") == pytest.approx(1 / 2)   # 1 / min(2,2)
+    assert run("best_match", "levenshtein") == 1.0      # exact member match
+    concat = run("concatenate")                          # jaccard of joined text
+    assert 0 < concat < 1
+
+
+def test_date_comparator_list_strategies(spark):
+    df = spark.createDataFrame(
+        [(["2020-01-01", "2021-06-01"], ["2020-01-11", "1999-01-01"])],
+        "l array<string>, r array<string>",
+    )
+    from pydi_spark.functions.comparators import DateComparator
+
+    def run(strategy):
+        cmp_ = DateComparator("x", max_days_difference=100.0, list_strategy=strategy)
+        return df.select(cmp_.expr(F.col("l"), F.col("r")).alias("s")).collect()[0]["s"]
+
+    assert run("closest_dates") == pytest.approx(1 - 10 / 100)  # 2020-01-01 vs 01-11
+    assert run("earliest_dates") == pytest.approx(0.0)          # 2020 vs 1999 clamps
+    assert run("latest_dates") == pytest.approx(0.0)            # 2021-06 vs 2020-01
+    assert 0.0 <= run("range_overlap") <= 1.0
+
+
+def test_numeric_comparator_list_strategies(spark):
+    df = spark.createDataFrame(
+        [(
+            [10.0, 20.0],
+            [20.0, 40.0],
+        )],
+        "l array<double>, r array<double>",
+    )
+    from pydi_spark.functions.comparators import NumericComparator
+
+    def run(strategy):
+        cmp_ = NumericComparator("x", max_difference=30.0, list_strategy=strategy)
+        return df.select(cmp_.expr(F.col("l"), F.col("r")).alias("s")).collect()[0]["s"]
+
+    assert run("best_match") == 1.0                     # 20 vs 20
+    assert run("average") == pytest.approx(1 - 15 / 30) # 15 vs 30
+    assert run("range_overlap") == pytest.approx(0.0)   # [10,20] vs [20,40]: inter 0/span 30
