@@ -752,9 +752,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (no SQL oracle — the hyperplane
-    projection isn't SQL-expressible; the driver records a rows-only
-    check and tests compare recall against the exact brute force)."""
+    """LSH-bucketed approximate top-k. Oracle-checked: the seeded
+    hyperplanes are deterministic given (seed, dim), so the oracle SQL
+    regenerates them as literals and replays signature -> band join ->
+    exact cosine re-score -> top-k in DuckDB (see _ann_lsh_oracle_sql)."""
     from pydi_spark.llmdata import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -838,13 +839,18 @@ def q_eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only check: k-means training isn't
-    SQL-expressible; recall vs brute force is asserted in tests)."""
+    """IVF top-k, oracle-checked via an exhaustive probe: with
+    nprobe = n_centroids every cell is probed, so the IVF machinery
+    (k-means assignment, cell equi-join, dedup, exact re-score, ranking)
+    must reproduce the exact brute-force top-k — which IS SQL-expressible.
+    The approximate regime (nprobe < n_centroids) keeps its recall-bound
+    property test in tests/test_llmdata.py (k-means training itself isn't
+    SQL-expressible)."""
     from pydi_spark.llmdata import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=3)
+    out = ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=8)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -1033,6 +1039,75 @@ def _type_detection_sql() -> str:
                 f"FROM customer WHERE {expr} IS NOT NULL AND lower(trim({expr})) NOT IN ({null_list})"
             )
     return "\nUNION ALL\n".join(selects)
+
+
+# exact cosine top-10 (self excluded): oracle for ann_topk AND for
+# ann_ivf, whose contract query probes every cell (nprobe = n_centroids)
+# and must therefore reproduce the exact result
+_ANN_EXACT_SQL = """
+WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS cos
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """SQL replay of EmbeddingBlocker(method='lsh', lsh_bits=12,
+    lsh_bands=6, seed=42) + lsh_topk(k=10): the hyperplanes depend only
+    on (seed, bits, dim=64), so they are regenerated here with the same
+    numpy code path and inlined as double literals. Signature -> band
+    equi-join -> exact cosine re-score -> blocker top-k (unrounded order)
+    -> final rank (rounded order), exactly like the Spark plan."""
+    import numpy as np
+
+    bits, bands, seed, dim, k = 12, 6, 42, 64, 10
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    bit_exprs = []
+    for j in range(bits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_dot_product(e, {lit}) >= 0 THEN '1' ELSE '0' END AS b{j}"
+        )
+    split = np.array_split(np.arange(bits), bands)
+    band_exprs = ", ".join(
+        "'" + str(bi) + ":' || " + " || ".join(f"b{j}" for j in band)
+        for bi, band in enumerate(split)
+    )
+    return f"""
+WITH v AS (SELECT CAST(vec_id AS VARCHAR) rid, vec_id < 5 AS is_q, embedding::DOUBLE[] e FROM embeddings),
+sig AS (SELECT rid, is_q, e, {", ".join(bit_exprs)} FROM v),
+bnd AS (SELECT rid, is_q, unnest([{band_exprs}]) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT q.rid AS query_id, c.rid AS neighbor_id
+  FROM bnd q JOIN bnd c USING (band_key)
+  WHERE q.is_q
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv.e, cv.e) AS cos
+  FROM cand
+  JOIN v qv ON qv.rid = cand.query_id
+  JOIN v cv ON cv.rid = cand.neighbor_id
+  WHERE list_cosine_similarity(qv.e, cv.e) >= 0.0
+),
+blocked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+  QUALIFY rk <= {k}
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+FROM blocked
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1304,19 +1379,9 @@ SELECT CAST(doc_id AS VARCHAR) doc_id,
        md5(array_to_string(list_sort(list_distinct({toks_text})), '|')) AS fingerprint
 FROM documents
 """,
-        "ann_topk": """
-WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS cos
-  FROM q CROSS JOIN c WHERE query_id != neighbor_id
-)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
-       row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
-FROM scored
-QUALIFY rank <= 10
-""",
+        "ann_topk": _ANN_EXACT_SQL,
+        "ann_ivf": _ANN_EXACT_SQL,
+        "ann_lsh": _ann_lsh_oracle_sql(),
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,

@@ -176,8 +176,10 @@ class EmbeddingBlocker:
 
     # -- LSH banded join ----------------------------------------------
     def _signatures(self, df: DataFrame, dim: int, out_id: str) -> DataFrame:
+        # float64 end-to-end: the sign decisions must be reproducible by
+        # the DuckDB oracle, which computes the same projections in double
         rng = np.random.default_rng(self.seed)
-        planes = rng.standard_normal((self.lsh_bits, dim)).astype(np.float32)
+        planes = rng.standard_normal((self.lsh_bits, dim))
         bands = np.array_split(np.arange(self.lsh_bits), self.lsh_bands)
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast((planes, bands))
@@ -195,7 +197,7 @@ class EmbeddingBlocker:
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                m = np.array(list(pdf["vec"]), dtype=np.float32)
+                m = np.array(list(pdf["vec"]), dtype=np.float64)
                 bits = (m @ planes_.T) >= 0  # (n, bits)
                 rows = []
                 for i in range(len(pdf)):
@@ -217,14 +219,20 @@ class EmbeddingBlocker:
             sl.join(sr, "band_key")
             .dropDuplicates(["id1", "id2"])
         )
-        # exact cosine re-score as a native expression
+        # exact cosine re-score as a native expression; double casts before
+        # the multiply so the result is bit-comparable with the oracle's
+        # double-precision cosine (float32 products drift at ~1e-8)
         dot = F.aggregate(
-            F.zip_with("vec1", "vec2", lambda a, b: a * b),
+            F.zip_with("vec1", "vec2", lambda a, b: a.cast("double") * b.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
         norm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+            F.aggregate(
+                c,
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
         )
         sim = dot / (norm(F.col("vec1")) * norm(F.col("vec2")))
         scored = cands.withColumn("score", sim).where(F.col("score") >= self.threshold)

@@ -42,7 +42,14 @@ def global_row_number(
     from pyspark.sql import Window
 
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w))
+    # materialize the ranked frame before the counts action: the count
+    # collect and the final join are two separate actions, and a
+    # recomputed range partitioning (nondeterministic upstream, AQE
+    # replan) could shift rows across partition boundaries between them,
+    # corrupting the global ranks
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     counts = (
         local.groupBy("__pid").count().orderBy("__pid").collect()
     )

@@ -144,7 +144,16 @@ def connected_components(
     - 'distributed': large-star/small-star rounds — unbounded scale.
     - 'auto' (default): hybrid when an approximate node count is under
       ``driver_node_limit``, else distributed.
+
+    Ids are cast to string up front so the 'min record id (string
+    order)' contract and the output schema are identical regardless of
+    which strategy runs (numeric min and string min disagree, e.g.
+    '10' < '9' lexicographically).
     """
+    edges = edges.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
     if strategy == "hybrid":
         return _hybrid_components(edges)
     if strategy == "auto":

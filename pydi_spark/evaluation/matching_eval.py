@@ -152,8 +152,10 @@ def threshold_sweep(
     spark = correspondences.sparkSession
     th_df = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
     # for each threshold: predicted = score >= t (unmatched gold rows have
-    # null score -> never predicted)
-    joined = th_df.crossJoin(scored)
+    # null score -> never predicted). Broadcast pins the tiny threshold
+    # table to a BroadcastNestedLoopJoin — no shuffle-cartesian of the
+    # scored side
+    joined = scored.crossJoin(F.broadcast(th_df))
     agg = (
         joined.groupBy("threshold")
         .agg(

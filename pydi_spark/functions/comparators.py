@@ -19,7 +19,11 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from pydi_spark.functions.similarity import similarity, token_similarity
+from pydi_spark.functions.similarity import (
+    best_match_similarity,
+    similarity,
+    token_similarity,
+)
 
 
 def _preprocess(col: Column, steps: str | list[str] | None) -> Column:
@@ -86,18 +90,11 @@ class StringComparator(BaseComparator):
             return token_similarity("overlap", left, right)
         if strat == "best_match":
             # max pairwise similarity; native metrics compose inside
-            # transform lambdas (still JVM-side)
-            pair_sims = F.flatten(
-                F.transform(
-                    left,
-                    lambda x: F.transform(
-                        right, lambda y: similarity(
-                            self.similarity_function, x, y, self.tokenization
-                        )
-                    ),
-                )
+            # transform lambdas (JVM-side), python metrics/callables run
+            # as one Arrow-batched UDF over both arrays
+            return best_match_similarity(
+                self.similarity_function, left, right, self.tokenization
             )
-            return F.array_max(pair_sims)
         raise ValueError(f"unknown list_strategy: {strat}")
 
 

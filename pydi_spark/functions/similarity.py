@@ -87,7 +87,8 @@ def _native_set_cosine(a: Column, b: Column, tokenization: str = "word") -> Colu
 
 
 def _native_prefix(a: Column, b: Column) -> Column:
-    la, lb = F.lower(a), F.lower(b)
+    # case-sensitive, matching metrics_py.prefix and textdistance.prefix
+    la, lb = a, b
     minlen = F.least(F.length(la), F.length(lb))
     # longest common prefix length via aggregate over positions
     eq = F.transform(
@@ -197,6 +198,61 @@ def similarity(
     if name in PY_METRICS:
         return _pandas_udf_metric(name)(a, b)
     raise ValueError(f"unknown similarity metric: {name}")
+
+
+def best_match_similarity(
+    name_or_fn: str | Callable[[str, str], float],
+    left: Column | str,
+    right: Column | str,
+    tokenization: str | None = None,
+) -> Column:
+    """Max pairwise similarity between two ``array<string>`` columns.
+
+    Native metrics compose inside nested ``transform`` lambdas (JVM-side);
+    Python-tier metrics and callables route through ONE Arrow-batched
+    pandas UDF over both arrays (a pandas UDF cannot be embedded in a
+    ``transform`` lambda — Spark rejects it at analysis time).
+    """
+    a = F.col(left) if isinstance(left, str) else left
+    b = F.col(right) if isinstance(right, str) else right
+    if isinstance(name_or_fn, str) and name_or_fn in NATIVE_METRICS:
+        pair_sims = F.flatten(
+            F.transform(
+                a,
+                lambda x: F.transform(
+                    b, lambda y: similarity(name_or_fn, x, y, tokenization)
+                ),
+            )
+        )
+        return F.array_max(pair_sims)
+    if callable(name_or_fn) and not isinstance(name_or_fn, str):
+        fn = name_or_fn
+    elif name_or_fn in PY_METRICS:
+        fn = PY_METRICS[name_or_fn]
+    else:
+        raise ValueError(f"unknown similarity metric: {name_or_fn}")
+
+    @F.pandas_udf(DoubleType())
+    def _best(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = []
+        for xs, ys in zip(s1, s2):
+            if xs is None or ys is None:
+                out.append(None)
+                continue
+            best = None
+            for x in xs:
+                if x is None:
+                    continue
+                for y in ys:
+                    if y is None:
+                        continue
+                    v = float(fn(str(x), str(y)))
+                    if best is None or v > best:
+                        best = v
+            out.append(best)
+        return pd.Series(out, dtype="float64")
+
+    return _best(a, b)
 
 
 def token_similarity(

@@ -26,12 +26,31 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from pydi_spark.clustering.connected_components import connected_components
 from pydi_spark.core.dataset import Dataset
 from pydi_spark.fusion.resolvers import RESOLVERS, ResolverAggs
 from pydi_spark.fusion.strategy import DataFusionStrategy
+
+
+def _validity_nulled(col: Column, dtype) -> Column:
+    """Reference validity gate (_is_valid_value, fusion/base.py:20-55):
+    NaN and empty lists are invalid — nulled here so every resolver's
+    null-skipping aggregate ignores them. Empty strings stay valid
+    (pd.isna('') is False in the reference)."""
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return F.when(~F.isnan(col), col)
+    if isinstance(dtype, ArrayType):
+        return F.when(F.size(col) > 0, col)
+    return col
 
 
 def build_record_groups(
@@ -134,9 +153,10 @@ class DataFusionEngine:
         conf_cols: list[str] = []
         rules: dict[str, str] = {}
         custom: list[tuple[str, Callable]] = []
+        schema_by_name = {f.name: f.dataType for f in with_groups.schema.fields}
         for attr in attrs:
             fuser = self.strategy.fusers.get(attr)
-            v = F.col(attr)
+            v = _validity_nulled(F.col(attr), schema_by_name[attr])
             if fuser is not None and fuser.py_resolver is not None:
                 # custom callable tier: collect the group's values + context
                 agg_exprs.append(

@@ -56,11 +56,10 @@ def resolver(name: str):
 
 # ---------------------------------------------------------------- helpers
 
-def _valid(v: Column) -> Column:
-    """Reference validity: not null, not NaN, not empty string/list
-    (fusion/base.py:20-55)."""
-    cond = v.isNotNull()
-    return F.when(cond, v)
+# Validity (reference _is_valid_value, fusion/base.py:20-55: null, NaN and
+# empty lists are invalid) is enforced centrally in engine.py's
+# _validity_nulled — resolvers receive already-nulled invalid values, so
+# their null-skipping aggregates implement the reference semantics.
 
 
 def _nonnull_count(v: Column) -> Column:

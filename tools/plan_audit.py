@@ -25,7 +25,9 @@ ALLOWED = {
     "ann_topk": {"nested_loop"},          # broadcast query-side brute force
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     "eval_blocking": {"cartesian"},       # metrics row built via driver counts
-    "threshold": set(),
+    # 11-row broadcast threshold table x scored gold pairs: O(11n), the
+    # nested-loop side is the broadcast literal table
+    "eval_threshold_sweep": {"nested_loop"},
 }
 
 
