@@ -856,6 +856,368 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rule_corr_prefixed(
+    spark: SparkSession, sf_dir: str, nation: int | None = None
+) -> DataFrame:
+    """_rule_corr with 's'/'c' id prefixes: single-namespace clusterers
+    (CENTER, hierarchical) key assignments by record id, so the supplier
+    and customer key ranges must not collide. Optional nation slice keeps
+    the driver-side sequential sweeps small."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.functions.comparators import NumericComparator, StringComparator
+    from pydi_spark.matching import RuleBasedMatcher
+
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    if nation is not None:
+        supp = supp.where(F.col("s_nationkey") == nation)
+        cust = cust.where(F.col("c_nationkey") == nation)
+    supp = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("rid"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").alias("k"),
+    )
+    cust = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    matcher = RuleBasedMatcher(
+        comparators=[
+            (StringComparator("name", "levenshtein"), 0.5),
+            (NumericComparator("bal", max_difference=5000.0), 0.5),
+        ]
+    )
+    return matcher.match(supp, cust, pairs, threshold=0.0, id_column="rid")
+
+
+def _rule_corr_prefixed_sql(nation: int | None = None) -> str:
+    flt = f" WHERE s_nationkey = {nation}" if nation is not None else ""
+    flt_c = f" WHERE c_nationkey = {nation}" if nation is not None else ""
+    return f"""
+WITH ps AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1, s_nationkey k FROM supplier{flt}),
+     pc AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) id2, c_name n2, c_acctbal b2, c_nationkey k FROM customer{flt_c})
+SELECT id1, id2,
+       0.5 * (1.0 - levenshtein(n1, n2)::DOUBLE / greatest(length(n1), length(n2)))
+     + 0.5 * greatest(0.0, 1.0 - abs(b1 - b2) / 5000.0) AS score
+FROM ps JOIN pc USING (k)
+"""
+
+
+def q_cluster_greedy_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact driver-side greedy sweep. The oracle replays it as iterated
+    mutual-best acceptance (a recursive CTE): with the deterministic
+    (score desc, id1, id2) total order, an edge is accepted by the
+    sequential greedy iff it is the order-minimum among remaining edges
+    sharing either endpoint — the two formulations produce identical
+    matchings."""
+    from pydi_spark.clustering import GreedyOneToOneMatcher
+
+    corr = (
+        _rule_corr(spark, sf_dir)
+        .where(F.col("score") >= 0.5)
+        .select("id1", "id2", F.round("score", 6).alias("score"))
+    )
+    return GreedyOneToOneMatcher().cluster(corr)
+
+
+def q_cluster_centre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTER star clustering; the oracle simulates the sequential sweep
+    one edge per recursive-CTE iteration (direct state-machine replay)."""
+    from pydi_spark.clustering import CentreClusterer
+
+    corr = (
+        _rule_corr_prefixed(spark, sf_dir)
+        .where(F.col("score") >= 0.7)
+        .select("id1", "id2", F.round("score", 6).alias("score"))
+    )
+    return CentreClusterer().assign(corr)
+
+
+def q_cluster_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage (MIN) agglomerative clustering with a similarity
+    floor. Checked against an independent characterization: single
+    linkage at threshold t partitions nodes into the connected components
+    of the >= t edge subgraph (transitive-closure oracle)."""
+    from pydi_spark.clustering import HierarchicalClusterer
+
+    corr = (
+        _rule_corr_prefixed(spark, sf_dir, nation=3)
+        .where(F.col("score") >= 0.5)
+        .select("id1", "id2", F.round("score", 6).alias("score"))
+    )
+    return HierarchicalClusterer(linkage="MIN", min_similarity=0.65).assign(corr)
+
+
+def q_cluster_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins strategy='distributed' so the large-star/small-star rounds
+    (not the hybrid union-find path) are what the oracle checks."""
+    from pydi_spark.clustering import connected_components
+
+    _, edges = _orders_datasets(spark, sf_dir)
+    return connected_components(edges.select("id1", "id2"), strategy="distributed")
+
+
+def q_cluster_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.evaluation import cluster_consistency_report
+
+    _, edges = _orders_datasets(spark, sf_dir)
+    rep = cluster_consistency_report(edges.select("id1", "id2", "score"))
+    return rep.select("cluster_id", "n_entities", "n_edges", "consistency")
+
+
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.clustering import connected_components
+    from pydi_spark.evaluation import cluster_size_distribution
+
+    _, edges = _orders_datasets(spark, sf_dir)
+    comps = connected_components(edges.select("id1", "id2"))
+    return cluster_size_distribution(
+        comps.select("cluster_id", "record_id")
+    )
+
+
+def q_schema_label_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.schemamatching import LabelBasedSchemaMatcher
+
+    supp = Dataset.wrap(_t(spark, sf_dir, "supplier"), "supplier", id_column="s_suppkey")
+    cust = Dataset.wrap(_t(spark, sf_dir, "customer"), "customer", id_column="c_custkey")
+    out = LabelBasedSchemaMatcher("jaccard").match(supp, cust, threshold=0.1)
+    return out.select(
+        "source_column", "target_column", F.round("score", 6).alias("score")
+    )
+
+
+def q_schema_instance_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency cosine column profiles; max_sample_size is set above
+    any test SF's row count so the (seeded, partition-dependent) sampling
+    path never fires and the profiles are exactly SQL-reproducible."""
+    from pydi_spark.schemamatching import InstanceBasedSchemaMatcher
+
+    part = _t(spark, sf_dir, "part").select("p_name", "p_brand", "p_type")
+    cust = _t(spark, sf_dir, "customer").select("c_name", "c_mktsegment")
+    out = InstanceBasedSchemaMatcher(max_sample_size=10_000_000).match(
+        part, cust, threshold=0.0
+    )
+    return out.select(
+        "source_column", "target_column", F.round("score", 6).alias("score")
+    )
+
+
+class _SigmoidLinearModel:
+    """Deterministic sklearn-shaped stand-in: predict_proba[:,1] =
+    sigmoid(w.x + b). Cloudpickled by value to executors like any fitted
+    model (reference: PyDI/entitymatching/ml_based.py:21-496)."""
+
+    def __init__(self, weights, bias):
+        self.weights, self.bias = list(weights), float(bias)
+
+    def predict_proba(self, X):
+        import numpy as np
+
+        z = np.asarray(X, dtype=np.float64) @ np.asarray(self.weights) + self.bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        return np.stack([1.0 - p, p], axis=1)
+
+
+def q_match_ml_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLBasedMatcher end to end (feature extraction -> broadcast model ->
+    Arrow-batch scoring) with a deterministic linear model, so the score
+    is the closed form sigmoid(2*lev_sim + 1*bal_sim - 1.5) — plain SQL."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.functions.comparators import NumericComparator, StringComparator
+    from pydi_spark.matching import MLBasedMatcher
+    from pydi_spark.matching.feature_extraction import FeatureExtractor
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"), F.col("s_nationkey").alias("k"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    fx = FeatureExtractor(
+        [
+            StringComparator("name", "levenshtein"),
+            NumericComparator("bal", max_difference=5000.0),
+        ]
+    )
+    matcher = MLBasedMatcher(fx, _SigmoidLinearModel([2.0, 1.0], -1.5))
+    out = matcher.match(supp, cust, pairs, threshold=0.5, id_column="rid")
+    return out.select("id1", "id2", F.round("score", 6).alias("score"))
+
+
+def q_eval_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexExtractor predictions vs a crafted gold with injected
+    mismatches/misses -> per-attribute + micro/macro P/R/F1. Ratios are
+    emitted unrounded: both engines build them from identical integer
+    counts with identical division trees."""
+    from pydi_spark.extraction.evaluation import InformationExtractionEvaluator
+    from pydi_spark.extraction.regex import RegexExtractor
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.concat(
+            F.lit("contact user"),
+            (F.col("c_custkey") % 50).cast("string"),
+            F.when(F.col("c_custkey") % 5 != 0, F.lit("@mail.example.com")).otherwise(
+                F.lit(" at mail")
+            ),
+            F.lit(" ref "),
+            (F.col("c_custkey") % 997).cast("string"),
+        ).alias("text"),
+    )
+    pred = RegexExtractor(
+        {
+            "email": {"pattern": r"(\S+@\S+\.[a-z]+)", "source_column": "text"},
+            "ref_code": {"pattern": r"ref (\d+)", "source_column": "text"},
+        }
+    ).extract(cust).select("k", "email", "ref_code")
+    gold = cust.select(
+        "k",
+        F.when(
+            F.col("k") % 10 == 0, F.lit("missing@gold.example")  # pred null -> fn
+        )
+        .when(F.col("k") % 5 == 0, F.lit(None))  # both null -> not counted
+        .when(F.col("k") % 9 == 0, F.lit("wrong@example.org"))  # mismatch -> fp
+        .otherwise(
+            F.concat(
+                F.lit("user"), (F.col("k") % 50).cast("string"),
+                F.lit("@mail.example.com"),
+            )
+        )
+        .alias("email"),
+        F.when(F.col("k") % 7 == 0, F.lit("-1"))  # mismatch -> fp
+        .otherwise((F.col("k") % 997).cast("string"))
+        .alias("ref_code"),
+    )
+    ev = InformationExtractionEvaluator().evaluate(pred, gold, "k", ["email", "ref_code"])
+    rows = []
+    for a in ("email", "ref_code"):
+        m = ev["per_attribute"][a]
+        rows.append(
+            (a, m["tp"], m["fp"], m["fn"], m["precision"], m["recall"], m["f1"])
+        )
+    mi = ev["micro"]
+    rows.append(
+        (
+            "micro",
+            sum(ev["per_attribute"][a]["tp"] for a in ("email", "ref_code")),
+            sum(ev["per_attribute"][a]["fp"] for a in ("email", "ref_code")),
+            sum(ev["per_attribute"][a]["fn"] for a in ("email", "ref_code")),
+            mi["precision"], mi["recall"], mi["f1"],
+        )
+    )
+    rows.append(("macro", None, None, None, None, None, ev["macro"]["f1"]))
+    return spark.createDataFrame(
+        rows,
+        "attribute string, tp long, fp long, fn long, "
+        "precision double, recall double, f1 double",
+    )
+
+
+def q_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zscore / modified-zscore bounds + flagged counts on c_acctbal
+    (iqr stays pytest-only: percentile_approx is approximate by design)."""
+    from pydi_spark.normalization.detectors import flag_outliers, outlier_bounds
+
+    cust = _t(spark, sf_dir, "customer")
+    rows = []
+    for method, thr in (("zscore", 2.0), ("modified_zscore", 3.5)):
+        lo, hi = outlier_bounds(cust, "c_acctbal", method, thr)
+        n = (
+            flag_outliers(cust, "c_acctbal", method, thr)
+            .where("c_acctbal_is_outlier")
+            .count()
+        )
+        rows.append((method, round(lo, 4), round(hi, 4), n))
+    return spark.createDataFrame(
+        rows, "method string, lo double, hi double, n_outliers long"
+    )
+
+
+_MOVIES = [
+    ("The Matrix", "1999-03-31", "Wachowski"),
+    ("Heat", "1995-12-15", "Michael Mann"),
+    ("Blade Runner", "1982-06-25", "Ridley Scott"),
+    ("Alien", "1979-05-25", "Ridley Scott"),
+    ("Casablanca", "1942-11-26", "Michael Curtiz"),
+    ("Goodfellas", "1990-09-19", "Martin Scorsese"),
+]
+
+
+def q_movies_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference movies tutorial flow on deterministic fixtures
+    (schema-match -> translate -> normalize -> block -> rule-match ->
+    evaluate): the published metrics are pair_completeness 1.0 and
+    matching P/R/F1 1.0 (reference docs/tutorial/output/movies/
+    blocking-evaluation/blocking_evaluation_summary.json). Fixture-based,
+    sf-independent."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.evaluation import evaluate_blocking, evaluate_matching
+    from pydi_spark.functions.comparators import StringComparator
+    from pydi_spark.matching import RuleBasedMatcher
+    from pydi_spark.schemamatching import LabelBasedSchemaMatcher
+    from pydi_spark.translation import MappingTranslator
+
+    a_rows = [(f"actors-{i:04d}", t, d, y) for i, (t, y, d) in enumerate(_MOVIES[:4])]
+    src_a = Dataset.wrap(
+        spark.createDataFrame(
+            a_rows, "id string, title string, director_name string, date string"
+        ),
+        "actors", id_column="id",
+    )
+    b_rows = [
+        (f"awards-{i:04d}", t.upper() + "!", d, y[:4] + "-01-01")
+        for i, (t, y, d) in enumerate(_MOVIES)
+    ]
+    src_b = Dataset.wrap(
+        spark.createDataFrame(
+            b_rows,
+            "id string, movie_title string, director string, release_date string",
+        ),
+        "awards", id_column="id",
+    )
+    gold = spark.createDataFrame(
+        [(f"actors-{i:04d}", f"awards-{i:04d}", 1) for i in range(4)]
+        + [(f"actors-{i:04d}", f"awards-{(i + 1) % 6:04d}", 0) for i in range(4)],
+        "id1 string, id2 string, label int",
+    )
+    mapping = LabelBasedSchemaMatcher("jaccard").match(src_b, src_a, threshold=0.3)
+    src_b_t = MappingTranslator().translate(src_b, mapping)
+    clean = F.trim(F.regexp_replace(F.lower(F.col("title")), r"[^\p{L}\p{N}\s]", ""))
+    a_df = src_a.df.withColumn("title_norm", clean).withColumn(
+        "__bk", F.substring("title_norm", 1, 4)
+    )
+    b_df = src_b_t.df.withColumn("title_norm", clean).withColumn(
+        "__bk", F.substring("title_norm", 1, 4)
+    )
+    cands = StandardBlocker(on=["__bk"]).block(a_df, b_df, id_column="id")
+    bl = evaluate_blocking(cands, gold, 4, 6).collect()[0]
+    corr = RuleBasedMatcher(
+        comparators=[(StringComparator("title_norm", "jaccard"), 1.0)]
+    ).match(a_df, b_df, cands, threshold=0.7, id_column="id")
+    mt = evaluate_matching(corr, gold).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                bl["pair_completeness"], bl["reduction_ratio"],
+                bl["total_candidates"],
+                mt["precision"], mt["recall"], mt["f1"],
+            )
+        ],
+        "pair_completeness double, reduction_ratio double, total_candidates long, "
+        "precision double, recall double, f1 double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -898,6 +1260,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_parsers": q_normalize_parsers,
         "eval_threshold_sweep": q_eval_threshold_sweep,
         "tpch_rollup": q_tpch_rollup,
+        "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
+        "cluster_centre": q_cluster_centre,
+        "cluster_hierarchical": q_cluster_hierarchical,
+        "cluster_cc_distributed": q_cluster_cc_distributed,
+        "cluster_consistency": q_cluster_consistency,
+        "cluster_size_dist": q_cluster_size_dist,
+        "schema_label_based": q_schema_label_based,
+        "schema_instance_based": q_schema_instance_based,
+        "match_ml_linear": q_match_ml_linear,
+        "eval_ie": q_eval_ie,
+        "outlier_bounds": q_outlier_bounds,
+        "movies_parity": q_movies_parity,
     }
 
 
@@ -907,6 +1281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOK_SQL = (
     "list_filter(regexp_split_to_array(lower({col}), '[^\\p{{L}}\\p{{N}}#'']+'), x -> x != '')"
+)
+
+# instance-based schema matcher tokenization ([^\p{L}\p{N}]+ on
+# lower(trim(value)) — schemamatching/instance_based.py:41)
+_IB_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(CAST({col} AS VARCHAR))), "
+    "'[^\\p{{L}}\\p{{N}}]+'), x -> x != '')"
 )
 
 
@@ -1112,7 +1493,7 @@ FROM blocked
 
 def oracle_sql() -> dict[str, str]:
     toks_text = _TOK_SQL.format(col="text")
-    return {
+    out = {
         "blocking_standard": """
 SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
        CAST(s_nationkey AS VARCHAR) block_key
@@ -1600,4 +1981,279 @@ SELECT 'c_acctbal', count(*), count(c_acctbal), count(DISTINCT c_acctbal) FROM c
 UNION ALL
 SELECT 'c_mktsegment', count(*), count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
 """,
+        # greedy 1:1 == iterated mutual-best under the same strict total
+        # order (score desc, id1, id2): an edge is accepted by the
+        # sequential sweep iff it is the order-minimum among remaining
+        # edges sharing either endpoint
+        "cluster_greedy_one_to_one": f"""
+WITH RECURSIVE corr AS (
+  SELECT id1, id2, round(score, 6) AS score FROM ({_RULE_CORR_SQL}) WHERE score >= 0.5
+),
+st AS (
+  SELECT id1, id2, score, FALSE AS acc FROM corr
+  UNION ALL
+  SELECT * FROM (
+    WITH r AS (SELECT id1, id2, score FROM st WHERE NOT acc),
+    b AS (
+      SELECT e.* FROM r e
+      WHERE NOT EXISTS (SELECT 1 FROM r o WHERE o.id1 = e.id1 AND (o.score > e.score OR (o.score = e.score AND o.id2 < e.id2)))
+        AND NOT EXISTS (SELECT 1 FROM r o WHERE o.id2 = e.id2 AND (o.score > e.score OR (o.score = e.score AND o.id1 < e.id1)))
+    )
+    SELECT id1, id2, score, TRUE FROM b
+    UNION ALL
+    SELECT r.id1, r.id2, r.score, FALSE FROM r
+    WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.id1 = r.id1 OR b.id2 = r.id2)
+  )
+)
+SELECT id1, id2, score FROM st WHERE acc
+""",
+        # CENTER: direct state-machine replay, one ranked edge per
+        # recursive iteration (assignments carried forward each step)
+        "cluster_centre": f"""
+WITH RECURSIVE e AS (
+  SELECT id1, id2, row_number() OVER (ORDER BY score DESC, id1, id2) AS i
+  FROM (SELECT id1, id2, round(score, 6) AS score FROM ({_rule_corr_prefixed_sql()}) WHERE score >= 0.7)
+),
+st AS (
+  SELECT 0::BIGINT AS step, NULL::VARCHAR AS record_id, NULL::VARCHAR AS cluster_id, FALSE AS is_center
+  UNION ALL
+  SELECT * FROM (
+    WITH prev AS (SELECT * FROM st),
+    s AS (SELECT max(step) AS s FROM prev),
+    cur AS (SELECT e.id1, e.id2 FROM e, s WHERE e.i = s.s + 1),
+    asg AS (SELECT record_id, cluster_id, is_center FROM prev WHERE record_id IS NOT NULL),
+    flags AS (
+      SELECT cur.id1, cur.id2,
+        (SELECT cluster_id FROM asg WHERE record_id = cur.id1) AS c1,
+        coalesce((SELECT is_center FROM asg WHERE record_id = cur.id1), FALSE) AS ic1,
+        (SELECT cluster_id FROM asg WHERE record_id = cur.id2) AS c2,
+        coalesce((SELECT is_center FROM asg WHERE record_id = cur.id2), FALSE) AS ic2
+      FROM cur
+    ),
+    adds AS (
+      SELECT id1 AS record_id, id1 AS cluster_id, TRUE AS is_center FROM flags WHERE c1 IS NULL AND c2 IS NULL
+      UNION ALL
+      SELECT id2, id1, FALSE FROM flags WHERE c1 IS NULL AND c2 IS NULL
+      UNION ALL
+      SELECT id2, id1, FALSE FROM flags WHERE c1 IS NOT NULL AND ic1 AND c2 IS NULL
+      UNION ALL
+      SELECT id1, id2, FALSE FROM flags WHERE c2 IS NOT NULL AND ic2 AND c1 IS NULL
+    )
+    SELECT s.s + 1, p.record_id, p.cluster_id, p.is_center FROM prev p, s WHERE EXISTS (SELECT 1 FROM cur)
+    UNION ALL
+    SELECT s.s + 1, a.record_id, a.cluster_id, a.is_center FROM adds a, s
+  )
+)
+SELECT record_id, cluster_id FROM st
+WHERE step = (SELECT count(*) FROM e) AND record_id IS NOT NULL
+""",
+        # single linkage at threshold t == connected components of the
+        # >= t edge subgraph (independent characterization of the
+        # sequential agglomerative loop)
+        "cluster_hierarchical": f"""
+WITH RECURSIVE corr AS (
+  SELECT id1, id2, round(score, 6) AS score FROM ({_rule_corr_prefixed_sql(3)}) WHERE score >= 0.5
+),
+nodes AS (SELECT DISTINCT id FROM (SELECT id1 AS id FROM corr UNION ALL SELECT id2 FROM corr)),
+me AS (SELECT id1, id2 FROM corr WHERE score >= 0.65),
+sym AS (SELECT id1 AS a, id2 AS b FROM me UNION SELECT id2, id1 FROM me),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT n.id AS record_id, least(n.id, coalesce(min(r.b), n.id)) AS cluster_id
+FROM nodes n LEFT JOIN reach r ON r.a = n.id
+GROUP BY n.id
+""",
+        "cluster_consistency": """
+WITH g AS (
+  SELECT o_custkey, count(*) AS n, min(CAST(o_orderkey AS VARCHAR)) AS gid
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 2
+)
+SELECT gid AS cluster_id, n AS n_entities, n - 1 AS n_edges,
+       (n - 1) / (n * (n - 1) / 2) AS consistency
+FROM g
+""",
+        "cluster_size_dist": """
+WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
+SELECT n AS cluster_size, count(*) AS n_clusters FROM g GROUP BY n
+""",
+        "schema_label_based": """
+WITH sc AS (SELECT name FROM pragma_table_info('supplier') WHERE name <> 's_suppkey'),
+tc AS (SELECT name FROM pragma_table_info('customer') WHERE name <> 'c_custkey'),
+st AS (SELECT name, list_distinct(regexp_extract_all(lower(name), '[a-z]+')) AS t FROM sc),
+tt AS (SELECT name, list_distinct(regexp_extract_all(lower(name), '[a-z]+')) AS t FROM tc),
+pairs AS (
+  SELECT s.name AS sn, c.name AS tn,
+         len(list_intersect(s.t, c.t))::DOUBLE / len(list_distinct(s.t || c.t)) AS score
+  FROM st s CROSS JOIN tt c
+)
+SELECT sn AS source_column, tn AS target_column, round(score, 6) AS score
+FROM pairs WHERE score >= 0.1
+""",
+        "schema_instance_based": f"""
+WITH sl AS (
+  SELECT 'p_name' AS col, unnest({_IB_TOK_SQL.format(col="p_name")}) AS term FROM part
+  UNION ALL SELECT 'p_brand', unnest({_IB_TOK_SQL.format(col="p_brand")}) FROM part
+  UNION ALL SELECT 'p_type', unnest({_IB_TOK_SQL.format(col="p_type")}) FROM part
+),
+tl AS (
+  SELECT 'c_name' AS col, unnest({_IB_TOK_SQL.format(col="c_name")}) AS term FROM customer
+  UNION ALL SELECT 'c_mktsegment', unnest({_IB_TOK_SQL.format(col="c_mktsegment")}) FROM customer
+),
+sv AS (SELECT col, term, count(*)::DOUBLE AS c FROM sl GROUP BY 1, 2),
+tv AS (SELECT col, term, count(*)::DOUBLE AS c FROM tl GROUP BY 1, 2),
+s_norm AS (SELECT col, sqrt(sum(c * c)) AS n FROM sv GROUP BY col),
+t_norm AS (SELECT col, sqrt(sum(c * c)) AS n FROM tv GROUP BY col),
+d AS (
+  SELECT s.col AS scol, t.col AS tcol, sum(s.c * t.c) AS dot
+  FROM sv s JOIN tv t USING (term) GROUP BY 1, 2
+)
+SELECT s_norm.col AS source_column, t_norm.col AS target_column,
+       round(coalesce(d.dot, 0) / (s_norm.n * t_norm.n), 6) AS score
+FROM s_norm CROSS JOIN t_norm
+LEFT JOIN d ON d.scol = s_norm.col AND d.tcol = t_norm.col
+""",
+        "match_ml_linear": """
+WITH s AS (SELECT CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1, s_nationkey k FROM supplier),
+c AS (SELECT CAST(c_custkey AS VARCHAR) id2, c_name n2, c_acctbal b2, c_nationkey k FROM customer),
+f AS (SELECT id1, id2,
+        1.0 - levenshtein(n1, n2)::DOUBLE / greatest(length(n1), length(n2)) AS f1,
+        greatest(0.0, 1.0 - abs(b1 - b2) / 5000.0) AS f2
+      FROM s JOIN c USING (k)),
+p AS (SELECT id1, id2, 1.0 / (1.0 + exp(-(2.0 * f1 + 1.0 * f2 - 1.5))) AS score FROM f)
+SELECT id1, id2, round(score, 6) AS score FROM p WHERE score >= 0.5
+""",
+        "eval_ie": r"""
+WITH base AS (
+  SELECT c_custkey AS k,
+         'contact user' || CAST(c_custkey % 50 AS VARCHAR) ||
+         CASE WHEN c_custkey % 5 <> 0 THEN '@mail.example.com' ELSE ' at mail' END ||
+         ' ref ' || CAST(c_custkey % 997 AS VARCHAR) AS text
+  FROM customer
+),
+pred AS (
+  SELECT k,
+         nullif(regexp_extract(text, '(\S+@\S+\.[a-z]+)', 1), '') AS email,
+         nullif(regexp_extract(text, 'ref (\d+)', 1), '') AS ref_code
+  FROM base
+),
+gold AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN 'missing@gold.example'
+              WHEN k % 5 = 0 THEN NULL
+              WHEN k % 9 = 0 THEN 'wrong@example.org'
+              ELSE 'user' || CAST(k % 50 AS VARCHAR) || '@mail.example.com' END AS email,
+         CASE WHEN k % 7 = 0 THEN '-1' ELSE CAST(k % 997 AS VARCHAR) END AS ref_code
+  FROM base
+),
+j AS (SELECT p.email pe, g.email ge, p.ref_code pr, g.ref_code gr FROM pred p JOIN gold g ON p.k = g.k),
+att AS (
+  SELECT 'email' AS attribute,
+    count(*) FILTER (WHERE pe IS NOT NULL AND ge IS NOT NULL AND pe = ge) AS tp,
+    count(*) FILTER (WHERE pe IS NOT NULL AND (ge IS NULL OR pe <> ge)) AS fp,
+    count(*) FILTER (WHERE pe IS NULL AND ge IS NOT NULL) AS fn
+  FROM j
+  UNION ALL
+  SELECT 'ref_code',
+    count(*) FILTER (WHERE pr IS NOT NULL AND gr IS NOT NULL AND pr = gr),
+    count(*) FILTER (WHERE pr IS NOT NULL AND (gr IS NULL OR pr <> gr)),
+    count(*) FILTER (WHERE pr IS NULL AND gr IS NOT NULL)
+  FROM j
+),
+m AS (
+  SELECT attribute, tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS precision,
+    CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall
+  FROM att
+),
+mf AS (
+  SELECT attribute, tp, fp, fn, precision, recall,
+    CASE WHEN coalesce(precision, 0) <> 0 AND coalesce(recall, 0) <> 0
+         THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+  FROM m
+),
+mi AS (
+  SELECT 'micro' AS attribute, sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn FROM att
+),
+mim AS (
+  SELECT attribute, tp, fp, fn,
+    CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS precision,
+    CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall
+  FROM mi
+)
+SELECT attribute, tp, fp, fn, precision, recall, f1 FROM mf
+UNION ALL
+SELECT attribute, tp, fp, fn, precision, recall,
+  CASE WHEN coalesce(precision, 0) <> 0 AND coalesce(recall, 0) <> 0
+       THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END
+FROM mim
+UNION ALL
+SELECT 'macro', NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+       (SELECT sum(f1) / 2 FROM mf)
+""",
+        "outlier_bounds": """
+WITH stats AS (
+  SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS s, median(c_acctbal) AS med FROM customer
+),
+mad AS (SELECT median(abs(c_acctbal - (SELECT med FROM stats))) AS v FROM customer)
+SELECT 'zscore' AS method, round(m - 2.0 * s, 4) AS lo, round(m + 2.0 * s, 4) AS hi,
+       (SELECT count(*) FROM customer WHERE c_acctbal < m - 2.0 * s OR c_acctbal > m + 2.0 * s) AS n_outliers
+FROM stats
+UNION ALL
+SELECT 'modified_zscore', round(med - 3.5 * (1.4826 * v), 4), round(med + 3.5 * (1.4826 * v), 4),
+       (SELECT count(*) FROM customer WHERE c_acctbal < med - 3.5 * (1.4826 * v) OR c_acctbal > med + 3.5 * (1.4826 * v))
+FROM stats, mad
+""",
+        "movies_parity": f"""
+WITH base(i, title) AS (VALUES
+  (0, 'The Matrix'), (1, 'Heat'), (2, 'Blade Runner'),
+  (3, 'Alien'), (4, 'Casablanca'), (5, 'Goodfellas')),
+a AS (SELECT 'actors-' || lpad(CAST(i AS VARCHAR), 4, '0') AS id,
+             trim(regexp_replace(lower(title), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS tn
+      FROM base WHERE i < 4),
+b AS (SELECT 'awards-' || lpad(CAST(i AS VARCHAR), 4, '0') AS id,
+             trim(regexp_replace(lower(upper(title) || '!'), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS tn
+      FROM base),
+cand AS (SELECT a.id AS id1, b.id AS id2, a.tn AS t1, b.tn AS t2
+         FROM a JOIN b ON substr(a.tn, 1, 4) = substr(b.tn, 1, 4)),
+scored AS (SELECT id1, id2,
+             len(list_intersect(list_distinct({_TOK_SQL.format(col="t1")}), list_distinct({_TOK_SQL.format(col="t2")})))::DOUBLE
+             / len(list_distinct(list_distinct({_TOK_SQL.format(col="t1")}) || list_distinct({_TOK_SQL.format(col="t2")}))) AS score
+           FROM cand),
+pred AS (SELECT id1, id2 FROM scored WHERE score >= 0.7),
+gold(id1, id2, label) AS (VALUES
+  ('actors-0000', 'awards-0000', 1), ('actors-0001', 'awards-0001', 1),
+  ('actors-0002', 'awards-0002', 1), ('actors-0003', 'awards-0003', 1),
+  ('actors-0000', 'awards-0001', 0), ('actors-0001', 'awards-0002', 0),
+  ('actors-0002', 'awards-0003', 0), ('actors-0003', 'awards-0004', 0)),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM cand) AS n_cand,
+    (SELECT count(*) FROM gold WHERE label = 1) AS n_gold,
+    (SELECT count(*) FROM gold g JOIN cand c ON g.id1 = c.id1 AND g.id2 = c.id2 WHERE g.label = 1) AS n_found,
+    (SELECT count(*) FROM gold g JOIN pred p ON g.id1 = p.id1 AND g.id2 = p.id2 WHERE g.label = 1) AS tp,
+    (SELECT count(*) FROM gold g JOIN pred p ON g.id1 = p.id1 AND g.id2 = p.id2 WHERE g.label = 0) AS fp,
+    (SELECT count(*) FROM gold g WHERE g.label = 1
+       AND NOT EXISTS (SELECT 1 FROM pred p WHERE p.id1 = g.id1 AND p.id2 = g.id2)) AS fn
+),
+metrics AS (
+  SELECT CAST(n_found AS DOUBLE) / n_gold AS pair_completeness,
+         1.0 - CAST(n_cand AS DOUBLE) / 24 AS reduction_ratio,
+         n_cand AS total_candidates,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS precision,
+         CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS recall,
+         tp, fp, fn
+  FROM counts
+)
+SELECT pair_completeness, reduction_ratio, total_candidates, precision, recall,
+       CASE WHEN coalesce(precision, 0) <> 0 AND coalesce(recall, 0) <> 0 AND precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall)
+            WHEN precision IS NOT NULL AND recall IS NOT NULL THEN 0.0
+            END AS f1
+FROM metrics
+""",
     }
+    out["cluster_cc_distributed"] = out["cluster_connected_components"]
+    return out

@@ -32,11 +32,18 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_stats",
     "text_langid",
     "ann_topk",
+    "ann_lsh",
     "streaming_windowed",
+    "streaming_sessionize",
     "units_normalize",
+    "fusion_lists",
+    "schema_duplicate_based",
+    "cluster_cc_distributed",
+    "match_ml_linear",
 ]
 
 

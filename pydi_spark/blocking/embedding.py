@@ -82,7 +82,8 @@ class EmbeddingBlocker:
     text_column: str | None = None
     vector_column: str | None = None
     embedder: Callable[[list[str]], np.ndarray] | None = None
-    method: str = "brute"  # brute | lsh
+    method: str = "auto"  # auto | brute | lsh
+    brute_max_rows: int = 100_000  # auto: right side above this -> lsh
     metric: str = "cosine"
     top_k: int = 50
     threshold: float = 0.3
@@ -267,6 +268,16 @@ class EmbeddingBlocker:
         pairs = self.block(sampled, left if self_join else right, id_column)
         return int(pairs.count() * (n_left / n_sampled))
 
+    def _resolve_method(self, right_df: DataFrame) -> str:
+        """'auto' switches on the right-side row count: 'brute' collects
+        the right matrix to the driver (broadcast-join regime only), so
+        anything above ``brute_max_rows`` routes to the distributed LSH
+        path. A parquet-backed count is metadata-only; the threshold is a
+        row count because the collected matrix is rows x dim floats."""
+        if self.method != "auto":
+            return self.method
+        return "brute" if right_df.count() <= self.brute_max_rows else "lsh"
+
     # -- public -------------------------------------------------------
     def block(
         self,
@@ -279,13 +290,14 @@ class EmbeddingBlocker:
         dr, idr = resolve_side(left if self_join else right, id_column)
         l = self._with_vectors(dl, idl)
         r = self._with_vectors(dr, idr)
-        if self.method == "brute":
+        method = self._resolve_method(dr)
+        if method == "brute":
             pairs = self._brute(l, r)
-        elif self.method == "lsh":
+        elif method == "lsh":
             dim = len(l.select("vec").first()["vec"])
             pairs = self._lsh(l, r, dim)
         else:
-            raise ValueError(f"unknown method: {self.method}")
+            raise ValueError(f"unknown method: {method}")
         if self_join:
             pairs = pairs.where(F.col("id1") < F.col("id2"))
         return pairs

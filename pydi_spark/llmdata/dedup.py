@@ -30,6 +30,35 @@ from pyspark.sql import functions as F
 
 from pydi_spark.functions.tokenize import word_tokens
 
+# build-side ceiling for pinning verify joins as broadcasts: the token /
+# shingle side table is at most input-text sized, so the decision keys on
+# the INPUT relation's Catalyst size estimate (file-size based for
+# parquet scans — reliable), not on the derived table's estimate (wildly
+# off after explode/groupBy)
+BROADCAST_VERIFY_MAX_BYTES = 1 << 30  # 1 GiB
+
+
+def _estimated_input_bytes(df: DataFrame) -> int:
+    """Catalyst optimized-plan size estimate (no job is triggered)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = stats.sizeInBytes()
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def _resolve_broadcast_verify(
+    df: DataFrame, broadcast_verify, max_bytes: int = BROADCAST_VERIFY_MAX_BYTES
+) -> bool:
+    """'auto' -> broadcast iff the input relation's size estimate fits the
+    ceiling. At bench scale the pin avoids a 5-10x slower sort-merge join
+    over the quadratic candidate set; at corpus scale (100 TB) the token
+    table cannot be broadcast and the join must shuffle."""
+    if broadcast_verify != "auto":
+        return bool(broadcast_verify)
+    try:
+        return _estimated_input_bytes(df) <= max_bytes
+    except Exception:
+        return False
+
 
 # ------------------------------------------------------------------- exact
 
@@ -102,10 +131,16 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | str = "auto",
 ) -> DataFrame:
     """[id1, id2, jaccard]: LSH-band candidates verified by true token-set
-    Jaccard >= threshold. id1 < id2 (string order)."""
+    Jaccard >= threshold. id1 < id2 (string order).
+
+    ``broadcast_verify='auto'`` (default) pins the verify build side as a
+    broadcast only while the input's size estimate fits
+    ``BROADCAST_VERIFY_MAX_BYTES`` — the right call at bench scale, never
+    at corpus scale."""
+    broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
     # band join on (id, band_key) ONLY — candidate pairs stay narrow
     # through the shuffle; token sets re-attach afterwards from the
     # (small-per-row) toks side table. Carrying the arrays through the
@@ -289,11 +324,12 @@ def ngram_jaccard_duplicates(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
     max_shingle_frequency: int | None = 100,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | str = "auto",
 ) -> DataFrame:
     """[id1, id2, jaccard] over word-shingle sets: shingle-block
     candidates (with hot-shingle pruning) verified with exact set
-    Jaccard."""
+    Jaccard. ``broadcast_verify`` as in :func:`minhash_near_duplicates`."""
+    broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
     toks = word_tokens(F.col(text_col))
     n = shingle_size
     shingles = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(

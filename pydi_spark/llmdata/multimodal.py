@@ -5,11 +5,14 @@ North-star operator family (BASELINE.json): image/audio/video as opaque
 / resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing here is real and tested (schemas, batch
-iteration, partition sizing); the actual codecs are STUBBED — the
-container has no image/audio libraries — behind ``decoder`` callables.
-``fake_image_decoder`` provides a deterministic stand-in so pipelines
-are end-to-end testable; swapping in a real decoder (PIL/librosa/ffmpeg)
-changes only the callable, not the plumbing.
+iteration, partition sizing). Codecs are injectable callables:
+``png_decoder`` is a REAL pure-numpy+zlib PNG decode (8-bit,
+non-interlaced, all five scanline filters) with a matching
+``png_encode`` for round-trips; JPEG/audio/video still require external
+libraries (absent in this container) and raise clearly through
+``default_image_decoder``. ``fake_image_decoder`` remains for synthetic
+payload tests; swapping decoders changes only the callable, never the
+plumbing.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (maxRecordsPerBatch bounds it); metadata-only operations (filtering by
@@ -58,12 +61,149 @@ def fake_image_decoder(payload: bytes) -> np.ndarray:
     return arr.reshape(4, 4, 3).astype(np.float32) / 255.0
 
 
-def real_image_decoder(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real decode path — requires PIL, absent in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/pillow which is not installed; "
-        "inject fake_image_decoder for tests or install pillow"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def png_decoder(payload: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib + numpy — no image libraries.
+
+    Supports 8-bit non-interlaced greyscale / grey+alpha / RGB / RGBA /
+    palette images (the overwhelming majority of real PNGs); all five
+    scanline filters (None/Sub/Up/Average/Paeth) are implemented. Returns
+    HxWx3 float32 in [0, 1] (alpha dropped, grey broadcast). The
+    per-scanline unfilter loop is python-level — fine for thumbnail-sized
+    training images; a C codec (PIL) swaps in via the decoder hook for
+    throughput-critical pipelines.
+    """
+    import struct
+    import zlib
+
+    if payload is None:
+        raise ValueError("null payload")
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = len(_PNG_MAGIC), b"", None
+    width = height = bit_depth = color_type = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row prior pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if color_type == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[px[:, :, 0]]
+    elif channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 2:  # grey + alpha: drop alpha, broadcast grey
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # RGB / RGBA: drop alpha
+        rgb = px[:, :, :3]
+    return rgb.astype(np.float32) / 255.0
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal RGB8 PNG writer (filter-0 scanlines, one zlib IDAT) —
+    enough to round-trip png_decoder in tests and to materialize small
+    derived images without an image library."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("png_encode expects HxWx3")
+    h, w = a.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def default_image_decoder(payload: bytes) -> np.ndarray:
+    """Format dispatch for the decode stages: PNG decodes for real;
+    JPEG raises until a real codec library is injected; anything else is
+    rejected (use fake_image_decoder explicitly for synthetic tests)."""
+    if payload is None:
+        raise ValueError("null payload")
+    if payload.startswith(_PNG_MAGIC):
+        return png_decoder(payload)
+    if payload.startswith(_JPEG_MAGIC):
+        raise NotImplementedError(
+            "JPEG decoding requires an image library (PIL); inject a decoder"
+        )
+    raise ValueError("unrecognized image format (expected PNG or JPEG)")
 
 
 FEATURE_SCHEMA = StructType(
@@ -77,15 +217,16 @@ FEATURE_SCHEMA = StructType(
 
 def extract_features(
     df: DataFrame,
-    decoder: Callable[[bytes], Any] = fake_image_decoder,
+    decoder: Callable[[bytes], Any] | None = None,
     id_col: str = "media_id",
     payload_col: str = "payload",
     feature_dim: int = 12,
 ) -> DataFrame:
     """Decode payloads per Arrow batch and emit fixed-size feature vectors
-    (mean/std/max per channel for the fake decoder). The plumbing —
-    batch iteration, error capture per record, stable schema — is the
-    production shape; only ``decoder`` is a stub."""
+    (mean/std/max/min per channel). ``decoder`` defaults to
+    ``default_image_decoder`` (real PNG decode; inject
+    ``fake_image_decoder`` for synthetic payloads)."""
+    decoder = decoder or default_image_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,13 +265,14 @@ def decode_and_resize(
     df: DataFrame,
     height: int,
     width: int,
-    decoder: Callable[[bytes], Any] = fake_image_decoder,
+    decoder: Callable[[bytes], Any] | None = None,
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
     """[media_id, pixels (flattened float array), h, w, decode_ok]:
-    decode + resize per Arrow batch (the brief's 'resize' stage; the
-    resample itself is real numpy, only the codec is injected)."""
+    decode + resize per Arrow batch. Defaults to the real PNG decode
+    (``default_image_decoder``); the resample is pure numpy."""
+    decoder = decoder or default_image_decoder
     schema = StructType(
         [
             StructField("media_id", StringType()),

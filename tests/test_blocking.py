@@ -131,3 +131,16 @@ def test_salted_join_matches_plain_join(spark):
     plain = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
     salted = {(r["k"], r["v"], r["w"]) for r in salted_join(big, small, "k", 4).collect()}
     assert salted == plain
+
+
+def test_embedding_blocker_auto_method(spark):
+    rows = [("a", [1.0, 0.0]), ("b", [0.99, 0.1]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "rid string, vec array<float>")
+    # default method is auto: small right side -> brute, above cutoff -> lsh
+    assert EmbeddingBlocker(vector_column="vec")._resolve_method(df) == "brute"
+    assert (
+        EmbeddingBlocker(vector_column="vec", brute_max_rows=2)._resolve_method(df)
+        == "lsh"
+    )
+    # explicit methods are never overridden (no count action taken)
+    assert EmbeddingBlocker(vector_column="vec", method="lsh")._resolve_method(df) == "lsh"

@@ -169,3 +169,96 @@ def test_embedding_near_duplicates(spark):
     out = {(r["id1"], r["id2"]) for r in
            embedding_near_duplicates(df, threshold=0.99, method="brute").collect()}
     assert out == {("1", "2")}
+
+
+def test_broadcast_verify_auto_resolution(spark, docs):
+    from pydi_spark.llmdata.dedup import _resolve_broadcast_verify
+
+    # explicit booleans pass through untouched
+    assert _resolve_broadcast_verify(docs, True) is True
+    assert _resolve_broadcast_verify(docs, False) is False
+    # createDataFrame-backed frames have no reliable Catalyst size
+    # estimate (LogicalRDD defaults to "unknown" = huge) -> auto must be
+    # conservative and NOT broadcast
+    assert _resolve_broadcast_verify(docs, "auto") is False
+    # parquet-backed frames have file-size stats: small file -> broadcast,
+    # 0-byte ceiling -> never
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _resolve_broadcast_verify(pq, "auto") is True
+    assert _resolve_broadcast_verify(pq, "auto", max_bytes=0) is False
+
+
+def test_minhash_same_result_without_broadcast(docs):
+    kw = dict(num_hashes=16, bands=4, jaccard_threshold=0.9)
+    pinned = {(r["id1"], r["id2"]) for r in
+              minhash_near_duplicates(docs, broadcast_verify=True, **kw).collect()}
+    shuffled = {(r["id1"], r["id2"]) for r in
+                minhash_near_duplicates(docs, broadcast_verify=False, **kw).collect()}
+    assert pinned == shuffled and pinned
+
+
+def test_png_codec_roundtrip():
+    from pydi_spark.llmdata.multimodal import png_decoder, png_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    decoded = png_decoder(png_encode(img))
+    assert decoded.shape == (11, 7, 3)
+    assert np.array_equal((decoded * 255.0 + 0.5).astype(np.uint8), img)
+
+
+def test_png_decoder_all_filters():
+    # exercise Sub/Up/Average/Paeth unfiltering by writing each filter
+    # type by hand on a gradient (encoder alone always emits filter 0)
+    import struct
+    import zlib
+
+    from pydi_spark.llmdata.multimodal import png_decoder
+
+    h, w = 5, 4
+    img = (np.arange(h * w * 3, dtype=np.uint32) * 7 % 256).astype(np.uint8).reshape(h, w, 3)
+    stride = w * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[y].reshape(-1).astype(np.int32)
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(ftype)
+            if pred is None:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    decoded = png_decoder(payload)
+    assert np.array_equal((decoded * 255.0 + 0.5).astype(np.uint8), img)
+
+
+def test_decode_and_resize_real_png(spark):
+    from pydi_spark.llmdata.multimodal import decode_and_resize, png_encode
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"m{i}", bytearray(png_encode(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))))
+        for i in range(3)
+    ] + [("bad", bytearray(b"not a png at all"))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in decode_and_resize(df, 8, 8).collect()}
+    assert out["m0"]["decode_ok"] == "ok" and len(out["m0"]["pixels"]) == 8 * 8 * 3
+    assert all(0.0 <= p <= 1.0 for p in out["m1"]["pixels"])
+    assert out["bad"]["decode_ok"].startswith("error")
