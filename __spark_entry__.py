@@ -410,6 +410,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning off here: on this corpus no shingle is hot enough to
+    change the pair set, so the frequency pass would only add cost (the
+    knob still exists for head-heavy corpora and is SQL-mirrored via
+    _ngram_jaccard_sql(max_freq=...))."""
     from pydi_spark.llmdata import ngram_jaccard_duplicates
 
     docs = _t(spark, sf_dir, "documents")
@@ -1338,8 +1342,16 @@ SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {th
 """
 
 
-def _ngram_jaccard_sql(n: int, threshold: float) -> str:
+def _ngram_jaccard_sql(n: int, threshold: float, max_freq: int | None = None) -> str:
     toks = _TOK_SQL.format(col="text")
+    freq_filter = (
+        f"""kept AS (
+  SELECT shingle FROM sh_rows GROUP BY shingle HAVING count(*) <= {max_freq}
+),
+sh_cand AS (SELECT doc_id, shingle FROM sh_rows WHERE shingle IN (SELECT shingle FROM kept)),"""
+        if max_freq
+        else "sh_cand AS (SELECT doc_id, shingle FROM sh_rows),"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, {toks} AS tok FROM documents
@@ -1353,9 +1365,10 @@ sh AS (
   FROM toks
 ),
 sh_rows AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sh),
+{freq_filter}
 cands AS (
   SELECT DISTINCT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2
-  FROM sh_rows a JOIN sh_rows b USING (shingle)
+  FROM sh_cand a JOIN sh_cand b USING (shingle)
   WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
 ),
 verified AS (

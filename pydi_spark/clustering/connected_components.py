@@ -175,32 +175,43 @@ def connected_components(
         edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     ).localCheckpoint(eager=True)
 
+    from pyspark.sql import Window
+
     prev = _checksum(e)
     for i in range(max_iterations):
+        # Each star phase computes a per-node neighbourhood minimum. A
+        # partition-window min does that in ONE exchange and no join
+        # (the groupBy-min + equi-join formulation costs two exchanges
+        # per phase — measurably slower when rounds dominate).
         # ---- large-star ------------------------------------------------
         sym = e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).toDF("u", "v")
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.withColumn("m", F.least(F.col("mn"), F.col("u"))).select("u", "m")
+        wu = Window.partitionBy("u")
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            # orientation only — no distinct: small-star's window min
+            # tolerates duplicate edges and the end-of-round _canonical
+            # dedups; a mid-round distinct is an avoidable shuffle
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("a"),
+                F.greatest(F.col("v"), F.col("m")).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
         )
-        large = _canonical(large)
         # ---- small-star ------------------------------------------------
         sym2 = large.unionByName(
             large.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).toDF("u", "v")
-        sm = sym2.where(F.col("v") < F.col("u"))
-        mins2 = sm.groupBy("u").agg(F.min("v").alias("m"))
-        pairs1 = (
-            sm.join(mins2, "u")
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        smm = sym2.where(F.col("v") < F.col("u")).withColumn(
+            "m", F.min("v").over(wu)
         )
-        pairs2 = mins2.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        pairs1 = smm.where(F.col("v") != F.col("m")).select(
+            F.col("m").alias("a"), F.col("v").alias("b")
+        )
+        # one (m, u) edge per node u — duplicates collapse in _canonical
+        pairs2 = smm.select(F.col("m").alias("a"), F.col("u").alias("b"))
         new_e = _canonical(pairs1.unionByName(pairs2))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)

@@ -184,6 +184,7 @@ def minhash_near_duplicates(
         l.join(r, "band_key")
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
+        .repartition(parallelism, "id1", "id2")  # see ngram note
         .dropDuplicates(["id1", "id2"])
     )
     t1 = toks.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
@@ -325,43 +326,94 @@ def ngram_jaccard_duplicates(
     jaccard_threshold: float = 0.5,
     max_shingle_frequency: int | None = 100,
     broadcast_verify: bool | str = "auto",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """[id1, id2, jaccard] over word-shingle sets: shingle-block
-    candidates (with hot-shingle pruning) verified with exact set
-    Jaccard. ``broadcast_verify`` as in :func:`minhash_near_duplicates`."""
+    candidates verified with exact set Jaccard.
+
+    ``prefix_filter`` applies the PPJoin prefix principle:
+    under any global shingle ordering, two sets with Jaccard >= t must
+    share an element within each set's first ``|x| - ceil(t*|x|) + 1``
+    shingles. Ordering rarest-first means the head (template) shingles —
+    the ones that explode the candidate join quadratically — fall in the
+    suffixes and never generate candidates, while the verified result
+    set is provably identical. ``max_shingle_frequency`` remains the
+    lossy knob on top (drops hot shingles from candidate generation
+    entirely). ``broadcast_verify`` as in
+    :func:`minhash_near_duplicates`."""
     broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
+    from pyspark.sql import Window
+
     toks = word_tokens(F.col(text_col))
     n = shingle_size
-    shingles = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    # shingle rows via posexplode + window leads: whole-stage codegen'd,
+    # ~3x faster than the per-row transform/slice higher-order functions
+    # (interpreted — see NOTES.md) that a literal translation would use
+    tok_rows = df.where(F.size(toks) >= n).select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    wpos = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    with_leads = tok_rows.select("id", "tok", *lead_cols)
+    sh_long = (
+        with_leads.where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
         )
     )
-    base = df.select(
+    # short documents (< n tokens) contribute their whole text as the
+    # single shingle (reference edge case, mirrored in the oracle)
+    short = df.where(F.size(toks) < n).select(
         F.col(id_col).cast("string").alias("id"),
-        F.array_distinct(shingles).alias("sh"),
+        F.array_join(toks, " ").alias("shingle"),
     )
-    exploded = base.select("id", F.explode("sh").alias("shingle"))
+    exploded = sh_long.unionByName(short).dropDuplicates(["id", "shingle"])
+    base = exploded.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
     if max_shingle_frequency:
-        freq = (
+        freq_keep = (
             exploded.groupBy("shingle").count()
             .where(F.col("count") <= max_shingle_frequency)
             .select("shingle")
         )
-        exploded = exploded.join(F.broadcast(freq), "shingle", "left_semi")
+        exploded = exploded.join(F.broadcast(freq_keep), "shingle", "left_semi")
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = exploded.groupBy("shingle").agg(F.count("*").alias("__freq"))
+        doc_len = exploded.groupBy("id").agg(F.count("*").alias("__len"))
+        wid = Window.partitionBy("id").orderBy("__freq", "shingle")
+        t = float(jaccard_threshold)
+        cand_rows = (
+            exploded.join(freq, "shingle")
+            .withColumn("__rk", F.row_number().over(wid))
+            .join(doc_len, "id")
+            .where(
+                F.col("__rk")
+                <= F.col("__len") - F.ceil(F.lit(t) * F.col("__len")) + 1
+            )
+            .select("id", "shingle")
+        )
+    else:
+        cand_rows = exploded
     # ids-only candidate join (narrow shuffle), shingle sets re-attached
     # for verification afterwards; probe side explicitly repartitioned
     # (quadratic join output inherits probe partitioning — see minhash)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    l = exploded.select(F.col("id").alias("id1"), "shingle").repartition(
+    l = cand_rows.select(F.col("id").alias("id1"), "shingle").repartition(
         parallelism, "shingle", "id1"
     )
-    r = exploded.select(F.col("id").alias("id2"), "shingle")
+    r = cand_rows.select(F.col("id").alias("id2"), "shingle")
     cands = (
         l.join(r, "shingle")
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
+        # explicit width BEFORE the dedup: repartition by (id1, id2)
+        # satisfies dropDuplicates' distribution requirement, so the
+        # dedup aggregate and the verify stage behind it run at full
+        # parallelism instead of on an AQE-coalesced handful of tasks
+        .repartition(parallelism, "id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
     s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))

@@ -262,3 +262,37 @@ def test_decode_and_resize_real_png(spark):
     assert out["m0"]["decode_ok"] == "ok" and len(out["m0"]["pixels"]) == 8 * 8 * 3
     assert all(0.0 <= p <= 1.0 for p in out["m1"]["pixels"])
     assert out["bad"]["decode_ok"].startswith("error")
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    from pydi_spark.llmdata.multimodal import (
+        extract_audio_features,
+        wav_decoder,
+        wav_encode,
+    )
+
+    t = np.linspace(0, 1, 1600, endpoint=False)
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    decoded = wav_decoder(wav_encode(sine))
+    assert decoded.shape == (1600,)
+    assert np.max(np.abs(decoded - sine)) < 1e-3  # 16-bit quantization
+
+    rows = [("a", bytearray(wav_encode(sine))),
+            ("silent", bytearray(wav_encode(np.zeros(100)))),
+            ("bad", bytearray(b"RIFFgarbage"))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert out["a"]["decode_ok"] == "ok" and out["a"]["n_samples"] == 1600
+    assert abs(out["a"]["rms"] - 0.3536) < 0.01  # 0.5/sqrt(2)
+    assert out["a"]["zero_crossing_rate"] > 0.2  # 440 Hz at 1600 samples/s
+    assert out["silent"]["rms"] == 0.0
+    assert out["bad"]["decode_ok"].startswith("error")
+
+
+def test_ngram_prefix_filter_is_exact(docs):
+    kw = dict(shingle_size=3, jaccard_threshold=0.5)
+    full = {(r["id1"], r["id2"]) for r in
+            ngram_jaccard_duplicates(docs, prefix_filter=False, **kw).collect()}
+    pref = {(r["id1"], r["id2"]) for r in
+            ngram_jaccard_duplicates(docs, prefix_filter=True, **kw).collect()}
+    assert full == pref  # PPJoin prefix principle: candidates shrink, result doesn't
