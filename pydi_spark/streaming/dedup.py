@@ -125,7 +125,9 @@ def run_stream_from_parquet(
         .parquet(path)
     )
     out = transform(stream)
-    with tempfile.TemporaryDirectory() as ckpt:
+    # ignore_cleanup_errors: stateful queries run state-store maintenance
+    # threads that can still touch the checkpoint dir during teardown
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
         q = (
             out.writeStream.format("memory")
             .queryName(query_name)
@@ -134,7 +136,75 @@ def run_stream_from_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # Stateful ops with processing-time timeouts keep scheduling
+        # empty micro-batches under availableNow and never self-terminate
+        # (and processAllAvailable never returns) — poll progress and
+        # stop once a completed batch saw zero input rows (source drained).
+        import time
+
+        deadline = time.time() + 180
+        try:
+            while time.time() < deadline and q.isActive:
+                lp = q.lastProgress
+                if lp and lp.get("batchId", 0) > 0 and lp.get("numInputRows", 1) == 0:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
     if stage_ctx is not None:
         stage_ctx.cleanup()
     return spark.table(query_name)
+
+
+def stateful_dedup_ttl(
+    df: DataFrame,
+    key_columns: list[str],
+    ttl_ms: int = 3_600_000,
+):
+    """First-seen dedup with explicit per-key state and processing-time
+    TTL eviction, via ``applyInPandasWithState``.
+
+    The watermarked ``dropDuplicates`` above bounds state by EVENT time;
+    this operator bounds it by wall-clock TTL instead — the right shape
+    when late data has no usable event timestamp (common in ingestion
+    dedup) and state must still be evictable at 100 TB stream scale.
+    Emits the first row seen per key; repeat sightings inside the TTL
+    refresh it and emit nothing. Streaming-only (Spark restriction for
+    arbitrary stateful ops); the batch equivalent is
+    ``exact_duplicates`` / ``dropDuplicates``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not df.isStreaming:
+        raise ValueError(
+            "stateful_dedup_ttl is streaming-only; use dropDuplicates or "
+            "llmdata.exact_duplicates for batch frames"
+        )
+    out_schema = df.schema
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter([])
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        seen = state.get[0] if state.exists else 0
+        state.update((seen + len(batch),))
+        state.setTimeoutDuration(ttl_ms)
+        if seen == 0 and len(batch):
+            return iter([batch.head(1)])
+        return iter([])
+
+    return (
+        df.groupBy(*[F.col(c) for c in key_columns])
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

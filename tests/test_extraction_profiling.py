@@ -158,3 +158,24 @@ def test_kll_quantiles(spark, sf_dir):
            kll_quantiles(cust, "c_acctbal", [0.5]).collect()}
     exact = cust.approxQuantile("c_acctbal", [0.5], 0.0)[0]
     assert abs(got[0.5] - exact) / exact < 0.1
+
+
+def test_stateful_dedup_ttl(spark, sf_dir):
+    import pytest
+
+    from pydi_spark.streaming.dedup import run_stream_from_parquet, stateful_dedup_ttl
+
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    expected_users = {r["user_id"] for r in batch.select("user_id").distinct().collect()}
+    got = run_stream_from_parquet(
+        spark, path,
+        lambda s: stateful_dedup_ttl(s, ["user_id"]),
+        output_mode="append", query_name="ttl_dedup_result",
+    )
+    rows = got.collect()
+    assert len(rows) == len(expected_users)          # exactly one row per key
+    assert {r["user_id"] for r in rows} == expected_users
+    # streaming-only guard
+    with pytest.raises(ValueError):
+        stateful_dedup_ttl(batch, ["user_id"])

@@ -156,3 +156,24 @@ def test_numeric_comparator_list_strategies(spark):
     assert run("best_match") == 1.0                     # 20 vs 20
     assert run("average") == pytest.approx(1 - 15 / 30) # 15 vs 30
     assert run("range_overlap") == pytest.approx(0.0)   # [10,20] vs [20,40]: inter 0/span 30
+
+
+def test_string_comparator_best_match_python_tier(spark):
+    from pydi_spark.functions.comparators import StringComparator
+
+    df = spark.createDataFrame(
+        [(["Acme Corp", "ACME"], ["Acme Corporation"]),
+         (["Widget"], ["Gadget", "Widgets Inc"])],
+        "l array<string>, r array<string>",
+    )
+    # jaro_winkler has no native expression: best_match must route it
+    # through the Arrow-batched UDF instead of failing at analysis time
+    c = StringComparator("x", "jaro_winkler", list_strategy="best_match")
+    from pyspark.sql import functions as F
+    vals = [r[0] for r in df.select(c.expr(F.col("l"), F.col("r"))).collect()]
+    assert all(0.0 < v <= 1.0 for v in vals)
+    # a python callable works too
+    c2 = StringComparator("x", lambda a, b: 1.0 if a[0] == b[0] else 0.0,
+                          list_strategy="best_match")
+    vals2 = [r[0] for r in df.select(c2.expr(F.col("l"), F.col("r"))).collect()]
+    assert vals2 == [1.0, 1.0]  # 'Acme...'/'ACME' no—first-char A==A; W==W or G

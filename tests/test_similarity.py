@@ -14,6 +14,9 @@ CASES = [
     ("a", ""),
     ("the quick brown fox", "the quick red fox"),
     ("Customer#000000001", "Customer#000000010"),
+    # case-differing pair: prefix/postfix are case-SENSITIVE in both
+    # tiers (the native tier once lowercased — advisor-found divergence)
+    ("ABC", "abcd"),
 ]
 
 
