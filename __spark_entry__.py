@@ -1222,6 +1222,122 @@ def q_movies_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the distributed LSH path
+    (`embedding_near_duplicates`, EmbeddingBlocker method='lsh'). The
+    seeded hyperplanes are deterministic, so the oracle regenerates them
+    as literals and replays signature -> band join -> float64 cosine ->
+    threshold -> self-join orientation (id1 < id2, string order)."""
+    from pydi_spark.llmdata import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.3, method="lsh"
+    )
+    return out.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    """SQL replay of EmbeddingBlocker(method='lsh', lsh_bits=16,
+    lsh_bands=4, seed=42) self-join at threshold 0.3 (same hyperplane
+    regeneration as _ann_lsh_oracle_sql; top_k=1000 never binds at
+    n=500 neighbours so the rank stage is omitted)."""
+    import numpy as np
+
+    bits, bands, seed, dim = 16, 4, 42, 64
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    bit_exprs = []
+    for j in range(bits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_dot_product(e, {lit}) >= 0 THEN '1' ELSE '0' END AS b{j}"
+        )
+    split = np.array_split(np.arange(bits), bands)
+    band_exprs = ", ".join(
+        "'" + str(bi) + ":' || " + " || ".join(f"b{j}" for j in band)
+        for bi, band in enumerate(split)
+    )
+    return f"""
+WITH v AS (SELECT CAST(vec_id AS VARCHAR) rid, embedding::DOUBLE[] e FROM embeddings),
+sig AS (SELECT rid, e, {", ".join(bit_exprs)} FROM v),
+bnd AS (SELECT rid, unnest([{band_exprs}]) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.rid AS id1, b.rid AS id2
+  FROM bnd a JOIN bnd b USING (band_key)
+  WHERE a.rid < b.rid
+),
+scored AS (
+  SELECT id1, id2, list_cosine_similarity(av.e, bv.e) AS cos
+  FROM cand JOIN v av ON av.rid = cand.id1 JOIN v bv ON bv.rid = cand.id2
+)
+SELECT id1, id2, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.3
+"""
+
+
+def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-stateful first-seen dedup (`stateful_dedup_ttl`,
+    applyInPandasWithState) driven as a real bounded stream. Key-only
+    projection: WHICH row of a key is emitted first depends on
+    micro-batch internals, but the emitted key set is exactly the
+    distinct keys — that is what the oracle checks."""
+    from pydi_spark.streaming.dedup import run_stream_from_parquet, stateful_dedup_ttl
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    got = run_stream_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: stateful_dedup_ttl(s, ["user_id"]),
+        output_mode="append",
+        query_name="q_ttl_dedup_contract",
+    )
+    return got.select("user_id")
+
+
+def q_fusion_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-fusion conflict analysis (`detect_attribute_conflicts`):
+    per attribute, how many merged groups hold >1 distinct value.
+    Groups = connected components of the per-customer order chains, so
+    the oracle groups by o_custkey over orders that appear in edges."""
+    from pydi_spark.fusion.analysis import detect_attribute_conflicts
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    out = detect_attribute_conflicts(
+        datasets, edges,
+        attributes=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    # conflict_rate is int/int division — bit-identical across engines,
+    # no rounding needed (rounding could DIVERGE on halfway doubles)
+    return out.select(
+        "attribute", "conflicting_groups", "n_groups", "conflict_rate"
+    )
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join == plain equi-join (the salt must not change
+    semantics): lineitem x supplier spread over 8 salts, then aggregated
+    per nation. Decimal sum for cross-engine float determinism."""
+    from pydi_spark.functions.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, on="suppkey", num_salts=8)
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__dec"),
+        )
+        .select(
+            "s_nationkey", "n_items", F.col("__dec").cast("double").alias("sum_qty")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -1276,6 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ie": q_eval_ie,
         "outlier_bounds": q_outlier_bounds,
         "movies_parity": q_movies_parity,
+        "dedup_embedding": q_dedup_embedding,
+        "streaming_stateful_ttl": q_streaming_stateful_ttl,
+        "fusion_conflicts": q_fusion_conflicts,
+        "join_skew_salted": q_join_skew_salted,
     }
 
 
@@ -2269,4 +2389,52 @@ FROM metrics
 """,
     }
     out["cluster_cc_distributed"] = out["cluster_connected_components"]
+    out["dedup_embedding"] = _dedup_embedding_oracle_sql()
+    out["streaming_stateful_ttl"] = "SELECT DISTINCT user_id FROM events"
+    out["fusion_conflicts"] = """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2, o_custkey
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+members AS (
+  SELECT DISTINCT o_custkey, id FROM (
+    SELECT o_custkey, id1 AS id FROM edges
+    UNION ALL SELECT o_custkey, id2 FROM edges
+  )
+),
+grp AS (
+  SELECT m.o_custkey g, o.o_orderstatus st, o.o_orderpriority pri, o.o_totalprice tp
+  FROM members m JOIN orders o ON CAST(o.o_orderkey AS VARCHAR) = m.id
+),
+per AS (
+  SELECT g,
+         count(DISTINCT st) > 1 AS c_st,
+         count(DISTINCT pri) > 1 AS c_pri,
+         count(DISTINCT tp) > 1 AS c_tp
+  FROM grp GROUP BY g
+)
+SELECT 'o_orderstatus' AS attribute,
+       count(*) FILTER (WHERE c_st) AS conflicting_groups,
+       count(*) AS n_groups,
+       count(*) FILTER (WHERE c_st)::DOUBLE / count(*) AS conflict_rate
+FROM per
+UNION ALL
+SELECT 'o_orderpriority',
+       count(*) FILTER (WHERE c_pri), count(*),
+       count(*) FILTER (WHERE c_pri)::DOUBLE / count(*)
+FROM per
+UNION ALL
+SELECT 'o_totalprice',
+       count(*) FILTER (WHERE c_tp), count(*),
+       count(*) FILTER (WHERE c_tp)::DOUBLE / count(*)
+FROM per
+"""
+    out["join_skew_salted"] = """
+SELECT s_nationkey, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
     return out
