@@ -1338,6 +1338,225 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_translate_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MappingTranslator end to end: best-target-per-source selection
+    (score ordering + lexicographic tie-break), dataset filtering, and
+    missing-column filtering, then the rename projection itself. The
+    winning mapping is fully determined by the correspondence table, so
+    the oracle is the equivalent SELECT ... AS projection."""
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.translation import MappingTranslator
+
+    supp = Dataset.wrap(_t(spark, sf_dir, "supplier"), "supplier", id_column="s_suppkey")
+    corr = spark.createDataFrame(
+        [
+            # tie at 0.9 -> lexicographically smaller target ("label") wins
+            ("supplier", "s_name", "vendor_name", 0.9),
+            ("supplier", "s_name", "label", 0.9),
+            ("supplier", "s_acctbal", "balance", 0.8),
+            ("supplier", "s_acctbal", "bal", 0.5),
+            ("supplier", "s_ghost", "nowhere", 1.0),  # not in df -> dropped
+            ("orders", "s_nationkey", "wrong", 1.0),  # other dataset -> dropped
+        ],
+        "source_dataset string, source_column string, target_column string, score double",
+    )
+    out = MappingTranslator().translate(supp, corr)
+    return out.df.select(
+        F.col("s_suppkey").cast("string").alias("supp_id"),
+        "label", "balance", "s_nationkey",
+    )
+
+
+def q_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering (beyond-reference operator): fold odd-key
+    orders into a frozen clustering of the even-key orders. Exercises the
+    best-match adoption window, the increment-only connected components,
+    group-minimum propagation, and the singleton fallback ladder."""
+    from pydi_spark.clustering.incremental import assign_new_records
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+    )
+    old = o.where(F.col("k") % 2 == 0)
+    new = o.where(F.col("k") % 2 == 1)
+    w = Window.partitionBy("c")
+    existing = old.select(
+        F.col("id").alias("record_id"), F.min("id").over(w).alias("cluster_id")
+    )
+    new_ids = new.select(F.col("id").alias("record_id"))
+    n2e = (
+        new.alias("n")
+        .join(old.alias("o"), "c")
+        .select(
+            F.col("n.id").alias("id1"), F.col("o.id").alias("id2"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    wc = Window.partitionBy("c").orderBy("k")
+    n2n = (
+        new.withColumn("prev", F.lag("id").over(wc))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("id1"), F.col("id").alias("id2"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    out = assign_new_records(existing, new_ids, n2e, n2n, threshold=0.5)
+    return out.select("record_id", "cluster_id")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalizers (reference normalization/text.py): HTML strip +
+    entity decode + punctuation strip + whitespace collapse, bracket
+    remove/extract, header snake_casing, and stopword-filtered light
+    stemming — all native regexp expressions, mirrored in RE2-safe
+    DuckDB SQL (global 'g' flag on every regexp_replace)."""
+    from pydi_spark.functions.tokenize import tokens_for
+    from pydi_spark.normalization.text import (
+        handle_brackets,
+        normalize_header,
+        normalize_text,
+        remove_stopwords,
+        stem_light,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("<b>"), F.col("p_name"), F.lit("</b> &amp; ["),
+        F.col("p_brand"), F.lit("] "), F.col("p_type"),
+    )
+    raw2 = F.concat(F.col("p_name"), F.lit(" ("), F.col("p_brand"), F.lit(")"))
+    toks = tokens_for(F.col("p_name"), "word")
+    return part.select(
+        F.col("p_partkey").cast("string").alias("part_id"),
+        normalize_text(raw, strip_html=True, strip_punctuation=True).alias("clean"),
+        handle_brackets(raw2, "remove").alias("no_brackets"),
+        handle_brackets(raw2, "extract").alias("bracketed"),
+        normalize_header(F.col("p_brand")).alias("header"),
+        F.array_join(stem_light(remove_stopwords(toks)), " ").alias("stemmed"),
+    )
+
+
+class _FakeDigitsLLM:
+    """Deterministic stand-in LLM: parses the two <record> blocks out of
+    the rendered prompt and scores by trailing-key distance. Exercises
+    the real prompt render -> client -> JSON parse -> retry path."""
+
+    def __call__(self, prompt: str) -> str:
+        import json as _json
+        import re as _re
+
+        recs = _re.findall(r"<record>(.*?)</record>", prompt, _re.S)
+        nums = [int((_re.findall(r"\d+", r) or ["0"])[-1]) for r in recs[:2]]
+        sim = 1.0 / (1.0 + abs(nums[0] - nums[1]) / 1000.0)
+        return _json.dumps(
+            {"match": sim >= 0.5, "score": sim, "explanation": "digit distance"}
+        )
+
+
+def q_match_llm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLMBasedMatcher plumbing (mapInPandas, prompt template, JSON
+    parse) oracle-checked with a deterministic fake client whose score
+    is plain SQL: 1 / (1 + |suppkey - custkey| / 1000)."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.matching import LLMBasedMatcher, TextFormatter
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("k"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("k"),
+        )
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    matcher = LLMBasedMatcher(
+        text_formatter=TextFormatter(["name"]), client_factory=_FakeDigitsLLM
+    )
+    out = matcher.match(supp, cust, pairs, threshold=0.5, id_column="rid")
+    return out.select("id1", "id2", F.round("score", 6).alias("score"))
+
+
+class _LenHashModel:
+    """Deterministic PLM stand-in: batch callable texts -> scores with
+    score = (len(text) % 97) / 96 — closed-form SQL over the pair text."""
+
+    def __call__(self, texts: list[str]) -> list[float]:
+        return [(len(t) % 97) / 96.0 for t in texts]
+
+
+def q_match_plm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLMBasedMatcher plumbing (pair_text serialization + mapInPandas
+    batch scoring) with a deterministic length-hash model; the oracle
+    recomputes the score from component string lengths."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.matching import PLMBasedMatcher, TextFormatter
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 4000)
+    a = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("k"),
+    )
+    b = cust.where(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(a, b, id_column="rid")
+    matcher = PLMBasedMatcher(
+        text_formatter=TextFormatter(["name", "seg"]), model_factory=_LenHashModel
+    )
+    out = matcher.match(a, b, pairs, threshold=0.3, id_column="rid")
+    return out.select("id1", "id2", F.round("score", 6).alias("score"))
+
+
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered n-gram Jaccard dedup: provably the same
+    verified pair set as the unfiltered path (prefix principle is
+    lossless), so it shares the plain shingle-join oracle — this pins
+    the losslessness under the gate, not just in pytest."""
+    from pydi_spark.llmdata import ngram_jaccard_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_duplicates(
+        docs, shingle_size=3, jaccard_threshold=0.5,
+        max_shingle_frequency=None, prefix_filter=True,
+    )
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CodeExtractor: value-based and row-based user callables over
+    Arrow batches (reference informationextraction/code.py:14-281);
+    deterministic string functions keep it SQL-expressible."""
+    from pydi_spark.extraction.code import CodeExtractor
+
+    orders = _t(spark, sf_dir, "orders")
+    ce = CodeExtractor(
+        {
+            "prio_num": {
+                "function": lambda v: v.split("-")[0],
+                "source_column": "o_orderpriority",
+            },
+            "status_prio": {
+                "function": lambda r: f"{r['o_orderstatus']}|{r['o_orderpriority']}",
+                "row_based": True,
+                "columns": ["o_orderstatus", "o_orderpriority"],
+            },
+        }
+    )
+    out = ce.extract(orders)
+    return out.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        "prio_num", "status_prio",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -1396,6 +1615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "fusion_conflicts": q_fusion_conflicts,
         "join_skew_salted": q_join_skew_salted,
+        "translate_rename": q_translate_rename,
+        "cluster_incremental": q_cluster_incremental,
+        "normalize_text": q_normalize_text,
+        "match_llm_fake": q_match_llm_fake,
+        "match_plm_fake": q_match_plm_fake,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "extract_code": q_extract_code,
     }
 
 
@@ -2436,5 +2662,116 @@ SELECT s_nationkey, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
+"""
+    # winning mapping fully determined by the literal correspondence
+    # table in q_translate_rename: s_name -> label (0.9 tie, lexicographic
+    # target tie-break), s_acctbal -> balance (0.8 > 0.5); ghost/other-
+    # dataset rows dropped
+    out["translate_rename"] = """
+SELECT CAST(s_suppkey AS VARCHAR) AS supp_id, s_name AS label,
+       s_acctbal AS balance, s_nationkey
+FROM supplier
+"""
+    # chain edges over the odd-key (new) subset connect ALL new orders of
+    # a customer, so adoption collapses to: min old id string if the
+    # customer has any even-key order, else min new id string
+    out["cluster_incremental"] = """
+WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) id, o_orderkey k, o_custkey c FROM orders),
+olds AS (SELECT * FROM o WHERE k % 2 = 0),
+news AS (SELECT * FROM o WHERE k % 2 = 1),
+oldmin AS (SELECT c, min(id) cl FROM olds GROUP BY c),
+newmin AS (SELECT c, min(id) cl FROM news GROUP BY c)
+SELECT n.id AS record_id, coalesce(om.cl, nm.cl) AS cluster_id
+FROM news n
+LEFT JOIN oldmin om ON n.c = om.c
+JOIN newmin nm ON n.c = nm.c
+"""
+    out["normalize_text"] = r"""
+WITH base AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS part_id,
+         '<b>' || p_name || '</b> &amp; [' || p_brand || '] ' || p_type AS raw,
+         p_name || ' (' || p_brand || ')' AS raw2,
+         p_brand, p_name
+  FROM part
+),
+tok AS (
+  -- stopword filter BEFORE stemming, mirroring
+  -- stem_light(remove_stopwords(toks)) in q_normalize_text
+  SELECT part_id,
+         list_transform(
+           list_filter(
+             list_filter(regexp_split_to_array(lower(p_name), '[^\p{L}\p{N}#'']+'), x -> x != ''),
+             t2 -> NOT list_contains(['a','an','and','are','as','at','be','by',
+               'for','from','has','he','in','is','it','its','of','on','that',
+               'the','to','was','were','will','with'], t2)),
+           t -> CASE
+             WHEN regexp_matches(t, '(sses)$') THEN regexp_replace(t, 'sses$', 'ss')
+             WHEN regexp_matches(t, '(ies)$') THEN regexp_replace(t, 'ies$', 'y')
+             WHEN regexp_matches(t, '[a-z]{3,}ing$') THEN regexp_replace(t, 'ing$', '')
+             WHEN regexp_matches(t, '[a-z]{3,}ed$') THEN regexp_replace(t, 'ed$', '')
+             WHEN regexp_matches(t, '[a-z]{2,}s$') AND NOT regexp_matches(t, 'ss$')
+               THEN regexp_replace(t, 's$', '')
+             ELSE t END
+         ) AS stems
+  FROM base
+)
+SELECT b.part_id,
+  trim(regexp_replace(regexp_replace(
+    lower(replace(replace(replace(replace(replace(replace(
+      regexp_replace(b.raw, '<[^>]+>', ' ', 'g'),
+      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+      '&quot;', '"'), '&#39;', '''')),
+    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+  trim(regexp_replace(b.raw2, '\s*[(\[{][^)\]}]*[)\]}]', '', 'g')) AS no_brackets,
+  regexp_extract(b.raw2, '[(\[{]([^)\]}]*)[)\]}]', 1) AS bracketed,
+  regexp_replace(regexp_replace(regexp_replace(
+    lower(regexp_replace(b.p_brand, '([a-z0-9])([A-Z])', '\1_\2', 'g')),
+    '[^a-z0-9]+', '_', 'g'), '_+', '_', 'g'), '^_|_$', '', 'g') AS header,
+  array_to_string(t.stems, ' ') AS stemmed
+FROM base b JOIN tok t USING (part_id)
+"""
+    out["match_llm_fake"] = r"""
+WITH s AS (
+  SELECT CAST(s_suppkey AS VARCHAR) id1,
+         CAST(regexp_extract(s_name, '(\d+)$', 1) AS BIGINT) a,
+         s_nationkey k
+  FROM supplier
+),
+c AS (
+  SELECT CAST(c_custkey AS VARCHAR) id2,
+         CAST(regexp_extract(c_name, '(\d+)$', 1) AS BIGINT) b,
+         c_nationkey k
+  FROM customer WHERE c_custkey % 10 = 0
+),
+j AS (
+  SELECT id1, id2, 1.0 / (1.0 + abs(a - b) / 1000.0) AS score
+  FROM s JOIN c USING (k)
+)
+SELECT id1, id2, round(score, 6) AS score FROM j WHERE score >= 0.5
+"""
+    out["match_plm_fake"] = """
+WITH a AS (
+  SELECT CAST(c_custkey AS VARCHAR) id1,
+         length(c_name || ' ' || c_mktsegment) la, c_nationkey k
+  FROM customer WHERE c_custkey < 4000 AND c_custkey % 2 = 0
+),
+b AS (
+  SELECT CAST(c_custkey AS VARCHAR) id2,
+         length(c_name || ' ' || c_mktsegment) lb, c_nationkey k
+  FROM customer WHERE c_custkey < 4000 AND c_custkey % 2 = 1
+),
+j AS (
+  SELECT id1, id2, ((la + 7 + lb) % 97) / 96.0 AS score
+  FROM a JOIN b USING (k)
+)
+SELECT id1, id2, round(score, 6) AS score FROM j WHERE score >= 0.3
+"""
+    # prefix filtering is lossless -> same oracle as dedup_ngram_jaccard
+    out["dedup_ngram_prefix"] = _ngram_jaccard_sql(3, 0.5)
+    out["extract_code"] = """
+SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+       split_part(o_orderpriority, '-', 1) AS prio_num,
+       o_orderstatus || '|' || o_orderpriority AS status_prio
+FROM orders
 """
     return out
