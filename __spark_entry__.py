@@ -1557,6 +1557,34 @@ def q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference operator): each purchase event picks
+    the user's latest at-or-before error event. The engine runs it as a
+    single union + window pass (no join, one shuffle — see
+    functions/joins.py); DuckDB checks it with a native ASOF JOIN. The
+    right side is deduped per (user, ts) so ties are well-defined on
+    both engines."""
+    from pydi_spark.functions.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").cast("string").alias("ts"),
+        F.col("ts_right").cast("string").alias("matched_ts"),
+        "err_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -1622,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_plm_fake": q_match_plm_fake,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "extract_code": q_extract_code,
+        "join_asof": q_join_asof,
     }
 
 
@@ -2773,5 +2802,21 @@ SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
        split_part(o_orderpriority, '-', 1) AS prio_num,
        o_orderstatus || '|' || o_orderpriority AS status_prio
 FROM orders
+"""
+    out["join_asof"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+)
+SELECT CAST(l.event_id AS VARCHAR) AS event_id,
+       CAST(l.user_id AS VARCHAR) AS user_id,
+       CAST(l.ts AS VARCHAR) AS ts,
+       CAST(r.ts AS VARCHAR) AS matched_ts,
+       r.err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
     return out

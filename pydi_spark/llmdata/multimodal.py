@@ -5,14 +5,15 @@ North-star operator family (BASELINE.json): image/audio/video as opaque
 / resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing here is real and tested (schemas, batch
-iteration, partition sizing). Codecs are injectable callables:
-``png_decoder`` is a REAL pure-numpy+zlib PNG decode (8-bit,
-non-interlaced, all five scanline filters) with a matching
-``png_encode`` for round-trips; JPEG/audio/video still require external
-libraries (absent in this container) and raise clearly through
-``default_image_decoder``. ``fake_image_decoder`` remains for synthetic
-payload tests; swapping decoders changes only the callable, never the
-plumbing.
+iteration, partition sizing). Codecs are injectable callables, and the
+defaults are REAL pure-numpy+stdlib implementations: ``png_decoder``
+(8-bit, non-interlaced, all five scanline filters, + ``png_encode``),
+``jpeg_decoder`` (baseline SOF0, 4:4:4/4:2:2/4:2:0, restart markers,
++ minimal ``jpeg_encode`` — see ``jpeg.py``), and ``wav_decoder``
+(PCM via stdlib ``wave``). Video and exotic variants (progressive
+JPEG, ADPCM) still require an injected library codec and raise
+clearly. ``fake_image_decoder`` remains for synthetic payload tests;
+swapping decoders changes only the callable, never the plumbing.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (maxRecordsPerBatch bounds it); metadata-only operations (filtering by
@@ -292,17 +293,18 @@ def extract_audio_features(
 
 
 def default_image_decoder(payload: bytes) -> np.ndarray:
-    """Format dispatch for the decode stages: PNG decodes for real;
-    JPEG raises until a real codec library is injected; anything else is
-    rejected (use fake_image_decoder explicitly for synthetic tests)."""
+    """Format dispatch for the decode stages: PNG and baseline JPEG both
+    decode for real (pure numpy + stdlib — see ``jpeg.py``); anything
+    else is rejected (use fake_image_decoder explicitly for synthetic
+    tests, or inject a library-backed codec for progressive JPEG etc.)."""
     if payload is None:
         raise ValueError("null payload")
     if payload.startswith(_PNG_MAGIC):
         return png_decoder(payload)
     if payload.startswith(_JPEG_MAGIC):
-        raise NotImplementedError(
-            "JPEG decoding requires an image library (PIL); inject a decoder"
-        )
+        from pydi_spark.llmdata.jpeg import jpeg_decoder
+
+        return jpeg_decoder(payload)
     raise ValueError("unrecognized image format (expected PNG or JPEG)")
 
 

@@ -144,3 +144,56 @@ def test_embedding_blocker_auto_method(spark):
     )
     # explicit methods are never overridden (no count action taken)
     assert EmbeddingBlocker(vector_column="vec", method="lsh")._resolve_method(df) == "lsh"
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    import datetime as dt
+
+    from pydi_spark.functions.joins import asof_join
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = lambda m: t0 + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [("u1", ts(10), "L1"), ("u1", ts(30), "L2"), ("u2", ts(5), "L3"),
+         ("u3", ts(1), "L4")],
+        "uid string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(10), 1.0), ("u1", ts(25), 2.0), ("u2", ts(7), 3.0)],
+        "uid string, ts timestamp, val double",
+    )
+
+    back = {r["tag"]: (r["val"], r["ts_right"]) for r in
+            asof_join(left, right, on="ts", by="uid").collect()}
+    assert back["L1"] == (1.0, ts(10))     # equal ts is eligible (at-or-before)
+    assert back["L2"] == (2.0, ts(25))     # latest prior
+    assert back["L3"] == (None, None)      # right at ts(7) is after ts(5)
+    assert back["L4"] == (None, None)      # no right rows for u3 at all
+
+    fwd = {r["tag"]: r["val"] for r in
+           asof_join(left, right, on="ts", by="uid", direction="forward").collect()}
+    assert fwd["L1"] == 1.0                # equal ts eligible
+    assert fwd["L2"] is None               # nothing after ts(30)
+    assert fwd["L3"] == 3.0                # next at ts(7)
+
+    tol = {r["tag"]: r["val"] for r in
+           asof_join(left, right, on="ts", by="uid",
+                     tolerance=F.expr("INTERVAL 4 MINUTES")).collect()}
+    assert tol["L1"] == 1.0                # gap 0 <= 4min
+    assert tol["L2"] is None               # gap 5min > 4min -> nulled, row kept
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    import datetime as dt
+
+    from pydi_spark.functions.joins import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([("u", t, "L")], "uid string, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [("u", t, 1.0), ("u", t, 9.0), ("u", t, 4.0)],
+        "uid string, ts timestamp, val double",
+    )
+    rows = asof_join(left, right, on="ts", by="uid").collect()
+    assert len(rows) == 1 and rows[0]["val"] == 9.0  # greatest carried tuple wins

@@ -296,3 +296,34 @@ def test_ngram_prefix_filter_is_exact(docs):
     pref = {(r["id1"], r["id2"]) for r in
             ngram_jaccard_duplicates(docs, prefix_filter=True, **kw).collect()}
     assert full == pref  # PPJoin prefix principle: candidates shrink, result doesn't
+
+
+def test_jpeg_codec_roundtrip():
+    from pydi_spark.llmdata.jpeg import jpeg_decoder, jpeg_encode
+
+    h, w = 24, 40  # non-multiple-of-8 width path (edge replication)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (h + w)], axis=-1
+    ).astype(np.uint8)
+    payload = jpeg_encode(img, quality=90)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    out = jpeg_decoder(payload)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() < 32  # lossy but close on gradients
+
+    with pytest.raises(ValueError):
+        jpeg_decoder(b"\x89PNG not a jpeg")
+
+
+def test_decode_and_resize_real_jpeg(spark):
+    from pydi_spark.llmdata.jpeg import jpeg_encode
+    from pydi_spark.llmdata.multimodal import decode_and_resize
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([xx * 15, yy * 15, xx * 0], axis=-1).astype(np.uint8)
+    rows = [("j0", bytearray(jpeg_encode(img)))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in decode_and_resize(df, 8, 8).collect()}
+    assert out["j0"]["decode_ok"] == "ok" and len(out["j0"]["pixels"]) == 8 * 8 * 3
