@@ -1557,6 +1557,36 @@ def q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (SURVEY §2.13 — free in Spark, absent in the
+    reference): per-customer order ranking + running revenue. Decimal
+    running sum for cross-engine float determinism, cast at the end."""
+    orders = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        orders.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "run_spend",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_run),
+        )
+        .where(F.col("rk") <= 2)
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        "rk",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("run_spend").cast("double").alias("run_spend"),
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond-reference operator): each purchase event picks
     the user's latest at-or-before error event. The engine runs it as a
@@ -1651,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "extract_code": q_extract_code,
         "join_asof": q_join_asof,
+        "tpch_window": q_tpch_window,
     }
 
 
@@ -2818,5 +2849,18 @@ SELECT CAST(l.event_id AS VARCHAR) AS event_id,
        CAST(r.ts AS VARCHAR) AS matched_ts,
        r.err_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+    out["tpch_window"] = """
+WITH w AS (
+  SELECT o_custkey AS custkey, CAST(o_orderkey AS VARCHAR) AS order_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         o_totalprice AS totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_spend
+  FROM orders
+)
+SELECT custkey, order_id, rk, totalprice, run_spend FROM w WHERE rk <= 2
 """
     return out

@@ -72,15 +72,20 @@ def main() -> None:
             except Exception as exc:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # best-of-N per query: single-shot timings on a shared host swing
+    # up to 3x with ambient load; the minimum measures the engine
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {best:.3f}s ({n} rows, best of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
