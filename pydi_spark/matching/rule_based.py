@@ -31,9 +31,19 @@ def join_pairs_to_records(
     right: Dataset | DataFrame,
     id_column: str | None = None,
 ) -> DataFrame:
-    """pairs[id1,id2,...] joined to both record tables, aliased l/r."""
+    """pairs[id1,id2,...] joined to both record tables, aliased l/r.
+
+    The pair table is explicitly repartitioned first: when both record
+    sides broadcast (the common case — dimensions are small next to the
+    pair explosion), the whole downstream scoring pipeline would
+    otherwise run inside the blocker's file-scan tasks — often ONE task
+    for a small parquet probe side, serializing the quadratic per-pair
+    work. An ids-only shuffle is narrow; the scoring width it buys is
+    the same lesson as the band-join repartitions (NOTES.md)."""
     dl, idl = resolve_side(left, id_column)
     dr, idr = resolve_side(right, id_column)
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(parallelism, "id1", "id2")
     return (
         pairs.alias("p")
         .join(dl.alias("l"), F.col("p.id1") == F.col(f"l.{idl}").cast("string"))
