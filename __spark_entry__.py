@@ -1557,6 +1557,24 @@ def q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style line cleaning (llmdata.cleaning): the corpus has no
+    newlines, so the query synthesizes a line structure — each doc gets a
+    shared boilerplate line (dropped by the global doc-frequency pass)
+    and a short footer (dropped by the min-words rule)."""
+    from pydi_spark.llmdata.cleaning import clean_document_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nshare this article\n"),
+            F.upper(F.col("source")), F.lit(" footer"),
+        ).alias("text"),
+    )
+    out = clean_document_lines(docs, min_words=3, max_line_doc_frequency=100)
+    return out.select("doc_id", "clean_text", "n_lines_kept", "n_lines_total")
+
+
 def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (SURVEY §2.13 — free in Spark, absent in the
     reference): per-customer order ranking + running revenue. Decimal
@@ -1682,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_code": q_extract_code,
         "join_asof": q_join_asof,
         "tpch_window": q_tpch_window,
+        "text_clean": q_text_clean,
     }
 
 
@@ -2862,5 +2881,37 @@ WITH w AS (
   FROM orders
 )
 SELECT custkey, order_id, rk, totalprice, run_spend FROM w WHERE rk <= 2
+"""
+    out["text_clean"] = r"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         text || chr(10) || 'share this article' || chr(10)
+              || upper(source) || ' footer' AS raw
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'line': sp[i]} for i in range(1, len(sp) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(raw, chr(10)) AS sp FROM docs)
+),
+base AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS norm,
+         len(list_filter(regexp_split_to_array(trim(s.line), '\s+'),
+                         x -> x != '')) >= 3 AS keep
+  FROM lines
+),
+hot AS (
+  SELECT norm FROM base WHERE keep
+  GROUP BY norm HAVING count(DISTINCT doc_id) > 100
+),
+final AS (
+  SELECT b.doc_id, b.pos, b.line, (b.keep AND h.norm IS NULL) AS keep2
+  FROM base b LEFT JOIN hot h ON b.norm = h.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep2 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+       sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS n_lines_kept,
+       count(*) AS n_lines_total
+FROM final GROUP BY doc_id
 """
     return out

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "schema_duplicate_based",
     "cluster_cc_distributed",
     "match_ml_linear",
+    "join_asof",
+    "tpch_window",
+    "text_clean",
 ]
 
 

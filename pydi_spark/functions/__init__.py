@@ -1,3 +1,4 @@
+from pydi_spark.functions.joins import asof_join, salted_join
 from pydi_spark.functions.similarity import (
     NATIVE_METRICS,
     PY_METRICS,
@@ -10,8 +11,10 @@ from pydi_spark.functions.tokenize import char_ngrams, word_tokens
 __all__ = [
     "NATIVE_METRICS",
     "PY_METRICS",
+    "asof_join",
     "char_ngrams",
     "list_metrics",
+    "salted_join",
     "similarity",
     "token_similarity",
     "word_tokens",

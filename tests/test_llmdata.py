@@ -327,3 +327,33 @@ def test_decode_and_resize_real_jpeg(spark):
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = {r["media_id"]: r for r in decode_and_resize(df, 8, 8).collect()}
     assert out["j0"]["decode_ok"] == "ok" and len(out["j0"]["pixels"]) == 8 * 8 * 3
+
+
+def test_clean_document_lines(spark):
+    from pydi_spark.llmdata.cleaning import clean_document_lines
+
+    rows = [
+        ("d1", "a good long line here\nok\nshare this\nanother decent line"),
+        ("d2", "share this\nsolid line of text"),
+        ("d3", "share this\ntiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in clean_document_lines(
+            df, min_words=2, max_line_doc_frequency=2
+        ).collect()
+    }
+    # 'share this' passes min_words but occurs in 3 > 2 docs -> global drop
+    assert out["d1"]["clean_text"] == "a good long line here\nanother decent line"
+    assert out["d1"]["n_lines_kept"] == 2 and out["d1"]["n_lines_total"] == 4
+    assert out["d2"]["clean_text"] == "solid line of text"
+    assert out["d3"]["clean_text"] == ""  # 'tiny' fails min_words
+    assert out["d3"]["n_lines_kept"] == 0 and out["d3"]["n_lines_total"] == 2
+
+    # terminal punctuation rule
+    df2 = spark.createDataFrame(
+        [("x", "a proper sentence.\nno punct here")], "doc_id string, text string"
+    )
+    got = clean_document_lines(df2, require_terminal_punct=True).collect()[0]
+    assert got["clean_text"] == "a proper sentence."
