@@ -1575,6 +1575,34 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "clean_text", "n_lines_kept", "n_lines_total")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals; int/int divisions are
+    bit-identical across engines, no rounding needed."""
+    from pydi_spark.llmdata.textstats import repetition_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs).select(
+        "doc_id", "top_word_frac", "dup_2gram_frac", "distinct_word_ratio"
+    )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction bank: the corpus is PII-free, so the query plants a
+    deterministic email/phone/IP per doc and checks counts + the
+    redacted text byte-for-byte."""
+    from pydi_spark.llmdata.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 host 192.168.0.1 end"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (SURVEY §2.13 — free in Spark, absent in the
     reference): per-customer order ranking + running revenue. Decimal
@@ -1701,6 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": q_join_asof,
         "tpch_window": q_tpch_window,
         "text_clean": q_text_clean,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
     }
 
 
@@ -2913,5 +2943,39 @@ SELECT doc_id,
        sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS n_lines_kept,
        count(*) AS n_lines_total
 FROM final GROUP BY doc_id
+"""
+    out["text_repetition"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) doc_id, {toks_text} AS tok FROM documents),
+words AS (SELECT doc_id, unnest(tok) AS w FROM t),
+pw AS (SELECT doc_id, w, count(*) c FROM words GROUP BY doc_id, w),
+ws AS (SELECT doc_id, max(c) max_c, sum(c) n_words, count(*) n_distinct
+       FROM pw GROUP BY doc_id),
+gs AS (SELECT doc_id, len(grams) n_grams, len(list_distinct(grams)) n_distinct_grams
+       FROM (SELECT doc_id, [tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))] AS grams FROM t))
+SELECT t.doc_id,
+  CASE WHEN coalesce(ws.n_words, 0) > 0
+       THEN ws.max_c::DOUBLE / ws.n_words ELSE 0.0 END AS top_word_frac,
+  CASE WHEN coalesce(gs.n_grams, 0) > 0
+       THEN 1.0 - gs.n_distinct_grams::DOUBLE / gs.n_grams ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN coalesce(ws.n_words, 0) > 0
+       THEN ws.n_distinct::DOUBLE / ws.n_words ELSE 1.0 END AS distinct_word_ratio
+FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+    from pydi_spark.llmdata.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    out["text_pii"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-123-4567 host 192.168.0.1 end' AS t
+  FROM documents
+),
+e AS (SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL}')) n_emails,
+             regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') t1 FROM d),
+p AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE}')) n_phones,
+             regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g') t2 FROM e),
+i AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IPV4}')) n_ips,
+             regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') t3 FROM p)
+SELECT doc_id, t3 AS redacted_text, n_emails, n_phones, n_ips FROM i
 """
     return out

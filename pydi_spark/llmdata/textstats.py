@@ -118,3 +118,83 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     style identity for shuffled near-dups)."""
     toks = F.array_sort(F.array_distinct(word_tokens(F.col(text_col))))
     return df.withColumn("fingerprint", F.md5(F.array_join(toks, "|")))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[doc_id, top_word_frac, dup_2gram_frac, distinct_word_ratio] —
+    Gopher-style repetition signals for corpus filtering. Distributed as
+    explode + two-level aggregates (no per-row quadratic HOFs): word
+    counts shuffle on (doc, word), bigrams via posexplode + lead — the
+    same codegen'd shingling shape as the n-gram dedup path."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.withColumn("w2", F.lead("w").over(w_next))
+
+    per_word = grams.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+    )
+    gram_rows = grams.where(F.col("w2").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "w", "w2").alias("g")
+    )
+    gram_stats = gram_rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct_grams"),
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("doc_id"))
+    out = (
+        ids.join(word_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_words") > 0,
+                   F.col("max_c").cast("double") / F.col("n_words"))
+            .otherwise(F.lit(0.0)).alias("top_word_frac"),
+            F.when(F.col("n_grams") > 0,
+                   1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+            F.when(F.col("n_words") > 0,
+                   F.col("n_distinct").cast("double") / F.col("n_words"))
+            .otherwise(F.lit(1.0)).alias("distinct_word_ratio"),
+        )
+    )
+    return out
+
+
+# RE2-safe patterns (no lookarounds) so DuckDB oracles can mirror them
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[doc_id, redacted_text, n_emails, n_phones, n_ips]: counts +
+    placeholder substitution for the standard PII classes a
+    training-data pipeline scrubs. Pure regexp expressions; each class
+    counts and redacts on the PREVIOUS class's output, so an email's
+    dotted domain can never double-count as an IPv4."""
+    c = F.col(text_col)
+    n_emails = F.regexp_count(c, F.lit(PII_EMAIL))
+    red1 = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(red1, F.lit(PII_PHONE))
+    red2 = F.regexp_replace(red1, PII_PHONE, "<PHONE>")
+    n_ips = F.regexp_count(red2, F.lit(PII_IPV4))
+    red3 = F.regexp_replace(red2, PII_IPV4, "<IP>")
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        red3.alias("redacted_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+    )

@@ -357,3 +357,35 @@ def test_clean_document_lines(spark):
     )
     got = clean_document_lines(df2, require_terminal_punct=True).collect()[0]
     assert got["clean_text"] == "a proper sentence."
+
+
+def test_repetition_scores(spark):
+    from pydi_spark.llmdata.textstats import repetition_scores
+
+    rows = [
+        ("r1", "a a a a"),               # one word repeated
+        ("r2", "w x y z"),               # all distinct
+        ("r3", "p q p q p q"),           # bigrams 'p q' x3, 'q p' x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert out["r1"]["top_word_frac"] == 1.0
+    assert out["r1"]["dup_2gram_frac"] == pytest.approx(1 - 1 / 3)
+    assert out["r2"]["top_word_frac"] == 0.25
+    assert out["r2"]["dup_2gram_frac"] == 0.0
+    assert out["r2"]["distinct_word_ratio"] == 1.0
+    assert out["r3"]["distinct_word_ratio"] == pytest.approx(2 / 6)
+    assert out["r3"]["dup_2gram_frac"] == pytest.approx(1 - 2 / 5)
+
+
+def test_redact_pii(spark):
+    from pydi_spark.llmdata.textstats import redact_pii
+
+    rows = [("p1", "mail a.b+c@test.org call 555-123-4567 ip 10.0.0.255 done"),
+            ("p2", "nothing sensitive here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out["p1"]["redacted_text"] == "mail <EMAIL> call <PHONE> ip <IP> done"
+    assert (out["p1"]["n_emails"], out["p1"]["n_phones"], out["p1"]["n_ips"]) == (1, 1, 1)
+    assert out["p2"]["redacted_text"] == "nothing sensitive here"
+    assert out["p2"]["n_emails"] == 0
