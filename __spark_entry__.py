@@ -1603,6 +1603,50 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization. Every float op is an
+    explicit left fold in float64, so the int qvec is bit-determined;
+    the oracle replays the folds with list_reduce."""
+    from pydi_spark.llmdata.embeddings import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, normalize=True)
+    return out.select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        F.round("scale", 6).alias("scale"),
+        "qvec",
+    )
+
+
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pooling with sorted-sum float determinism — the
+    pooled array<double> must match the oracle bit-for-bit (the harness
+    does NOT round inside arrays)."""
+    from pydi_spark.llmdata.embeddings import mean_pool
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mean_pool(emb, "label")
+    return out.select(
+        F.col("group").alias("grp"), "pooled", "n_vectors"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling with per-stratum rates (domain
+    mixing): md5-fraction keyed to the row, portable across engines and
+    partitionings — unlike df.sample()."""
+    from pydi_spark.llmdata.sampling import deterministic_sample
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "rid", F.col("o_orderkey").cast("string")
+    )
+    out = deterministic_sample(
+        orders, rate=0.1, key_col="rid",
+        stratum_col="o_orderpriority", rates={"1-URGENT": 0.5},
+    )
+    return out.select("rid", "o_orderpriority")
+
+
 def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (SURVEY §2.13 — free in Spark, absent in the
     reference): per-customer order ranking + running revenue. Decimal
@@ -1731,6 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "embed_quantize": q_embed_quantize,
+        "embed_mean_pool": q_embed_mean_pool,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -2977,5 +3024,64 @@ p AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE}')) n_phon
 i AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IPV4}')) n_ips,
              regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') t3 FROM p)
 SELECT doc_id, t3 AS redacted_text, n_emails, n_phones, n_ips FROM i
+"""
+    out["embed_quantize"] = """
+WITH t AS (
+  SELECT CAST(vec_id AS VARCHAR) vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+  FROM t
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END un
+  FROM n
+),
+m AS (
+  SELECT vec_id, un,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(un, x -> abs(x))), (a, b) -> greatest(a, b)) ma
+  FROM u
+)
+SELECT vec_id,
+       round(CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END, 6) AS scale,
+       list_transform(un, x -> CAST(floor(x * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END) + 0.5) AS INTEGER)) AS qvec
+FROM m
+"""
+    out["embed_mean_pool"] = """
+WITH e AS (
+  SELECT label AS grp,
+         unnest([{'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+                 for i in range(1, len(embedding) + 1)]) AS s
+  FROM embeddings
+),
+p AS (
+  SELECT grp, s.dim AS dim,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(s.x))),
+                     (a, b) -> a + b) AS st,
+         count(*) AS n
+  FROM e GROUP BY grp, dim
+)
+SELECT grp,
+       list_transform(list_sort(list({'dim': dim, 'm': st / n})), t -> t.m) AS pooled,
+       max(n) AS n_vectors
+FROM p GROUP BY grp
+"""
+    out["sample_stratified"] = """
+WITH t AS (
+  SELECT CAST(o_orderkey AS VARCHAR) rid, o_orderpriority,
+         list_sum([(strpos('0123456789abcdef',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1)
+                   * 16.0 ** (8 - i) for i in range(1, 9)])
+         / 4294967296.0 AS frac
+  FROM orders
+)
+SELECT rid, o_orderpriority FROM t
+WHERE frac < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.5 ELSE 0.1 END
 """
     return out

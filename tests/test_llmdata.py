@@ -389,3 +389,47 @@ def test_redact_pii(spark):
     assert (out["p1"]["n_emails"], out["p1"]["n_phones"], out["p1"]["n_ips"]) == (1, 1, 1)
     assert out["p2"]["redacted_text"] == "nothing sensitive here"
     assert out["p2"]["n_emails"] == 0
+
+
+def test_embedding_quantize_and_pool(spark):
+    from pydi_spark.llmdata.embeddings import l2_normalize, mean_pool, quantize_int8
+
+    rows = [("a", [3.0, 4.0], "g1"), ("b", [0.0, 0.0], "g1"), ("c", [1.0, 1.0], "g2")]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>, label string")
+
+    norm = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert norm["a"]["normalized"] == pytest.approx([0.6, 0.8])
+    assert norm["a"]["l2_norm"] == pytest.approx(5.0)
+    assert norm["b"]["normalized"] == [0.0, 0.0]  # zero vector passes through
+
+    q = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert q["a"]["qvec"] == [95, 127]  # 0.6/0.8 * (127/0.8)
+    assert q["b"]["qvec"] == [0, 0] and q["b"]["scale"] == 0.0
+    assert max(abs(v) for v in q["c"]["qvec"]) == 127
+
+    pooled = {r["group"]: r for r in mean_pool(df, "label").collect()}
+    assert pooled["g1"]["pooled"] == pytest.approx([1.5, 2.0])
+    assert pooled["g1"]["n_vectors"] == 2
+    assert pooled["g2"]["pooled"] == pytest.approx([1.0, 1.0])
+
+
+def test_deterministic_sample(spark):
+    from pydi_spark.llmdata.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 4 == 0 else "cold") for i in range(2000)],
+        "k long, stratum string",
+    ).withColumn("rid", F.col("k").cast("string"))
+
+    s1 = {r["k"] for r in deterministic_sample(df, 0.2, "rid").collect()}
+    # partitioning must not change the selection
+    s2 = {r["k"] for r in
+          deterministic_sample(df.repartition(13), 0.2, "rid").collect()}
+    assert s1 == s2
+    assert 0.1 < len(s1) / 2000 < 0.3  # roughly the rate
+
+    strat = deterministic_sample(
+        df, 0.05, "rid", stratum_col="stratum", rates={"hot": 0.9}
+    ).groupBy("stratum").count().collect()
+    by = {r["stratum"]: r["count"] for r in strat}
+    assert by["hot"] / 500 > 0.7 and by.get("cold", 0) / 1500 < 0.15
