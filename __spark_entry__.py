@@ -1603,6 +1603,28 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram collision check of the train
+    split (doc_id % 47 != 0) against a held-out eval split, broadcast
+    map-side join on md5'd grams. n=3 because the synthetic corpus has
+    no natural 5-gram cross-doc overlap — trigrams give 289/489 docs
+    nonzero ratios and 49 over the 5% flag, so the oracle checks real
+    collisions, not a column of zeros."""
+    from pydi_spark.llmdata.cleaning import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 47 == 0)
+    train = docs.where(F.col("doc_id") % 47 != 0)
+    out = decontaminate(train, ev, n=3, threshold=0.05)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_overlap",
+        F.round("contamination_ratio", 6).alias("contamination_ratio"),
+        "is_contaminated",
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize + symmetric int8 quantization. Every float op is an
     explicit left fold in float64, so the int qvec is bit-determined;
@@ -1775,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "text_decontaminate": q_text_decontaminate,
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "sample_stratified": q_sample_stratified,
@@ -3024,6 +3047,31 @@ p AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE}')) n_phon
 i AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IPV4}')) n_ips,
              regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') t3 FROM p)
 SELECT doc_id, t3 AS redacted_text, n_emails, n_phones, n_ips FROM i
+"""
+    out["text_decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+         ELSE list_distinct([array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)])
+    END AS gset
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(gset) AS gram, 1 AS hit FROM g WHERE doc_id % 47 = 0),
+tr AS (SELECT CAST(doc_id AS VARCHAR) doc_id, unnest(gset) AS gram FROM g WHERE doc_id % 47 != 0),
+agg AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_overlap
+  FROM tr LEFT JOIN ev USING (gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_overlap,
+       round(n_overlap::DOUBLE / n_ngrams, 6) AS contamination_ratio,
+       n_overlap::DOUBLE / n_ngrams >= 0.05 AS is_contaminated
+FROM agg
 """
     out["embed_quantize"] = """
 WITH t AS (

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "join_asof",
     "tpch_window",
     "text_clean",
+    "text_decontaminate",
 ]
 
 

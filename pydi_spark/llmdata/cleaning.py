@@ -81,3 +81,81 @@ def clean_document_lines(
             ).alias("clean_text"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap an evaluation set (the standard n-gram-collision
+    check run before LLM training; no reference counterpart —
+    north-star training-data op).
+
+    Returns [doc_id, n_ngrams, n_overlap, contamination_ratio,
+    is_contaminated] — ratio = distinct contaminated n-grams / distinct
+    n-grams; documents shorter than ``n`` tokens contribute their whole
+    token sequence as one n-gram (same edge rule as the shingle dedup).
+
+    Scale design: the eval side is a benchmark suite (thousands of
+    docs) while ``df`` is the corpus (billions) — eval n-grams are
+    md5-hashed, deduplicated, and BROADCAST, so the check is a map-side
+    left join on a 32-char key against the exploded train side: no
+    corpus shuffle at all beyond the per-doc distinct, which runs on a
+    single explicit repartition(doc_id) exchange. Never joins raw
+    n-gram strings (hash keys keep the rows narrow).
+    """
+    from pydi_spark.functions.tokenize import word_tokens
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    def ngram_rows(frame: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        toks = word_tokens(F.col(text_col))
+        tok_rows = frame.where(F.size(toks) >= n).select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.posexplode(toks).alias("pos", "tok"),
+        )
+        wpos = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+        grams = (
+            tok_rows.select("doc_id", "tok", *leads)
+            .where(F.col(f"t{n - 1}").isNotNull())
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", "tok", *[f"t{j}" for j in range(1, n)]
+                ).alias("gram"),
+            )
+        )
+        short = frame.where(F.size(toks) < n).select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.array_join(toks, " ").alias("gram"),
+        )
+        return grams.unionByName(short).select(
+            "doc_id", F.md5("gram").alias("gh")
+        )
+
+    eval_grams = ngram_rows(eval_df).select("gh").distinct()
+    hits = ngram_rows(df).repartition(parallelism, "doc_id").dropDuplicates(
+        ["doc_id", "gh"]
+    ).join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "gh", "left"
+    )
+    out = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") / F.col("n_ngrams")
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_overlap",
+        ratio.alias("contamination_ratio"),
+        (ratio >= F.lit(float(threshold))).alias("is_contaminated"),
+    )

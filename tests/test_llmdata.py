@@ -433,3 +433,29 @@ def test_deterministic_sample(spark):
     ).groupBy("stratum").count().collect()
     by = {r["stratum"]: r["count"] for r in strat}
     assert by["hot"] / 500 > 0.7 and by.get("cold", 0) / 1500 < 0.15
+
+
+def test_decontaminate(spark):
+    from pydi_spark.llmdata.cleaning import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with distinct words only"),
+            (3, "tiny doc"),  # shorter than n -> whole-seq gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over"), (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, ev, n=3, threshold=0.3).collect()}
+    # doc 1: 8 distinct trigrams, 3 of them in eval ("quick brown fox",
+    # "brown fox jumps", "fox jumps over")
+    assert out["1"]["n_ngrams"] == 8 and out["1"]["n_overlap"] == 3
+    assert out["1"]["is_contaminated"]  # 3/8 >= 0.3
+    assert out["2"]["n_overlap"] == 0 and not out["2"]["is_contaminated"]
+    # short doc matches the eval short doc exactly via the whole-seq rule
+    assert out["3"]["n_ngrams"] == 1 and out["3"]["n_overlap"] == 1
