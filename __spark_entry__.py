@@ -1727,6 +1727,36 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (beyond-reference operator): every event falling inside
+    a 2-hour 'incident window' opened by each event_id%199==0 event.
+    Vanilla Spark would plan the inequality join as a nested loop; the
+    engine bucketizes time so it runs as a shuffled equi-join on
+    (bucket) with a residual filter — see functions/joins.py:range_join.
+    DuckDB checks it with the plain inequality join (IEJoin)."""
+    from pydi_spark.functions.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    incidents = ev.where(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    out = range_join(
+        ev.select("event_id", "ts", "event_type"),
+        incidents,
+        on="ts",
+        between=("s", "e"),
+        bucket_width=1800,
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_type",
+        "incident_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -1793,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "extract_code": q_extract_code,
         "join_asof": q_join_asof,
+        "join_range": q_join_range,
         "tpch_window": q_tpch_window,
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
@@ -2968,6 +2999,14 @@ SELECT CAST(l.event_id AS VARCHAR) AS event_id,
        CAST(r.ts AS VARCHAR) AS matched_ts,
        r.err_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+    out["join_range"] = """
+WITH i AS (
+  SELECT event_id AS incident_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_id % 199 = 0
+)
+SELECT p.event_id, CAST(p.ts AS VARCHAR) AS ts, p.event_type, i.incident_id
+FROM events p JOIN i ON p.ts >= i.s AND p.ts <= i.e
 """
     out["tpch_window"] = """
 WITH w AS (

@@ -1,4 +1,4 @@
-from pydi_spark.functions.joins import asof_join, salted_join
+from pydi_spark.functions.joins import asof_join, range_join, salted_join
 from pydi_spark.functions.similarity import (
     NATIVE_METRICS,
     PY_METRICS,

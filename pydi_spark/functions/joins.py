@@ -41,6 +41,124 @@ def salted_join(
     return out.drop("__salt")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    between: tuple[str, str],
+    by: str | list[str] | None = None,
+    bucket_width=None,
+    closed: str = "both",
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-interval range join: each ``points`` row joins every
+    ``intervals`` row whose ``[start, end]`` contains its ``on`` value
+    (per optional ``by`` equi-keys).
+
+    Scale design: vanilla Spark plans ``p >= s AND p <= e`` as a
+    broadcast-nested-loop (or cartesian) — quadratic and undistributable.
+    This instead BUCKETIZES the domain: intervals explode to the coarse
+    buckets they cover (``sequence(bucket(start), bucket(end))``), points
+    map to exactly one bucket, and the join becomes a shuffled EQUI-join
+    on (by…, bucket) with the range predicate as a residual filter. Pick
+    ``bucket_width`` near the typical interval length so each interval
+    lands in O(1) buckets; by default it is auto-derived as the median
+    interval length (one bounded ``approxQuantile`` driver action on the
+    intervals side only). A point is in exactly one bucket, so no
+    post-join dedup is needed. The probe side is explicitly repartitioned
+    on the bucket key — same lesson as the band joins: AQE otherwise
+    serializes the fan-out stage behind a narrow scan.
+
+    ``on``/``between`` columns must share a type: timestamps (bucketed on
+    ``unix_micros``; ``bucket_width`` in SECONDS) or numerics
+    (``bucket_width`` in value units). ``closed``: both|left|right|neither.
+    ``how``: inner|left (left keeps pointless rows with null interval
+    columns).
+
+    No reference counterpart (PyDI has no range join) — north-star op;
+    pattern follows the bucketed interval-join strategy used by
+    time-series engines.
+    """
+    from pyspark.sql.types import TimestampType
+
+    start_col, end_col = between
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"closed must be both|left|right|neither: {closed}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    is_ts = isinstance(points.schema[on].dataType, TimestampType)
+
+    def scalar(col):
+        return F.unix_micros(col) if is_ts else col
+
+    if bucket_width is None:
+        dur = intervals.select(
+            (scalar(F.col(end_col)) - scalar(F.col(start_col)))
+            .cast("double").alias("d")
+        )
+        med = dur.approxQuantile("d", [0.5], 0.01)
+        bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)
+    else:
+        bucket_width_units = float(bucket_width) * (1_000_000 if is_ts else 1)
+    width = F.lit(bucket_width_units)
+
+    def bucket(col):
+        return F.floor(scalar(col) / width).cast("long")
+
+    parallelism = points.sparkSession.sparkContext.defaultParallelism
+    carry = [c for c in intervals.columns if c not in by_cols]
+    out_names = {
+        c: (c + suffix if c in points.columns else c) for c in carry
+    }
+
+    iv = intervals.where(
+        scalar(F.col(start_col)) <= scalar(F.col(end_col))
+    ).select(
+        *[F.col(c) for c in by_cols],
+        *[F.col(c).alias(f"__i_{c}") for c in carry],
+        F.explode(
+            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))
+        ).alias("__bucket"),
+    )
+    pt = points.withColumn("__bucket", bucket(F.col(on))).repartition(
+        parallelism, *(by_cols + ["__bucket"])
+    )
+
+    p = F.col(on)
+    lo, hi = F.col(f"__i_{start_col}"), F.col(f"__i_{end_col}")
+    cond = {
+        "both": (p >= lo) & (p <= hi),
+        "left": (p >= lo) & (p < hi),
+        "right": (p > lo) & (p <= hi),
+        "neither": (p > lo) & (p < hi),
+    }[closed]
+
+    joined = pt.join(iv, by_cols + ["__bucket"], "inner").where(cond)
+    out_cols = [
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__i_{c}").alias(out_names[c]) for c in carry],
+    ]
+    if how == "inner":
+        return joined.select(*out_cols)
+    matched = joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__i_{c}") for c in carry],
+    )
+    missing = points.join(
+        matched.select(*points.columns).distinct(),
+        points.columns,
+        "left_anti",
+    ).select(
+        *[F.col(c) for c in points.columns],
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(f"__i_{c}")
+          for c in carry],
+    )
+    return matched.unionByName(missing).select(*out_cols)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

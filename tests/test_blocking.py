@@ -197,3 +197,50 @@ def test_asof_join_tie_break_deterministic(spark):
     )
     rows = asof_join(left, right, on="ts", by="uid").collect()
     assert len(rows) == 1 and rows[0]["val"] == 9.0  # greatest carried tuple wins
+
+
+def test_range_join_numeric_vs_naive(spark):
+    from pydi_spark.functions.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 5.0, 20.0), (2, 18.0, 30.0), (3, 90.0, 95.0), (4, 200.0, 300.0)],
+        "iv long, lo double, hi double",
+    )
+    got = {(r["pid"], r["iv"]) for r in
+           range_join(points, intervals, on="x", between=("lo", "hi"),
+                      bucket_width=7.0).collect()}
+    naive = {(p, i) for p in range(100)
+             for i, lo, hi in [(1, 5, 20), (2, 18, 30), (3, 90, 95), (4, 200, 300)]
+             if lo <= p <= hi}
+    assert got == naive
+    # half-open + auto bucket width
+    half = {(r["pid"], r["iv"]) for r in
+            range_join(points, intervals, on="x", between=("lo", "hi"),
+                       closed="left").collect()}
+    assert half == {(p, i) for p in range(100)
+                    for i, lo, hi in [(1, 5, 20), (2, 18, 30), (3, 90, 95)]
+                    if lo <= p < hi}
+
+
+def test_range_join_left_and_timestamps(spark):
+    import datetime as dt
+    from pydi_spark.functions.joins import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=10 * i)) for i in range(12)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("w1", t0 + dt.timedelta(minutes=15), t0 + dt.timedelta(minutes=45))],
+        "win string, s timestamp, e timestamp",
+    )
+    rows = range_join(points, intervals, on="ts", between=("s", "e"),
+                      bucket_width=600, how="left").collect()
+    assert len(rows) == 12  # every point survives
+    by_pid = {r["pid"]: r["win"] for r in rows}
+    assert {p for p, w in by_pid.items() if w == "w1"} == {2, 3, 4}
+    assert by_pid[0] is None and by_pid[11] is None
