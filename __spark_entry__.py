@@ -563,6 +563,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, max_hamming=3, bands=4)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-completing dedup: simhash pairs -> connected components
+    -> one canonical doc per duplicate cluster. The oracle recomputes
+    the pair set in SQL and closes it with a recursive min-label CTE
+    (bounded: sum of component-size^2 ~ 30k rows at sf0.01)."""
+    from pydi_spark.llmdata import simhash_near_duplicates
+    from pydi_spark.llmdata.dedup import canonical_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    out = canonical_corpus(docs, pairs)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "canonical_id",
+        "is_canonical",
+    )
+
+
 def q_normalize_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.normalization import apply_column_transforms
 
@@ -1625,6 +1643,17 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule keep/drop gate: per-rule booleans + conjunctive keep.
+    Thresholds sit inside the sf0.01 signal distributions (token p5=16,
+    top_word_frac p95=0.16, stopword p25=0.04) so every rule actually
+    splits the corpus rather than passing or failing everything."""
+    from pydi_spark.llmdata import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize + symmetric int8 quantization. Every float op is an
     explicit left fold in float64, so the int qvec is bit-determined;
@@ -1784,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_summary": q_profile_summary,
         "match_date_numeric": q_match_date_numeric,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_canonical": q_dedup_canonical,
         "normalize_transforms": q_normalize_transforms,
         "type_detection": q_type_detection,
         "units_normalize": q_units_normalize,
@@ -1829,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
+        "text_quality_filter": q_text_quality_filter,
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "sample_stratified": q_sample_stratified,
@@ -2378,6 +2409,22 @@ scored AS (
 SELECT id1, id2, score FROM scored WHERE score >= 0.5
 """,
         "dedup_simhash": _simhash_sql(3),
+        "dedup_canonical": f"""
+WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) q),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS canonical_id,
+       coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR))
+         = CAST(d.doc_id AS VARCHAR) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+""",
         "type_detection": _type_detection_sql(),
         "normalize_transforms": """
 SELECT CAST(p_partkey AS VARCHAR) pk,
@@ -3086,6 +3133,50 @@ p AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE}')) n_phon
 i AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IPV4}')) n_ips,
              regexp_replace(t2, '{PII_IPV4}', '<IP>', 'g') t3 FROM p)
 SELECT doc_id, t3 AS redacted_text, n_emails, n_phones, n_ips FROM i
+"""
+    out["text_quality_filter"] = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') AS tok
+  FROM documents
+),
+per_row AS (
+  SELECT doc_id,
+    len(tok) AS n_tokens,
+    len(tok) BETWEEN 30 AND 100000 AS ok_length,
+    CASE WHEN len(tok) > 0
+      THEN list_sum(list_transform(tok, x -> length(x)))::DOUBLE / len(tok)
+      ELSE 0.0 END AS mtl,
+    CASE WHEN len(tok) > 0
+      THEN len(list_filter(tok, x -> list_contains(
+        ['the','and','of','to','a','in','is','that','it','for'], x)))::DOUBLE / len(tok)
+      ELSE 0.0 END AS sr,
+    CASE WHEN length(text) > 0
+      THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+      ELSE 0.0 END AS dr
+  FROM t
+),
+words AS (SELECT doc_id, unnest(tok) AS w FROM t),
+pw AS (SELECT doc_id, w, count(*) c FROM words GROUP BY doc_id, w),
+ws AS (SELECT doc_id, max(c) max_c, sum(c) n_words FROM pw GROUP BY doc_id),
+gs AS (SELECT doc_id, len(grams) n_grams, len(list_distinct(grams)) n_distinct_grams
+       FROM (SELECT doc_id, [tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))] AS grams FROM t)),
+rep AS (
+  SELECT t.doc_id,
+    CASE WHEN coalesce(ws.n_words, 0) > 0
+         THEN ws.max_c::DOUBLE / ws.n_words ELSE 0.0 END <= 0.15 AS ok_top_word,
+    CASE WHEN coalesce(gs.n_grams, 0) > 0
+         THEN 1.0 - gs.n_distinct_grams::DOUBLE / gs.n_grams ELSE 0.0 END <= 0.2 AS ok_dup_2gram
+  FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN gs USING (doc_id)
+)
+SELECT p.doc_id, p.n_tokens, p.ok_length,
+       p.mtl BETWEEN 3.0 AND 10.0 AS ok_mean_token_len,
+       p.sr >= 0.02 AS ok_stopwords,
+       p.dr <= 0.2 AS ok_digits,
+       r.ok_top_word, r.ok_dup_2gram,
+       p.ok_length AND p.mtl BETWEEN 3.0 AND 10.0 AND p.sr >= 0.02
+         AND p.dr <= 0.2 AND r.ok_top_word AND r.ok_dup_2gram AS keep
+FROM per_row p JOIN rep r USING (doc_id)
 """
     out["text_decontaminate"] = """
 WITH toks AS (

@@ -1,4 +1,5 @@
 from pydi_spark.llmdata.dedup import (
+    canonical_corpus,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_signatures,
@@ -16,12 +17,15 @@ from pydi_spark.llmdata.similarity import (
 from pydi_spark.llmdata.textstats import (
     document_fingerprint,
     language_id,
+    quality_filter,
     quality_scores,
+    repetition_scores,
     token_counts,
 )
 
 __all__ = [
     "brute_force_topk",
+    "canonical_corpus",
     "cosine_expr",
     "document_fingerprint",
     "embedding_near_duplicates",
@@ -32,7 +36,9 @@ __all__ = [
     "minhash_near_duplicates",
     "minhash_signatures",
     "ngram_jaccard_duplicates",
+    "quality_filter",
     "quality_scores",
+    "repetition_scores",
     "simhash_fingerprint",
     "simhash_near_duplicates",
     "token_counts",

@@ -446,3 +446,41 @@ def embedding_near_duplicates(
     )
     pairs = blocker.block(df, df, id_column=id_col)
     return pairs.select("id1", "id2", F.col("score").alias("cosine"))
+
+
+def canonical_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse a near-duplicate pair set into a canonical corpus: the
+    pipeline-completing step after any pair generator (minhash, simhash,
+    n-gram Jaccard, embedding). Connected components over the pair graph
+    give each document a ``canonical_id`` (the min string-ordered id of
+    its duplicate cluster, itself when unpaired); ``is_canonical`` marks
+    the single kept row per cluster — ``.where("is_canonical")`` is the
+    deduplicated corpus. No reference counterpart (PyDI stops at pair
+    lists); north-star training-data op.
+
+    Scale design: the pair graph is ids-only (narrow), clustered with the
+    auto hybrid/large-star CC; the corpus is touched exactly once, by a
+    single left join on the id — duplicate clusters are a small fraction
+    of the corpus, so the assignment side is typically broadcast-sized,
+    and the corpus itself is never shuffled.
+    """
+    from pydi_spark.clustering.connected_components import connected_components
+
+    assign = connected_components(pairs.select("id1", "id2"))
+    out = df.join(
+        assign.withColumnRenamed("record_id", "__rid"),
+        F.col(id_col).cast("string") == F.col("__rid"),
+        "left",
+    ).drop("__rid")
+    canonical = F.coalesce(
+        F.col("cluster_id"), F.col(id_col).cast("string")
+    )
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        canonical.alias("canonical_id"),
+        (F.col(id_col).cast("string") == canonical).alias("is_canonical"),
+    )

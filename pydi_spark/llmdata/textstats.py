@@ -198,3 +198,74 @@ def redact_pii(
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    mean_token_len_range: tuple[float, float] = (3.0, 10.0),
+    min_stopword_ratio: float = 0.02,
+    max_digit_ratio: float = 0.2,
+    max_top_word_frac: float = 0.15,
+    max_dup_2gram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style corpus quality gate: one boolean per rule plus the
+    conjunctive ``keep`` — the keep/drop decision a training pipeline
+    runs after dedup. Rules (defaults follow Rae et al. 2021, Gopher
+    §A1.1, adapted to the tokenizer used corpus-wide here):
+    token-count window, mean-token-length window, minimum stopword
+    ratio, digit-ratio cap, top-word-fraction cap, duplicate-2-gram cap.
+
+    Scale design: the per-row signals are native Column expressions on a
+    single pass; the two corpus-level repetition signals come from
+    ``repetition_scores`` (explode + two-level aggregate, the only
+    shuffle) joined back on the id. No Python in the path.
+    """
+    from pydi_spark.functions.tokenize import word_tokens
+
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    digits = n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    mean_tok = safe(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)),
+        n_toks,
+    )
+    lo, hi = mean_token_len_range
+    per_row = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        ((n_toks >= min_tokens) & (n_toks <= max_tokens)).alias("ok_length"),
+        ((mean_tok >= F.lit(float(lo))) & (mean_tok <= F.lit(float(hi)))).alias(
+            "ok_mean_token_len"
+        ),
+        (safe(n_stop, n_toks) >= F.lit(float(min_stopword_ratio))).alias(
+            "ok_stopwords"
+        ),
+        (safe(digits, n_chars) <= F.lit(float(max_digit_ratio))).alias(
+            "ok_digits"
+        ),
+    )
+    rep = repetition_scores(df, text_col=text_col, id_col=id_col).select(
+        "doc_id",
+        (F.col("top_word_frac") <= F.lit(float(max_top_word_frac))).alias(
+            "ok_top_word"
+        ),
+        (F.col("dup_2gram_frac") <= F.lit(float(max_dup_2gram_frac))).alias(
+            "ok_dup_2gram"
+        ),
+    )
+    out = per_row.join(rep, "doc_id")
+    rules = ["ok_length", "ok_mean_token_len", "ok_stopwords", "ok_digits",
+             "ok_top_word", "ok_dup_2gram"]
+    keep_expr = F.col(rules[0])
+    for r in rules[1:]:
+        keep_expr = keep_expr & F.col(r)
+    return out.withColumn("keep", keep_expr)

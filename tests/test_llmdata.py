@@ -459,3 +459,43 @@ def test_decontaminate(spark):
     assert out["2"]["n_overlap"] == 0 and not out["2"]["is_contaminated"]
     # short doc matches the eval short doc exactly via the whole-seq rule
     assert out["3"]["n_ngrams"] == 1 and out["3"]["n_overlap"] == 1
+
+
+def test_canonical_corpus(spark):
+    from pydi_spark.llmdata.dedup import canonical_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} (chain), {5,7}; 4 and 6 unpaired
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("5", "7")], "id1 string, id2 string"
+    )
+    out = {r["doc_id"]: r for r in canonical_corpus(docs, pairs).collect()}
+    assert len(out) == 7  # corpus multiplicity preserved
+    assert [out[i]["canonical_id"] for i in range(1, 8)] == \
+        ["1", "1", "1", "4", "5", "6", "5"]
+    kept = {i for i in out if out[i]["is_canonical"]}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_quality_filter(spark):
+    from pydi_spark.llmdata import quality_filter
+
+    prose = ("the quick brown fox and a lazy dog walk to the old town "
+             "in heavy rain while seven children watch from a wooden bridge "
+             "near the river bend and wave at every passing boat until dusk")
+    docs = spark.createDataFrame(
+        [
+            (1, prose),                      # passes everything
+            (2, "short doc"),                # fails min_tokens
+            (3, "spam " * 60),               # fails top-word + dup-2gram
+            (4, " ".join(str(i) for i in range(9000, 9060))),  # digits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_filter(docs, min_tokens=30).collect()}
+    assert out["1"]["keep"]
+    assert not out["2"]["ok_length"] and not out["2"]["keep"]
+    assert not out["3"]["ok_top_word"] and not out["3"]["ok_dup_2gram"]
+    assert not out["4"]["ok_digits"] and not out["4"]["ok_stopwords"]
