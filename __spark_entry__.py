@@ -517,6 +517,73 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join with the
+    nation/region dimension chain broadcast; revenue summed exactly in
+    decimal, cast to double only at the end."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): semi-join pattern — the
+    HAVING aggregate over lineitem produces a small key set that is
+    broadcast back against orders; quantity summed exactly in decimal."""
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     rows = []
@@ -1654,6 +1721,26 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs)
 
 
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (BPE-training prep): top tokens by document
+    frequency under a deterministic (doc_freq desc, token) total order."""
+    from pydi_spark.llmdata import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    v = vocabulary(docs, min_doc_freq=2)
+    return v.orderBy(F.desc("doc_freq"), F.asc("token")).limit(100)
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc. Raw-ratio idf keeps every score a
+    fixed IEEE expression tree, so the doubles (and therefore the ranks)
+    are bit-identical across Spark and DuckDB — no rounding needed."""
+    from pydi_spark.llmdata import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3)
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize + symmetric int8 quantization. Every float op is an
     explicit left fold in float64, so the int qvec is bit-determined;
@@ -1854,12 +1941,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_code": q_extract_code,
         "join_asof": q_join_asof,
         "join_range": q_join_range,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
         "tpch_window": q_tpch_window,
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
         "text_quality_filter": q_text_quality_filter,
+        "text_vocabulary": q_text_vocabulary,
+        "text_tfidf": q_text_tfidf,
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "sample_stratified": q_sample_stratified,
@@ -2363,6 +2454,36 @@ FROM documents
         "ann_topk": _ANN_EXACT_SQL,
         "ann_ivf": _ANN_EXACT_SQL,
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "tpch_q5": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) o_orderdate,
+       o_totalprice, CAST(sum_qty AS DOUBLE) sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
@@ -3177,6 +3298,42 @@ SELECT p.doc_id, p.n_tokens, p.ok_length,
        p.ok_length AND p.mtl BETWEEN 3.0 AND 10.0 AND p.sr >= 0.02
          AND p.dr <= 0.2 AND r.ok_top_word AND r.ok_dup_2gram AS keep
 FROM per_row p JOIN rep r USING (doc_id)
+"""
+    out["text_vocabulary"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') tok
+  FROM documents
+),
+pd AS (SELECT doc_id, unnest(tok) AS token FROM t),
+pc AS (SELECT doc_id, token, count(*) c FROM pd GROUP BY doc_id, token),
+v AS (SELECT token, count(*) AS doc_freq, sum(c) AS n_occurrences
+      FROM pc GROUP BY token)
+SELECT token, doc_freq, n_occurrences FROM v
+WHERE doc_freq >= 2
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+    out["text_tfidf"] = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') tok
+  FROM documents
+),
+pd AS (SELECT doc_id, unnest(tok) AS token FROM t),
+pc AS (SELECT doc_id, token, count(*) c FROM pd GROUP BY doc_id, token),
+dl AS (SELECT doc_id, sum(c) n_tok FROM pc GROUP BY doc_id),
+v AS (SELECT token, count(*) AS doc_freq FROM pc GROUP BY token),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT pc.doc_id, pc.token,
+         (pc.c::DOUBLE / dl.n_tok) * (n.n_docs / v.doc_freq) AS tf_idf
+  FROM pc JOIN dl USING (doc_id) JOIN v USING (token), n
+)
+SELECT doc_id, token, tf_idf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf_idf DESC, token) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
 """
     out["text_decontaminate"] = """
 WITH toks AS (

@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "tpch_window",
     "text_clean",
     "text_decontaminate",
+    "text_quality_filter",
+    "dedup_canonical",
+    "tpch_q5",
 ]
 
 

@@ -20,7 +20,9 @@ from pydi_spark.llmdata.textstats import (
     quality_filter,
     quality_scores,
     repetition_scores,
+    tfidf_keywords,
     token_counts,
+    vocabulary,
 )
 
 __all__ = [
@@ -39,7 +41,9 @@ __all__ = [
     "quality_filter",
     "quality_scores",
     "repetition_scores",
+    "tfidf_keywords",
     "simhash_fingerprint",
     "simhash_near_duplicates",
     "token_counts",
+    "vocabulary",
 ]

@@ -269,3 +269,87 @@ def quality_filter(
     for r in rules[1:]:
         keep_expr = keep_expr & F.col(r)
     return out.withColumn("keep", keep_expr)
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table [token, doc_freq, n_occurrences] — the
+    global token-frequency pass a BPE/tokenizer training run starts
+    from. Two-level aggregate: per-(doc, token) counts combine map-side
+    before the narrow (token) shuffle, so the full corpus text never
+    moves — only distinct (doc, token) pairs do.
+    """
+    from pydi_spark.functions.tokenize import word_tokens
+
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("__id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("c").alias("n_occurrences"),
+    )
+    if min_doc_freq > 1:
+        out = out.where(F.col("doc_freq") >= min_doc_freq)
+    return out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic tokens per document by tf-idf
+    [doc_id, token, tf_idf, rank]. Uses the RAW-RATIO idf
+    ``(n_docs / doc_freq)`` instead of the usual log form: every factor
+    is then an integer-valued double and the score a fixed IEEE
+    expression tree, so ranks are bit-reproducible across engines
+    (ln() differs by ULPs between libm implementations, which can flip
+    near-tie ranks). Ties break on the token string.
+
+    Scale: one (doc, token) aggregate, a broadcast-sized vocabulary
+    join (tokens x 2 longs), and a per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    from pydi_spark.functions.tokenize import word_tokens
+
+    n_docs = df.count()
+    per_doc = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(word_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    doc_len = per_doc.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    vocab = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        per_doc.join(doc_len, "doc_id")
+        .join(F.broadcast(vocab), "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("c").cast("double") / F.col("n_tok"))
+                * (F.lit(float(n_docs)) / F.col("doc_freq"))
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf_idf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

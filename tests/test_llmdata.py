@@ -499,3 +499,31 @@ def test_quality_filter(spark):
     assert not out["2"]["ok_length"] and not out["2"]["keep"]
     assert not out["3"]["ok_top_word"] and not out["3"]["ok_dup_2gram"]
     assert not out["4"]["ok_digits"] and not out["4"]["ok_stopwords"]
+
+
+def test_vocabulary_and_tfidf(spark):
+    from pydi_spark.llmdata import tfidf_keywords, vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["token"]: (r["doc_freq"], r["n_occurrences"])
+         for r in vocabulary(docs).collect()}
+    assert v["apple"] == (2, 3) and v["cherry"] == (2, 3)
+    assert v["elderberry"] == (1, 1)
+    assert "apple" not in {
+        r["token"] for r in vocabulary(docs, min_doc_freq=3).collect()
+    }
+
+    kw = {(r["doc_id"], r["rank"]): r["token"]
+          for r in tfidf_keywords(docs, k=1).collect()}
+    # doc 3's rarest-and-frequent token is elderberry (df=1)
+    assert kw[("3", 1)] == "elderberry"
+    # doc 2: cherry (tf 2/4, idf 3/2) ties date (tf 1/4, idf 3) at
+    # 0.75 exactly; the token-asc tie-break picks cherry deterministically
+    assert kw[("2", 1)] == "cherry"
