@@ -304,18 +304,24 @@ def load_feather(
 
 
 def nanos_to_timestamp(df: DataFrame, column: str = "ts") -> DataFrame:
-    """Convert a nanosecond-epoch long column (how Spark reads
-    TIMESTAMP(NANOS) parquet under spark.sql.legacy.parquet.nanosAsLong)
-    to a proper timestamp (microsecond truncation)."""
-    from pyspark.sql.types import LongType
+    """Normalize an event-time column to TIMESTAMP (LTZ) regardless of
+    how the parquet encodes it: TIMESTAMP(NANOS) read as a long under
+    spark.sql.legacy.parquet.nanosAsLong (microsecond truncation), or
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ
+    (interpreted in the session TZ — callers pin UTC). Watermarks and
+    time windows require the LTZ flavor."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if not isinstance(df.schema[column].dataType, LongType):
-        return df
-    # integral `div`, NOT `/1000` (double division rounds the low digits
-    # and shifts ~25% of timestamps by 1 microsecond)
-    return df.withColumn(
-        column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
-    )
+    dt = df.schema[column].dataType
+    if isinstance(dt, LongType):
+        # integral `div`, NOT `/1000` (double division rounds the low
+        # digits and shifts ~25% of timestamps by 1 microsecond)
+        return df.withColumn(
+            column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
 
 
 # -- value-shape helpers (reference: io/loaders.py:85-107, 886-922) ------
