@@ -1873,6 +1873,58 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping character chunks (RAG/pretraining prep).
+    Pure narrow transformation — sequence+substr, no shuffle."""
+    from pydi_spark.llmdata import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=120, overlap=24)
+
+
+def q_text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget corpus selection ("data mixing"): docs
+    taken in deterministic md5-hash order until 800 tokens per source
+    (inside every SF's per-source token mass, so the cutoff genuinely
+    splits); the window cumsum is exact bigint arithmetic on both
+    engines."""
+    from pydi_spark.llmdata import select_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return select_token_budget(docs, budget_tokens=800)
+
+
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (raw-ratio Robertson idf — no ln, so the
+    doubles are bit-identical cross-engine; see llmdata/search.py).
+    Constants enter as the same literals on both sides ((1.2 + 1.0),
+    (1.0 - 0.75)) so every IEEE op sees identical operands."""
+    from pydi_spark.llmdata import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: posting lists as 'doc:tf' strings in
+    ascending doc order, truncated at 20 entries (doc_freq keeps the
+    full count so truncation is visible)."""
+    from pydi_spark.llmdata import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=20)
+
+
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup statistics (Lee et al. 2022): per-doc count
+    of repeated 8-token spans and the fraction of tokens they cover.
+    coverage_ratio is ONE double division — bit-exact cross-engine."""
+    from pydi_spark.llmdata import exact_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_span_stats(docs, span_tokens=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocking_standard": q_blocking_standard,
@@ -1954,6 +2006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "sample_stratified": q_sample_stratified,
+        "text_chunk": q_text_chunk,
+        "text_budget_select": q_text_budget_select,
+        "text_search_bm25": q_text_search_bm25,
+        "text_inverted_index": q_text_inverted_index,
+        "text_span_dedup": q_text_span_dedup,
     }
 
 
@@ -3419,4 +3476,115 @@ WITH t AS (
 SELECT rid, o_orderpriority FROM t
 WHERE frac < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.5 ELSE 0.1 END
 """
+    out["text_chunk"] = """
+WITH off AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(0, greatest(length(text), 1), 96)) AS INT) AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS INT) AS chunk_index,
+       chunk_start,
+       substring(text, chunk_start + 1, 120) AS chunk_text,
+       count(*) OVER (PARTITION BY doc_id) AS n_chunks
+FROM off
+"""
+    out["text_budget_select"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         list_sum([(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * 16.0 ** (8 - i) for i in range(1, 9)])
+         / 4294967296.0 AS frac
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 800 AS selected FROM c
+"""
+    # constants are written as the same source literals Spark folds
+    # ((1.2 + 1.0), (1.0 - 0.75)) so each IEEE op sees identical operands
+    out["text_search_bm25"] = """
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents
+),
+pd AS (
+  SELECT doc_id, count(*) AS dl,
+         count(*) FILTER (WHERE token = 'stream') AS tf_0,
+         count(*) FILTER (WHERE token = 'hash') AS tf_1,
+         count(*) FILTER (WHERE token = 'customer') AS tf_2
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf_0 > 0) AS df_0,
+         count(*) FILTER (WHERE tf_1 > 0) AS df_1,
+         count(*) FILTER (WHERE tf_2 > 0) AS df_2
+  FROM pd
+),
+sc AS (
+  SELECT doc_id,
+      ((n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5))
+        * (tf_0::DOUBLE * (1.2 + 1.0) / (tf_0::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5))
+        * (tf_1::DOUBLE * (1.2 + 1.0) / (tf_1::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5))
+        * (tf_2::DOUBLE * (1.2 + 1.0) / (tf_2::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    AS score
+  FROM pd, st
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM sc WHERE score > 0
+QUALIFY rank <= 25
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
+    out["text_inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+SELECT token, count(*) AS doc_freq, sum(tf) AS total_tf,
+       array_to_string(
+         list_slice(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                         ORDER BY doc_id), 1, 20),
+         ',') AS postings
+FROM tf GROUP BY token
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
+    out["text_span_dedup"] = """
+WITH t AS (
+  SELECT doc_id, {TOK} AS tok FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1, 'h': md5(array_to_string(tok[i:i+7], ' '))}
+                 for i in range(1, len(tok) - 6)]) AS s
+  FROM t WHERE len(tok) >= 8
+),
+spans AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sp),
+rep AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+reps AS (SELECT doc_id, pos FROM spans JOIN rep USING (h)),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS n_covered_tokens
+  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM reps)
+  GROUP BY doc_id
+),
+rc AS (SELECT doc_id, count(*) AS n_repeated_spans FROM reps GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(tok) - 7, 0) AS BIGINT) AS n_spans
+  FROM t
+)
+SELECT b.doc_id, b.n_tokens, b.n_spans,
+       coalesce(rc.n_repeated_spans, 0) AS n_repeated_spans,
+       coalesce(cov.n_covered_tokens, 0) AS n_covered_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN coalesce(cov.n_covered_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE
+            ELSE 0.0 END AS coverage_ratio
+FROM base b LEFT JOIN rc USING (doc_id) LEFT JOIN cov USING (doc_id)
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     return out

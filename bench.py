@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "text_quality_filter",
     "dedup_canonical",
     "tpch_q5",
+    "text_search_bm25",
+    "text_span_dedup",
 ]
 
 

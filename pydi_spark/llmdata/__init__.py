@@ -1,3 +1,4 @@
+from pydi_spark.llmdata.chunking import chunk_documents, select_token_budget
 from pydi_spark.llmdata.dedup import (
     canonical_corpus,
     embedding_near_duplicates,
@@ -8,6 +9,8 @@ from pydi_spark.llmdata.dedup import (
     simhash_fingerprint,
     simhash_near_duplicates,
 )
+from pydi_spark.llmdata.search import bm25_scores, inverted_index
+from pydi_spark.llmdata.spans import exact_span_stats
 from pydi_spark.llmdata.similarity import (
     brute_force_topk,
     cosine_expr,
@@ -26,7 +29,12 @@ from pydi_spark.llmdata.textstats import (
 )
 
 __all__ = [
+    "bm25_scores",
     "brute_force_topk",
+    "chunk_documents",
+    "exact_span_stats",
+    "inverted_index",
+    "select_token_budget",
     "canonical_corpus",
     "cosine_expr",
     "document_fingerprint",

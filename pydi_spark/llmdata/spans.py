@@ -1,0 +1,109 @@
+"""Exact-substring (repeated token-span) dedup statistics.
+
+Training corpora carry verbatim repeated passages (boilerplate,
+licenses, syndicated text). Exact-substring deduplication (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) removes token spans that recur across documents;
+this module computes the detection side at corpus scale: which
+fixed-length token spans repeat, and how much of each document they
+cover.
+
+Scale design: spans come from ONE posexplode + window-lead pass (the
+codegen'd shingle idiom from dedup.py — NOTES.md perf lesson); the
+repeat test is a groupBy on the 32-char md5 of the span (shuffles
+hashes, never text); coverage is an explode of position ranges +
+count(distinct pos) — every stage partition-parallel, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pydi_spark.functions.tokenize import word_tokens
+
+
+def exact_span_stats(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated-span coverage.
+
+    A *span* is ``span_tokens`` consecutive word tokens; a span is
+    *repeated* when its text occurs in at least ``min_docs`` distinct
+    documents. A token position is *covered* when any repeated span
+    contains it.
+
+    Output: [doc_id, n_tokens, n_spans, n_repeated_spans,
+    n_covered_tokens, coverage_ratio] — documents shorter than one
+    span have zero spans and zero coverage.
+    """
+    n = int(span_tokens)
+    toks = word_tokens(F.col(text_col))
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    spans = (
+        tok_rows.select("doc_id", "pos", "tok", *lead_cols)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("h"),
+        )
+    )
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("h")
+    )
+    rep_spans = spans.join(repeated, "h", "left_semi")
+    coverage = (
+        rep_spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("n_covered_tokens"))
+    )
+    span_counts = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans")
+    )
+    rep_counts = rep_spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_repeated_spans")
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    out = (
+        per_doc.join(span_counts, "doc_id", "left")
+        .join(rep_counts, "doc_id", "left")
+        .join(coverage, "doc_id", "left")
+        .na.fill(
+            0, ["n_spans", "n_repeated_spans", "n_covered_tokens"]
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_repeated_spans",
+        "n_covered_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_covered_tokens").cast("double")
+               / F.col("n_tokens").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("coverage_ratio"),
+    )

@@ -527,3 +527,105 @@ def test_vocabulary_and_tfidf(spark):
     # doc 2: cherry (tf 2/4, idf 3/2) ties date (tf 1/4, idf 3) at
     # 0.75 exactly; the token-asc tie-break picks cherry deterministically
     assert kw[("2", 1)] == "cherry"
+
+
+def test_chunk_documents(spark):
+    from pydi_spark.llmdata import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 250), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_chars=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0, 80, 160, 240 (step 80); last chunk is the tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert [r["chunk_start"] for r in c1] == [0, 80, 160, 240]
+    assert all(r["n_chunks"] == 4 for r in c1)
+    assert len(c1[0]["chunk_text"]) == 100 and len(c1[-1]["chunk_text"]) == 10
+    # overlap: consecutive chunks share 20 chars of the original
+    assert c1[0]["chunk_text"][80:] == c1[1]["chunk_text"][:20]
+    # short and empty docs still produce exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "xy"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(docs, chunk_chars=10, overlap=10)
+
+
+def test_select_token_budget(spark):
+    from pydi_spark.llmdata import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]
+        + [(100, "w " * 3, "b")],
+        "doc_id long, text string, source string",
+    )
+    out = select_token_budget(docs, budget_tokens=35).collect()
+    a = sorted((r for r in out if r["source"] == "a"), key=lambda r: r["cum_tokens"])
+    # each doc is 10 tokens; budget 35 -> exactly the first 3 in hash order
+    assert [r["selected"] for r in a] == [True] * 3 + [False] * 7
+    assert a[2]["cum_tokens"] == 30 and a[3]["cum_tokens"] == 40
+    # budgets are per source: the lone 3-token 'b' doc fits independently
+    b = [r for r in out if r["source"] == "b"]
+    assert b[0]["selected"] and b[0]["cum_tokens"] == 3
+    # determinism: same selection on a repartitioned input
+    again = select_token_budget(docs.repartition(7), budget_tokens=35).collect()
+    assert {(r["doc_id"], r["selected"]) for r in again} == {
+        (r["doc_id"], r["selected"]) for r in out
+    }
+
+
+def test_bm25_and_inverted_index(spark):
+    from pydi_spark.llmdata import bm25_scores, inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join window merge"),
+            (3, "window merge sort order"),
+            (4, "join"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r["token"]: r for r in inverted_index(docs).collect()}
+    assert idx["spark"]["doc_freq"] == 2 and idx["spark"]["total_tf"] == 4
+    assert idx["spark"]["postings"] == "1:3,2:1"
+    assert idx["join"]["postings"] == "1:1,2:1,4:1"
+    # truncation caps the list but doc_freq still reports the full count
+    trunc = {r["token"]: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert trunc["join"]["postings"] == "1:1,2:1" and trunc["join"]["doc_freq"] == 3
+
+    hits = bm25_scores(docs, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in hits] == [1, 2]  # tf saturation: doc1 first
+    assert [r["rank"] for r in hits] == [1, 2]
+    assert all(r["score"] > 0 for r in hits)
+    # multi-term: doc 3 only matches 'window', still retrieved
+    got = {r["doc_id"] for r in bm25_scores(docs, ["spark", "window"], k=10).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_exact_span_stats(spark):
+    from pydi_spark.llmdata import exact_span_stats
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, shared + " gamma delta"),
+            (3, "unrelated words entirely here now"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           exact_span_stats(docs, span_tokens=5, min_docs=2).collect()}
+    # docs 1+2 share the 5-token prefix span; docs 3+4 share nothing
+    assert out[1]["n_spans"] == 3 and out[1]["n_repeated_spans"] == 1
+    assert out[1]["n_covered_tokens"] == 5
+    assert abs(out[1]["coverage_ratio"] - 5 / 7) < 1e-12
+    assert out[3]["n_repeated_spans"] == 0 and out[3]["coverage_ratio"] == 0.0
+    # shorter than one span: no spans at all
+    assert out[4]["n_spans"] == 0 and out[4]["n_tokens"] == 1

@@ -28,6 +28,9 @@ ALLOWED = {
     # 11-row broadcast threshold table x scored gold pairs: O(11n), the
     # nested-loop side is the broadcast literal table
     "eval_threshold_sweep": {"nested_loop"},
+    # ONE-row corpus-stats frame (N, avgdl, per-term df) broadcast onto
+    # the per-doc frame: the keyless join is O(n) by construction
+    "text_search_bm25": {"nested_loop"},
 }
 
 
