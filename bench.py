@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "tpch_q5",
     "text_search_bm25",
     "text_span_dedup",
+    "tpch_q10",
+    "tpch_q19",
 ]
 
 
