@@ -2052,6 +2052,17 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, max_postings=20)
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token bins, per source in
+    doc-id order (pretraining batching). Sequential within a source,
+    parallel across sources (applyInPandas); the oracle replays the
+    same scan as a recursive CTE stepping all sources in lockstep."""
+    from pydi_spark.llmdata import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity_tokens=256)
+
+
 def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup statistics (Lee et al. 2022): per-doc count
     of repeated 8-token spans and the fraction of tokens they cover.
@@ -2153,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "text_inverted_index": q_text_inverted_index,
         "text_span_dedup": q_text_span_dedup,
+        "text_pack": q_text_pack,
     }
 
 
@@ -3754,6 +3766,29 @@ SELECT token, count(*) AS doc_freq, sum(tf) AS total_tf,
          ',') AS postings
 FROM tf GROUP BY token
 """.replace("{TOK}", _TOK_SQL.format(col="text"))
+    # greedy packing replay: one recursive step advances EVERY source by
+    # one document, so depth = max docs per source, not total docs
+    out["text_pack"] = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(0 AS INT) AS bin_id, n_tokens AS bin_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN w.bin_fill + t.n_tokens > 256
+              THEN CAST(w.bin_id + 1 AS INT) ELSE w.bin_id END,
+         CASE WHEN w.bin_fill + t.n_tokens > 256
+              THEN t.n_tokens ELSE w.bin_fill + t.n_tokens END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id, bin_fill FROM walk
+"""
     out["text_span_dedup"] = """
 WITH t AS (
   SELECT doc_id, {TOK} AS tok FROM documents

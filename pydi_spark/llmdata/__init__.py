@@ -1,4 +1,8 @@
-from pydi_spark.llmdata.chunking import chunk_documents, select_token_budget
+from pydi_spark.llmdata.chunking import (
+    chunk_documents,
+    pack_sequences,
+    select_token_budget,
+)
 from pydi_spark.llmdata.dedup import (
     canonical_corpus,
     embedding_near_duplicates,
@@ -42,6 +46,7 @@ __all__ = [
     "exact_duplicates",
     "ivf_topk",
     "language_id",
+    "pack_sequences",
     "lsh_topk",
     "minhash_near_duplicates",
     "minhash_signatures",

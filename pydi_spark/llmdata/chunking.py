@@ -100,3 +100,62 @@ def select_token_budget(
     ).withColumn(
         "selected", F.col("cum_tokens") <= F.lit(int(budget_tokens))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign whole documents, in doc-id order
+    within each source, to consecutive fixed-capacity bins (the
+    pretraining batching step that concatenates documents into context
+    windows). A document that would overflow the current bin opens the
+    next one; a document longer than the capacity occupies a bin alone
+    (overfull, visible via bin_fill > capacity).
+
+    Output: [doc_id, source, n_tokens, bin_id, bin_fill] where bin_id
+    counts from 0 per source and bin_fill is the bin's running total
+    after placing the document.
+
+    Scale design: packing is sequential WITHIN a source but parallel
+    ACROSS sources — one applyInPandas pass per source group (Arrow
+    batches, a linear integer scan inside). At corpus scale, shard each
+    source by a deterministic hash range and pack per (source, shard):
+    bins never span shards, so the result stays reproducible and the
+    group state stays bounded.
+    """
+    import pandas as pd
+
+    cap = int(capacity_tokens)
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        toks.cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fills and fill + n > cap:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return base.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id long, source string, n_tokens long, bin_id int, bin_fill long",
+    )

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -437,4 +438,118 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg(F.length(F.col("payload"))).alias("avg_payload_bytes"),
         F.avg("width").alias("avg_width"),
         F.avg("duration_ms").alias("avg_duration_ms"),
+    )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    decoder: Callable[[bytes], Any] | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit dHash per image: decode → grayscale → 9×8 nearest-neighbour
+    downsample → horizontal-gradient bits packed into a signed long
+    ([media_id, phash, decode_ok]). Robust to resize/re-encode, so it is
+    the image analogue of SimHash: near-duplicate images land within a
+    few Hamming bits of each other.
+
+    Arrow-batched mapInPandas like the other codec stages; failures are
+    isolated per record (phash 0 + error marker)."""
+    decoder = decoder or default_image_decoder
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("phash", LongType()),
+            StructField("decode_ok", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(str(mid))
+                try:
+                    arr = np.asarray(
+                        decoder(bytes(payload) if payload is not None else None),
+                        dtype=np.float32,
+                    )
+                    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                    small = resize_array(gray, 8, 9)
+                    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    # wrap to signed 64-bit for a LongType column
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                    oks.append("ok")
+                except Exception as e:
+                    hashes.append(0)
+                    oks.append(f"error: {type(e).__name__}")
+            yield pd.DataFrame({"media_id": ids, "phash": hashes, "decode_ok": oks})
+
+    return df.mapInPandas(run, schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 6,
+    decoder: Callable[[bytes], Any] | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — the
+    SimHash band trick on the 64-bit fingerprint: with 8 byte-bands,
+    any pair within 7 Hamming bits shares at least one identical band
+    (pigeonhole), so candidates come from 8 narrow equi-joins on
+    (band_index, band_byte) and the exact popcount runs only on
+    candidates. No all-pairs stage; both sides stay distributed.
+
+    Output: [id1, id2, hamming] with id1 < id2 (string order).
+    ``max_hamming`` must stay ≤ 7 for the 8-band scheme to be lossless.
+    """
+    if max_hamming > 7:
+        raise ValueError("8-band scheme is lossless only for max_hamming <= 7")
+    hashes = perceptual_hash(
+        df, decoder=decoder, id_col=id_col, payload_col=payload_col
+    ).where(F.col("decode_ok") == "ok").select("media_id", "phash")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
+                    F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(F.lit(255)),
+                )
+                for i in range(8)
+            ])
+        ).alias("band_key"),
+    )
+    left = bands.alias("l")
+    # explicit probe-side repartition: AQE otherwise serializes the
+    # quadratic band join (NOTES.md perf lesson, same as minhash/simhash)
+    right = bands.repartition(parallelism, "band_key").alias("r")
+    pairs = (
+        left.join(right, "band_key")
+        .where(F.col("l.media_id") < F.col("r.media_id"))
+        .select(
+            F.col("l.media_id").alias("id1"),
+            F.col("r.media_id").alias("id2"),
+            F.col("l.phash").alias("h1"),
+            F.col("r.phash").alias("h2"),
+        )
+        .repartition(parallelism, "id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
     )

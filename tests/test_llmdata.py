@@ -629,3 +629,69 @@ def test_exact_span_stats(spark):
     assert out[3]["n_repeated_spans"] == 0 and out[3]["coverage_ratio"] == 0.0
     # shorter than one span: no spans at all
     assert out[4]["n_spans"] == 0 and out[4]["n_tokens"] == 1
+
+
+def test_pack_sequences(spark):
+    from pydi_spark.llmdata import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 100, "a"),   # 100 tokens
+            (2, "w " * 100, "a"),   # fits with doc 1 (200 <= 256)
+            (3, "w " * 100, "a"),   # overflows -> bin 1
+            (4, "w " * 300, "a"),   # longer than capacity -> own bin 2
+            (5, "w " * 10, "a"),    # bin 3 (doc 4's bin is overfull)
+            (6, "w " * 50, "b"),    # separate source restarts at bin 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, 256).collect()}
+    assert [out[i]["bin_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    assert out[2]["bin_fill"] == 200 and out[4]["bin_fill"] == 300
+    assert out[6]["bin_id"] == 0 and out[6]["source"] == "b"
+    # repartitioned input packs identically (order comes from the sort,
+    # not from arrival order)
+    again = {r["doc_id"]: r["bin_id"]
+             for r in pack_sequences(docs.repartition(5), 256).collect()}
+    assert again == {k: v["bin_id"] for k, v in out.items()}
+
+
+def test_perceptual_hash_near_dups(spark):
+    import numpy as np
+
+    from pydi_spark.llmdata.multimodal import (
+        image_near_duplicates,
+        perceptual_hash,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    base = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny perturbation -> tiny hamming
+    far = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    rows = [
+        ("a", bytearray(png_encode(base))),
+        ("b", bytearray(png_encode(near))),
+        ("c", bytearray(png_encode(far))),
+        ("bad", bytearray(b"not a png")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+
+    ph = {r["media_id"]: r for r in perceptual_hash(df).collect()}
+    assert ph["a"]["decode_ok"] == "ok" and ph["bad"]["decode_ok"].startswith("error")
+    assert ph["a"]["phash"] == ph["b"]["phash"] or bin(
+        ph["a"]["phash"] ^ ph["b"]["phash"]
+    ).count("1") <= 6
+    # deterministic: same payload -> same hash on re-run
+    assert ph["a"]["phash"] == perceptual_hash(df).where(
+        "media_id = 'a'"
+    ).first()["phash"]
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in image_near_duplicates(df, max_hamming=6).collect()}
+    assert ("a", "b") in pairs
+    assert all("c" not in p and "bad" not in p for p in pairs)
+
+    with __import__("pytest").raises(ValueError):
+        image_near_duplicates(df, max_hamming=8)
