@@ -1,0 +1,88 @@
+"""End-to-end LLM training-corpus pipeline on the synthetic documents.
+
+The composition a pretraining data team runs, stage by stage, each one a
+distributed operator from pydi_spark.llmdata:
+
+  load -> language ID -> quality gate (Gopher rules) -> exact dedup
+       -> MinHash near-dup canonicalization -> decontaminate vs eval
+       -> token-budget mixing -> greedy sequence packing -> summary
+
+    python3 examples/llm_corpus_pipeline.py [sf_dir]
+
+Every stage is lazy; the single count at the end executes one fused
+plan per materialization point. At cluster scale the same code runs
+unchanged — the operators shuffle hashes/ids, never document bytes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pydi_spark import get_spark  # noqa: E402
+from pydi_spark.llmdata import (  # noqa: E402
+    canonical_corpus,
+    language_id,
+    minhash_near_duplicates,
+    pack_sequences,
+    quality_filter,
+    select_token_budget,
+)
+from pydi_spark.llmdata.cleaning import decontaminate  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("example-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. language ID (native n-gram heuristic) — keep confident rows
+    langs = language_id(docs)
+    docs = docs.join(langs.select("doc_id", "predicted_lang"), "doc_id")
+
+    # 2. Gopher-style quality gate (per-rule booleans, conjunctive keep)
+    gated = quality_filter(docs)
+    keep_ids = gated.where("keep").select("doc_id")
+    docs = docs.join(keep_ids, "doc_id", "left_semi")
+    n_quality = docs.count()
+
+    # 3+4. exact + near-dup canonicalization (MinHash LSH -> connected
+    # components -> keep min doc per component)
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.9)
+    canon = canonical_corpus(docs, pairs)
+    kept = canon.where("is_canonical").select("doc_id")
+    docs = docs.join(kept, "doc_id", "left_semi")
+    n_canon = docs.count()
+
+    # 5. benchmark decontamination vs a held-out eval split
+    ev = docs.where(F.col("doc_id") % 47 == 0)
+    train = docs.where(F.col("doc_id") % 47 != 0)
+    flags = decontaminate(train, ev, n=3, threshold=0.05)
+    clean_ids = flags.where(~F.col("is_contaminated")).select("doc_id")
+    docs = train.join(clean_ids, "doc_id", "left_semi")
+    n_clean = docs.count()
+
+    # 6. per-source token-budget mixing (deterministic hash order)
+    mixed = select_token_budget(docs, budget_tokens=800)
+    docs = docs.join(mixed.where("selected").select("doc_id"), "doc_id", "left_semi")
+
+    # 7. greedy sequence packing into 256-token context windows
+    packed = pack_sequences(docs, capacity_tokens=256)
+    summary = packed.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        (F.max("bin_id") + 1).alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+
+    print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
+          f"-> decontaminated {n_clean}")
+    summary.orderBy("source").show(25, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
