@@ -53,6 +53,24 @@ PAIR_SCHEMA = StructType(
     ]
 )
 
+# ceiling for pinning the vector re-attach joins as broadcasts — keyed on
+# the INPUT relation's Catalyst size estimate (file-size based for parquet
+# scans — reliable; derived mapInPandas frames estimate as "unknown"=huge,
+# which correctly disables the pin). Same policy as
+# llmdata/dedup.py:BROADCAST_VERIFY_MAX_BYTES (kept local: llmdata already
+# imports from blocking, so the reverse import would cycle).
+BROADCAST_VECTORS_MAX_BYTES = 1 << 30  # 1 GiB
+
+
+def _pin_broadcast(df: DataFrame) -> bool:
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = stats.sizeInBytes()
+        size = size if isinstance(size, int) else int(size.toString())
+        return size <= BROADCAST_VECTORS_MAX_BYTES
+    except Exception:
+        return False
+
 
 def deterministic_embedder(dim: int = 32, seed: int = 7) -> Callable[[list[str]], np.ndarray]:
     """Hash-based deterministic text embedder for tests (the reference's
@@ -188,7 +206,6 @@ class EmbeddingBlocker:
         schema = StructType(
             [
                 StructField(out_id, StringType()),
-                StructField("vec", ArrayType(FloatType())),
                 StructField("band_key", StringType()),
             ]
         )
@@ -204,22 +221,41 @@ class EmbeddingBlocker:
                 for i in range(len(pdf)):
                     for bi, band in enumerate(bands_):
                         key = f"{bi}:" + "".join("1" if bits[i, j] else "0" for j in band)
-                        rows.append((pdf["rid"].iloc[i], pdf["vec"].iloc[i], key))
-                yield pd.DataFrame(rows, columns=[out_id, "vec", "band_key"])
+                        rows.append((pdf["rid"].iloc[i], key))
+                yield pd.DataFrame(rows, columns=[out_id, "band_key"])
 
         return df.mapInPandas(sig, schema)
 
-    def _lsh(self, l: DataFrame, r: DataFrame, dim: int) -> DataFrame:
-        sl = self._signatures(l, dim, "id1").withColumnRenamed("vec", "vec1")
-        sr = self._signatures(r, dim, "id2").withColumnRenamed("vec", "vec2")
+    def _lsh(
+        self, l: DataFrame, r: DataFrame, dim: int,
+        pin_l: bool = False, pin_r: bool = False,
+    ) -> DataFrame:
+        # band join on (id, band_key) ONLY — candidate pairs stay narrow
+        # through the quadratic shuffle; vectors re-attach afterwards.
+        # Carrying vec1/vec2 through the band join multiplies the widest
+        # stage's shuffle bytes by dim x band fan-out (see the identical
+        # lesson at llmdata/dedup.py minhash_near_duplicates).
+        parallelism = l.sparkSession.sparkContext.defaultParallelism
+        sl = self._signatures(l, dim, "id1")
+        sr = self._signatures(r, dim, "id2")
         # quadratic band join: pin probe-side parallelism (see dedup.py)
-        sl = sl.repartition(
-            l.sparkSession.sparkContext.defaultParallelism, "band_key", "id1"
-        )
+        sl = sl.repartition(parallelism, "band_key", "id1")
         cands = (
             sl.join(sr, "band_key")
+            .select("id1", "id2")
+            # repartition BEFORE dropDuplicates so the dedup aggregate AND
+            # the per-pair re-score behind it run at full width (AQE would
+            # otherwise coalesce the ENSURE_REQUIREMENTS exchange)
+            .repartition(parallelism, "id1", "id2")
             .dropDuplicates(["id1", "id2"])
         )
+        v1 = l.select(F.col("rid").alias("id1"), F.col("vec").alias("vec1"))
+        v2 = r.select(F.col("rid").alias("id2"), F.col("vec").alias("vec2"))
+        if pin_l:
+            v1 = F.broadcast(v1)
+        if pin_r:
+            v2 = F.broadcast(v2)
+        cands = cands.join(v1, "id1").join(v2, "id2")
         # exact cosine re-score as a native expression; double casts before
         # the multiply so the result is bit-comparable with the oracle's
         # double-precision cosine (float32 products drift at ~1e-8)
@@ -291,11 +327,26 @@ class EmbeddingBlocker:
         l = self._with_vectors(dl, idl)
         r = self._with_vectors(dr, idr)
         method = self._resolve_method(dr)
+        if method == "lsh" and self.text_column and not self.vector_column:
+            # the LSH path reads each side twice (signatures + vector
+            # re-attach); embedding on the fly with a real model is far
+            # more expensive than spilling the vectors, so materialize
+            from pyspark import StorageLevel
+
+            l = l.persist(StorageLevel.MEMORY_AND_DISK)
+            r = l if self_join else r.persist(StorageLevel.MEMORY_AND_DISK)
         if method == "brute":
             pairs = self._brute(l, r)
         elif method == "lsh":
             dim = len(l.select("vec").first()["vec"])
-            pairs = self._lsh(l, r, dim)
+            # broadcast-pin decision keys on the INPUT relations (parquet
+            # size estimates are reliable; derived frames are not) — never
+            # pins at corpus scale, where the re-attach joins must shuffle
+            pairs = self._lsh(
+                l, r, dim,
+                pin_l=_pin_broadcast(dl),
+                pin_r=_pin_broadcast(dr),
+            )
         else:
             raise ValueError(f"unknown method: {method}")
         if self_join:

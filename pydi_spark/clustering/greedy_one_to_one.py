@@ -7,11 +7,15 @@ state -> driver-side sweep over the *collected* correspondence set
 (output-sized; SURVEY §4.3 decision). Deterministic tie-break
 (score desc, id1, id2).
 
-A distributed approximation (``rounds > 0``): iterate
-[rank-1-per-id1 ∧ rank-1-per-id2 -> accept, remove endpoints] — each
-round is two windows + anti-joins; converges to the same result as the
-sequential greedy for most inputs and stays fully distributed for huge
-edge sets.
+A distributed equivalent: iterate [rank-1-per-id1 ∧ rank-1-per-id2 ->
+accept, remove endpoints] — each round is two windows + anti-joins.
+Under the strict total order (score desc, id1, id2) the locally-dominant
+edges accepted each round are exactly the edges the sequential sweep
+accepts (the classic parallel-greedy equivalence; the local oracle for
+cluster_greedy_one_to_one replays the same iteration in SQL), so run to
+convergence the two strategies agree. ``strategy='auto'`` (default)
+mirrors connected_components: the exact sweep while the edge set is
+driver-safe, the distributed epochs above ``driver_edge_limit``.
 """
 
 from __future__ import annotations
@@ -27,13 +31,24 @@ from pydi_spark.clustering.base import apply_threshold
 @dataclass
 class GreedyOneToOneMatcher:
     threshold: float | None = None
-    distributed_rounds: int = 0  # 0 = exact driver-side sweep
+    strategy: str = "auto"  # auto | exact | distributed
+    driver_edge_limit: int = 5_000_000  # auto: edges above this -> distributed
+    max_rounds: int = 50  # distributed convergence cap
+    distributed_rounds: int = 0  # legacy: >0 forces distributed, capped here
 
     def cluster(self, correspondences: DataFrame) -> DataFrame:
         corr = apply_threshold(correspondences, self.threshold)
         if self.distributed_rounds > 0:
-            return self._distributed(corr)
-        return self._exact(corr)
+            return self._distributed(corr, self.distributed_rounds)
+        if self.strategy == "exact":
+            return self._exact(corr)
+        if self.strategy == "distributed":
+            return self._distributed(corr, self.max_rounds)
+        if self.strategy != "auto":
+            raise ValueError(f"unknown strategy: {self.strategy}")
+        if corr.count() <= self.driver_edge_limit:
+            return self._exact(corr)
+        return self._distributed(corr, self.max_rounds)
 
     def _exact(self, corr: DataFrame) -> DataFrame:
         spark = corr.sparkSession
@@ -54,10 +69,10 @@ class GreedyOneToOneMatcher:
         out = spark.createDataFrame(kept, "id1 string, id2 string, score double")
         return corr.join(out.select("id1", "id2"), ["id1", "id2"], "left_semi")
 
-    def _distributed(self, corr: DataFrame) -> DataFrame:
+    def _distributed(self, corr: DataFrame, rounds: int) -> DataFrame:
         remaining = corr.select("id1", "id2", "score")
         accepted = None
-        for _ in range(self.distributed_rounds):
+        for _ in range(rounds):
             if remaining.isEmpty():
                 break
             w1 = Window.partitionBy("id1").orderBy(F.desc("score"), F.col("id2"))

@@ -16,6 +16,7 @@ from pydi_spark.llmdata.dedup import (
 from pydi_spark.llmdata.search import bm25_scores, inverted_index
 from pydi_spark.llmdata.spans import exact_span_stats
 from pydi_spark.llmdata.similarity import (
+    auto_n_centroids,
     brute_force_topk,
     cosine_expr,
     ivf_topk,
@@ -34,6 +35,7 @@ from pydi_spark.llmdata.textstats import (
 
 __all__ = [
     "bm25_scores",
+    "auto_n_centroids",
     "brute_force_topk",
     "chunk_documents",
     "exact_span_stats",

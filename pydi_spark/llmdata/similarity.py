@@ -70,6 +70,16 @@ def brute_force_topk(
     )
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """Size-aware IVF cell-count default: ~sqrt(n) clamped to [16, 4096].
+
+    A fixed small cell count caps the probe equi-join's key domain (and
+    therefore its parallelism) regardless of corpus size; sqrt(n) keeps
+    both the per-cell scan and the number of cells growing sub-linearly.
+    """
+    return max(16, min(4096, int(max(n_rows, 0) ** 0.5)))
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -77,13 +87,14 @@ def _kmeans_centroids(
     sample_size: int,
     seed: int,
     iters: int = 10,
+    n_rows: int | None = None,
 ):
     """Driver-side Lloyd iterations on a sample (centroid table is tiny;
     the reference pattern for IVF training everywhere). Deterministic
     given seed."""
     import numpy as np
 
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     frac = min(1.0, sample_size * 1.2 / max(n, 1))
     sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
     X = np.array([r[vec_col] for r in sample.collect()], dtype=np.float32)
@@ -107,7 +118,7 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 3,
     sample_size: int = 2000,
     seed: int = 42,
@@ -120,7 +131,12 @@ def ivf_topk(
     nearest cells, equi-join on cell id, re-score exactly with the
     native cosine expression. The scale path when LSH recall tuning is
     awkward: the corpus is scanned once, the join is an equi-join on a
-    small key domain, and recall/cost trades directly via nprobe.
+    bounded key domain, and recall/cost trades directly via nprobe.
+
+    ``n_centroids=None`` (default) sizes the cell count from the corpus
+    row count (``auto_n_centroids``: ~sqrt(n) clamped to [16, 4096]) —
+    the cell-id key domain bounds the probe join's parallelism, so a
+    fixed default would cap a corpus-scale join at that many partitions.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -132,7 +148,12 @@ def ivf_topk(
         StructType,
     )
 
-    C = _kmeans_centroids(corpus, vec_col, n_centroids, sample_size, seed)
+    n_rows = corpus.count()
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(n_rows)
+    C = _kmeans_centroids(
+        corpus, vec_col, n_centroids, sample_size, seed, n_rows=n_rows
+    )
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(C)
 
@@ -179,9 +200,11 @@ def ivf_topk(
         "query_id string, vec array<float>, cell int",
     ).withColumnRenamed("vec", "qvec")
 
-    joined = q_cells.join(
-        c_cells.withColumnRenamed("vec", "cvec"), "cell"
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    # no pair-dedup needed: each corpus vector is assigned to exactly ONE
+    # cell (assigner(1, ...)), so a (query, neighbor) pair can appear at
+    # most once — a dropDuplicates here would add a full-width shuffle of
+    # the scored rows WITH both vectors attached for nothing
+    joined = q_cells.join(c_cells.withColumnRenamed("vec", "cvec"), "cell")
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("cvec")))

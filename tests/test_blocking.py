@@ -244,3 +244,25 @@ def test_range_join_left_and_timestamps(spark):
     by_pid = {r["pid"]: r["win"] for r in rows}
     assert {p for p, w in by_pid.items() if w == "w1"} == {2, 3, 4}
     assert by_pid[0] is None and by_pid[11] is None
+
+
+def test_embedding_lsh_band_join_is_ids_only(spark):
+    # the quadratic band join must stay ids-only: carrying vectors through
+    # it multiplies the widest stage's shuffle bytes by dim x band fan-out
+    # (vectors re-attach after the pair dedup)
+    rows = [(f"v{i}", [float(i % 3), 1.0, float(i)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "rid string, vec array<float>")
+    out = EmbeddingBlocker(vector_column="vec", method="lsh", top_k=3,
+                           threshold=0.0).block(df, df, id_column="rid")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    band_lines = [ln for ln in plan.splitlines() if "band_key" in ln]
+    assert band_lines, "expected band_key stages in the LSH plan"
+    # 'vec' as the signature UDF's INPUT (sig(rid, vec)) is fine; the
+    # carried-payload aliases vec1/vec2 must not appear on any band stage
+    leaked = [ln for ln in band_lines if "vec1" in ln or "vec2" in ln]
+    assert not leaked, (
+        "vectors leaked into the band-join stage:\n" + "\n".join(leaked)
+    )

@@ -136,3 +136,20 @@ def test_incremental_assignment(spark):
     assert out["n2"] == out["n3"]   # new-new merge -> shared fresh cluster
     assert out["n2"] == "n2"        # fresh id = min new record id
     assert out["n4"] == "n4"        # sub-threshold match -> singleton
+
+
+def test_greedy_auto_distributed_matches_exact(spark):
+    # strategy='auto' above the edge limit runs the distributed epochs;
+    # under the strict total order they converge to the sequential sweep
+    rows = [
+        ("l1", "r1", 0.9), ("l2", "r1", 0.95), ("l2", "r2", 0.5),
+        ("l1", "r2", 0.1), ("l3", "r2", 0.45), ("l3", "r3", 0.45),
+        ("l4", "r3", 0.45), ("l4", "r4", 0.2),
+    ]
+    corr = spark.createDataFrame(rows, "id1 string, id2 string, score double")
+    exact = {(r["id1"], r["id2"])
+             for r in GreedyOneToOneMatcher(strategy="exact").cluster(corr).collect()}
+    # driver_edge_limit=0 forces the distributed path through 'auto'
+    auto = {(r["id1"], r["id2"])
+            for r in GreedyOneToOneMatcher(driver_edge_limit=0).cluster(corr).collect()}
+    assert auto == exact

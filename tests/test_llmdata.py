@@ -695,3 +695,11 @@ def test_perceptual_hash_near_dups(spark):
 
     with __import__("pytest").raises(ValueError):
         image_near_duplicates(df, max_hamming=8)
+
+
+def test_auto_n_centroids_scales_with_corpus():
+    from pydi_spark.llmdata import auto_n_centroids
+
+    assert auto_n_centroids(100) == 16          # floor
+    assert auto_n_centroids(1_000_000) == 1000  # ~sqrt(n) above the cutoff
+    assert auto_n_centroids(10**9) == 4096      # cap
