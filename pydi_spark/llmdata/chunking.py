@@ -43,9 +43,13 @@ def chunk_documents(
     starts = F.sequence(
         F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(step)
     )
+    # n_chunks = size(starts) BEFORE the explode keeps the whole op a
+    # narrow per-row transformation (a count-over-doc window after the
+    # explode would add an exchange on the exploded frame)
     out = df.select(
         F.col(id_col).alias("doc_id"),
         text.alias("__text"),
+        F.size(starts).alias("n_chunks"),
         F.posexplode(starts).alias("chunk_index", "chunk_start"),
     )
     return out.select(
@@ -55,7 +59,7 @@ def chunk_documents(
         F.col("__text")
         .substr(F.col("chunk_start") + 1, F.lit(chunk_chars))
         .alias("chunk_text"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_chunks"),
+        "n_chunks",
     )
 
 
