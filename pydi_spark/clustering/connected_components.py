@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 
 from pydi_spark.clustering.base import apply_threshold, filter_min_cluster_size
 
+# 'auto' strategy fast path: when the Catalyst size estimate of the edge
+# input is comfortably under this, the node set is certainly driver-safe
+# and hybrid runs directly with NO extra gating job. 64 MiB of edge rows
+# (~3M edges) keeps the collected node set well inside the default
+# spark.driver.maxResultSize. Estimates inflate through joins/explodes
+# (the unsafe direction fails toward the gated path, never toward an
+# unsafe collect).
+DRIVER_SAFE_EDGE_BYTES = 64 << 20
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst optimized-plan size estimate (no job is triggered)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = stats.sizeInBytes()
+    return size if isinstance(size, int) else int(size.toString())
+
 
 def _canonical(e: DataFrame) -> DataFrame:
     return (
@@ -83,21 +99,18 @@ def _local_forest(batches):
         )
 
 
-def _hybrid_components(edges: DataFrame) -> DataFrame:
-    """Partition-local contraction + driver union-find on the forest.
-
-    Each partition's edges contract to a spanning mapping (<= #nodes
-    rows); the union of forests is node-count sized, so the final
-    union-find runs on the driver in one pass. Two Spark jobs total
-    instead of O(log n) shuffle rounds — the right trade whenever the
-    *node* set fits driver memory (cluster graphs usually contract well
-    below the raw edge count)."""
-    spark = edges.sparkSession
+def _build_forest(edges: DataFrame) -> DataFrame:
+    """Partition-local contraction: each partition's edges collapse to a
+    spanning mapping (<= #local_nodes rows); the union over partitions
+    is node-count sized and has the same components as the input."""
     e = edges.select(
         F.col("id1").cast("string").alias("a"), F.col("id2").cast("string").alias("b")
     )
-    forest = e.mapInPandas(_local_forest, "a string, b string")
-    rows = forest.collect()
+    return e.mapInPandas(_local_forest, "a string, b string")
+
+
+def _driver_union_find(spark, rows) -> DataFrame:
+    """Driver union-find over collected forest rows -> assignments."""
     parent: dict = {}
 
     def find(x):
@@ -123,6 +136,15 @@ def _hybrid_components(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(assignments, "record_id string, cluster_id string")
 
 
+def _hybrid_components(edges: DataFrame) -> DataFrame:
+    """Partition-local contraction + driver union-find on the forest.
+
+    Two Spark jobs total instead of O(log n) shuffle rounds — the right
+    trade whenever the *node* set fits driver memory (cluster graphs
+    usually contract well below the raw edge count)."""
+    return _driver_union_find(edges.sparkSession, _build_forest(edges).collect())
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -142,8 +164,12 @@ def connected_components(
     - 'hybrid': partition-local contraction + driver union-find — two
       jobs; requires the NODE set (not edges) to fit the driver.
     - 'distributed': large-star/small-star rounds — unbounded scale.
-    - 'auto' (default): hybrid when an approximate node count is under
-      ``driver_node_limit``, else distributed.
+    - 'auto' (default): builds the partition-local forest ONCE
+      (checkpointed), counts it there (node-sized, no recompute of the
+      input lineage — a separate approx-count pre-pass cost an extra
+      full pass over derived edge frames), then either finishes with the
+      driver union-find or hands the CONTRACTED forest (<= #nodes rows,
+      same components) to the distributed rounds.
 
     Ids are cast to string up front so the 'min record id (string
     order)' contract and the output schema are identical regardless of
@@ -157,14 +183,20 @@ def connected_components(
     if strategy == "hybrid":
         return _hybrid_components(edges)
     if strategy == "auto":
-        approx_nodes = (
-            edges.select(F.col("id1").alias("n"))
-            .unionByName(edges.select(F.col("id2").alias("n")))
-            .agg(F.approx_count_distinct("n").alias("c"))
-            .collect()[0]["c"]
-        )
-        if approx_nodes <= driver_node_limit:
+        try:
+            certainly_small = _estimated_plan_bytes(edges) <= DRIVER_SAFE_EDGE_BYTES
+        except Exception:
+            certainly_small = False
+        if certainly_small:
             return _hybrid_components(edges)
+        forest = _build_forest(edges).localCheckpoint(eager=True)
+        if forest.count() <= driver_node_limit:
+            return _driver_union_find(edges.sparkSession, forest.collect())
+        # forest rows are (node, local_root): same components, <= #nodes
+        # rows — the distributed rounds start from the contracted graph
+        edges = forest.select(
+            F.col("a").alias("id1"), F.col("b").alias("id2")
+        )
     nodes = (
         edges.select(F.col("id1").alias("node"))
         .unionByName(edges.select(F.col("id2").alias("node")))
