@@ -1,5 +1,8 @@
 from pydi_spark.blocking.base import block_stats, estimate_pairs
-from pydi_spark.blocking.embedding import EmbeddingBlocker
+from pydi_spark.blocking.embedding import (
+    EmbeddingBlocker,
+    sentence_transformer_embedder,
+)
 from pydi_spark.blocking.no_blocking import NoBlocker
 from pydi_spark.blocking.sorted_neighbourhood import SortedNeighbourhoodBlocker
 from pydi_spark.blocking.standard import StandardBlocker
@@ -13,4 +16,5 @@ __all__ = [
     "TokenBlocker",
     "block_stats",
     "estimate_pairs",
+    "sentence_transformer_embedder",
 ]

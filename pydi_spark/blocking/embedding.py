@@ -72,6 +72,30 @@ def _pin_broadcast(df: DataFrame) -> bool:
         return False
 
 
+def sentence_transformer_embedder(
+    model_name: str = "all-MiniLM-L6-v2", **kwargs
+) -> Callable[[list[str]], np.ndarray]:
+    """Real-model hook for the ``embedder`` slot (reference wires
+    sentence-transformers at embedding.py:209-241). The heavy import and
+    model load happen lazily on FIRST CALL — i.e. inside the executor
+    task, never on the driver — and the loaded model is cached in the
+    closure for the lifetime of the Python worker. Raises ImportError at
+    task time when sentence-transformers isn't installed;
+    ``deterministic_embedder`` stays the tested default."""
+    state: dict = {}
+
+    def embed(texts: list[str]) -> np.ndarray:
+        if "model" not in state:
+            from sentence_transformers import SentenceTransformer  # heavy, lazy
+
+            state["model"] = SentenceTransformer(model_name, **kwargs)
+        return np.asarray(
+            state["model"].encode(texts, convert_to_numpy=True), dtype=np.float32
+        )
+
+    return embed
+
+
 def deterministic_embedder(dim: int = 32, seed: int = 7) -> Callable[[list[str]], np.ndarray]:
     """Hash-based deterministic text embedder for tests (the reference's
     injectable-embedder hook makes pipelines testable without torch)."""

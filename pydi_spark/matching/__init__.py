@@ -3,7 +3,12 @@ from pydi_spark.matching.feature_extraction import (
     VectorFeatureExtractor,
 )
 from pydi_spark.matching.ml_based import MLBasedMatcher
-from pydi_spark.matching.model_based import LLMBasedMatcher, PLMBasedMatcher
+from pydi_spark.matching.model_based import (
+    LLMBasedMatcher,
+    PLMBasedMatcher,
+    openai_compatible_client,
+    sentence_transformer_cross_encoder,
+)
 from pydi_spark.matching.rule_based import RuleBasedMatcher
 from pydi_spark.matching.text_formatting import TextFormatter
 
@@ -13,6 +18,8 @@ __all__ = [
     "MLBasedMatcher",
     "PLMBasedMatcher",
     "RuleBasedMatcher",
+    "openai_compatible_client",
+    "sentence_transformer_cross_encoder",
     "TextFormatter",
     "VectorFeatureExtractor",
 ]

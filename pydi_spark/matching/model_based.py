@@ -83,6 +83,78 @@ def fake_llm_client() -> Callable[[str], str]:
     return complete
 
 
+# ------------------------------------------------ real backends (optional)
+
+def sentence_transformer_cross_encoder(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2", **kwargs
+) -> Callable[[], Callable[[list[str]], list[float]]]:
+    """Factory-of-factory for a real HF cross-encoder (reference:
+    plm_based.py:39-612 wires sentence-transformers directly). The heavy
+    import happens lazily INSIDE the task factory — once per executor,
+    never on the driver — and pairs are re-split on the same ``[SEP]``
+    marker the TextFormatter emits. Raises ImportError at task time when
+    sentence-transformers isn't installed; the deterministic
+    ``fake_cross_encoder`` stays the tested default."""
+
+    def factory() -> Callable[[list[str]], list[float]]:
+        from sentence_transformers import CrossEncoder  # heavy, lazy
+
+        model = CrossEncoder(model_name, **kwargs)
+
+        def score(texts: list[str]) -> list[float]:
+            pairs = [t.partition(" [SEP] ")[::2] for t in texts]
+            return [float(s) for s in model.predict(pairs)]
+
+        return score
+
+    return factory
+
+
+def openai_compatible_client(
+    base_url: str,
+    model: str,
+    api_key_env: str = "OPENAI_API_KEY",
+    temperature: float = 0.0,
+    timeout: float = 60.0,
+) -> Callable[[], Callable[[str], str]]:
+    """Factory-of-factory for any OpenAI-compatible ``/chat/completions``
+    endpoint (reference: llm_based.py:28-534 wires LangChain clients).
+    Stdlib-urllib only — no SDK import to guard — so the HTTP path is
+    fully testable against a local fake server. One client closure per
+    executor; retries/parsing stay in LLMBasedMatcher."""
+    import os as _os
+
+    def factory() -> Callable[[str], str]:
+        import urllib.request
+
+        url = base_url.rstrip("/") + "/chat/completions"
+        key = _os.environ.get(api_key_env, "")
+
+        def complete(prompt: str) -> str:
+            body = json.dumps(
+                {
+                    "model": model,
+                    "temperature": temperature,
+                    "messages": [{"role": "user", "content": prompt}],
+                }
+            ).encode()
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {key}",
+                },
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = json.loads(resp.read().decode())
+            return payload["choices"][0]["message"]["content"]
+
+        return complete
+
+    return factory
+
+
 # ------------------------------------------------------------ PLM
 
 @dataclass

@@ -198,3 +198,75 @@ def test_provenance_tracker(spark):
     tr.record_fusion([d1, d2], "fused")
     lineage = tr.lineage_of("fused")
     assert [e["op"] for e in lineage] == ["load", "load", "fusion"]
+
+
+def test_openai_compatible_client_real_http(spark, pair_setup):
+    """Drive LLMBasedMatcher through the stdlib-urllib OpenAI-compatible
+    client against a local fake /chat/completions server — the real HTTP
+    path, deterministic responses."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            prompt = body["messages"][0]["content"]
+            parts = prompt.split("<record>")
+            texts = [p.split("</record>")[0] for p in parts[1:]]
+            a, b = set(texts[0].lower().split()), set(texts[1].lower().split())
+            sim = len(a & b) / len(a | b) if (a or b) else 0.0
+            content = json.dumps({"match": sim >= 0.5, "score": round(sim, 4),
+                                  "explanation": "fake server"})
+            out = json.dumps(
+                {"choices": [{"message": {"role": "assistant", "content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from pydi_spark.matching import openai_compatible_client
+
+        left, right, pairs = pair_setup
+        m = LLMBasedMatcher(
+            TextFormatter(["title", "year"]),
+            client_factory=openai_compatible_client(
+                f"http://127.0.0.1:{port}/v1", model="fake-model"
+            ),
+        )
+        got = {(r["id1"], r["id2"])
+               for r in m.match(left, right, pairs, threshold=0.4,
+                                id_column="rid").collect()}
+        assert ("l1", "r1") in got
+        assert ("l2", "r2") not in got
+    finally:
+        srv.shutdown()
+
+
+def test_sentence_transformer_hooks_skip_cleanly():
+    """The real-model factories import the heavy lib lazily at call time;
+    constructing them must be free, and without the package the call must
+    raise ImportError (pipelines fall back to the tested fakes)."""
+    import pytest as _pytest
+
+    from pydi_spark.blocking import sentence_transformer_embedder
+    from pydi_spark.matching import sentence_transformer_cross_encoder
+
+    embed = sentence_transformer_embedder()          # no import yet
+    factory = sentence_transformer_cross_encoder()   # no import yet
+    _pytest.importorskip("sentence_transformers")
+    # only reached when the package exists: exercise the real paths
+    vecs = embed(["hello world"])
+    assert vecs.shape[0] == 1
+    scores = factory()(["a [SEP] b"])
+    assert len(scores) == 1
