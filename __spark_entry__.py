@@ -2039,6 +2039,75 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted to
+    available columns (no o_comment; the spec's comment NOT LIKE filter
+    becomes an o_orderpriority filter — same left-join-with-filtered-
+    right shape, so zero-order customers still appear). Two-level
+    aggregation: per-customer order count, then histogram over counts —
+    both map-side-combinable groupBys, no float arithmetic at all."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to available
+    columns (no c_phone; the spec's phone country code becomes
+    c_nationkey % 5; and the spec's "no orders" anti-join becomes "no
+    URGENT orders" — this generator gives every customer at least one
+    order, which would make the query vacuous at every SF). Customers
+    from selected codes with above-average positive balance and no
+    urgent orders: the average is a one-row aggregate cross-joined back
+    (broadcast — stays declarative, no driver collect), the anti-join
+    keeps the NOT EXISTS shape on a filtered orders side. totacctbal
+    follows the decimal-sum-then-cast policy of q1/q7."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_nationkey") % 5).alias("cntrycode"),
+    ).where(F.col("cntrycode").isin(0, 1, 2))
+    avg_df = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): cross-border revenue by supplier
     nation / customer nation / ship year. Adapted from the spec's fixed
@@ -2257,9 +2326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
         "join_asof": q_join_asof,
         "join_range": q_join_range,
@@ -3915,6 +3986,38 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+    out["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+    out["tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+),
+avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS avg_bal
+  FROM cust WHERE c_acctbal > 0
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM cust, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
 """
     out["tpch_q7"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
