@@ -54,22 +54,17 @@ PAIR_SCHEMA = StructType(
 )
 
 # ceiling for pinning the vector re-attach joins as broadcasts — keyed on
-# the INPUT relation's Catalyst size estimate (file-size based for parquet
-# scans — reliable; derived mapInPandas frames estimate as "unknown"=huge,
-# which correctly disables the pin). Same policy as
-# llmdata/dedup.py:BROADCAST_VERIFY_MAX_BYTES (kept local: llmdata already
-# imports from blocking, so the reverse import would cycle).
+# the INPUT relation's Catalyst size estimate (core.plansize policy:
+# reliable for parquet scans, "unknown"=huge for derived frames, which
+# correctly disables the pin). Same value as
+# llmdata/dedup.py:BROADCAST_VERIFY_MAX_BYTES.
 BROADCAST_VECTORS_MAX_BYTES = 1 << 30  # 1 GiB
 
 
 def _pin_broadcast(df: DataFrame) -> bool:
-    try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = stats.sizeInBytes()
-        size = size if isinstance(size, int) else int(size.toString())
-        return size <= BROADCAST_VECTORS_MAX_BYTES
-    except Exception:
-        return False
+    from pydi_spark.core.plansize import fits_estimate
+
+    return fits_estimate(df, BROADCAST_VECTORS_MAX_BYTES)
 
 
 def sentence_transformer_embedder(

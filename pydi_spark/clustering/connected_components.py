@@ -42,13 +42,6 @@ from pydi_spark.clustering.base import apply_threshold, filter_min_cluster_size
 DRIVER_SAFE_EDGE_BYTES = 64 << 20
 
 
-def _estimated_plan_bytes(df: DataFrame) -> int:
-    """Catalyst optimized-plan size estimate (no job is triggered)."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    size = stats.sizeInBytes()
-    return size if isinstance(size, int) else int(size.toString())
-
-
 def _canonical(e: DataFrame) -> DataFrame:
     return (
         e.select(
@@ -183,11 +176,9 @@ def connected_components(
     if strategy == "hybrid":
         return _hybrid_components(edges)
     if strategy == "auto":
-        try:
-            certainly_small = _estimated_plan_bytes(edges) <= DRIVER_SAFE_EDGE_BYTES
-        except Exception:
-            certainly_small = False
-        if certainly_small:
+        from pydi_spark.core.plansize import fits_estimate
+
+        if fits_estimate(edges, DRIVER_SAFE_EDGE_BYTES):
             return _hybrid_components(edges)
         forest = _build_forest(edges).localCheckpoint(eager=True)
         if forest.count() <= driver_node_limit:

@@ -38,13 +38,6 @@ from pydi_spark.functions.tokenize import word_tokens
 BROADCAST_VERIFY_MAX_BYTES = 1 << 30  # 1 GiB
 
 
-def _estimated_input_bytes(df: DataFrame) -> int:
-    """Catalyst optimized-plan size estimate (no job is triggered)."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    size = stats.sizeInBytes()
-    return size if isinstance(size, int) else int(size.toString())
-
-
 def _resolve_broadcast_verify(
     df: DataFrame, broadcast_verify, max_bytes: int = BROADCAST_VERIFY_MAX_BYTES
 ) -> bool:
@@ -54,10 +47,9 @@ def _resolve_broadcast_verify(
     table cannot be broadcast and the join must shuffle."""
     if broadcast_verify != "auto":
         return bool(broadcast_verify)
-    try:
-        return _estimated_input_bytes(df) <= max_bytes
-    except Exception:
-        return False
+    from pydi_spark.core.plansize import fits_estimate
+
+    return fits_estimate(df, max_bytes)
 
 
 # ------------------------------------------------------------------- exact
