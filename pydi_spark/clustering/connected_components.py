@@ -102,8 +102,17 @@ def _build_forest(edges: DataFrame) -> DataFrame:
     return e.mapInPandas(_local_forest, "a string, b string")
 
 
-def _driver_union_find(spark, rows) -> DataFrame:
-    """Driver union-find over collected forest rows -> assignments."""
+def _driver_union_find(spark, forest_pdf) -> DataFrame:
+    """Driver union-find over the collected forest -> assignments.
+
+    Union-by-min keeps each tree's root at the tree minimum, so the
+    final roots are the component minima regardless of edge order.
+    Arrow-batched transfers both ways (core.arrowio) — py4j row pickling
+    dominated hybrid CC's runtime before."""
+    import pandas as pd
+
+    from pydi_spark.core.arrowio import pandas_to_df
+
     parent: dict = {}
 
     def find(x):
@@ -114,8 +123,7 @@ def _driver_union_find(spark, rows) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        a, b = row["a"], row["b"]
+    for a, b in zip(forest_pdf["a"].tolist(), forest_pdf["b"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -125,8 +133,9 @@ def _driver_union_find(spark, rows) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    assignments = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(assignments, "record_id string, cluster_id string")
+    nodes = list(parent)
+    out = pd.DataFrame({"record_id": nodes, "cluster_id": [find(n) for n in nodes]})
+    return pandas_to_df(spark, out, "record_id string, cluster_id string")
 
 
 def _hybrid_components(edges: DataFrame) -> DataFrame:
@@ -135,7 +144,11 @@ def _hybrid_components(edges: DataFrame) -> DataFrame:
     Two Spark jobs total instead of O(log n) shuffle rounds — the right
     trade whenever the *node* set fits driver memory (cluster graphs
     usually contract well below the raw edge count)."""
-    return _driver_union_find(edges.sparkSession, _build_forest(edges).collect())
+    from pydi_spark.core.arrowio import collect_pandas
+
+    return _driver_union_find(
+        edges.sparkSession, collect_pandas(_build_forest(edges))
+    )
 
 
 def connected_components(
@@ -182,7 +195,9 @@ def connected_components(
             return _hybrid_components(edges)
         forest = _build_forest(edges).localCheckpoint(eager=True)
         if forest.count() <= driver_node_limit:
-            return _driver_union_find(edges.sparkSession, forest.collect())
+            from pydi_spark.core.arrowio import collect_pandas
+
+            return _driver_union_find(edges.sparkSession, collect_pandas(forest))
         # forest rows are (node, local_root): same components, <= #nodes
         # rows — the distributed rounds start from the contracted graph
         edges = forest.select(

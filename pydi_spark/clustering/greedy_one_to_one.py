@@ -51,23 +51,32 @@ class GreedyOneToOneMatcher:
         return self._distributed(corr, self.max_rounds)
 
     def _exact(self, corr: DataFrame) -> DataFrame:
+        # Arrow-batched transfers both ways (core.arrowio): the sweep is
+        # output-sized by design, but py4j row pickling still dominated
+        # at 1e5+ correspondences. toPandas preserves the global sort.
+        from pydi_spark.core.arrowio import collect_pandas, pandas_to_df
+
         spark = corr.sparkSession
-        rows = (
-            corr.select("id1", "id2", "score")
-            .orderBy(F.desc("score"), "id1", "id2")
-            .collect()
+        pdf = collect_pandas(
+            corr.select("id1", "id2", "score").orderBy(F.desc("score"), "id1", "id2")
         )
         used1: set = set()
         used2: set = set()
         kept = []
-        for r in rows:
-            if r["id1"] in used1 or r["id2"] in used2:
+        for a, b in zip(pdf["id1"].tolist(), pdf["id2"].tolist()):
+            if a in used1 or b in used2:
                 continue
-            used1.add(r["id1"])
-            used2.add(r["id2"])
-            kept.append((r["id1"], r["id2"], float(r["score"])))
-        out = spark.createDataFrame(kept, "id1 string, id2 string, score double")
-        return corr.join(out.select("id1", "id2"), ["id1", "id2"], "left_semi")
+            used1.add(a)
+            used2.add(b)
+            kept.append((a, b))
+        import pandas as pd
+
+        out = pandas_to_df(
+            spark,
+            pd.DataFrame(kept, columns=["id1", "id2"]),
+            "id1 string, id2 string",
+        )
+        return corr.join(out, ["id1", "id2"], "left_semi")
 
     def _distributed(self, corr: DataFrame, rounds: int) -> DataFrame:
         remaining = corr.select("id1", "id2", "score")
