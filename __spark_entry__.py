@@ -2452,15 +2452,24 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
         f"SELECT doc_id, b{b} AS band_key FROM bands" for b in range(bands)
     )
     toks = _TOK_SQL.format(col="text")
+    # verification runs on 60-bit md5-prefix token hashes (the SimHash
+    # hex->int construction) — mirrors the engine exactly, so collisions
+    # (if any) strike both sides identically
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
     return f"""
-WITH toks AS (
-  SELECT doc_id, list_distinct({toks}) AS tok_set FROM documents
+WITH tok_rows AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
 ),
-tok_rows AS (
-  SELECT doc_id, unnest(tok_set) AS tok FROM toks
+th_rows AS (
+  SELECT doc_id, tok, ({hex2int}) AS th
+  FROM (SELECT doc_id, tok, md5(tok) AS md5h FROM tok_rows)
 ),
 sigs AS (
-  SELECT doc_id, {sig_cols} FROM tok_rows GROUP BY doc_id
+  SELECT doc_id, {sig_cols}, list_distinct(list(th)) AS tok_set
+  FROM th_rows GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, {band_exprs} FROM sigs
@@ -2478,8 +2487,8 @@ verified AS (
            / len(list_distinct(list_concat(ta.tok_set, tb.tok_set)))
       ELSE 1.0 END AS jaccard
   FROM cands
-  JOIN toks ta ON CAST(ta.doc_id AS VARCHAR) = id1
-  JOIN toks tb ON CAST(tb.doc_id AS VARCHAR) = id2
+  JOIN sigs ta ON CAST(ta.doc_id AS VARCHAR) = id1
+  JOIN sigs tb ON CAST(tb.doc_id AS VARCHAR) = id2
 )
 SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
 """
@@ -2487,6 +2496,13 @@ SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {th
 
 def _ngram_jaccard_sql(n: int, threshold: float, max_freq: int | None = None) -> str:
     toks = _TOK_SQL.format(col="text")
+    # shingles are carried as 60-bit md5-prefix ints on BOTH engines (the
+    # SimHash hex->int construction) — collisions, if any, strike both
+    # sides identically
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
     freq_filter = (
         f"""kept AS (
   SELECT shingle FROM sh_rows GROUP BY shingle HAVING count(*) <= {max_freq}
@@ -2499,15 +2515,21 @@ sh_cand AS (SELECT doc_id, shingle FROM sh_rows WHERE shingle IN (SELECT shingle
 WITH toks AS (
   SELECT doc_id, {toks} AS tok FROM documents
 ),
-sh AS (
+sh_str AS (
   SELECT doc_id,
     CASE WHEN len(tok) < {n} THEN [array_to_string(tok, ' ')]
     ELSE list_distinct([array_to_string(tok[i:i+{n - 1}], ' ')
                         for i in range(1, len(tok) - {n - 2})])
-    END AS sh_set
+    END AS sh_set_str
   FROM toks
 ),
-sh_rows AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sh),
+sh_rows AS (
+  SELECT doc_id, ({hex2int}) AS shingle
+  FROM (SELECT doc_id, md5(unnest(sh_set_str)) AS md5h FROM sh_str)
+),
+sh AS (
+  SELECT doc_id, list_distinct(list(shingle)) AS sh_set FROM sh_rows GROUP BY doc_id
+),
 {freq_filter}
 cands AS (
   SELECT DISTINCT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2

@@ -135,14 +135,21 @@ def minhash_near_duplicates(
     broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
     # band join on (id, band_key) ONLY — candidate pairs stay narrow
     # through the shuffle; token sets re-attach afterwards from the
-    # (small-per-row) toks side table. Carrying the arrays through the
+    # (small-per-row) side table. Carrying the arrays through the
     # quadratic join would multiply shuffle bytes by avg doc length.
-    toks = df.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
-    )
-    # signatures via explode + native min aggregates (codegen'd) instead
-    # of array_min(transform(...)) (interpreted higher-order functions)
+    #
+    # Verification runs on 60-bit md5-prefix token HASHES (the portable
+    # SimHash construction), not token strings: set intersection over
+    # longs is several times cheaper than over 32-char strings, and the
+    # re-attach payload shrinks ~4x. Jaccard over hashed sets equals
+    # jaccard over tokens up to md5 collisions, which are identical on
+    # both engines (the oracle hashes the same way), so cross-engine
+    # bit-equality is preserved.
+    #
+    # Signatures via explode + native min aggregates (codegen'd) instead
+    # of array_min(transform(...)) (interpreted higher-order functions);
+    # ONE groupBy produces the signatures AND the hashed token sets, so
+    # the corpus is tokenized exactly once.
     tok_rows = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
@@ -151,7 +158,9 @@ def minhash_near_duplicates(
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"s{i}")
         for i in range(num_hashes)
     ]
-    sigs = tok_rows.groupBy("id").agg(*sig_aggs)
+    sigs = tok_rows.groupBy("id").agg(
+        *sig_aggs, F.collect_set(_token_hash60(F.col("tok"))).alias("toks")
+    )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.concat(
@@ -179,8 +188,8 @@ def minhash_near_duplicates(
         .repartition(parallelism, "id1", "id2")  # see ngram note
         .dropDuplicates(["id1", "id2"])
     )
-    t1 = toks.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
-    t2 = toks.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
+    t1 = sigs.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
+    t2 = sigs.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
     if broadcast_verify:
         # pin the build side: Spark's size estimate for the derived toks
         # table is unreliable here and a sort-merge join over the
@@ -348,18 +357,26 @@ def ngram_jaccard_duplicates(
     wpos = Window.partitionBy("id").orderBy("pos")
     lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
     with_leads = tok_rows.select("id", "tok", *lead_cols)
+    # shingles carry through the pipeline as 60-bit md5-prefix ints (the
+    # portable SimHash construction, mirrored in the oracle): the
+    # quadratic candidate join shuffles 8-byte keys instead of n-word
+    # strings, and set verification intersects longs. Collisions could
+    # only ADD candidates (a true near-dup pair always shares a real
+    # shingle), and exact verification filters those — output-identical.
     sh_long = (
         with_leads.where(F.col(f"t{n - 1}").isNotNull())
         .select(
             "id",
-            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
+            _token_hash60(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("shingle"),
         )
     )
     # short documents (< n tokens) contribute their whole text as the
     # single shingle (reference edge case, mirrored in the oracle)
     short = df.where(F.size(toks) < n).select(
         F.col(id_col).cast("string").alias("id"),
-        F.array_join(toks, " ").alias("shingle"),
+        _token_hash60(F.array_join(toks, " ")).alias("shingle"),
     )
     exploded = sh_long.unionByName(short).dropDuplicates(["id", "shingle"])
     base = exploded.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
