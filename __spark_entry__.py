@@ -798,6 +798,30 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click -> purchase by the
+    same user within 1 hour) — the attribution join. Same plan runs
+    batch and streaming (tests drive the streaming side); the batch run
+    is what the oracle checks. Timestamps render as strings under the
+    pinned UTC session so they match DuckDB's naive timestamps; values
+    pass through raw (no float arithmetic)."""
+    from pydi_spark.streaming import stream_stream_join
+
+    ev = _events(spark, sf_dir)
+    out = stream_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        max_delay="1 hour",
+    )
+    return out.select(
+        F.col("key").cast("string").alias("user_id"),
+        F.col("l_ts").cast("string").alias("click_ts"),
+        F.col("r_ts").cast("string").alias("purchase_ts"),
+        F.col("l_value").alias("click_value"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
 def q_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.blocking import StandardBlocker, block_stats
 
@@ -2335,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": q_join_asof,
         "join_range": q_join_range,
         "join_skew_salted": q_join_skew_salted,
+        "streaming_join": q_streaming_join,
         "text_clean": q_text_clean,
         "text_clean_multiline": q_text_clean_multiline,
         "text_repetition": q_text_repetition,
@@ -3116,6 +3141,17 @@ SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS
        event_type, count(*) n_events
 FROM events
 GROUP BY 1, 2
+""",
+        "streaming_join": """
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT CAST(c.user_id AS VARCHAR) user_id,
+       CAST(c.ts AS VARCHAR) click_ts,
+       CAST(p.ts AS VARCHAR) purchase_ts,
+       c.value AS click_value,
+       p.value AS purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
 """,
         "tpch_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') returnflag,

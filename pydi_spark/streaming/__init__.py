@@ -1,7 +1,13 @@
 from pydi_spark.streaming.dedup import (
     sessionize,
+    stream_stream_join,
     streaming_dedup,
     windowed_event_counts,
 )
 
-__all__ = ["sessionize", "streaming_dedup", "windowed_event_counts"]
+__all__ = [
+    "sessionize",
+    "stream_stream_join",
+    "streaming_dedup",
+    "windowed_event_counts",
+]

@@ -92,6 +92,49 @@ def sessionize(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    watermark: str = "30 minutes",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded event-time
+    range: pairs (l, r) with the same key and ``r.ts`` in
+    ``[l.ts, l.ts + max_delay]`` — the attribution/funnel join (click ->
+    purchase within an hour).
+
+    In streaming mode both sides carry watermarks and the join condition
+    bounds each side's buffered state to watermark + max_delay (the
+    standard interval-join state-cleanup contract); as a batch plan the
+    SAME join runs unchanged, which is how the DuckDB oracle checks it.
+
+    Output: [key, l_ts, r_ts, l_value, r_value].
+    """
+    l = left.select(
+        F.col(key_column).alias("key"),
+        F.col(ts_column).alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.select(
+        F.col(key_column).alias("r_key"),
+        F.col(ts_column).alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how).select("key", "l_ts", "r_ts", "l_value", "r_value")
+
+
 def run_stream_from_parquet(
     spark,
     path: str,

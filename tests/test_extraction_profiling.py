@@ -179,3 +179,51 @@ def test_stateful_dedup_ttl(spark, sf_dir):
     # streaming-only guard
     with pytest.raises(ValueError):
         stateful_dedup_ttl(batch, ["user_id"])
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Drive BOTH sides of the interval join as real file streams
+    (availableNow) and assert exact parity with the batch plan — the
+    unified-semantics contract the oracle relies on."""
+    import os
+    import tempfile
+
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import stream_stream_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = nanos_to_timestamp(spark.read.parquet(path))
+    batch = stream_stream_join(
+        ev.where("event_type = 'click'"), ev.where("event_type = 'purchase'")
+    )
+    expected = {tuple(map(str, r)) for r in batch.collect()}
+    assert expected, "fixture should produce at least one joined pair"
+
+    schema = spark.read.parquet(path).schema
+    with tempfile.TemporaryDirectory() as staged:
+        os.symlink(os.path.abspath(path), os.path.join(staged, "events.parquet"))
+
+        def src():
+            raw = spark.readStream.schema(schema).parquet(staged)
+            return nanos_to_timestamp(raw)
+
+        out = stream_stream_join(
+            src().where("event_type = 'click'"),
+            src().where("event_type = 'purchase'"),
+        )
+        assert out.isStreaming
+        with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("ssj_parity")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .start()
+            )
+            q.awaitTermination(120)
+        got = {tuple(map(str, r))
+               for r in spark.sql("SELECT * FROM ssj_parity").collect()}
+    assert got == expected
