@@ -2338,9 +2338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly the FIRST 50 dict entries. r02 verified the old first 50
     # (blocking/matching/clustering/fusion/eval/ann/normalize/schema
     # families); this round rotates the 42 then-invisible queries plus
-    # the 2 new ones into the window, so across r02+r03 every family has
-    # at least one driver-green row. Slots 45-50 keep one cheap
-    # representative per broad family for round-over-round continuity.
+    # the 5 new round-3 ones into the window, so across r02+r03 every
+    # family has at least one driver-green row. The remaining window
+    # slots keep cheap r02-green representatives for continuity; every
+    # entry past 50 was driver-green in r02 and stays under the local
+    # gate (tools/check_oracle.py).
     return {
         # -- window: previously driver-unchecked (TPC-H, text pipeline,
         # -- joins, model-backed matchers, parity fixtures) + new queries

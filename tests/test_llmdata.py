@@ -703,3 +703,35 @@ def test_auto_n_centroids_scales_with_corpus():
     assert auto_n_centroids(100) == 16          # floor
     assert auto_n_centroids(1_000_000) == 1000  # ~sqrt(n) above the cutoff
     assert auto_n_centroids(10**9) == 4096      # cap
+
+
+def test_minhash_hashed_verify_equals_string_jaccard(spark):
+    """The 60-bit hashed-token verification must produce the SAME
+    jaccard values as true string token sets (collisions are ~2^-60 per
+    pair; this pins the semantics against accidental lossy changes)."""
+    import re
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog today"),
+        (4, "completely unrelated text about spark and arrow batches"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    from pydi_spark.llmdata import minhash_near_duplicates
+
+    out = minhash_near_duplicates(df, jaccard_threshold=0.1).collect()
+    assert out, "fixture overlaps should produce pairs"
+    tok = {str(i): set(re.findall(r"[^\W_]+(?:'[^\W_]+)*|[#']+", t.lower()))
+           for i, t in docs}
+
+    def true_jac(a, b):
+        sa, sb = tok[a], tok[b]
+        return len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+
+    for r in out:
+        expected = true_jac(r["id1"], r["id2"])
+        assert abs(r["jaccard"] - expected) < 1e-12, (
+            r["id1"], r["id2"], r["jaccard"], expected
+        )
