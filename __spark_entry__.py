@@ -798,6 +798,27 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset attribute coverage matrix
+    (DataProfiler.analyze_coverage -> fusion.evaluation.coverage_metrics;
+    reference: profiling/profiler.py:158-216 + fusion/analysis.py:22-130)
+    — previously a pytest-only surface. Negative balances are nulled
+    first so coverage is non-trivially < 1; coverage = int/int division,
+    bit-identical cross-engine."""
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.profiling import DataProfiler
+
+    supp = _t(spark, sf_dir, "supplier").withColumn(
+        "s_acctbal", F.when(F.col("s_acctbal") >= 0, F.col("s_acctbal"))
+    )
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    )
+    return DataProfiler().analyze_coverage(
+        [Dataset.wrap(supp, "supplier"), Dataset.wrap(cust, "customer")]
+    )
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (click -> purchase by the
     same user within 1 hour) — the attribution join. Same plan runs
@@ -2362,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_join_range,
         "join_skew_salted": q_join_skew_salted,
         "streaming_join": q_streaming_join,
+        "profile_coverage": q_profile_coverage,
         "text_clean": q_text_clean,
         "text_clean_multiline": q_text_clean_multiline,
         "text_repetition": q_text_repetition,
@@ -2575,6 +2597,32 @@ verified AS (
 )
 SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
 """
+
+
+def _coverage_sql() -> str:
+    tables = {
+        "supplier": (
+            "SELECT s_suppkey, s_name, s_nationkey, "
+            "CASE WHEN s_acctbal >= 0 THEN s_acctbal END AS s_acctbal FROM supplier",
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        ),
+        "customer": (
+            "SELECT c_custkey, c_name, c_nationkey, "
+            "CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS c_acctbal, "
+            "c_mktsegment FROM customer",
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        ),
+    }
+    selects = []
+    for name, (src, cols) in tables.items():
+        for c in cols:
+            selects.append(
+                f"SELECT '{name}' AS dataset, '{c}' AS attribute,\n"
+                f"  count({c}) AS non_null, count(*) AS total,\n"
+                f"  count({c})::DOUBLE / count(*) AS coverage\n"
+                f"FROM ({src})"
+            )
+    return "\nUNION ALL\n".join(selects)
 
 
 def _simhash_sql(max_hamming: int) -> str:
@@ -3144,6 +3192,7 @@ SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS
 FROM events
 GROUP BY 1, 2
 """,
+        "profile_coverage": _coverage_sql(),
         "streaming_join": """
 WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "text_span_dedup",
     "tpch_q10",
     "tpch_q19",
+    "tpch_q13",
+    "tpch_q22",
+    "streaming_join",
 ]
 
 
