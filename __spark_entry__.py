@@ -1859,6 +1859,26 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rid", "o_orderpriority")
 
 
+def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (llmdata.temperature_mix, the
+    T5/Pile-style balancing step). alpha=0.5 -> sqrt weights: every
+    float op in the rate computation is IEEE-correctly-rounded and
+    written as the same expression tree in the oracle, and the
+    cross-source weight sum is the sorted-fold invariant — raw doubles
+    compare bit-identically, no rounding."""
+    from pydi_spark.llmdata import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, target_fraction=0.25, alpha=0.5)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        "n_source",
+        "rate",
+        F.col("selected").cast("int").alias("selected"),
+    )
+
+
 def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (SURVEY §2.13 — free in Spark, absent in the
     reference): per-customer order ranking + running revenue. Decimal
@@ -2401,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "sample_stratified": q_sample_stratified,
+        "text_temperature_mix": q_text_temperature_mix,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "io_roundtrip": q_io_roundtrip,
@@ -4038,6 +4059,34 @@ WITH t AS (
 )
 SELECT rid, o_orderpriority FROM t
 WHERE frac < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.5 ELSE 0.1 END
+"""
+    out["text_temperature_mix"] = """
+WITH counts AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_source, sqrt(CAST(n_source AS DOUBLE)) AS w FROM counts
+),
+tot AS (
+  SELECT sum(n_source) AS n_total, list_sum(list_sort(list(w))) AS sw FROM w
+),
+rates AS (
+  SELECT source, n_source,
+         least(1.0, (0.25 * CAST(n_total AS DOUBLE)) * w / sw
+                    / CAST(n_source AS DOUBLE)) AS rate
+  FROM w, tot
+),
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         list_sum([(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * 16.0 ** (8 - i) for i in range(1, 9)])
+         / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT d.doc_id, d.source, r.n_source, r.rate,
+       CAST(CASE WHEN d.frac < r.rate THEN 1 ELSE 0 END AS INT) AS selected
+FROM d JOIN rates r ON d.source = r.source
 """
     out["tpch_q4"] = """
 SELECT o_orderpriority, count(*) AS order_count

@@ -13,6 +13,11 @@ from pydi_spark.llmdata.dedup import (
     simhash_fingerprint,
     simhash_near_duplicates,
 )
+from pydi_spark.llmdata.sampling import (
+    deterministic_sample,
+    hash_fraction,
+    temperature_mix,
+)
 from pydi_spark.llmdata.search import bm25_scores, inverted_index
 from pydi_spark.llmdata.spans import exact_span_stats
 from pydi_spark.llmdata.similarity import (
@@ -42,6 +47,9 @@ __all__ = [
     "inverted_index",
     "select_token_budget",
     "canonical_corpus",
+    "deterministic_sample",
+    "hash_fraction",
+    "temperature_mix",
     "cosine_expr",
     "document_fingerprint",
     "embedding_near_duplicates",

@@ -27,6 +27,77 @@ def hash_fraction(key: Column) -> Column:
     return F.conv(h, 16, 10).cast("bigint") / F.lit(_HASH_SPACE)
 
 
+def temperature_mix(
+    df: DataFrame,
+    target_fraction: float,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, source, n_source, rate, selected] — temperature-scaled
+    source mixing (the T5/Pile-style balancing step): each source's
+    keep-quota is proportional to ``n_source ** alpha``, scaled so the
+    expected kept total is ``target_fraction`` of the corpus; rows then
+    keep/drop by the deterministic hash fraction, so re-runs and
+    incremental builds select the same rows.
+
+    ``alpha < 1`` up-weights small sources relative to proportional
+    sampling (alpha=1 is proportional, alpha=0 is uniform-per-source).
+    The default 0.5 computes weights with sqrt — IEEE correctly rounded,
+    so the whole rate computation is engine-portable and
+    oracle-checkable; other alphas go through pow(), whose last ulp may
+    differ across libm implementations (property-tested instead). The
+    cross-source weight sum is a sorted left fold (the fusion
+    sorted-sum invariant) for the same reason.
+
+    Scale: ONE map-side-combinable per-source count, a one-row totals
+    frame, per-source rates broadcast back, and a narrow per-row keep
+    expression — the corpus itself never shuffles.
+    """
+    w_expr = (
+        F.sqrt(F.col("n_source").cast("double"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("n_source").cast("double"), F.lit(float(alpha)))
+    )
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count("*").alias("n_source"))
+        .withColumn("w", w_expr)
+    )
+    totals = counts.agg(
+        F.sum("n_source").alias("n_total"),  # bigint: exact
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sw"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(target_fraction)) * F.col("n_total").cast("double"))
+            * F.col("w")
+            / F.col("sw")
+            / F.col("n_source").cast("double"),
+        ).alias("rate"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+        )
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            "rate",
+            (hash_fraction(F.col("doc_id")) < F.col("rate")).alias("selected"),
+        )
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     rate: float,

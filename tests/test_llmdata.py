@@ -735,3 +735,27 @@ def test_minhash_hashed_verify_equals_string_jaccard(spark):
         assert abs(r["jaccard"] - expected) < 1e-12, (
             r["id1"], r["id2"], r["jaccard"], expected
         )
+
+
+def test_temperature_mix_balances_sources(spark):
+    from pydi_spark.llmdata import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, target_fraction=0.3, alpha=0.5)
+    rates = {r["source"]: r["rate"]
+             for r in out.select("source", "rate").distinct().collect()}
+    # alpha < 1 up-weights the small source relative to proportional
+    assert rates["small"] > rates["big"]
+    # expected kept total is target_fraction * N
+    assert abs(rates["big"] * 900 + rates["small"] * 100 - 300) < 1e-6
+    # alpha = 1 degenerates to proportional sampling: uniform rate
+    out1 = temperature_mix(df, target_fraction=0.3, alpha=1.0)
+    r1 = [r["rate"] for r in out1.select("rate").distinct().collect()]
+    assert all(abs(x - 0.3) < 1e-9 for x in r1)
+    # determinism: same rows selected on a repartitioned input
+    sel_a = {r["doc_id"] for r in out.where("selected").collect()}
+    sel_b = {r["doc_id"] for r in
+             temperature_mix(df.repartition(7), 0.3, alpha=0.5)
+             .where("selected").collect()}
+    assert sel_a == sel_b

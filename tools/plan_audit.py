@@ -34,6 +34,9 @@ ALLOWED = {
     # ONE-row average-balance aggregate broadcast onto the filtered
     # customer side (the scalar-subquery plan Spark itself emits): O(n)
     "tpch_q22": {"nested_loop"},
+    # ONE-row corpus totals (n_total, weight sum) broadcast onto the
+    # per-source rate table: O(#sources)
+    "text_temperature_mix": {"nested_loop"},
 }
 
 
