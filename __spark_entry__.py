@@ -2374,6 +2374,39 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_id_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed ID injection ({prefix}-0007 format,
+    reference io/loaders.py:127-176): global rank via range partitioning
+    + per-partition row_number + broadcast offsets (functions.ranks) —
+    NOT a bare Window.orderBy, which would funnel the table through one
+    partition."""
+    from pydi_spark.core.ids import add_id_column
+
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out, idc = add_id_column(supp, "supplier", order_by=["s_suppkey"])
+    return out.select(
+        F.col(idc).alias("sid"),
+        F.col("s_suppkey").cast("int").alias("s_suppkey"),
+        "s_name",
+    )
+
+
+def q_io_explode_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter-explode (reference io/loaders.py:886-922): split
+    multi-valued string cells into rows on the ``and``/comma/semicolon
+    pattern; the delimited input is synthesized from part columns."""
+    from pydi_spark.io.readers import explode_delimited
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("int").alias("pk"),
+        F.concat(
+            F.col("p_name"), F.lit(";"), F.col("p_brand"),
+            F.lit(" and "), F.col("p_type"),
+        ).alias("vals"),
+    )
+    return explode_delimited(part, "vals")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round-2 driver recorded CORRECTNESS rows for
     # exactly the FIRST 50 dict entries. r02 verified the old first 50
@@ -2425,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "io_roundtrip": q_io_roundtrip,
+        "io_id_injection": q_io_id_injection,
+        "io_explode_delimited": q_io_explode_delimited,
         "eval_ie": q_eval_ie,
         "outlier_bounds": q_outlier_bounds,
         "movies_parity": q_movies_parity,
@@ -3861,6 +3896,17 @@ SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name, r_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+"""
+    out["io_id_injection"] = """
+SELECT printf('supplier-%04d', row_number() OVER (ORDER BY s_suppkey) - 1) AS sid,
+       CAST(s_suppkey AS INT) AS s_suppkey, s_name
+FROM supplier
+"""
+    out["io_explode_delimited"] = r"""
+SELECT CAST(p_partkey AS INT) AS pk,
+       trim(unnest(regexp_split_to_array(
+         p_name || ';' || p_brand || ' and ' || p_type, '\s+and\s+|,|;'))) AS vals
+FROM part
 """
     out["text_repetition"] = f"""
 WITH t AS (SELECT CAST(doc_id AS VARCHAR) doc_id, {toks_text} AS tok FROM documents),

@@ -26,49 +26,10 @@ from pyspark.sql import functions as F
 
 from pydi_spark.blocking.base import resolve_side
 from pydi_spark.core.dataset import Dataset
+from pydi_spark.functions.ranks import global_row_number
 
-
-def global_row_number(
-    df: DataFrame,
-    order_cols: list,
-    out_col: str = "rn",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Distributed global row_number: range-partition on the ordering,
-    per-partition row_number, plus broadcast cumulative offsets."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    # materialize the ranked frame before the counts action: the count
-    # collect and the final join are two separate actions, and a
-    # recomputed range partitioning (nondeterministic upstream, AQE
-    # replan) could shift rows across partition boundaries between them,
-    # corrupting the global ranks
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
-    counts = (
-        local.groupBy("__pid").count().orderBy("__pid").collect()
-    )
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
-        )
-    )
-    return (
-        local.join(off_df, "__pid")
-        .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local_rn", "__off")
-    )
+# global_row_number moved to functions.ranks (shared with
+# deterministic ID injection); re-exported here for compatibility.
 
 
 @dataclass

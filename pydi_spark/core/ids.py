@@ -14,7 +14,7 @@ a synthetic string ID column ``{name}_id`` with zero-padded values
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -36,11 +36,15 @@ def add_id_column(
     if id_column in df.columns:
         return df, id_column
     if deterministic:
+        # distributed global rank (functions.ranks): a bare
+        # Window.orderBy would funnel the dataset through ONE partition
+        from pydi_spark.functions.ranks import global_row_number
+
         keys = order_by or df.columns
-        w = Window.orderBy(*[F.col(c) for c in keys])
-        idx = F.row_number().over(w) - F.lit(1)
-    else:
-        idx = F.monotonically_increasing_id()
+        ranked = global_row_number(df, keys, out_col="__rn")
+        value = F.format_string(f"{prefix}-%0{pad}d", F.col("__rn") - F.lit(1))
+        return ranked.withColumn(id_column, value).drop("__rn"), id_column
+    idx = F.monotonically_increasing_id()
     value = F.format_string(f"{prefix}-%0{pad}d", idx)
     return df.withColumn(id_column, value), id_column
 
