@@ -283,6 +283,60 @@ def q_fusion_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fusion_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFusionEvaluator (reference fusion/evaluation.py:253-497):
+    per-attribute + __overall__ accuracy of the fused output against a
+    derived gold. Gold prices are floored to the next-lower ten-thousand, so
+    numeric_tolerance_match(1%) is differential across groups (floor is
+    exact in IEEE — no cross-engine rounding hazard); gold dates equal
+    the fused minima, so year_only_match contributes all-correct rows.
+    Counts are integers; accuracy is ONE division — bit-identical."""
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+    from pydi_spark.fusion.evaluation import (
+        DataFusionEvaluator,
+        numeric_tolerance_match,
+        year_only_match,
+    )
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    ds = ds.with_df(
+        ds.df.select(
+            "rid",
+            F.col("o_totalprice").alias("price_max"),
+            F.col("o_orderdate").alias("dt_early"),
+        )
+    )
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("price_max", "maximum")
+        .add_attribute_fuser("dt_early", "earliest")
+    )
+    fused = DataFusionEngine(strat).run([ds], edges)
+    orders = _t(spark, sf_dir, "orders")
+    gold = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderkey").cast("string")).alias("group_id"),
+            (F.floor(F.max("o_totalprice") / 10000) * 10000)
+            .cast("double")
+            .alias("price_max"),
+            F.min("o_orderdate").alias("dt_early"),
+        )
+        .drop("o_custkey")
+    )
+    return DataFusionEvaluator().evaluate(
+        fused,
+        "_fusion_group_id",
+        gold,
+        "group_id",
+        {
+            "price_max": numeric_tolerance_match(0.01),
+            "dt_early": year_only_match,
+        },
+    )
+
+
 def q_fusion_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
 
@@ -1123,6 +1177,39 @@ def q_schema_label_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = LabelBasedSchemaMatcher("jaccard").match(supp, cust, threshold=0.1)
     return out.select(
         "source_column", "target_column", F.round("score", 6).alias("score")
+    )
+
+
+def q_schema_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaMappingEvaluator P/R/F1 (reference: schemamatching/
+    evaluation.py) over the label-based matcher's supplier->customer
+    correspondences vs a fixed gold that includes one unreachable pair
+    (the id columns, which the matcher excludes) — recall is
+    deliberately < 1. Driver-side set algebra over column-count-sized
+    inputs; ratios are single int/int divisions."""
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.schemamatching import (
+        LabelBasedSchemaMatcher,
+        SchemaMappingEvaluator,
+    )
+
+    supp = Dataset.wrap(_t(spark, sf_dir, "supplier"), "supplier", id_column="s_suppkey")
+    cust = Dataset.wrap(_t(spark, sf_dir, "customer"), "customer", id_column="c_custkey")
+    corr = LabelBasedSchemaMatcher("jaccard").match(supp, cust, threshold=0.1)
+    gold = spark.createDataFrame(
+        [
+            ("s_name", "c_name"),
+            ("s_nationkey", "c_nationkey"),
+            ("s_acctbal", "c_acctbal"),
+            ("s_suppkey", "c_custkey"),
+        ],
+        "source_column string, target_column string",
+    )
+    m = SchemaMappingEvaluator.evaluate(corr, gold)
+    return spark.createDataFrame(
+        [(int(m["tp"]), int(m["fp"]), int(m["fn"]),
+          m["precision"], m["recall"], m["f1"])],
+        "tp int, fp int, fn int, precision double, recall double, f1 double",
     )
 
 
@@ -2444,7 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_quality_filter": q_text_quality_filter,
         "text_vocabulary": q_text_vocabulary,
-        "text_tfidf": q_text_tfidf,
         "text_chunk": q_text_chunk,
         "text_budget_select": q_text_budget_select,
         "text_search_bm25": q_text_search_bm25,
@@ -2459,12 +2545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "io_roundtrip": q_io_roundtrip,
         "io_id_injection": q_io_id_injection,
-        "io_explode_delimited": q_io_explode_delimited,
         "eval_ie": q_eval_ie,
         "outlier_bounds": q_outlier_bounds,
         "movies_parity": q_movies_parity,
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "fusion_conflicts": q_fusion_conflicts,
+        "fusion_accuracy": q_fusion_accuracy,
+        "schema_eval": q_schema_eval,
         "translate_rename": q_translate_rename,
         "cluster_incremental": q_cluster_incremental,
         "normalize_text": q_normalize_text,
@@ -2478,8 +2565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_selection": q_fusion_selection,
         "dedup_exact": q_dedup_exact,
         "streaming_windowed": q_streaming_windowed,
-        # -- past the 50-entry window: all driver-green in r02, still
-        # -- gated locally by tools/check_oracle.py
+        # -- past the 50-entry window: driver-green in r02 or gated
+        # -- locally by tools/check_oracle.py (families already
+        # -- represented in-window)
+        "io_explode_delimited": q_io_explode_delimited,
+        "text_tfidf": q_text_tfidf,
         "blocking_token": q_blocking_token,
         "blocking_sorted_neighbourhood": q_blocking_snb,
         "blocking_cross": q_blocking_cross,
@@ -3459,6 +3549,39 @@ pairs AS (
 SELECT sn AS source_column, tn AS target_column, round(score, 6) AS score
 FROM pairs WHERE score >= 0.1
 """,
+        "schema_eval": """
+WITH sc AS (SELECT name FROM pragma_table_info('supplier') WHERE name <> 's_suppkey'),
+tc AS (SELECT name FROM pragma_table_info('customer') WHERE name <> 'c_custkey'),
+st AS (SELECT name, list_distinct(regexp_extract_all(lower(name), '[a-z]+')) AS t FROM sc),
+tt AS (SELECT name, list_distinct(regexp_extract_all(lower(name), '[a-z]+')) AS t FROM tc),
+pred AS (
+  SELECT s.name AS sn, c.name AS tn
+  FROM st s CROSS JOIN tt c
+  WHERE len(list_intersect(s.t, c.t))::DOUBLE / len(list_distinct(s.t || c.t)) >= 0.1
+),
+gold(sn, tn) AS (
+  VALUES ('s_name', 'c_name'), ('s_nationkey', 'c_nationkey'),
+         ('s_acctbal', 'c_acctbal'), ('s_suppkey', 'c_custkey')
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM pred p
+     WHERE EXISTS (SELECT 1 FROM gold g WHERE g.sn = p.sn AND g.tn = p.tn)) AS tp,
+    (SELECT count(*) FROM pred p
+     WHERE NOT EXISTS (SELECT 1 FROM gold g WHERE g.sn = p.sn AND g.tn = p.tn)) AS fp,
+    (SELECT count(*) FROM gold g
+     WHERE NOT EXISTS (SELECT 1 FROM pred p WHERE p.sn = g.sn AND p.tn = g.tn)) AS fn_
+)
+SELECT CAST(tp AS INT) AS tp, CAST(fp AS INT) AS fp, CAST(fn_ AS INT) AS fn,
+  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS precision,
+  CASE WHEN tp + fn_ > 0 THEN tp::DOUBLE / (tp + fn_) END AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn_ > 0
+        AND tp::DOUBLE / (tp + fp) > 0 AND tp::DOUBLE / (tp + fn_) > 0
+       THEN 2 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn_))
+            / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn_)))
+       ELSE 0.0 END AS f1
+FROM m
+""",
         "schema_instance_based": f"""
 WITH sl AS (
   SELECT 'p_name' AS col, unnest({_IB_TOK_SQL.format(col="p_name")}) AS term FROM part
@@ -4105,6 +4228,47 @@ WITH t AS (
 )
 SELECT rid, o_orderpriority FROM t
 WHERE frac < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.5 ELSE 0.1 END
+"""
+    out["fusion_accuracy"] = """
+WITH groups AS (
+  SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id
+  FROM orders GROUP BY o_custkey
+),
+fused AS (
+  SELECT g.group_id, max(o.o_totalprice) AS price_max,
+         min(o.o_orderdate) AS dt_early
+  FROM orders o JOIN groups g ON o.o_custkey = g.o_custkey
+  GROUP BY g.group_id
+),
+gold AS (
+  SELECT g.group_id,
+         CAST(floor(max(o.o_totalprice) / 10000) * 10000 AS DOUBLE) AS price_max,
+         min(o.o_orderdate) AS dt_early
+  FROM orders o JOIN groups g ON o.o_custkey = g.o_custkey
+  GROUP BY g.group_id
+),
+j AS (
+  SELECT f.price_max AS fp, g2.price_max AS gp,
+         f.dt_early AS fd, g2.dt_early AS gd
+  FROM fused f JOIN gold g2 USING (group_id)
+),
+per AS (
+  SELECT
+    count(*) FILTER (WHERE fp IS NOT NULL AND gp IS NOT NULL) AS n_p,
+    count(*) FILTER (WHERE fp IS NOT NULL AND gp IS NOT NULL
+      AND abs(fp - gp) / greatest(abs(fp), abs(gp), 1e-12) <= 0.01) AS c_p,
+    count(*) FILTER (WHERE fd IS NOT NULL AND gd IS NOT NULL) AS n_d,
+    count(*) FILTER (WHERE fd IS NOT NULL AND gd IS NOT NULL
+      AND year(fd) = year(gd)) AS c_d
+  FROM j
+)
+SELECT 'price_max' AS attribute, n_p AS n_compared, c_p AS n_correct,
+       c_p::DOUBLE / n_p AS accuracy FROM per
+UNION ALL
+SELECT 'dt_early', n_d, c_d, c_d::DOUBLE / n_d FROM per
+UNION ALL
+SELECT '__overall__', n_p + n_d, c_p + c_d,
+       (c_p + c_d)::DOUBLE / (n_p + n_d) FROM per
 """
     out["text_temperature_mix"] = """
 WITH counts AS (
