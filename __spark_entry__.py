@@ -1213,6 +1213,40 @@ def q_schema_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_llm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLMBasedSchemaMatcher plumbing (markdown sample render -> chat
+    prompt -> JSON parse -> mapping; reference schemamatching/
+    llm_based.py:32-583) through the deterministic value-overlap fake.
+    Both sides are pre-limited 5-row sorted samples of string columns,
+    so the matcher's internal limit is the identity and the sampled
+    value sets are exactly SQL-reproducible (asc vs desc custkey order
+    makes the segment overlap differential)."""
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.schemamatching import LLMBasedSchemaMatcher
+
+    cust = _t(spark, sf_dir, "customer")
+    src = Dataset.wrap(
+        cust.orderBy("c_custkey")
+        .limit(5)
+        .select(
+            F.col("c_mktsegment").alias("seg_a"), F.col("c_name").alias("name_a")
+        ),
+        "src",
+    )
+    tgt = Dataset.wrap(
+        cust.orderBy(F.desc("c_custkey"))
+        .limit(5)
+        .select(
+            F.col("c_mktsegment").alias("seg_b"), F.col("c_name").alias("name_b")
+        ),
+        "tgt",
+    )
+    out = LLMBasedSchemaMatcher().match(src, tgt, threshold=0.05)
+    return out.select(
+        "source_column", "target_column", F.round("score", 4).alias("score")
+    )
+
+
 def q_schema_instance_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-frequency cosine column profiles; max_sample_size is set above
     any test SF's row count so the (seeded, partition-dependent) sampling
@@ -2461,6 +2495,35 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_fwf (reference io/loaders.py:365-431): nation written as a
+    fixed-width text file (key left-justified to 5 chars, name to 20),
+    read back through the splittable text+substring loader, compared to
+    the parquet oracle directly."""
+    import os
+
+    from pydi_spark.io import load_fwf
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_fwf_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.format_string(
+            "%-5d%-20s", F.col("n_nationkey").cast("int"), F.col("n_name")
+        ).alias("value")
+    )
+    nation.coalesce(1).write.mode("overwrite").text(base)
+    out = load_fwf(
+        spark, base, "nation_fwf", colspecs=[(0, 5), (5, 25)], columns=["nk", "nm"]
+    ).df
+    return out.select(
+        F.col("nk").cast("int").alias("n_nationkey"),
+        F.col("nm").alias("n_name"),
+    )
+
+
 def q_io_id_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed ID injection ({prefix}-0007 format,
     reference io/loaders.py:127-176): global rank via range partitioning
@@ -2569,6 +2632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- locally by tools/check_oracle.py (families already
         # -- represented in-window)
         "io_explode_delimited": q_io_explode_delimited,
+        "io_fwf_roundtrip": q_io_fwf_roundtrip,
+        "schema_llm_fake": q_schema_llm_fake,
         "text_tfidf": q_text_tfidf,
         "blocking_token": q_blocking_token,
         "blocking_sorted_neighbourhood": q_blocking_snb,
@@ -4019,6 +4084,34 @@ SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name, r_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+"""
+    out["io_fwf_roundtrip"] = """
+SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name FROM nation
+"""
+    out["schema_llm_fake"] = """
+WITH src AS (
+  SELECT c_mktsegment AS seg_a, c_name AS name_a
+  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 5)
+),
+tgt AS (
+  SELECT c_mktsegment AS seg_b, c_name AS name_b
+  FROM (SELECT * FROM customer ORDER BY c_custkey DESC LIMIT 5)
+),
+cols AS (
+  SELECT 'seg_a' AS sc, list_distinct(list(seg_a)) AS sv FROM src
+  UNION ALL SELECT 'name_a', list_distinct(list(name_a)) FROM src
+),
+colt AS (
+  SELECT 'seg_b' AS tc, list_distinct(list(seg_b)) AS tv FROM tgt
+  UNION ALL SELECT 'name_b', list_distinct(list(name_b)) FROM tgt
+),
+pairs AS (
+  SELECT sc AS source_column, tc AS target_column,
+         round(len(list_intersect(sv, tv))::DOUBLE
+               / len(list_distinct(sv || tv)), 4) AS score
+  FROM cols CROSS JOIN colt
+)
+SELECT source_column, target_column, score FROM pairs WHERE score >= 0.05
 """
     out["io_id_injection"] = """
 SELECT printf('supplier-%04d', row_number() OVER (ORDER BY s_suppkey) - 1) AS sid,
