@@ -5,7 +5,8 @@ distributed operator from pydi_spark.llmdata:
 
   load -> language ID -> quality gate (Gopher rules) -> exact dedup
        -> MinHash near-dup canonicalization -> decontaminate vs eval
-       -> token-budget mixing -> greedy sequence packing -> summary
+       -> temperature source balancing -> token-budget mixing
+       -> greedy sequence packing -> summary
 
     python3 examples/llm_corpus_pipeline.py [sf_dir]
 
@@ -29,6 +30,7 @@ from pydi_spark.llmdata import (  # noqa: E402
     pack_sequences,
     quality_filter,
     select_token_budget,
+    temperature_mix,
 )
 from pydi_spark.llmdata.cleaning import decontaminate  # noqa: E402
 
@@ -67,11 +69,18 @@ def main() -> None:
     docs = train.join(clean_ids, "doc_id", "left_semi")
     n_clean = docs.count()
 
-    # 6. per-source token-budget mixing (deterministic hash order)
+    # 6. temperature-scaled source balancing (sqrt weights up-weight
+    # small sources; deterministic hash keep-decision)
+    balanced = temperature_mix(docs, target_fraction=0.8, alpha=0.5)
+    docs = docs.join(
+        balanced.where("selected").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 7. per-source token-budget mixing (deterministic hash order)
     mixed = select_token_budget(docs, budget_tokens=800)
     docs = docs.join(mixed.where("selected").select("doc_id"), "doc_id", "left_semi")
 
-    # 7. greedy sequence packing into 256-token context windows
+    # 8. greedy sequence packing into 256-token context windows
     packed = pack_sequences(docs, capacity_tokens=256)
     summary = packed.groupBy("source").agg(
         F.count("*").alias("docs"),
