@@ -20,6 +20,29 @@ TABLES = [
 ]
 
 
+# Queries inside the driver's 50-entry CORRECTNESS window must emit
+# only hash-safe values: ints, doubles, and newline-free strings.
+# Arrays error the driver's pandas hashtable, booleans and embedded
+# newlines silently flip its content hash (CORRECTNESS_r03) — reject
+# them here so a hash-unsafe output never reaches a driver round.
+HASH_SAFETY_EXEMPT = {"canary_hash_risky"}  # deliberately-risky probe
+
+
+def hash_safety_violations(rows, cols):
+    bad = {}
+    for r in rows[:2000]:
+        for c, v in zip(cols, r):
+            if c in bad:
+                continue
+            if isinstance(v, bool):
+                bad[c] = "boolean"
+            elif isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+                bad[c] = type(v).__name__
+            elif isinstance(v, str) and ("\n" in v or "\r" in v):
+                bad[c] = "embedded newline"
+    return bad
+
+
 def normalize(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -68,6 +91,7 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    window = set(list(qs)[:50]) - HASH_SAFETY_EXEMPT
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -81,6 +105,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
+        if name in window:
+            bad = hash_safety_violations(srows, scols)
+            if bad:
+                print(f"FAIL {name}: hash-unsafe window output: {bad}")
+                failed.append(name)
+                continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(srows)})")
             continue
