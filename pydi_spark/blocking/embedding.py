@@ -349,11 +349,14 @@ class EmbeddingBlocker:
         if method == "lsh" and self.text_column and not self.vector_column:
             # the LSH path reads each side twice (signatures + vector
             # re-attach); embedding on the fly with a real model is far
-            # more expensive than spilling the vectors, so materialize
-            from pyspark import StorageLevel
-
-            l = l.persist(StorageLevel.MEMORY_AND_DISK)
-            r = l if self_join else r.persist(StorageLevel.MEMORY_AND_DISK)
+            # more expensive than spilling the vectors, so materialize.
+            # localCheckpoint rather than persist(): a persisted plan
+            # sits in the cache manager until an explicit unpersist —
+            # storage leaked across repeated block() calls in long-lived
+            # sessions — while checkpoint blocks are freed by the
+            # ContextCleaner once the frame is unreferenced.
+            l = l.localCheckpoint(eager=True)
+            r = l if self_join else r.localCheckpoint(eager=True)
         if method == "brute":
             pairs = self._brute(l, r)
         elif method == "lsh":

@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 from pydi_spark.clustering.base import apply_threshold
 
+# Catalyst-estimate threshold under which the correspondence set is
+# safely driver-collectable for the exact sweep without any gating job
+# (mirrors connected_components.DRIVER_SAFE_EDGE_BYTES; corr rows carry
+# a score double on top of the two ids).
+DRIVER_SAFE_CORR_BYTES = 64 << 20
+
 
 @dataclass
 class GreedyOneToOneMatcher:
@@ -46,6 +52,18 @@ class GreedyOneToOneMatcher:
             return self._distributed(corr, self.max_rounds)
         if self.strategy != "auto":
             raise ValueError(f"unknown strategy: {self.strategy}")
+        # Same gate as connected_components: the free Catalyst size
+        # estimate first — the old corr.count() was a full extra job
+        # recomputing the whole uncached upstream lineage. Estimates
+        # are file-size based for parquet lineages (reliable); derived
+        # frames (createDataFrame/mapInPandas) report "unknown" = huge,
+        # for which we fall back to counting — but on a cached frame so
+        # the sweep's collect doesn't recompute the lineage again.
+        from pydi_spark.core.plansize import fits_estimate
+
+        if fits_estimate(corr, DRIVER_SAFE_CORR_BYTES):
+            return self._exact(corr)
+        corr = corr.localCheckpoint(eager=True)
         if corr.count() <= self.driver_edge_limit:
             return self._exact(corr)
         return self._distributed(corr, self.max_rounds)

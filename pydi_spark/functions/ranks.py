@@ -19,9 +19,13 @@ def global_row_number(
     order_cols: list,
     out_col: str = "rn",
     num_partitions: int | None = None,
+    return_count: bool = False,
 ) -> DataFrame:
     """Distributed global row_number: range-partition on the ordering,
-    per-partition row_number, plus broadcast cumulative offsets."""
+    per-partition row_number, plus broadcast cumulative offsets.
+
+    With ``return_count=True`` returns ``(df, total_rows)`` — the total
+    falls out of the offset collect for free (no extra job)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
@@ -50,8 +54,9 @@ def global_row_number(
             [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
         )
     )
-    return (
+    out = (
         local.join(off_df, "__pid")
         .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("long"))
         .drop("__pid", "__local_rn", "__off")
     )
+    return (out, acc) if return_count else out

@@ -112,6 +112,7 @@ def pack_sequences(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign whole documents, in doc-id order
     within each source, to consecutive fixed-capacity bins (the
@@ -122,14 +123,29 @@ def pack_sequences(
 
     Output: [doc_id, source, n_tokens, bin_id, bin_fill] where bin_id
     counts from 0 per source and bin_fill is the bin's running total
-    after placing the document.
+    after placing the document. With sharding, a ``shard_id`` column is
+    added and bin_id counts from 0 per (source, shard).
 
-    Scale design: packing is sequential WITHIN a source but parallel
-    ACROSS sources — one applyInPandas pass per source group (Arrow
-    batches, a linear integer scan inside). At corpus scale, shard each
-    source by a deterministic hash range and pack per (source, shard):
-    bins never span shards, so the result stays reproducible and the
-    group state stays bounded.
+    Scale contract: packing is sequential WITHIN a packing group — one
+    applyInPandas task holds the whole group. With ``n_shards=None``
+    the group is the source, so a corpus with a handful of sources
+    serializes onto a handful of tasks and every group's rows must fit
+    one executor. At corpus scale pass ``n_shards``: each document is
+    assigned a deterministic md5-hash shard (partition-independent,
+    reproducible — same property as :func:`deterministic_sample`), and
+    packing runs per (source, shard) with parallelism
+    ``n_sources * n_shards`` and O(|shard|) group state.
+
+    Shard-boundary semantics (explicit, documented): bins NEVER span
+    shards — the sharded result is exactly independent greedy packing
+    of each shard's own doc-id-ordered subsequence (pinned by a pytest
+    equivalence test). Relative to unsharded packing this (a) partitions
+    each source's doc sequence into n_shards hash-interleaved
+    subsequences rather than one, and (b) leaves at most one partially
+    filled trailing bin per shard instead of one per source. Bin
+    CONTENTS therefore differ from the unsharded order — acceptable for
+    pretraining batching, where bin composition only needs determinism,
+    not a single global order.
     """
     import pandas as pd
 
@@ -142,6 +158,12 @@ def pack_sequences(
         F.col(source_col).alias("source"),
         toks.cast("bigint").alias("n_tokens"),
     )
+    sharded = n_shards is not None and int(n_shards) > 1
+    if sharded:
+        base = base.withColumn(
+            "shard_id",
+            F.floor(hash_fraction(F.col("doc_id")) * F.lit(int(n_shards))).cast("int"),
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -159,6 +181,12 @@ def pack_sequences(
         pdf["bin_fill"] = pd.Series(fills, dtype="int64")
         return pdf
 
+    if sharded:
+        return base.groupBy("source", "shard_id").applyInPandas(
+            pack,
+            schema="doc_id long, source string, shard_id int, n_tokens long, "
+                   "bin_id int, bin_fill long",
+        )
     return base.groupBy("source").applyInPandas(
         pack,
         schema="doc_id long, source string, n_tokens long, bin_id int, bin_fill long",

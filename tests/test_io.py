@@ -35,6 +35,22 @@ def test_add_id_column_deterministic(spark):
     assert got == {"a": "t-0000", "b": "t-0001", "c": "t-0002"}
 
 
+def test_add_id_column_pad_widens(spark):
+    # reference semantics (io/loaders.py:127-176): padding widens to
+    # digits(row_count-1) above 9,999 rows, so ids keep the
+    # stable-string-sort property ('t-09999' < 't-10000')
+    df = spark.range(10_001).select(F.col("id").alias("x"))
+    out, col = add_id_column(df, "t", order_by=["x"])
+    ids = [r[col] for r in out.orderBy("x").collect()]
+    assert ids[0] == "t-00000" and ids[-1] == "t-10000"
+    assert sorted(ids) == ids  # string sort == numeric sort
+    # explicit pad still honored
+    out4, col4 = add_id_column(
+        spark.createDataFrame([("a",)], "x string"), "u", order_by=["x"], pad=6
+    )
+    assert out4.first()[col4] == "u-000000"
+
+
 def test_load_csv_json_fwf(spark, tmp_path):
     csv = tmp_path / "t.csv"
     csv.write_text("a,b\n1,x\n2,y\n")

@@ -656,6 +656,41 @@ def test_pack_sequences(spark):
     assert again == {k: v["bin_id"] for k, v in out.items()}
 
 
+def test_pack_sequences_sharded_equivalence(spark):
+    """Shard-boundary contract: with n_shards=K the result is EXACTLY
+    independent greedy packing of each hash-shard's own doc-id-ordered
+    subsequence — i.e. pack(shard_subset) == sharded rows of pack()."""
+    from pydi_spark.llmdata import pack_sequences
+    from pydi_spark.llmdata.sampling import hash_fraction
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (7 * (i % 13) + 1), "s" + str(i % 2)) for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    k = 3
+    sharded = pack_sequences(docs, 64, n_shards=k)
+    rows = sharded.collect()
+    assert {r["shard_id"] for r in rows} <= set(range(k))
+    # every doc survives, exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(80))
+    # replay: per (shard) subset through the UNsharded path
+    with_shard = docs.withColumn(
+        "shard_id", F.floor(hash_fraction(F.col("doc_id")) * k).cast("int")
+    )
+    got = {(r["doc_id"]): (r["shard_id"], r["bin_id"], r["bin_fill"]) for r in rows}
+    for s in range(k):
+        subset = with_shard.where(F.col("shard_id") == s).drop("shard_id")
+        if subset.limit(1).count() == 0:
+            continue
+        for r in pack_sequences(subset, 64).collect():
+            assert got[r["doc_id"]] == (s, r["bin_id"], r["bin_fill"])
+    # determinism across physical partitionings
+    again = {r["doc_id"]: (r["shard_id"], r["bin_id"])
+             for r in pack_sequences(docs.repartition(7), 64, n_shards=k).collect()}
+    assert again == {d: (v[0], v[1]) for d, v in got.items()}
+
+
 def test_perceptual_hash_near_dups(spark):
     import numpy as np
 
