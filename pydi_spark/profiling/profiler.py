@@ -45,9 +45,23 @@ class DataProfiler:
             "columns": columns,
         }
 
-    def profile(self, data: Dataset | DataFrame, out_dir: str | None = None) -> dict:
+    def profile(
+        self,
+        data: Dataset | DataFrame,
+        out_dir: str | None = None,
+        histogram_bins: int = 10,
+    ) -> dict:
         """Extended per-column stats (numeric five-number summary,
-        string length stats, top values) + optional HTML artifact."""
+        string length stats, top values, equi-width histograms) +
+        optional HTML artifact with per-column sections (the repo's
+        stand-in for the reference's ydata/sweetviz reports,
+        PyDI/profiling/profiler.py:30-106 — same signals, rendered
+        dependency-free).
+
+        Scale shape: three aggregate jobs total regardless of column
+        count — summary, stats, histograms (all buckets for all numeric
+        columns are conditional sums inside ONE agg) — plus one small
+        groupBy per low-cardinality string column for top values."""
         df = as_dataframe(data)
         base = self.summary(data)
         numeric = [c for c, t in df.dtypes
@@ -76,6 +90,52 @@ class DataProfiler:
                 )
             for c in strings:
                 base["columns"][c]["avg_length"] = row[f"__len_{c}"]
+        # equi-width histograms for all numeric columns in ONE agg pass:
+        # bucket membership is a conditional sum (JVM codegen, no
+        # shuffle beyond the single partial/final aggregate)
+        hist_cols = [
+            c for c in numeric
+            if base["columns"][c].get("min") is not None
+            and base["columns"][c].get("max") is not None
+        ]
+        hist_aggs = []
+        edges_by_col: dict[str, list[float]] = {}
+        for c in hist_cols:
+            lo = float(base["columns"][c]["min"])
+            hi = float(base["columns"][c]["max"])
+            if hi <= lo:
+                edges_by_col[c] = [lo, hi]
+                continue
+            width = (hi - lo) / histogram_bins
+            edges = [lo + i * width for i in range(histogram_bins)] + [hi]
+            edges_by_col[c] = edges
+            col = F.col(c).cast("double")
+            for i in range(histogram_bins):
+                upper_ok = (
+                    col <= F.lit(edges[i + 1]) if i == histogram_bins - 1
+                    else col < F.lit(edges[i + 1])
+                )
+                hist_aggs.append(
+                    F.sum(
+                        F.when((col >= F.lit(edges[i])) & upper_ok, 1).otherwise(0)
+                    ).alias(f"__h_{c}_{i}")
+                )
+        if hist_aggs:
+            hrow = df.agg(*hist_aggs).collect()[0]
+            for c in hist_cols:
+                edges = edges_by_col[c]
+                if len(edges) == 2:  # constant column: single full bucket
+                    base["columns"][c]["histogram"] = {
+                        "edges": edges, "counts": [base["columns"][c]["non_null"]],
+                    }
+                    continue
+                base["columns"][c]["histogram"] = {
+                    "edges": edges,
+                    "counts": [
+                        int(hrow[f"__h_{c}_{i}"] or 0)
+                        for i in range(histogram_bins)
+                    ],
+                }
         # top values for low-cardinality strings (one pass per candidate)
         for c in strings:
             if base["columns"][c]["approx_distinct"] <= 25:
@@ -114,19 +174,92 @@ class DataProfiler:
         return coverage_metrics(datasets)
 
     @staticmethod
-    def _render_html(profile: dict) -> str:
-        rows = []
-        for c, st in profile["columns"].items():
-            rows.append(
-                f"<tr><td>{c}</td><td>{st['dtype']}</td><td>{st['non_null']}</td>"
-                f"<td>{st['nulls']}</td><td>{st['approx_distinct']}</td></tr>"
+    def _svg_histogram(hist: dict, width: int = 360, height: int = 90) -> str:
+        counts = hist.get("counts") or []
+        if not counts:
+            return ""
+        peak = max(counts) or 1
+        n = len(counts)
+        bw = width / n
+        bars = []
+        for i, cnt in enumerate(counts):
+            h = 0 if peak == 0 else (cnt / peak) * (height - 10)
+            bars.append(
+                f'<rect x="{i * bw + 1:.1f}" y="{height - h:.1f}" '
+                f'width="{bw - 2:.1f}" height="{h:.1f}" fill="#4878a8">'
+                f"<title>[{hist['edges'][i]:.4g}, "
+                f"{hist['edges'][min(i + 1, len(hist['edges']) - 1)]:.4g}): {cnt}</title></rect>"
             )
         return (
-            "<html><body><h1>Profile: "
-            f"{profile.get('dataset') or ''}</h1>"
+            f'<svg width="{width}" height="{height}" '
+            'xmlns="http://www.w3.org/2000/svg">' + "".join(bars) + "</svg>"
+        )
+
+    @staticmethod
+    def _render_html(profile: dict) -> str:
+        import html as _html
+
+        def esc(v):
+            return _html.escape(str(v))
+
+        def fmt(v):
+            if isinstance(v, float):
+                return f"{v:.6g}"
+            return esc(v) if v is not None else "—"
+
+        overview = []
+        for c, st in profile["columns"].items():
+            overview.append(
+                f"<tr><td><a href='#col_{esc(c)}'>{esc(c)}</a></td>"
+                f"<td>{esc(st['dtype'])}</td><td>{st['non_null']}</td>"
+                f"<td>{st['nulls']}</td><td>{st['approx_distinct']}</td></tr>"
+            )
+        sections = []
+        stat_keys = [
+            ("min", "min"), ("q25", "q25"), ("median", "median"),
+            ("q75", "q75"), ("max", "max"), ("mean", "mean"),
+            ("stddev", "stddev"), ("avg_length", "avg length"),
+        ]
+        for c, st in profile["columns"].items():
+            parts = [f"<h2 id='col_{esc(c)}'>{esc(c)} <small>({esc(st['dtype'])})</small></h2>"]
+            parts.append(
+                "<table class='kv'>"
+                f"<tr><td>non-null</td><td>{st['non_null']}</td></tr>"
+                f"<tr><td>nulls</td><td>{st['nulls']}</td></tr>"
+                f"<tr><td>~distinct</td><td>{st['approx_distinct']}</td></tr>"
+                + "".join(
+                    f"<tr><td>{label}</td><td>{fmt(st[k])}</td></tr>"
+                    for k, label in stat_keys if st.get(k) is not None
+                )
+                + "</table>"
+            )
+            if st.get("histogram"):
+                parts.append(DataProfiler._svg_histogram(st["histogram"]))
+            if st.get("top_values"):
+                parts.append(
+                    "<table class='top'><tr><th>value</th><th>count</th></tr>"
+                    + "".join(
+                        f"<tr><td>{esc(t['value'])}</td><td>{t['count']}</td></tr>"
+                        for t in st["top_values"]
+                    )
+                    + "</table>"
+                )
+            sections.append("<div class='col'>" + "".join(parts) + "</div>")
+        style = (
+            "<style>body{font-family:sans-serif;margin:24px}"
+            "table{border-collapse:collapse;margin:8px 0}"
+            "td,th{border:1px solid #ccc;padding:2px 8px;text-align:left}"
+            ".col{margin-bottom:24px;border-top:1px solid #ddd;padding-top:8px}"
+            "h2 small{color:#777;font-weight:normal}</style>"
+        )
+        return (
+            "<html><head><meta charset='utf-8'>" + style + "</head><body>"
+            f"<h1>Profile: {esc(profile.get('dataset') or '')}</h1>"
             f"<p>{profile['rows']} rows, {profile['n_columns']} columns</p>"
-            "<table border=1><tr><th>column</th><th>dtype</th><th>non-null</th>"
+            "<table><tr><th>column</th><th>dtype</th><th>non-null</th>"
             "<th>nulls</th><th>~distinct</th></tr>"
-            + "".join(rows)
-            + "</table></body></html>"
+            + "".join(overview)
+            + "</table>"
+            + "".join(sections)
+            + "</body></html>"
         )

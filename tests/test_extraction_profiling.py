@@ -97,10 +97,44 @@ def test_profiler(spark, sf_dir, tmp_path):
     assert prof["rows"] == 150
     assert prof["columns"]["c_acctbal"]["median"] is not None
     assert prof["columns"]["c_mktsegment"]["top_values"]
+    # histogram: 10 equi-width buckets partitioning all non-null values
+    hist = prof["columns"]["c_acctbal"]["histogram"]
+    assert len(hist["counts"]) == 10 and len(hist["edges"]) == 11
+    assert sum(hist["counts"]) == prof["columns"]["c_acctbal"]["non_null"]
+    assert hist["edges"][0] == prof["columns"]["c_acctbal"]["min"]
     assert (tmp_path / "customer_profile.html").exists()
 
     cmp = DataProfiler().compare(ds, ds)
     assert cmp["only_a"] == [] and cmp["shared_columns"]
+
+
+def test_profiler_html_report(spark, tmp_path):
+    """Per-column report sections on movies-shaped fixtures (the repo's
+    stand-in for PyDI's ydata/sweetviz HTML, profiler.py:30-106)."""
+    from pydi_spark.core.dataset import Dataset
+
+    movies = Dataset.wrap(
+        spark.createDataFrame(
+            [
+                ("m1", "The Matrix", 1999, 8.7, "scifi"),
+                ("m2", "Heat", 1995, 8.3, "crime"),
+                ("m3", "Blade Runner", 1982, 8.1, "scifi"),
+                ("m4", "Alien", 1979, None, "scifi"),
+                ("m5", "Casablanca", 1942, 8.5, None),
+            ],
+            "id string, title string, year int, rating double, genre string",
+        ),
+        "movies", id_column="id",
+    )
+    prof = DataProfiler().profile(movies, out_dir=str(tmp_path))
+    html = (tmp_path / "movies_profile.html").read_text()
+    for c in prof["columns"]:
+        assert f"col_{c}" in html  # a section per column
+    assert "<svg" in html  # numeric histograms rendered
+    assert prof["columns"]["rating"]["histogram"]["counts"]
+    assert sum(prof["columns"]["year"]["histogram"]["counts"]) == 5
+    assert prof["columns"]["genre"]["top_values"]  # distinct-count table
+    assert "~distinct" in html
 
 
 def test_streaming_ops(spark, sf_dir):
