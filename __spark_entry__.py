@@ -638,6 +638,111 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the testdata has no
+    partsupp, so profit is revenue = l_extendedprice*(1-l_discount)
+    (no supply-cost term) for parts whose name starts with 'red'.
+    part and the supplier->nation dimension chain broadcast; the fact
+    scan aggregates by (nation, order year) with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    sdim = F.broadcast(
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sdim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the global maximum. The per-supplier
+    aggregate is map-side-combined; the scalar max is a one-row
+    broadcast joined back (no second scan of lineitem). Revenue stays
+    DECIMAL through the max-equality so the comparison is exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if Brand#23 orders below 20% of the part's mean quantity were
+    not taken. The per-part mean is ONE aggregate over the brand-filtered
+    fact rows, broadcast back — the correlated subquery never rescans
+    lineitem. avg is written as sum(decimal)/count on both engines so
+    the 0.2*avg threshold is bit-identical."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    brand_li = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = F.broadcast(
+        brand_li.groupBy(F.col("l_partkey").alias("ak"))
+        .agg(
+            (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty")
+        )
+    )
+    return (
+        brand_li.join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
 def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     rows = []
@@ -2685,8 +2790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   8-12  the five never-driver-checked queries, rotated in;
     #   13-14 the two hasher canaries (safe = expected green,
     #         risky = expected red, drift detection);
-    #   15-50 36 r03-green continuity representatives spanning every
-    #         family.
+    #   15-50 round-4 NEW queries (tpch_q9/q15/q17, ...) followed by
+    #         r03-green continuity representatives spanning every
+    #         family (the displaced twice-green reps moved past 50).
     # Everything past 50 has a driver-green row in r02 or r03 and
     # stays under the local gate (tools/check_oracle.py). After a
     # green r04 window, all 105 real queries have been driver-green
@@ -2709,11 +2815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window 13-14: driver-hasher canaries
         "canary_hash_safe": q_canary_hash_safe,
         "canary_hash_risky": q_canary_hash_risky,
-        # -- window 15-50: r03-green continuity representatives
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
+        # -- window 15-50: round-4 NEW queries first, then r03-green
+        # -- continuity representatives
+        "tpch_q9": q_tpch_q9,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "tpch_q7": q_tpch_q7,
-        "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
         "join_asof": q_join_asof,
@@ -2749,8 +2856,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry window: driver-green in r02 or r03,
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -3369,6 +3479,51 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+""",
+        "tpch_q9": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+        "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+        "tpch_q17": """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), avg_qty AS (
+  SELECT l_partkey AS ak,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li JOIN avg_qty ON l_partkey = ak
+WHERE l_quantity < 0.2 * avg_qty
 """,
         "tpch_q18": """
 WITH big AS (
