@@ -1631,6 +1631,70 @@ SELECT id1, id2, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.3
 """
 
 
+def _semantic_centroids() -> list[list[float]]:
+    """8 unit-norm random centroids from seed 7 — regenerated with the
+    identical numpy code in the oracle builder (the ann_lsh hyperplane
+    pattern) so both engines see the same double literals. The k-means
+    training path of semantic_dedup_pairs is pytest-covered (sampling
+    is not SQL-replayable)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    C = rng.standard_normal((8, 64))
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in C]
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup: nearest-centroid
+    assignment (injected centroids), within-cluster pairwise cosine at
+    threshold 0.3. Cluster scoping makes the pair set a strict subset
+    of dedup_embedding's LSH pairs — the differential signal here."""
+    from pydi_spark.llmdata.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.3, centroids=_semantic_centroids()
+    )
+    return pairs.select(
+        "cell", "id1", "id2", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _dedup_semantic_oracle_sql() -> str:
+    """SQL replay of semantic_dedup_pairs with the seed-7 centroids
+    inlined as double literals: rank-1 nearest-centroid assignment,
+    within-cell self-join, exact cosine threshold — identical float64
+    expression trees on both engines (list_cosine_similarity matches
+    the native cosine_expr fold bit-for-bit, proven by the ann/
+    dedup_embedding oracles)."""
+    cents = ", ".join(
+        "(" + str(i) + ", ["
+        + ", ".join(repr(x) for x in c)
+        + "]::DOUBLE[])"
+        for i, c in enumerate(_semantic_centroids())
+    )
+    return f"""
+WITH v AS (SELECT CAST(vec_id AS VARCHAR) rid, embedding::DOUBLE[] e FROM embeddings),
+cent AS (SELECT * FROM (VALUES {cents}) AS t(cell, c)),
+scored AS (
+  SELECT rid, e, cell, list_cosine_similarity(e, c) AS cos
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT rid, e, cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY rid ORDER BY cos DESC, cell) = 1
+),
+pairs AS (
+  SELECT a.cell AS cell, a.rid AS id1, b.rid AS id2,
+         list_cosine_similarity(a.e, b.e) AS cos
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.rid < b.rid
+)
+SELECT cell, id1, id2, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.3
+"""
+
+
 def q_streaming_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL-stateful first-seen dedup (`stateful_dedup_ttl`,
     applyInPandasWithState) driven as a real bounded stream. Key-only
@@ -1970,6 +2034,34 @@ def q_text_clean_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # md5(clean_text): hash-safe serialization of the newline-bearing
     # column (see q_text_clean docstring).
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        F.length("clean_text").cast("int").alias("clean_len"),
+        "n_lines_kept", "n_lines_total",
+    )
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (C4 rule: a line occurring more
+    than once in the corpus survives only at its first occurrence).
+    Synthesizes 4-line docs whose 2nd line repeats per source and whose
+    4th repeats corpus-wide, so the first (doc_id, pos) occurrence
+    keeps each and every later document drops it; the text substrings
+    exercise the no-duplicate fast path. md5(clean_text) keeps the
+    newline-bearing output hash-safe (window convention)."""
+    from pydi_spark.llmdata.cleaning import dedup_corpus_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 200), F.lit("\n"),
+            F.lit("footer for "), F.col("source"), F.lit("\n"),
+            F.substring("text", 201, 200), F.lit("\n"),
+            F.lit("share this article"),
+        ).alias("text"),
+    )
+    out = dedup_corpus_lines(docs)
     return out.select(
         "doc_id",
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
@@ -2824,15 +2916,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
         "join_asof": q_join_asof,
-        "join_range": q_join_range,
         "join_skew_salted": q_join_skew_salted,
+        "dedup_semantic": q_dedup_semantic,
         "streaming_join": q_streaming_join,
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "profile_coverage": q_profile_coverage,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
-        "text_quality_filter": q_text_quality_filter,
+        "text_line_dedup": q_text_line_dedup,
         "text_chunk": q_text_chunk,
         "text_search_bm25": q_text_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -2856,6 +2948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry window: driver-green in r02 or r03,
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
+        "text_quality_filter": q_text_quality_filter,
+        "join_range": q_join_range,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -4094,6 +4188,7 @@ FROM metrics
     }
     out["cluster_cc_distributed"] = out["cluster_connected_components"]
     out["dedup_embedding"] = _dedup_embedding_oracle_sql()
+    out["dedup_semantic"] = _dedup_semantic_oracle_sql()
     out["streaming_stateful_ttl"] = "SELECT DISTINCT user_id FROM events"
     out["fusion_conflicts"] = """
 WITH edges AS (
@@ -4362,6 +4457,40 @@ SELECT doc_id,
        sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS n_lines_kept,
        count(*) AS n_lines_total
 FROM final GROUP BY doc_id
+"""
+    out["text_line_dedup"] = r"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         substr(text, 1, 200) || chr(10)
+         || 'footer for ' || source || chr(10)
+         || substr(text, 201, 200) || chr(10)
+         || 'share this article' AS raw
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'line': sp[i]} for i in range(1, len(sp) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(raw, chr(10)) AS sp FROM docs)
+),
+base AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line, trim(s.line) AS norm
+  FROM lines
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         (length(norm) < 1)
+         OR (row_number() OVER (
+               PARTITION BY CASE WHEN length(norm) >= 1 THEN md5(norm)
+                                 ELSE doc_id || ':' || CAST(pos AS VARCHAR) END
+               ORDER BY doc_id, pos) = 1) AS keep
+  FROM base
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
+       CAST(length(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS INT) AS clean_len,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_lines_kept,
+       count(*) AS n_lines_total
+FROM marked GROUP BY doc_id
 """
     out["io_roundtrip"] = """
 SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name, r_name

@@ -83,6 +83,74 @@ def clean_document_lines(
     )
 
 
+def dedup_corpus_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the C4 rule: any line that
+    occurs more than once in the corpus is kept only at its first
+    occurrence). Beyond the reference — north-star LLM-data op.
+
+    Returns [doc_id, clean_text, n_lines_kept, n_lines_total]. "First"
+    is the globally deterministic (doc_id ASC, pos ASC) occurrence of
+    the trimmed line, so the result is partition-count-independent.
+    Lines shorter than ``min_chars`` after trimming (default: empty
+    lines) are structural and always kept.
+
+    Scale design: lines are keyed by md5 (narrow 32-char shuffle key,
+    never the line text), first-occurrence is a row_number window
+    PARTITIONED BY the hash — one exchange on the hash, one on doc_id
+    for the order-preserving reassembly; no broadcast, no driver state,
+    no Python. Duplicate-heavy corpora skew the hash partitions no
+    worse than the duplicate count itself, and the window computes
+    rank without materializing per-key groups.
+    """
+    from pyspark.sql import Window
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    lines = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    # ineligible lines get a UNIQUE key (doc:pos), not a shared null —
+    # a corpus full of blank lines must not funnel into one partition
+    keyed = lines.withColumn(
+        "__eligible", F.length(norm) >= F.lit(int(min_chars))
+    ).withColumn(
+        "__lh",
+        F.when(F.col("__eligible"), F.md5(norm.cast("binary"))).otherwise(
+            F.concat_ws(":", "doc_id", "pos")
+        ),
+    )
+    w = Window.partitionBy("__lh").orderBy("doc_id", "pos")
+    marked = keyed.repartition(parallelism, "__lh").withColumn(
+        "keep",
+        (~F.col("__eligible")) | (F.row_number().over(w) == F.lit(1)),
+    )
+    return (
+        marked.repartition(parallelism, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_lines_kept"),
+            F.count("*").alias("n_lines_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

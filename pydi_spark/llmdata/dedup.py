@@ -457,6 +457,87 @@ def embedding_near_duplicates(
     return pairs.select("id1", "id2", F.col("score").alias("cosine"))
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int | None = None,
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """[cell, id1, id2, cosine]: SemDeDup-style cluster-scoped embedding
+    near-dup pairs (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"). Vectors are assigned
+    to their nearest centroid and pairwise cosine runs only WITHIN a
+    cluster — the cross-cluster quadratic term is never materialized.
+    Compose with ``canonical_corpus`` to keep one representative per
+    duplicate group (deterministic min-id convention, like the other
+    pair generators here).
+
+    ``centroids``: pre-trained cluster centres (list of float lists) —
+    the common production shape where centroids come from an offline
+    k-means. ``None`` trains driver-side k-means on a sample (the IVF
+    path, ``auto_n_centroids`` ~sqrt(n)).
+
+    Scale design: the centroid table is tiny and broadcast; assignment
+    is a broadcast nested-loop scored by the native cosine expression
+    and pruned by a per-vector rank-1 window (one shuffle of n*k narrow
+    rows). The per-cell self-join is explicitly repartitioned on
+    (cell, id1) before the quadratic stage so AQE cannot serialize it,
+    and with ~sqrt(n) cells the expected per-cell population keeps the
+    join near-linear. No driver state beyond the centroids.
+    """
+    from pyspark.sql import Window
+
+    from pydi_spark.llmdata.similarity import (
+        _kmeans_centroids,
+        auto_n_centroids,
+        cosine_expr,
+    )
+
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if centroids is None:
+        n = df.count()
+        k = n_centroids or auto_n_centroids(n)
+        C = _kmeans_centroids(df, vec_col, k, sample_size, seed, n_rows=n)
+        centroids = [[float(x) for x in row] for row in C]
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cvec array<double>",
+        )
+    )
+    base = df.select(
+        F.col(id_col).cast("string").alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    scored = base.crossJoin(cent).withColumn(
+        "__cos", cosine_expr(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("rid").orderBy(F.desc("__cos"), F.col("cell"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("rid", "vec", "cell")
+    )
+    left = assigned.select(
+        "cell", F.col("rid").alias("id1"), F.col("vec").alias("v1")
+    ).repartition(parallelism, "cell", "id1")
+    right = assigned.select(
+        "cell", F.col("rid").alias("id2"), F.col("vec").alias("v2")
+    )
+    return (
+        left.join(right, "cell")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_expr(F.col("v1"), F.col("v2")))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("cell", "id1", "id2", "cosine")
+    )
+
+
 def canonical_corpus(
     df: DataFrame,
     pairs: DataFrame,

@@ -171,6 +171,39 @@ def test_embedding_near_duplicates(spark):
     assert out == {("1", "2")}
 
 
+def test_semantic_dedup_pairs(spark):
+    import numpy as np
+
+    from pydi_spark.llmdata.dedup import semantic_dedup_pairs
+
+    # two tight planted clusters + noise; near-identical twins inside each
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        base = np.zeros(8)
+        base[i % 2] = 1.0
+        v = base + rng.standard_normal(8) * 0.02
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # injected-centroid path: the two axis centroids scope the pairs
+    cents = [[1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6]
+    out = semantic_dedup_pairs(df, threshold=0.99, centroids=cents).collect()
+    assert out, "tight planted twins must pair within their cluster"
+    for r in out:
+        # cluster scoping: both members share the dominant axis = cell
+        assert int(r["id1"]) % 2 == int(r["id2"]) % 2 == r["cell"]
+        assert r["cosine"] >= 0.99
+
+    # auto k-means path finds the same duplicate structure
+    auto = semantic_dedup_pairs(
+        df, threshold=0.99, n_centroids=2, sample_size=40, seed=1
+    ).collect()
+    assert {(r["id1"], r["id2"]) for r in auto} == {
+        (r["id1"], r["id2"]) for r in out
+    }
+
+
 def test_broadcast_verify_auto_resolution(spark, docs):
     from pydi_spark.llmdata.dedup import _resolve_broadcast_verify
 
@@ -357,6 +390,33 @@ def test_clean_document_lines(spark):
     )
     got = clean_document_lines(df2, require_terminal_punct=True).collect()[0]
     assert got["clean_text"] == "a proper sentence."
+
+
+def test_dedup_corpus_lines(spark):
+    from pydi_spark.llmdata.cleaning import dedup_corpus_lines
+
+    rows = [
+        ("d1", "unique one\nshared footer\n\nunique two"),
+        ("d2", "shared footer\nunique three\n"),
+        ("d3", "shared footer\nshared footer\nunique four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in dedup_corpus_lines(df).collect()}
+    # first occurrence (d1, pos 1) keeps 'shared footer'; later ones drop —
+    # including the within-document repeat in d3
+    assert out["d1"]["clean_text"] == "unique one\nshared footer\n\nunique two"
+    assert out["d1"]["n_lines_kept"] == 4 and out["d1"]["n_lines_total"] == 4
+    assert out["d2"]["clean_text"] == "unique three\n"  # empty line kept
+    assert out["d2"]["n_lines_kept"] == 2
+    assert out["d3"]["clean_text"] == "unique four"
+    assert out["d3"]["n_lines_kept"] == 1 and out["d3"]["n_lines_total"] == 3
+
+    # partition-count independence of the 'first occurrence' choice
+    single = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_corpus_lines(df.coalesce(1)).collect()
+    }
+    assert single == {k: v["clean_text"] for k, v in out.items()}
 
 
 def test_repetition_scores(spark):

@@ -24,6 +24,9 @@ ALLOWED = {
     "blocking_cross": {"cartesian", "nested_loop"},  # NoBlocker IS the cartesian op
     "ann_topk": {"nested_loop"},          # broadcast query-side brute force
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
+    # k tiny broadcast centroids x corpus: the SemDeDup assignment
+    # fan-out is O(n*k) by construction, like ann_ivf's
+    "dedup_semantic": {"nested_loop"},
     "eval_blocking": {"cartesian"},       # metrics row built via driver counts
     # 11-row broadcast threshold table x scored gold pairs: O(11n), the
     # nested-loop side is the broadcast literal table
