@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q22",
     "streaming_join",
+    # round-4 additions
+    "tpch_q9",
+    "tpch_q15",
+    "tpch_q17",
+    "text_line_dedup",
+    "dedup_semantic",
 ]
 
 
