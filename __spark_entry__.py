@@ -2231,6 +2231,51 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rid", "o_orderpriority")
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (llmdata.unigram_lm_scores), trained
+    on the corpus itself. mean_token_freq is integer arithmetic + two
+    single divisions — emitted RAW (bit-identical, the fusion_numeric
+    precedent); mean_logprob rides on ln(), which libm implementations
+    round differently, so it stays out of the oracle projection and is
+    numpy-replayed in pytest instead (the BPE-ish-counter split)."""
+    from pydi_spark.llmdata.textstats import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tokens", "n_oov", "sum_count", "mean_token_freq",
+    )
+
+
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (llmdata.
+    quality_weighted_sample): weight = distinct-token ratio (an exact
+    int/int division), quantized to ppm bigints so the corpus-wide
+    weight sum is an exact integer aggregate; rate is one left-to-right
+    double expression replayed identically in the oracle. selected is
+    int-cast per the hash-safe window convention."""
+    from pydi_spark.functions.tokenize import word_tokens
+    from pydi_spark.llmdata.sampling import quality_weighted_sample
+
+    toks = word_tokens(F.col("text"))
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "w"
+        ),
+    )
+    out = quality_weighted_sample(
+        base, weight_col="w", key_col="doc_id", target_fraction=0.4
+    )
+    return out.select(
+        "doc_id",
+        "weight_ppm",
+        F.round("rate", 6).alias("rate"),
+        F.col("selected").cast("int").alias("selected"),
+    )
+
+
 def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (llmdata.temperature_mix, the
     T5/Pile-style balancing step). alpha=0.5 -> sqrt weights: every
@@ -2920,7 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "streaming_join": q_streaming_join,
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
-        "profile_coverage": q_profile_coverage,
+        "text_lm_score": q_text_lm_score,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
@@ -2930,13 +2975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_pack": q_text_pack,
         "text_temperature_mix": q_text_temperature_mix,
+        "sample_quality_weighted": q_sample_quality_weighted,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "io_roundtrip": q_io_roundtrip,
         "io_id_injection": q_io_id_injection,
         "eval_ie": q_eval_ie,
-        "outlier_bounds": q_outlier_bounds,
         "movies_parity": q_movies_parity,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
@@ -2950,6 +2995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- represented in-window)
         "text_quality_filter": q_text_quality_filter,
         "join_range": q_join_range,
+        "profile_coverage": q_profile_coverage,
+        "outlier_bounds": q_outlier_bounds,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -4726,6 +4773,44 @@ SELECT grp,
          ',') AS pooled_micro_csv,
        max(n) AS n_vectors
 FROM p GROUP BY grp
+"""
+    out["text_lm_score"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, unnest({toks_text}) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+tot AS (SELECT sum(c) AS N FROM counts),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(0 AS BIGINT) AS n_oov,
+         sum(c) AS sum_count
+  FROM t JOIN counts USING (token) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov, sum_count,
+       CAST(sum_count AS DOUBLE) / n_tokens / CAST(N AS DOUBLE) AS mean_token_freq
+FROM per CROSS JOIN tot
+"""
+    out["sample_quality_weighted"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, {toks_text} AS tok FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(floor(1000000.0 * greatest(0.0, least(1.0,
+              len(list_distinct(tok))::DOUBLE / len(tok)))) AS BIGINT) AS weight_ppm,
+         list_sum([(strpos('0123456789abcdef', substr(md5(doc_id), i, 1)) - 1)
+                   * 16.0 ** (8 - i) for i in range(1, 9)])
+         / 4294967296.0 AS frac
+  FROM t
+),
+tot AS (SELECT count(*) AS n, sum(weight_ppm) AS sw FROM w)
+SELECT doc_id, weight_ppm,
+       round(least(1.0, 0.4 * CAST(n AS DOUBLE) * CAST(weight_ppm AS DOUBLE)
+                        / CAST(sw AS DOUBLE)), 6) AS rate,
+       CASE WHEN frac < least(1.0, 0.4 * CAST(n AS DOUBLE)
+                              * CAST(weight_ppm AS DOUBLE) / CAST(sw AS DOUBLE))
+            THEN 1 ELSE 0 END AS selected
+FROM w CROSS JOIN tot
 """
     out["sample_stratified"] = """
 WITH t AS (

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "tpch_q17",
     "text_line_dedup",
     "dedup_semantic",
+    "text_lm_score",
+    "sample_quality_weighted",
 ]
 
 

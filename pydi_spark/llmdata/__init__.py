@@ -3,6 +3,11 @@ from pydi_spark.llmdata.chunking import (
     pack_sequences,
     select_token_budget,
 )
+from pydi_spark.llmdata.cleaning import (
+    clean_document_lines,
+    decontaminate,
+    dedup_corpus_lines,
+)
 from pydi_spark.llmdata.dedup import (
     canonical_corpus,
     embedding_near_duplicates,
@@ -10,12 +15,14 @@ from pydi_spark.llmdata.dedup import (
     minhash_signatures,
     minhash_near_duplicates,
     ngram_jaccard_duplicates,
+    semantic_dedup_pairs,
     simhash_fingerprint,
     simhash_near_duplicates,
 )
 from pydi_spark.llmdata.sampling import (
     deterministic_sample,
     hash_fraction,
+    quality_weighted_sample,
     temperature_mix,
 )
 from pydi_spark.llmdata.search import bm25_scores, inverted_index
@@ -35,11 +42,18 @@ from pydi_spark.llmdata.textstats import (
     repetition_scores,
     tfidf_keywords,
     token_counts,
+    unigram_lm_scores,
     vocabulary,
 )
 
 __all__ = [
     "bm25_scores",
+    "clean_document_lines",
+    "decontaminate",
+    "dedup_corpus_lines",
+    "quality_weighted_sample",
+    "semantic_dedup_pairs",
+    "unigram_lm_scores",
     "auto_n_centroids",
     "brute_force_topk",
     "chunk_documents",

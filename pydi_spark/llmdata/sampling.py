@@ -98,6 +98,58 @@ def temperature_mix(
     )
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    target_fraction: float | None = None,
+) -> DataFrame:
+    """[...input-cols, weight_ppm, rate, selected]: deterministic
+    importance sampling by a per-row quality weight in [0, 1] (the
+    FineWeb/CCNet-style "sample good documents preferentially" step).
+    A row is kept iff ``hash_fraction(key) < rate``, so the decision is
+    row-keyed: reproducible across partitioning, engines, and
+    incremental re-runs, like the other samplers here.
+
+    ``target_fraction=None``: rate = the clamped weight itself.
+    Otherwise rates are scaled so the EXPECTED kept count is
+    ``target_fraction * n`` (clamped at 1.0 per row).
+
+    Cross-engine determinism: weights are quantized to ppm bigints
+    (floor(1e6 * w) — floor of a bit-identical double is exact) so the
+    corpus-wide weight sum is an EXACT integer aggregate — summing raw
+    doubles would make the scale factor partition-order dependent. The
+    final rate is one left-to-right double expression over those
+    integers.
+
+    Scale: one map-side-combinable bigint aggregate, a one-row
+    broadcast, and a narrow per-row expression; the corpus never
+    shuffles.
+    """
+    w = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.col(weight_col).cast("double"))
+    )
+    out = df.withColumn("weight_ppm", F.floor(F.lit(1e6) * w).cast("bigint"))
+    if target_fraction is None:
+        rate = F.col("weight_ppm").cast("double") / F.lit(1e6)
+    else:
+        totals = out.agg(
+            F.count("*").alias("__n"),
+            F.sum("weight_ppm").alias("__sw_ppm"),
+        )
+        out = out.crossJoin(F.broadcast(totals))
+        rate = F.least(
+            F.lit(1.0),
+            F.lit(float(target_fraction))
+            * F.col("__n").cast("double")
+            * F.col("weight_ppm").cast("double")
+            / F.col("__sw_ppm").cast("double"),
+        )
+    return out.withColumn("rate", rate).withColumn(
+        "selected", hash_fraction(F.col(key_col)) < F.col("rate")
+    ).drop("__n", "__sw_ppm")
+
+
 def deterministic_sample(
     df: DataFrame,
     rate: float,

@@ -271,6 +271,81 @@ def quality_filter(
     return out.withColumn("keep", keep_expr)
 
 
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """[doc_id, n_tokens, n_oov, sum_count, mean_token_freq,
+    mean_logprob]: unigram language-model quality scoring — the
+    CCNet-style "score documents by how typical their words are" filter
+    (CCNet uses a KenLM n-gram model; the unigram variant is the
+    distributable first-order version). ``train_df`` holds the corpus
+    the model is counted from (default: ``df`` itself — then n_oov is
+    0 by construction); ``alpha`` is add-alpha smoothing for tokens
+    unseen in training.
+
+    ``mean_token_freq`` = (sum of the tokens' training counts /
+    n_tokens) / N is pure integer arithmetic plus two single divisions
+    — bit-identical cross-engine (the oracle-checked column).
+    ``mean_logprob`` = mean ln((c+alpha)/(N+alpha*V)) is the actual LM
+    score; ln() is not guaranteed identically rounded across libm
+    implementations, so it is property-tested (numpy replay) rather
+    than oracle-checked — the same split as the BPE-ish token counter.
+
+    Scale: counts are a two-level aggregate (map-side combine before
+    the narrow token shuffle); scoring is one equi-join on the token
+    against the count table and one per-doc aggregate; N and V ride a
+    one-row broadcast. The corpus text itself never shuffles.
+    """
+    train = df if train_df is None else train_df
+    counts = (
+        train.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__c"))
+    )
+    totals = counts.agg(
+        F.sum("__c").alias("__N"), F.count("*").alias("__V")
+    )
+    doc_toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    joined = doc_toks.join(counts, "token", "left").crossJoin(
+        F.broadcast(totals)
+    )
+    smoothed = (
+        (F.coalesce(F.col("__c"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.col("__N").cast("double")
+            + F.lit(float(alpha)) * F.col("__V").cast("double")
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("__c").isNull().cast("int")).alias("n_oov"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("sum_count"),
+            F.sum(F.log(smoothed)).alias("__sum_lp"),
+            F.first("__N").alias("__N1"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            "sum_count",
+            (
+                (F.col("sum_count").cast("double") / F.col("n_tokens"))
+                / F.col("__N1")
+            ).alias("mean_token_freq"),
+            (F.col("__sum_lp") / F.col("n_tokens")).alias("mean_logprob"),
+        )
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

@@ -473,6 +473,71 @@ def test_embedding_quantize_and_pool(spark):
     assert pooled["g2"]["pooled"] == pytest.approx([1.0, 1.0])
 
 
+def test_unigram_lm_scores(spark):
+    import math
+
+    from pydi_spark.llmdata.textstats import unigram_lm_scores
+
+    rows = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the the the the"),
+        ("d3", "zygote qux flux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+
+    # self-trained: no OOV, counts replayed by hand
+    # corpus tokens: the x6, cat,sat,on,mat,zygote,qux,flux x1 -> N=13
+    assert all(r["n_oov"] == 0 for r in out.values())
+    assert out["d2"]["n_tokens"] == 4 and out["d2"]["sum_count"] == 24
+    assert abs(out["d2"]["mean_token_freq"] - (24 / 4) / 13) < 1e-15
+    # "all common words" scores above "all rare words"
+    assert out["d2"]["mean_logprob"] > out["d3"]["mean_logprob"]
+
+    # numpy replay of the smoothed logprob (alpha=1, N=13, V=8)
+    lp = math.log((6 + 1) / (13 + 8))  # P('the')
+    assert abs(out["d2"]["mean_logprob"] - lp) < 1e-12
+
+    # external training corpus: unseen tokens count as OOV but still
+    # get smoothed mass
+    train = spark.createDataFrame(
+        [("t1", "the cat sat")], "doc_id string, text string"
+    )
+    ext = {
+        r["doc_id"]: r
+        for r in unigram_lm_scores(df, train_df=train).collect()
+    }
+    assert ext["d3"]["n_oov"] == 3 and ext["d3"]["sum_count"] == 0
+    assert math.isfinite(ext["d3"]["mean_logprob"])
+
+
+def test_quality_weighted_sample(spark):
+    from pydi_spark.llmdata.sampling import quality_weighted_sample
+
+    rows = [(f"d{i}", (i % 11) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    out = quality_weighted_sample(df, "w", "doc_id").collect()
+    for r in out:
+        assert r["weight_ppm"] == int(1e6 * min(1.0, max(0.0, r["w"])))
+        assert abs(r["rate"] - r["weight_ppm"] / 1e6) < 1e-12
+    # zero-weight rows can never be selected
+    assert not any(r["selected"] for r in out if r["weight_ppm"] == 0)
+
+    scaled = quality_weighted_sample(
+        df, "w", "doc_id", target_fraction=0.5
+    ).collect()
+    n = len(scaled)
+    exp = sum(r["rate"] for r in scaled)
+    assert abs(exp - 0.5 * n) / n < 0.25  # rates target the fraction
+    # decision is keyed to the row: repartitioned input selects same rows
+    again = quality_weighted_sample(
+        df.repartition(7), "w", "doc_id", target_fraction=0.5
+    ).collect()
+    assert {r["doc_id"] for r in scaled if r["selected"]} == {
+        r["doc_id"] for r in again if r["selected"]
+    }
+
+
 def test_deterministic_sample(spark):
     from pydi_spark.llmdata.sampling import deterministic_sample
 

@@ -40,6 +40,10 @@ ALLOWED = {
     # ONE-row corpus totals (n_total, weight sum) broadcast onto the
     # per-source rate table: O(#sources)
     "text_temperature_mix": {"nested_loop"},
+    # ONE-row (N, V) totals broadcast onto the doc-token frame: O(n)
+    "text_lm_score": {"nested_loop"},
+    # ONE-row (n, sum weight_ppm) totals broadcast onto the corpus: O(n)
+    "sample_quality_weighted": {"nested_loop"},
 }
 
 
