@@ -3,10 +3,11 @@
 The composition a pretraining data team runs, stage by stage, each one a
 distributed operator from pydi_spark.llmdata:
 
-  load -> language ID -> quality gate (Gopher rules) -> exact dedup
-       -> MinHash near-dup canonicalization -> decontaminate vs eval
-       -> temperature source balancing -> token-budget mixing
-       -> greedy sequence packing -> summary
+  load -> language ID -> quality gate (Gopher rules) -> corpus line
+       dedup (C4 rule) -> MinHash near-dup canonicalization
+       -> decontaminate vs eval -> LM quality scoring
+       -> quality-weighted sampling -> temperature source balancing
+       -> token-budget mixing -> greedy sequence packing -> summary
 
     python3 examples/llm_corpus_pipeline.py [sf_dir]
 
@@ -25,14 +26,17 @@ from pyspark.sql import functions as F  # noqa: E402
 from pydi_spark import get_spark  # noqa: E402
 from pydi_spark.llmdata import (  # noqa: E402
     canonical_corpus,
+    decontaminate,
+    dedup_corpus_lines,
     language_id,
     minhash_near_duplicates,
     pack_sequences,
     quality_filter,
+    quality_weighted_sample,
     select_token_budget,
     temperature_mix,
+    unigram_lm_scores,
 )
-from pydi_spark.llmdata.cleaning import decontaminate  # noqa: E402
 
 
 def main() -> None:
@@ -53,6 +57,15 @@ def main() -> None:
     docs = docs.join(keep_ids, "doc_id", "left_semi")
     n_quality = docs.count()
 
+    # 2b. corpus-level exact line dedup (C4 rule: every repeated line
+    # survives only at its first occurrence)
+    lines = dedup_corpus_lines(docs)
+    docs = (
+        docs.drop("text", "n_chars")
+        .join(lines.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .withColumn("n_chars", F.length("text"))
+    )
+
     # 3+4. exact + near-dup canonicalization (MinHash LSH -> connected
     # components -> keep min doc per component)
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.9)
@@ -68,6 +81,24 @@ def main() -> None:
     clean_ids = flags.where(~F.col("is_contaminated")).select("doc_id")
     docs = train.join(clean_ids, "doc_id", "left_semi")
     n_clean = docs.count()
+
+    # 5b. unigram-LM quality scoring + quality-weighted sampling:
+    # documents made of typical words get proportionally higher keep
+    # rates (deterministic md5-fraction decision)
+    lm = unigram_lm_scores(docs)
+    weighted = docs.join(
+        lm.select(
+            "doc_id",
+            (F.lit(250.0) * F.col("mean_token_freq")).alias("w"),
+        ),
+        "doc_id",
+    )
+    sampled = quality_weighted_sample(
+        weighted, weight_col="w", key_col="doc_id", target_fraction=0.9
+    )
+    docs = docs.join(
+        sampled.where("selected").select("doc_id"), "doc_id", "left_semi"
+    )
 
     # 6. temperature-scaled source balancing (sqrt weights up-weight
     # small sources; deterministic hash keep-decision)
