@@ -161,6 +161,11 @@ def minhash_near_duplicates(
     sigs = tok_rows.groupBy("id").agg(
         *sig_aggs, F.collect_set(_token_hash60(F.col("tok"))).alias("toks")
     )
+    # sigs feeds THREE consumers (band table + both verify sides): without
+    # materialization the corpus tokenize + num_hashes-way min aggregate
+    # recomputes per consumer. localCheckpoint over persist() so the blocks
+    # free with the frame (the embedding-blocker lesson, ADVICE r3).
+    sigs = sigs.localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.concat(
@@ -285,7 +290,11 @@ def simhash_near_duplicates(
     """[id1, id2, hamming]: band-trick candidates (bands of 15 bits;
     Hamming <= bands-1 guarantees a shared band) verified exactly."""
     rows = SIMHASH_BITS // bands
-    base = simhash_fingerprints(df, text_col, id_col)
+    # both join sides derive from the fingerprints; checkpoint so the
+    # 60-sum vote aggregate runs once, not per side (see minhash note)
+    base = simhash_fingerprints(df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     banded = base.withColumn(
         "band_key",
         F.explode(
@@ -379,6 +388,10 @@ def ngram_jaccard_duplicates(
         _token_hash60(F.array_join(toks, " ")).alias("shingle"),
     )
     exploded = sh_long.unionByName(short).dropDuplicates(["id", "shingle"])
+    # the shingle rows feed up to FOUR consumers (set re-attach, hot-
+    # shingle count, its semi-join, candidate generation); checkpoint so
+    # the posexplode + window-lead shingle generation runs once
+    exploded = exploded.localCheckpoint(eager=True)
     base = exploded.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
     if max_shingle_frequency:
         freq_keep = (
