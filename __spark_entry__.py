@@ -177,6 +177,37 @@ def q_blocking_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TokenBlocker(column="p_name").block(part, id_column="p_partkey")
 
 
+def q_blocking_standard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardBlocker's skew cap (max_block_size — the scale knob the
+    reference only logs about): keys whose |L|x|R| pair count exceeds
+    the cap are dropped deterministically, so the knob itself is
+    oracle-checkable. Cap 400 prunes the 4 hottest nations at sf0.01."""
+    from pydi_spark.blocking import StandardBlocker
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_nationkey").alias("k")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_nationkey").alias("k")
+    )
+    return StandardBlocker(on=["k"], max_block_size=400).block(
+        supp, cust, id_column="rid"
+    )
+
+
+def q_blocking_token_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenBlocker's hot-token pruning (max_token_frequency): tokens
+    above the per-side document-frequency cap never generate candidates
+    — the one-hot-token-is-the-whole-job guard at corpus scale. The cap
+    is a deterministic key drop, so exactly replayable in SQL."""
+    from pydi_spark.blocking import TokenBlocker
+
+    part = _t(spark, sf_dir, "part")
+    return TokenBlocker(column="p_name", max_token_frequency=250).block(
+        part, id_column="p_partkey"
+    )
+
+
 def q_blocking_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.blocking import SortedNeighbourhoodBlocker
 
@@ -2981,12 +3012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "io_roundtrip": q_io_roundtrip,
         "io_id_injection": q_io_id_injection,
-        "eval_ie": q_eval_ie,
+        "blocking_standard_capped": q_blocking_standard_capped,
+        "blocking_token_capped": q_blocking_token_capped,
         "movies_parity": q_movies_parity,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
-        "translate_rename": q_translate_rename,
         "cluster_incremental": q_cluster_incremental,
         "normalize_text": q_normalize_text,
         "match_llm_fake": q_match_llm_fake,
@@ -2997,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_join_range,
         "profile_coverage": q_profile_coverage,
         "outlier_bounds": q_outlier_bounds,
+        "eval_ie": q_eval_ie,
+        "translate_rename": q_translate_rename,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3340,6 +3373,33 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
        CAST(s_nationkey AS VARCHAR) block_key
 FROM supplier JOIN customer ON s_nationkey = c_nationkey
+""",
+        "blocking_standard_capped": """
+WITH l AS (SELECT CAST(s_suppkey AS VARCHAR) id1,
+                  CAST(s_nationkey AS VARCHAR) block_key FROM supplier),
+r AS (SELECT CAST(c_custkey AS VARCHAR) id2,
+             CAST(c_nationkey AS VARCHAR) block_key FROM customer),
+keep AS (
+  SELECT ln.block_key
+  FROM (SELECT block_key, count(*) nl FROM l GROUP BY 1) ln
+  JOIN (SELECT block_key, count(*) nr FROM r GROUP BY 1) rn USING (block_key)
+  WHERE nl * nr <= 400
+)
+SELECT id1, id2, block_key
+FROM l JOIN r USING (block_key) JOIN keep USING (block_key)
+""",
+        "blocking_token_capped": """
+WITH tok AS (
+  SELECT p_partkey, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(p_name), '[^\\p{L}\\p{N}#'']+'), x -> x != '')
+  )) AS t FROM part
+),
+keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 250)
+SELECT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2,
+       min(a.t) AS block_key
+FROM tok a JOIN keep USING (t) JOIN tok b ON a.t = b.t
+WHERE a.p_partkey < b.p_partkey
+GROUP BY 1, 2
 """,
         "blocking_token": """
 WITH tok AS (
