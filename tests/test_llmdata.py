@@ -473,6 +473,66 @@ def test_embedding_quantize_and_pool(spark):
     assert pooled["g2"]["pooled"] == pytest.approx([1.0, 1.0])
 
 
+def test_dedup_corpus_lines_idempotent(spark):
+    from pydi_spark.llmdata.cleaning import dedup_corpus_lines
+
+    rows = [
+        ("a", "x one\nshared\nx two"),
+        ("b", "shared\ny one\nshared"),
+        ("c", "z one\nshared\nz one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    once = dedup_corpus_lines(df)
+    twice = dedup_corpus_lines(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    # a clean corpus has no repeated lines left -> dedup is idempotent
+    # (up to the blank placeholders of already-removed lines)
+    for k in a:
+        assert [x for x in b[k].split("\n") if x.strip()] == [
+            x for x in a[k].split("\n") if x.strip()
+        ]
+
+
+def test_semantic_dedup_subset_of_bruteforce(spark):
+    import numpy as np
+
+    from pydi_spark.llmdata.dedup import (
+        embedding_near_duplicates,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(6)]) for i in range(60)
+    ]
+    # plant twins
+    rows += [(100 + i, [v * 1.001 for v in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = [[float(x) for x in c] for c in rng.standard_normal((4, 6))]
+    sem = {
+        (r["id1"], r["id2"])
+        for r in semantic_dedup_pairs(df, threshold=0.9, centroids=cents).collect()
+    }
+    brute = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, method="brute"
+        ).collect()
+    }
+    # normalize orientation: pair operators orient by STRING id order
+    norm = lambda s: {tuple(sorted(p)) for p in s}  # noqa: E731
+    sem, brute = norm(sem), norm(brute)
+    # cluster scoping can only REMOVE cross-cluster pairs, never invent
+    assert sem <= brute
+    # near-identical twins land in the same cluster -> all recovered
+    twins = norm({(str(i), str(100 + i)) for i in range(5)})
+    assert twins <= sem
+
+
 def test_unigram_lm_scores(spark):
     import math
 
