@@ -225,6 +225,42 @@ def q_blocking_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NoBlocker().block(region, nation, id_column="rid")
 
 
+def q_match_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureExtractor (reference feature_extraction.py:20-227): one
+    feature column per comparator over the blocked pair table — the
+    whole feature matrix is a single select, no per-row loop. Same
+    levenshtein/max-difference ingredients as match_rule_based, so the
+    oracle replays each column exactly."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.functions.comparators import (
+        NumericComparator,
+        StringComparator,
+    )
+    from pydi_spark.matching import FeatureExtractor
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"), F.col("s_nationkey").alias("k"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    feats = FeatureExtractor(
+        [
+            StringComparator("name", "levenshtein"),
+            NumericComparator("bal", max_difference=5000.0),
+        ]
+    ).create_features(supp, cust, pairs, id_column="rid")
+    return feats.select(
+        "id1",
+        "id2",
+        F.round("feat_name_0", 6).alias("feat_name"),
+        F.round("feat_bal_1", 6).alias("feat_bal"),
+    )
+
+
 def q_match_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = _rule_corr(spark, sf_dir)
     return corr.where(F.col("score") >= 0.3).select(
@@ -2863,6 +2899,36 @@ def q_io_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_feather (reference io/loaders.py:925-951): nation written to
+    a Feather file with arrow on the driver, read back through the
+    loader, compared to the parquet oracle directly. Driver-side by
+    design — Feather is a small-file interchange format."""
+    import os
+
+    import pyarrow.feather as feather
+    import pyarrow.parquet as pq
+
+    from pydi_spark.io import load_feather
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_feather_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "nation.feather")
+    feather.write_feather(
+        pq.read_table(f"{sf_dir}/nation.parquet"), path
+    )
+    out = load_feather(spark, path, "nation_feather").df
+    return out.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 def q_io_id_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed ID injection ({prefix}-0007 format,
     reference io/loaders.py:127-176): global rank via range partitioning
@@ -3001,9 +3067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
         "text_line_dedup": q_text_line_dedup,
-        "text_chunk": q_text_chunk,
+        "match_features": q_match_features,
         "text_search_bm25": q_text_search_bm25,
-        "text_span_dedup": q_text_span_dedup,
+        "io_feather_roundtrip": q_io_feather_roundtrip,
         "text_pack": q_text_pack,
         "text_temperature_mix": q_text_temperature_mix,
         "sample_quality_weighted": q_sample_quality_weighted,
@@ -3030,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_bounds": q_outlier_bounds,
         "eval_ie": q_eval_ie,
         "translate_rename": q_translate_rename,
+        "text_chunk": q_text_chunk,
+        "text_span_dedup": q_text_span_dedup,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3373,6 +3441,19 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
        CAST(s_nationkey AS VARCHAR) block_key
 FROM supplier JOIN customer ON s_nationkey = c_nationkey
+""",
+        "match_features": """
+WITH s AS (SELECT CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1, s_nationkey k FROM supplier),
+     c AS (SELECT CAST(c_custkey AS VARCHAR) id2, c_name n2, c_acctbal b2, c_nationkey k FROM customer)
+SELECT id1, id2,
+       round(1.0 - levenshtein(n1, n2)::DOUBLE / greatest(length(n1), length(n2)), 6) AS feat_name,
+       round(greatest(0.0, 1.0 - abs(b1 - b2) / 5000.0), 6) AS feat_bal
+FROM s JOIN c USING (k)
+""",
+        "io_feather_roundtrip": """
+SELECT CAST(n_nationkey AS INT) n_nationkey, n_name,
+       CAST(n_regionkey AS INT) n_regionkey
+FROM nation
 """,
         "blocking_standard_capped": """
 WITH l AS (SELECT CAST(s_suppkey AS VARCHAR) id1,
