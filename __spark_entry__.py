@@ -261,6 +261,30 @@ def q_match_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextFormatter (reference text_formatting.py): template-rendered
+    record text for PLM/LLM matchers, as one native format_string —
+    replayed with printf in the oracle. Missing values take the
+    placeholder path."""
+    from pydi_spark.matching import TextFormatter
+
+    fmt = TextFormatter(
+        ["s_name", "s_nationkey"],
+        template="{s_name} (nation {s_nationkey})",
+        handle_missing="placeholder",
+    )
+    supp = _t(spark, sf_dir, "supplier").withColumn(
+        "s_nationkey",
+        F.when(F.col("s_suppkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("s_nationkey")
+        ),
+    )
+    return supp.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        fmt.expr().alias("text"),
+    )
+
+
 def q_match_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = _rule_corr(spark, sf_dir)
     return corr.where(F.col("score") >= 0.3).select(
@@ -3086,7 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
         "normalize_text": q_normalize_text,
-        "match_llm_fake": q_match_llm_fake,
+        "match_text_format": q_match_text_format,
         # -- past the 50-entry window: driver-green in r02 or r03,
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
@@ -3098,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_rename": q_translate_rename,
         "text_chunk": q_text_chunk,
         "text_span_dedup": q_text_span_dedup,
+        "match_llm_fake": q_match_llm_fake,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3441,6 +3466,15 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
        CAST(s_nationkey AS VARCHAR) block_key
 FROM supplier JOIN customer ON s_nationkey = c_nationkey
+""",
+        "match_text_format": """
+SELECT CAST(s_suppkey AS BIGINT) s_suppkey,
+       printf('%s (nation %s)',
+              coalesce(s_name, '[MISSING]'),
+              coalesce(CAST(CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                                 ELSE s_nationkey END AS VARCHAR), '[MISSING]')
+       ) AS text
+FROM supplier
 """,
         "match_features": """
 WITH s AS (SELECT CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1, s_nationkey k FROM supplier),
