@@ -1170,6 +1170,52 @@ def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations — §2.13 window/
+    grouping surface; completes the rollup row). Exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide conditional aggregation): order counts and
+    exact decimal price sums per priority, pivoted on order status.
+    Explicit pivot values keep the output schema deterministic; the
+    oracle replays with portable conditional sums."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("double").alias("sum_price"),
+        )
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("F_sum_price"), F.lit(0.0)).alias("f_sum"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("O_sum_price"), F.lit(0.0)).alias("o_sum"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("p_n"),
+        F.coalesce(F.col("P_sum_price"), F.lit(0.0)).alias("p_sum"),
+    )
+
+
 def q_normalize_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed parsers (boolean/percentage/url/phone) over crafted strings."""
     from pydi_spark.normalization.parsers import (
@@ -3048,9 +3094,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   8-12  the five never-driver-checked queries, rotated in;
     #   13-14 the two hasher canaries (safe = expected green,
     #         risky = expected red, drift detection);
-    #   15-50 round-4 NEW queries (tpch_q9/q15/q17, ...) followed by
-    #         r03-green continuity representatives spanning every
-    #         family (the displaced twice-green reps moved past 50).
+    #   15-50 the 12 round-4 NEW queries (tpch_q9/q15/q17,
+    #         dedup_semantic, text_lm_score, text_line_dedup,
+    #         match_features, io_feather_roundtrip,
+    #         sample_quality_weighted, blocking_*_capped,
+    #         match_text_format) interleaved with 24 r03-green
+    #         continuity representatives; displaced twice-green reps
+    #         moved past 50.
     # Everything past 50 has a driver-green row in r02 or r03 and
     # stays under the local gate (tools/check_oracle.py). After a
     # green r04 window, all 105 real queries have been driver-green
@@ -3174,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_parsers": q_normalize_parsers,
         "eval_threshold_sweep": q_eval_threshold_sweep,
         "tpch_rollup": q_tpch_rollup,
+        "tpch_cube": q_tpch_cube,
+        "tpch_pivot": q_tpch_pivot,
         "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
         "cluster_centre": q_cluster_centre,
         "cluster_hierarchical": q_cluster_hierarchical,
@@ -4012,6 +4064,27 @@ SELECT CAST(c.user_id AS VARCHAR) user_id,
        p.value AS purchase_value
 FROM c JOIN p ON c.user_id = p.user_id
   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+        "tpch_cube": """
+SELECT coalesce(l_returnflag, 'ALL') returnflag,
+       coalesce(l_linestatus, 'ALL') linestatus,
+       count(*) n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "tpch_pivot": """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS f_sum,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS o_sum,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS p_sum
+FROM orders GROUP BY 1
 """,
         "tpch_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') returnflag,
