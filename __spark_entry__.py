@@ -374,6 +374,37 @@ def q_fusion_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fusion_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug-mode fusion trace (fusion_debug_long — the reference's
+    per-group per-attribute JSONL debug log, engine.py:257-354): melt
+    of [group_id, attribute, value, confidence, rule]. Voting
+    confidence is the integer vote share (portable division);
+    longest_string confidence is its 0.7 constant."""
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+    from pydi_spark.fusion.engine import fusion_debug_long
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    ds = ds.with_df(
+        ds.df.select(
+            "rid",
+            F.col("o_orderpriority").alias("pri_vote"),
+            F.col("o_orderpriority").alias("pri_long"),
+        )
+    )
+    strat = (
+        DataFusionStrategy()
+        .add_attribute_fuser("pri_vote", "voting")
+        .add_attribute_fuser("pri_long", "longest_string")
+    )
+    fused = DataFusionEngine(strat).run([ds], edges, debug=True)
+    out = fusion_debug_long(fused)
+    return out.select(
+        "group_id", "attribute", "value",
+        F.round("confidence", 6).alias("confidence"), "rule",
+    )
+
+
 def q_fusion_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFusionEvaluator (reference fusion/evaluation.py:253-497):
     per-attribute + __overall__ accuracy of the fused output against a
@@ -3194,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_cross": q_blocking_cross,
         "cluster_stable_matching": q_cluster_stable_matching,
         "fusion_numeric": q_fusion_numeric,
+        "fusion_debug": q_fusion_debug,
         "fusion_trust": q_fusion_trust,
         "fusion_lists": q_fusion_lists,
         "eval_blocking": q_eval_blocking,
@@ -3631,6 +3663,25 @@ SELECT g.group_id,
        count(*) AS group_size
 FROM orders o JOIN g ON o.o_custkey = g.o_custkey
 GROUP BY g.group_id
+""",
+        "fusion_debug": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
+base AS (SELECT g.group_id, o.* FROM orders o JOIN g ON o.o_custkey = g.o_custkey),
+vote AS (
+  SELECT group_id, val AS value, round(CAST(c AS DOUBLE) / total, 6) AS confidence
+  FROM (
+    SELECT group_id, o_orderpriority AS val, count(*) AS c,
+           sum(count(*)) OVER (PARTITION BY group_id) AS total
+    FROM base GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY c DESC, val) = 1
+),
+lng AS (
+  SELECT group_id, o_orderpriority AS value FROM base
+  QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY length(o_orderpriority) DESC, o_orderpriority) = 1
+)
+SELECT group_id, 'pri_vote' AS attribute, value, confidence, 'voting' AS rule FROM vote
+UNION ALL
+SELECT group_id, 'pri_long', value, 0.7, 'longest_string' FROM lng
 """,
         "fusion_selection": """
 WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
