@@ -881,6 +881,50 @@ def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataProfiler.compare (reference profiler.py:69-106): two-sided
+    schema/stats comparison of supplier vs customer under a shared
+    column namespace. Only the EXACT fields (non-null/null counts,
+    shared/only-a/only-b membership) face the oracle; approx_distinct
+    is a sketch and stays out of the projection."""
+    from pydi_spark.profiling import DataProfiler
+
+    a = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cmp = DataProfiler().compare(a, b)
+    rows = []
+    for col in cmp["shared_columns"]:
+        rows.append(
+            (
+                col,
+                "shared",
+                int(cmp["a"]["columns"][col]["non_null"]),
+                int(cmp["a"]["columns"][col]["nulls"]),
+                int(cmp["b"]["columns"][col]["non_null"]),
+                int(cmp["b"]["columns"][col]["nulls"]),
+            )
+        )
+    for col in cmp["only_a"]:
+        c = cmp["a"]["columns"][col]
+        rows.append((col, "only_a", int(c["non_null"]), int(c["nulls"]), -1, -1))
+    for col in cmp["only_b"]:
+        c = cmp["b"]["columns"][col]
+        rows.append((col, "only_b", -1, -1, int(c["non_null"]), int(c["nulls"])))
+    return spark.createDataFrame(
+        rows,
+        "column_name string, membership string, a_non_null long, "
+        "a_nulls long, b_non_null long, b_nulls long",
+    )
+
+
 def q_match_date_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule matching with DateComparator + relative-difference numeric over
     same-customer order pairs (chain candidates)."""
@@ -3239,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "profile_summary": q_profile_summary,
+        "profile_compare": q_profile_compare,
         "match_date_numeric": q_match_date_numeric,
         "dedup_simhash": q_dedup_simhash,
         "dedup_canonical": q_dedup_canonical,
@@ -3663,6 +3708,23 @@ SELECT g.group_id,
        count(*) AS group_size
 FROM orders o JOIN g ON o.o_custkey = g.o_custkey
 GROUP BY g.group_id
+""",
+        "profile_compare": """
+WITH sa AS (SELECT count(*) n, count(s_suppkey) nn_key, count(s_name) nn_name,
+                   count(s_nationkey) nn_nk FROM supplier),
+sb AS (SELECT count(*) n, count(c_custkey) nn_key, count(c_name) nn_name,
+              count(c_mktsegment) nn_seg FROM customer)
+SELECT 'key' AS column_name, 'shared' AS membership,
+       sa.nn_key AS a_non_null, sa.n - sa.nn_key AS a_nulls,
+       sb.nn_key AS b_non_null, sb.n - sb.nn_key AS b_nulls
+FROM sa, sb
+UNION ALL
+SELECT 'name', 'shared', sa.nn_name, sa.n - sa.nn_name,
+       sb.nn_name, sb.n - sb.nn_name FROM sa, sb
+UNION ALL
+SELECT 'nk', 'only_a', sa.nn_nk, sa.n - sa.nn_nk, -1, -1 FROM sa
+UNION ALL
+SELECT 'seg', 'only_b', -1, -1, sb.nn_seg, sb.n - sb.nn_seg FROM sb
 """,
         "fusion_debug": """
 WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
