@@ -3158,6 +3158,387 @@ def q_canary_hash_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) head of the corpus (llmdata.zipf_table):
+    heavy-hitter diagnostic before tokenizer training. cum_share is one
+    division of exact integer aggregates; tokens are md5'd per the
+    hash-safe window convention. The cumulative window runs on the 200
+    sort+limit survivors, never the vocabulary (the BM25 lesson)."""
+    from pydi_spark.llmdata import zipf_table
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_table(docs, top=200)
+    return out.select(
+        F.md5(F.col("token").cast("binary")).alias("token_md5"),
+        F.col("count").alias("cnt"),
+        "rank",
+        "cum_count",
+        F.round("cum_share", 6).alias("cum_share"),
+    )
+
+
+def q_text_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix
+    (llmdata.cross_source_overlap): distinct shared word bigrams per
+    source pair, jaccard = exact int/int division. Grams join on 60-bit
+    md5 ints (verify-on-hashes rule: the oracle hashes identically, so
+    a collision strikes both engines the same)."""
+    from pydi_spark.llmdata import cross_source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cross_source_overlap(docs, n=2)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-ngram importance scoring (llmdata.dsir_scores,
+    target = English documents): per-doc target/source bucket masses
+    are exact integer aggregates; the published ratio is three IEEE
+    divisions of integer-valued doubles floored to a micro-int —
+    bit-reproducible cross-engine."""
+    from pydi_spark.llmdata import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_scores(docs, F.col("lang") == "en", n_buckets=256)
+    return out.select(
+        "doc_id", "n_tokens", "target_mass", "source_mass", "ratio_micro"
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (streaming.streaming_dedup,
+    dropDuplicates within the watermark horizon) driven as a real
+    bounded stream. Key-only projection: WHICH row of a key survives
+    depends on micro-batch internals, but the emitted key set is
+    exactly the distinct (user_id, event_type) pairs — what the oracle
+    checks (the stateful_ttl precedent)."""
+    from pydi_spark.streaming.dedup import run_stream_from_parquet, streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = run_stream_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        # the parquet ts is TIMESTAMP_NTZ; watermarks require an
+        # event-time TIMESTAMP — cast under the pinned UTC session TZ
+        lambda s: streaming_dedup(
+            s.withColumn("ts", F.col("ts").cast("timestamp")),
+            ["user_id", "event_type"],
+        ),
+        output_mode="append",
+        query_name="q_streaming_dedup_contract",
+    )
+    return got.select(F.col("user_id").cast("bigint"), "event_type")
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/commitdate/receiptdate in the
+    testdata): priority mix per shipping-delay bucket —
+    datediff(shipdate, orderdate) classed fast/medium/slow, counting
+    high- vs low-priority lines. All-int output."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, F.lit("1-fast"))
+        .when(delay <= 60, F.lit("2-medium"))
+        .otherwise(F.lit("3-slow"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp; supplier-complaint comment
+    filter becomes a negative-balance exclusion): supplier diversity
+    per (p_brand, p_type, p_size) over lineitem, excluding Brand#1 and
+    suppliers in arrears. count(distinct) + strings — hash-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 23, 36, 49)
+    )
+    excl = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(40)
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty): dominant suppliers —
+    suppliers who shipped more than half of a blue part's total 1996
+    quantity. l_quantity is integral, so the per-(part, supplier) and
+    per-part sums are exact in doubles and `qty > 0.5 * total` is
+    divergence-free."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("blue%"))
+    supp = _t(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = per_ps.join(per_part, "l_partkey").where(
+        F.col("qty") > F.lit(0.5) * F.col("total_qty")
+    )
+    return (
+        dominant.join(
+            F.broadcast(supp), dominant["l_suppkey"] == supp["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+        .orderBy(F.desc("n_dominant_parts"), "s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped >60 days after the order date;
+    no receipt/commit dates in the testdata): suppliers who were the
+    SOLE late shipper on a finished multi-supplier order. The
+    exists/not-exists pair compiles to one semi and one anti shuffle
+    join on the order key — no correlated per-row subqueries."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l1 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).dropDuplicates()
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).dropDuplicates()
+    has_other = l1.join(
+        others,
+        (l1["l_orderkey"] == others["o_key"])
+        & (l1["l_suppkey"] != others["o_supp"]),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        late_others,
+        (has_other["l_orderkey"] == late_others["o_key"])
+        & (has_other["l_suppkey"] != late_others["o_supp"]),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(
+            F.broadcast(supp), sole_late["l_suppkey"] == supp["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: "important stock" becomes
+    important part revenue through NATION_3's suppliers). The decimal
+    sums are exact; the HAVING threshold compares their double casts
+    (`value > total * 0.001`) — the SAME two exact decimals cast and
+    multiplied by the SAME literal on both engines is one fixed IEEE
+    expression tree, bit-identical (multiplying the decimals directly
+    would hit Spark's precision-cap rescaling instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    per_part = (
+        li.join(F.broadcast(nat_supp), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias(
+                "__value"
+            )
+        )
+    )
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("__value").cast("double")
+            > F.col("__total").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "l_partkey", F.col("__value").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic injected PQ codebooks (8 subspaces x 16 centroids
+    x 8 dims), seed-11 — the ann_lsh hyperplane pattern: the oracle
+    regenerates them from the same numpy code and inlines literals.
+    (Training codebooks from data via train_pq_codebooks is the
+    production path; k-means isn't SQL-able, so it stays pytest-only —
+    the ann_ivf split.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    cb = rng.uniform(-0.35, 0.35, size=(8, 16, 8))
+    return [[[float(x) for x in c] for c in s] for s in cb]
+
+
+def _pq_query_vec() -> list[float]:
+    """Deterministic seed-13 query vector for the ADC top-k contract
+    query (data-independent, so the oracle can inline the distance
+    table)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    return [float(x) for x in rng.uniform(-0.5, 0.5, size=64)]
+
+
+def _pq_dt_rows() -> list[tuple[int, int, int]]:
+    """(subspace, code, d_micro) ADC distance table — the same
+    left-fold float ops as pq_adc_topk's driver loop, so the literals
+    the oracle inlines are bit-identical to what the Spark query
+    broadcasts."""
+    import math
+
+    cbs = _pq_codebooks()
+    q = _pq_query_vec()
+    sub = len(cbs[0][0])
+    rows = []
+    for s, cents in enumerate(cbs):
+        qs = q[s * sub : (s + 1) * sub]
+        for c, cent in enumerate(cents):
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc = acc + (x - y) * (x - y)
+            rows.append((s, c, int(math.floor(acc * 1000000.0))))
+    return rows
+
+
+def _pq_encode_cte() -> str:
+    """Shared oracle CTE: seed-11 codebooks inlined as literals,
+    squared-L2 as the same left fold (comprehension + list_reduce over
+    a 0.0-prepended list == zip_with + aggregate), rank-1 assignment
+    under the (dist, centroid) total order — distances are
+    bit-identical so the argmin is portable (the dedup_semantic
+    precedent)."""
+    cents = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (s, c, ", ".join(repr(x) for x in vec))
+        for s, sub in enumerate(_pq_codebooks())
+        for c, vec in enumerate(sub)
+    )
+    return f"""
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+      FROM embeddings),
+cent AS (SELECT * FROM (VALUES {cents}) AS t(subspace, centroid, cvec)),
+sl AS (SELECT vec_id, sub, list_slice(e, sub * 8 + 1, sub * 8 + 8) AS svec
+       FROM v CROSS JOIN range(0, 8) r(sub)),
+pqd AS (SELECT vec_id, sub, centroid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(svec[i] - cvec[i]) * (svec[i] - cvec[i]) for i in range(1, 9)]),
+            (a, b) -> a + b) AS dist
+        FROM sl JOIN cent ON sl.sub = cent.subspace),
+enc AS (SELECT CAST(vec_id AS BIGINT) vec_id, CAST(sub AS INT) subspace,
+               CAST(centroid AS INT) code
+        FROM pqd
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY dist, centroid) = 1)
+"""
+
+
+def _pq_encode_oracle_sql() -> str:
+    return f"WITH {_pq_encode_cte()} SELECT vec_id, subspace, code FROM enc"
+
+
+def _pq_topk_oracle_sql() -> str:
+    """ADC replay: the (subspace, code, d_micro) table is computed by
+    the SAME Python float loop the Spark query broadcasts
+    (_pq_dt_rows), inlined as literals; the per-id ADC sum is then an
+    exact integer aggregate on both engines."""
+    dt = ", ".join(
+        f"({s}, {c}, {d})" for s, c, d in _pq_dt_rows()
+    )
+    return f"""
+WITH {_pq_encode_cte()},
+dtt AS (SELECT * FROM (VALUES {dt}) AS t(sub2, code2, d_micro)),
+adc AS (SELECT vec_id, CAST(sum(d_micro) AS BIGINT) AS adc_micro
+        FROM enc JOIN dtt ON enc.subspace = dtt.sub2 AND enc.code = dtt.code2
+        GROUP BY vec_id)
+SELECT vec_id, adc_micro,
+       CAST(row_number() OVER (ORDER BY adc_micro, vec_id) AS INT) AS rank
+FROM adc ORDER BY adc_micro, vec_id LIMIT 50
+"""
+
+
+def q_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (llmdata.pq_encode, Jegou et al.
+    2011): nearest codebook centroid per 8-dim slice under injected
+    seed-11 codebooks. Squared-L2 is an explicit left fold — the
+    rank-1 assignment is bit-deterministic cross-engine. Output is the
+    narrow all-int (id, subspace, code) triple."""
+    from pydi_spark.llmdata import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, _pq_codebooks())
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"), "subspace", "code"
+    )
+
+
+def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-50 over PQ codes (llmdata.pq_adc_topk):
+    per-subspace distances are floored to micro-ints BEFORE the per-id
+    sum, so ADC is an exact integer aggregate (order-free) and the
+    ranking a total order on (adc_micro, id)."""
+    from pydi_spark.llmdata import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, _pq_codebooks())
+    out = pq_adc_topk(codes, _pq_codebooks(), _pq_query_vec(), k=50)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"), "adc_micro", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries. Round-4 window (positions 1-50,
@@ -3173,12 +3554,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         dedup_semantic, text_lm_score, text_line_dedup,
     #         match_features, io_feather_roundtrip,
     #         sample_quality_weighted, blocking_*_capped,
-    #         match_text_format) interleaved with 24 r03-green
+    #         match_text_format) + the 11 round-4 session-2 NEW
+    #         queries (text_zipf, text_contamination_matrix,
+    #         sample_dsir, streaming_dedup, embed_pq_encode,
+    #         embed_pq_topk, tpch_q11/q12/q16/q20/q21) + 13 r03-green
     #         continuity representatives; displaced twice-green reps
     #         moved past 50.
     # Everything past 50 has a driver-green row in r02 or r03 and
     # stays under the local gate (tools/check_oracle.py). After a
-    # green r04 window, all 105 real queries have been driver-green
+    # green r04 window, all 105 round-3 queries have been driver-green
     # at least once.
     return {
         # -- window 1-7: r03-red queries, reshaped hash-safe
@@ -3203,42 +3587,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q22": q_tpch_q22,
-        "tpch_window": q_tpch_window,
-        "join_asof": q_join_asof,
-        "join_skew_salted": q_join_skew_salted,
         "dedup_semantic": q_dedup_semantic,
-        "streaming_join": q_streaming_join,
-        "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_lm_score": q_text_lm_score,
+        "text_line_dedup": q_text_line_dedup,
+        "match_features": q_match_features,
+        "io_feather_roundtrip": q_io_feather_roundtrip,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "blocking_standard_capped": q_blocking_standard_capped,
+        "blocking_token_capped": q_blocking_token_capped,
+        "match_text_format": q_match_text_format,
+        # -- round-4 session-2 NEW queries (first driver check)
+        "text_zipf": q_text_zipf,
+        "text_contamination_matrix": q_text_contamination_matrix,
+        "sample_dsir": q_sample_dsir,
+        "streaming_dedup": q_streaming_dedup,
+        "embed_pq_encode": q_embed_pq_encode,
+        "embed_pq_topk": q_embed_pq_topk,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        # -- r03-green continuity representatives (13)
+        "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
-        "text_line_dedup": q_text_line_dedup,
-        "match_features": q_match_features,
         "text_search_bm25": q_text_search_bm25,
-        "io_feather_roundtrip": q_io_feather_roundtrip,
-        "text_pack": q_text_pack,
-        "text_temperature_mix": q_text_temperature_mix,
-        "sample_quality_weighted": q_sample_quality_weighted,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
-        "io_roundtrip": q_io_roundtrip,
-        "io_id_injection": q_io_id_injection,
-        "blocking_standard_capped": q_blocking_standard_capped,
-        "blocking_token_capped": q_blocking_token_capped,
-        "movies_parity": q_movies_parity,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
         "normalize_text": q_normalize_text,
-        "match_text_format": q_match_text_format,
         # -- past the 50-entry window: driver-green in r02 or r03,
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
+        "tpch_q7": q_tpch_q7,
+        "tpch_q22": q_tpch_q22,
+        "tpch_window": q_tpch_window,
+        "join_asof": q_join_asof,
+        "join_skew_salted": q_join_skew_salted,
+        "streaming_join": q_streaming_join,
+        "text_pack": q_text_pack,
+        "text_temperature_mix": q_text_temperature_mix,
+        "io_roundtrip": q_io_roundtrip,
+        "io_id_injection": q_io_id_injection,
+        "movies_parity": q_movies_parity,
         "text_quality_filter": q_text_quality_filter,
         "join_range": q_join_range,
         "profile_coverage": q_profile_coverage,
@@ -5535,6 +5932,166 @@ SELECT CAST(k AS INT) AS k,
        md5('it''s #' || CAST(k AS VARCHAR)) AS c_token_md5
 FROM range(3) t(k)
 """
+    out["text_zipf"] = f"""
+WITH t AS (SELECT unnest({toks_text}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+head AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 200),
+r AS (
+  SELECT token, c,
+         CAST(row_number() OVER (ORDER BY c DESC, token) AS INT) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, token
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count
+  FROM head
+)
+SELECT md5(token) AS token_md5, c AS cnt, rank, cum_count,
+       round(CAST(cum_count AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+FROM r CROSS JOIN tot
+"""
+    hex2int_g = " + ".join(
+        f"(strpos('0123456789abcdef', substr(gh15,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    out["text_contamination_matrix"] = f"""
+WITH t AS (
+  SELECT source, CAST(doc_id AS VARCHAR) did, {toks_text} AS tok FROM documents
+),
+g AS (
+  SELECT source, unnest([array_to_string(tok[i:i+1], ' ')
+                         for i in range(1, len(tok))]) AS gram
+  FROM t WHERE len(tok) >= 2
+),
+gh AS (
+  SELECT DISTINCT source, ({hex2int_g}) AS ghash
+  FROM (SELECT source, substr(md5(gram), 1, 15) AS gh15 FROM g)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM gh GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM gh a JOIN gh b ON a.ghash = b.ghash AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_shared AS DOUBLE)
+             / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = shared.source_a
+JOIN sizes sb ON sb.source = shared.source_b
+"""
+    out["sample_dsir"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, lang = 'en' AS tgt,
+         unnest({toks_text}) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt,
+         (strpos('0123456789abcdef', substr(md5(token), 14, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(token), 15, 1)) - 1) AS bk
+  FROM t
+),
+tab AS (
+  SELECT bk, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS T,
+         CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS S
+  FROM b GROUP BY bk
+),
+tot AS (SELECT CAST(sum(T) AS BIGINT) AS T_tot,
+               CAST(sum(S) AS BIGINT) AS S_tot FROM tab),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(T) AS BIGINT) AS target_mass,
+         CAST(sum(S) AS BIGINT) AS source_mass
+  FROM b JOIN tab USING (bk) WHERE NOT tgt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, target_mass, source_mass,
+       CAST(floor(((CAST(target_mass AS DOUBLE) / CAST(T_tot AS DOUBLE))
+                   / (CAST(source_mass AS DOUBLE) / CAST(S_tot AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS ratio_micro
+FROM per CROSS JOIN tot
+"""
+    out["streaming_dedup"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+    out["tpch_q12"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '1-fast'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '2-medium'
+            ELSE '3-slow' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+    out["tpch_q16"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_size IN (1, 4, 9, 16, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+    out["tpch_q20"] = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+per_p AS (SELECT l_partkey, sum(qty) AS total_qty FROM per_ps GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM per_ps
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty > 0.5 * total_qty
+GROUP BY s_name
+ORDER BY n_dominant_parts DESC, s_name
+"""
+    out["tpch_q21"] = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+    out["tpch_q11"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY 1
+),
+tot AS (SELECT sum(value) AS total FROM per_part)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM per_part CROSS JOIN tot
+WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+    out["embed_pq_encode"] = _pq_encode_oracle_sql()
+    out["embed_pq_topk"] = _pq_topk_oracle_sql()
     out["canary_hash_risky"] = """
 SELECT CAST(k AS INT) AS k,
        k % 2 = 0 AS r_bool,

@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "text_lm_score",
     "sample_quality_weighted",
+    # round-4 session-2 additions
+    "tpch_q12",
+    "tpch_q21",
+    "text_zipf",
+    "text_contamination_matrix",
+    "sample_dsir",
+    "embed_pq_topk",
 ]
 
 

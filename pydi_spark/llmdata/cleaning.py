@@ -227,3 +227,94 @@ def decontaminate(
         ratio.alias("contamination_ratio"),
         (ratio >= F.lit(float(threshold))).alias("is_contaminated"),
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 2,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct word ``n``-grams they share
+    [source_a, source_b, n_shared, n_a, n_b, jaccard]. The standard
+    "is source X scraping source Y" / cross-split-leak diagnostic
+    before mixing sources into a training corpus (no reference
+    counterpart — north-star LLM-data op).
+
+    ``jaccard`` = shared / (n_a + n_b - shared) is one division of
+    exact integer aggregates — bit-reproducible cross-engine.
+
+    Scale design: grams are 60-bit md5 ints (narrow join keys; the
+    hash value never reaches the output, and a collision strikes both
+    engines of the oracle identically — the verify-on-hashes rule).
+    The per-source distinct gram set is a map-combined aggregate; the
+    pair counts come from ONE self-equi-join on the gram hash whose
+    output is bounded by #sources² rows per gram (sources, not
+    documents, are the join fan-out). The probe side is explicitly
+    repartitioned on the gram hash so AQE cannot coalesce the join
+    input to a handful of tasks (the band-join lesson)."""
+    from pydi_spark.functions.tokenize import word_tokens
+    from pydi_spark.llmdata.dedup import _token_hash60
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = word_tokens(F.col(text_col))
+    tok_rows = df.where(F.size(toks) >= n).select(
+        F.col(group_col).alias("src"),
+        F.col(id_col).cast("string").alias("__id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window
+
+    wpos = Window.partitionBy("__id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    grams = (
+        tok_rows.select("src", "tok", *leads)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "src",
+            _token_hash60(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("gh"),
+        )
+        .dropDuplicates(["src", "gh"])
+    )
+    sizes = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
+    left = grams.repartition(parallelism, "gh")
+    right = grams.select(
+        F.col("src").alias("src_b"), F.col("gh").alias("gh")
+    )
+    shared = (
+        left.join(right, "gh")
+        .where(F.col("src") < F.col("src_b"))
+        .groupBy(F.col("src").alias("source_a"), F.col("src_b").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("src", "source_a")), "source_a"
+        )
+        .withColumnRenamed("n_grams", "n_a")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("src", "source_b").withColumnRenamed(
+                    "n_grams", "n_b"
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

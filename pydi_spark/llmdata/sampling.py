@@ -171,3 +171,82 @@ def deterministic_sample(
             ).otherwise(r)
         return df.where(frac < r)
     return df.where(frac < F.lit(float(rate)))
+
+
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed n-gram importance scoring in the spirit of DSIR (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed-unigram
+    bucket distribution looks like a target subcorpus versus the rest
+    [doc_id, n_tokens, target_mass, source_mass, ratio_micro].
+    No reference counterpart — north-star LLM-data op.
+
+    ``is_target`` marks the target rows (e.g. ``F.col("lang") == "en"``
+    for "select documents that look like English"). Token buckets are
+    ``md5 60-bit % n_buckets`` — portable across engines. DSIR proper
+    weights by the probability ratio under two hashed-ngram bag models;
+    here the per-doc masses are EXACT integer aggregates
+    (``sum(doc_count_b * T[b])`` / ``sum(doc_count_b * S[b])``) and the
+    published ratio is
+
+        ratio = (target_mass / T_total) / (source_mass / S_total)
+
+    computed as three IEEE divisions of integer-valued doubles —
+    bit-reproducible cross-engine — then floored to a micro-int.
+    Compose with ``quality_weighted_sample`` (weight_col=ratio) for the
+    actual resampling step.
+
+    Scale design: bucket count tables are ``n_buckets`` rows — a
+    broadcast join against the exploded corpus, so scoring is map-side;
+    the only shuffles are the two-level token-bucket aggregate and the
+    final per-doc aggregate. Integer masses bound: doc_count * T[b] <=
+    n_tokens_doc * corpus_tokens, safely inside int64 for petabyte
+    corpora scored per-shard (document the shard bound if corpus token
+    counts approach 2^40)."""
+    from pydi_spark.llmdata.dedup import _token_hash60
+    from pydi_spark.functions.tokenize import word_tokens
+
+    bucket = F.pmod(
+        _token_hash60(F.col("token")), F.lit(int(n_buckets))
+    ).alias("b")
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        is_target.alias("__t"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    ).select("doc_id", "__t", bucket)
+    tables = toks.groupBy("b").agg(
+        F.sum(F.col("__t").cast("bigint")).alias("T"),
+        F.sum((~F.col("__t")).cast("bigint")).alias("S"),
+    )
+    totals = tables.agg(
+        F.sum("T").alias("T_tot"), F.sum("S").alias("S_tot")
+    )
+    scored = (
+        toks.where(~F.col("__t"))
+        .join(F.broadcast(tables), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("T").alias("target_mass"),
+            F.sum("S").alias("source_mass"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        F.col("target_mass").cast("double") / F.col("T_tot").cast("double")
+    ) / (
+        F.col("source_mass").cast("double") / F.col("S_tot").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "target_mass",
+        "source_mass",
+        F.floor(ratio * F.lit(1000000.0)).cast("bigint").alias("ratio_micro"),
+    )

@@ -428,3 +428,57 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def zipf_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 200,
+) -> DataFrame:
+    """Rank-frequency (Zipf) table for the corpus head
+    [token, count, rank, cum_count, cum_share]: the standard
+    heavy-hitter diagnostic before tokenizer training / stopword
+    pruning (no reference counterpart — north-star LLM-data op).
+
+    ``cum_share`` = cum_count / corpus total is one division of two
+    exact integer aggregates — bit-reproducible cross-engine. Rank ties
+    break on the token string so the order is total.
+
+    Scale: token counting is a two-level aggregate (map-side combine
+    before the narrow token shuffle). The global ordering only ever
+    touches the ``top`` survivors — sort+limit compiles to
+    TakeOrderedAndProject, and the cumulative window runs on those
+    ``top`` rows, NOT the corpus (a bare global cumsum window would
+    funnel the whole vocabulary through one partition — the BM25
+    lesson)."""
+    from pyspark.sql import Window
+
+    from pydi_spark.functions.tokenize import word_tokens
+
+    counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__total"))
+    head = counts.orderBy(F.desc("count"), F.asc("token")).limit(int(top))
+    w = (
+        Window.orderBy(F.desc("count"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        head.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_count", F.sum("count").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "count",
+            "rank",
+            "cum_count",
+            (
+                F.col("cum_count").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

@@ -44,6 +44,13 @@ ALLOWED = {
     "text_lm_score": {"nested_loop"},
     # ONE-row (n, sum weight_ppm) totals broadcast onto the corpus: O(n)
     "sample_quality_weighted": {"nested_loop"},
+    # ONE-row corpus-total broadcast onto the 200-row Zipf head: O(200)
+    "text_zipf": {"nested_loop"},
+    # ONE-row (T_tot, S_tot) totals broadcast onto per-doc masses: O(n)
+    "sample_dsir": {"nested_loop"},
+    # ONE-row revenue total broadcast onto the per-part frame (the
+    # scalar-subquery HAVING plan Spark itself emits): O(#parts)
+    "tpch_q11": {"nested_loop"},
 }
 
 
