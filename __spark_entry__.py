@@ -3509,6 +3509,114 @@ FROM adc ORDER BY adc_micro, vec_id LIMIT 50
 """
 
 
+def _ivfpq_coarse() -> list[list[float]]:
+    """Deterministic seed-17 coarse-quantizer centroids (4 cells x 64
+    dims) for the IVF-PQ contract query — injected like the PQ
+    codebooks; the sample-k-means training path is pytest-only."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    return [[float(x) for x in c] for c in rng.uniform(-0.5, 0.5, (4, 64))]
+
+
+def _ivfpq_oracle_sql(k: int = 50, nprobe: int = 2) -> str:
+    """Full IVF-PQ replay: coarse assignment (rank-1 over the same
+    squared-L2 fold), residual computation, residual PQ encode, and the
+    ADC join against per-cell distance tables computed by the SAME
+    Python float loop the Spark query broadcasts."""
+    import math
+
+    coarse = _ivfpq_coarse()
+    cbs = _pq_codebooks()
+    q = _pq_query_vec()
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cell_d = sorted((sq(q, c), i) for i, c in enumerate(coarse))
+    probed = sorted(i for _, i in cell_d[:nprobe])
+    sub = len(cbs[0][0])
+    dt_rows = []
+    for cell in probed:
+        qres = [x - y for x, y in zip(q, coarse[cell])]
+        for s, cb in enumerate(cbs):
+            qs = qres[s * sub : (s + 1) * sub]
+            for ci, cent in enumerate(cb):
+                dt_rows.append(
+                    (cell, s, ci, int(math.floor(sq(qs, cent) * 1000000.0)))
+                )
+    cc = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(coarse)
+    )
+    cents = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (s, c, ", ".join(repr(x) for x in vec))
+        for s, subl in enumerate(cbs)
+        for c, vec in enumerate(subl)
+    )
+    dt = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in dt_rows)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           FROM embeddings),
+cc AS (SELECT * FROM (VALUES {cc}) AS t(cell, ccvec)),
+sc AS (SELECT vec_id, cell, e, ccvec,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [(e[i] - ccvec[i]) * (e[i] - ccvec[i]) for i in range(1, 65)]),
+           (a, b) -> a + b) AS d
+       FROM v CROSS JOIN cc),
+asg AS (SELECT vec_id, cell,
+          [e[i] - ccvec[i] for i in range(1, 65)] AS res
+        FROM sc
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cell) = 1),
+cent AS (SELECT * FROM (VALUES {cents}) AS t(subspace, centroid, cvec)),
+sl AS (SELECT vec_id, cell, sub, list_slice(res, sub * 8 + 1, sub * 8 + 8) AS svec
+       FROM asg CROSS JOIN range(0, 8) r(sub)),
+pqd AS (SELECT vec_id, cell, sub, centroid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(svec[i] - cvec[i]) * (svec[i] - cvec[i]) for i in range(1, 9)]),
+            (a, b) -> a + b) AS dist
+        FROM sl JOIN cent ON sl.sub = cent.subspace),
+enc AS (SELECT vec_id, cell, sub, centroid AS code
+        FROM pqd
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY dist, centroid) = 1),
+dtt AS (SELECT * FROM (VALUES {dt}) AS t(cell2, sub2, code2, d_micro)),
+adc AS (SELECT CAST(vec_id AS BIGINT) vec_id, CAST(enc.cell AS INT) cell,
+               CAST(sum(d_micro) AS BIGINT) AS adc_micro
+        FROM enc JOIN dtt ON enc.cell = dtt.cell2 AND enc.sub = dtt.sub2
+                          AND enc.code = dtt.code2
+        GROUP BY vec_id, enc.cell)
+SELECT vec_id, cell, adc_micro,
+       CAST(row_number() OVER (ORDER BY adc_micro, vec_id) AS INT) AS rank
+FROM adc ORDER BY adc_micro, vec_id LIMIT {k}
+"""
+
+
+def q_embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-50 (llmdata.ivfpq_topk, the FAISS-style composition:
+    coarse quantizer -> residual PQ -> nprobe-limited ADC scan) under
+    injected seed-17 coarse centroids + seed-11 codebooks. Every
+    distance is the explicit left fold; ADC tables are micro-int so the
+    per-id sum is an exact integer aggregate."""
+    from pydi_spark.llmdata import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb, _ivfpq_coarse(), _pq_codebooks(), _pq_query_vec(), k=50, nprobe=2
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "adc_micro",
+        "rank",
+    )
+
+
 def q_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (llmdata.pq_encode, Jegou et al.
     2011): nearest codebook centroid per 8-dim slice under injected
@@ -3603,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "embed_pq_encode": q_embed_pq_encode,
         "embed_pq_topk": q_embed_pq_topk,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
@@ -3621,10 +3730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
-        "normalize_text": q_normalize_text,
         # -- past the 50-entry window: driver-green in r02 or r03,
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
+        "normalize_text": q_normalize_text,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6092,6 +6201,7 @@ ORDER BY part_value DESC, l_partkey
 """
     out["embed_pq_encode"] = _pq_encode_oracle_sql()
     out["embed_pq_topk"] = _pq_topk_oracle_sql()
+    out["embed_ivfpq_topk"] = _ivfpq_oracle_sql()
     out["canary_hash_risky"] = """
 SELECT CAST(k AS INT) AS k,
        k % 2 = 0 AS r_bool,

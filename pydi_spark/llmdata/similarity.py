@@ -259,3 +259,105 @@ def lsh_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k [id, cell, adc_micro, rank] — the FAISS-style
+    composition that makes billion-vector ANN tractable: a coarse
+    quantizer routes each vector to a cell, the RESIDUAL
+    (vector - cell centroid) is product-quantized, and a query scans
+    only its ``nprobe`` nearest cells, ranking by asymmetric distance
+    against per-cell residual lookup tables. Jegou et al. 2011 §IV.
+
+    Determinism: assignments are rank-1 windows over bit-deterministic
+    squared-L2 folds (ties on index); per-cell ADC tables are computed
+    driver-side with the SAME float ops and floored to micro-ints, so
+    the per-id ADC sum is an exact integer aggregate; probed cells are
+    chosen driver-side from the same distance fold (ties on cell).
+
+    Scale design: the coarse centroid table (n_cells rows) and the
+    per-cell distance tables (nprobe x n_subspaces x n_centroids rows)
+    are broadcasts; the corpus shuffles once for the assignment window
+    and once for the encode window, then scans only the
+    (id, cell, subspace, code) quads of probed cells — the candidate
+    set shrinks by ~nprobe/n_cells before any distance work, and the
+    PQ codes are bytes, not float payloads. Train both stages on
+    samples (train_pq_codebooks / _kmeans_centroids); this function
+    takes them as data so the whole search path is oracle-checkable."""
+    import math
+
+    from pydi_spark.llmdata.embeddings import _sq_l2, pq_encode
+
+    spark = corpus.sparkSession
+    n_cells = len(coarse_centroids)
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(coarse_centroids)
+    ]
+    cents = F.broadcast(
+        spark.createDataFrame(cent_rows, "cell int, ccvec array<double>")
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = corpus.select(
+        F.col(id_col).alias("id"), v.alias("__v")
+    ).crossJoin(cents).withColumn("d", _sq_l2(F.col("__v"), F.col("ccvec")))
+    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "id",
+            "cell",
+            F.zip_with(
+                F.col("__v"), F.col("ccvec"), lambda x, y: x - y
+            ).alias("residual"),
+        )
+    )
+    codes = pq_encode(assigned, codebooks, id_col="id", vec_col="residual")
+    codes = codes.join(assigned.select("id", "cell"), "id")
+
+    # driver-side: probed cells + per-cell residual ADC tables, the
+    # same left-fold float ops as the distributed side
+    q = [float(x) for x in query]
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cell_d = sorted(
+        (sq(q, c), i) for i, c in enumerate(coarse_centroids)
+    )
+    probed = sorted(i for _, i in cell_d[: max(1, int(nprobe))])
+    sub = len(codebooks[0][0])
+    dt_rows = []
+    for cell in probed:
+        qres = [x - y for x, y in zip(q, coarse_centroids[cell])]
+        for s, cb in enumerate(codebooks):
+            qs = qres[s * sub : (s + 1) * sub]
+            for ci, cent in enumerate(cb):
+                dt_rows.append(
+                    (cell, s, ci, int(math.floor(sq(qs, cent) * 1000000.0)))
+                )
+    dt = F.broadcast(
+        spark.createDataFrame(
+            dt_rows, "cell int, subspace int, code int, d_micro bigint"
+        )
+    )
+    adc = (
+        codes.join(dt, ["cell", "subspace", "code"])
+        .groupBy("id", "cell")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    head = adc.orderBy(F.asc("adc_micro"), F.asc("id")).limit(int(k))
+    wr = Window.orderBy(F.asc("adc_micro"), F.asc("id"))
+    return head.withColumn("rank", F.row_number().over(wr))

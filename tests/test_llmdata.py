@@ -1072,3 +1072,31 @@ def test_pq_encode_and_adc(spark):
     assert [(r["id"], r["adc_micro"]) for r in top] == [
         (r["id"], r["adc_micro"]) for r in top2
     ]
+
+
+def test_ivfpq_topk_trained(spark):
+    from pydi_spark.llmdata import ivfpq_topk, train_pq_codebooks
+    from pydi_spark.llmdata.similarity import _kmeans_centroids
+
+    rng = np.random.RandomState(9)
+    # three well-separated clusters so the coarse quantizer is meaningful
+    centers = rng.randn(3, 16) * 4
+    base = np.vstack([centers[i % 3] + rng.randn(16) * 0.3 for i in range(60)])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    coarse = _kmeans_centroids(df, "embedding", 3, sample_size=60, seed=3)
+    coarse = [[float(x) for x in c] for c in coarse]
+    cbs = train_pq_codebooks(df, n_subspaces=4, n_centroids=8,
+                             sample_size=60, n_iter=5)
+    q = base[11]
+    top = ivfpq_topk(df, coarse, cbs, [float(x) for x in q],
+                     k=5, nprobe=1).collect()
+    assert len(top) == 5 and top[0]["rank"] == 1
+    # nprobe=1 restricts to one cell
+    assert len({r["cell"] for r in top}) == 1
+    # the query vector itself must surface in its own probed cell's top-5
+    assert 11 in [r["id"] for r in top]
+    # ADC distances are non-decreasing with rank
+    adcs = [r["adc_micro"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert adcs == sorted(adcs)
