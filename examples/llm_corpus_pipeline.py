@@ -3,11 +3,13 @@
 The composition a pretraining data team runs, stage by stage, each one a
 distributed operator from pydi_spark.llmdata:
 
-  load -> language ID -> quality gate (Gopher rules) -> corpus line
-       dedup (C4 rule) -> MinHash near-dup canonicalization
-       -> decontaminate vs eval -> LM quality scoring
-       -> quality-weighted sampling -> temperature source balancing
-       -> token-budget mixing -> greedy sequence packing -> summary
+  load -> corpus diagnostics (Zipf head, cross-source contamination
+       matrix) -> language ID -> quality gate (Gopher rules) -> corpus
+       line dedup (C4 rule) -> MinHash near-dup canonicalization
+       -> decontaminate vs eval -> LM quality scoring + DSIR-style
+       importance -> quality-weighted sampling -> temperature source
+       balancing -> token-budget mixing -> greedy sequence packing
+       -> summary
 
     python3 examples/llm_corpus_pipeline.py [sf_dir]
 
@@ -26,8 +28,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from pydi_spark import get_spark  # noqa: E402
 from pydi_spark.llmdata import (  # noqa: E402
     canonical_corpus,
+    cross_source_overlap,
     decontaminate,
     dedup_corpus_lines,
+    dsir_scores,
     language_id,
     minhash_near_duplicates,
     pack_sequences,
@@ -36,6 +40,7 @@ from pydi_spark.llmdata import (  # noqa: E402
     select_token_budget,
     temperature_mix,
     unigram_lm_scores,
+    zipf_table,
 )
 
 
@@ -46,6 +51,15 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0. corpus diagnostics a data team reads BEFORE filtering: the
+    # Zipf head (is the token distribution sane / is one boilerplate
+    # string dominating?) and the cross-source contamination matrix
+    # (is source X scraping source Y?)
+    print("-- Zipf head (top 5 tokens)")
+    zipf_table(docs, top=5).show(5, truncate=False)
+    print("-- most-overlapping source pairs")
+    cross_source_overlap(docs, n=2).orderBy(F.desc("jaccard")).show(3)
 
     # 1. language ID (native n-gram heuristic) — keep confident rows
     langs = language_id(docs)
@@ -72,6 +86,9 @@ def main() -> None:
     canon = canonical_corpus(docs, pairs)
     kept = canon.where("is_canonical").select("doc_id")
     docs = docs.join(kept, "doc_id", "left_semi")
+    # cut lineage: every later stage (and its count) would otherwise
+    # re-execute the dedup cascade above
+    docs = docs.localCheckpoint()
     n_canon = docs.count()
 
     # 5. benchmark decontamination vs a held-out eval split
@@ -80,18 +97,30 @@ def main() -> None:
     flags = decontaminate(train, ev, n=3, threshold=0.05)
     clean_ids = flags.where(~F.col("is_contaminated")).select("doc_id")
     docs = train.join(clean_ids, "doc_id", "left_semi")
+    docs = docs.localCheckpoint()
     n_clean = docs.count()
 
-    # 5b. unigram-LM quality scoring + quality-weighted sampling:
-    # documents made of typical words get proportionally higher keep
-    # rates (deterministic md5-fraction decision)
+    # 5b. unigram-LM quality scoring + DSIR-style importance toward
+    # the English subcorpus, combined into one sampling weight:
+    # documents made of typical words AND distributed like the target
+    # get proportionally higher keep rates (deterministic md5-fraction
+    # decision)
     lm = unigram_lm_scores(docs)
+    dsir = dsir_scores(docs, F.col("lang") == "en")
     weighted = docs.join(
         lm.select(
             "doc_id",
             (F.lit(250.0) * F.col("mean_token_freq")).alias("w"),
         ),
         "doc_id",
+    ).join(
+        dsir.select(
+            "doc_id", (F.col("ratio_micro") / 1000000.0).alias("w_dsir")
+        ),
+        "doc_id",
+        "left",
+    ).withColumn(
+        "w", F.col("w") * F.coalesce(F.col("w_dsir"), F.lit(1.0))
     )
     sampled = quality_weighted_sample(
         weighted, weight_col="w", key_col="doc_id", target_fraction=0.9
@@ -110,6 +139,7 @@ def main() -> None:
     # 7. per-source token-budget mixing (deterministic hash order)
     mixed = select_token_budget(docs, budget_tokens=800)
     docs = docs.join(mixed.where("selected").select("doc_id"), "doc_id", "left_semi")
+    docs = docs.localCheckpoint()
 
     # 8. greedy sequence packing into 256-token context windows
     packed = pack_sequences(docs, capacity_tokens=256)
