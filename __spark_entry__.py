@@ -3408,6 +3408,51 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp/region tables: "minimum supply
+    cost" becomes the minimum observed lineitem price): the cheapest
+    supplier per STANDARD small part, with supplier/nation detail.
+    The correlated min-subquery is an arg-min `min_by` hash aggregate
+    over the UNIQUE (price, suppkey) struct order — map-side
+    combinable, no rank window, no re-join of the min back onto the
+    detail rows. Completes the adapted TPC-H q1-q22 sweep."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cheapest = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.first("p_name").alias("p_name"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.min_by(
+                "l_suppkey", F.struct("l_extendedprice", "l_suppkey")
+            ).alias("best_supp"),
+        )
+    )
+    return (
+        cheapest.join(
+            F.broadcast(supp), cheapest["best_supp"] == supp["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation["n_nationkey"],
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            "min_price",
+        )
+        .orderBy("min_price", "p_partkey")
+        .limit(100)
+    )
+
+
 def _pq_codebooks() -> list[list[list[float]]]:
     """Deterministic injected PQ codebooks (8 subspaces x 16 centroids
     x 8 dims), seed-11 — the ann_lsh hyperplane pattern: the oracle
@@ -3717,7 +3762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
-        # -- r03-green continuity representatives (13)
+        "tpch_q2": q_tpch_q2,
+        # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
@@ -3725,7 +3771,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
@@ -3734,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- gated locally by tools/check_oracle.py (families already
         # -- represented in-window)
         "normalize_text": q_normalize_text,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6198,6 +6244,26 @@ SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part CROSS JOIN tot
 WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
 ORDER BY part_value DESC, l_partkey
+"""
+    out["tpch_q2"] = """
+WITH j AS (
+  SELECT l_partkey, p_name, l_suppkey, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size < 10
+),
+best AS (
+  SELECT l_partkey, p_name, l_suppkey AS best_supp,
+         l_extendedprice AS min_price
+  FROM j
+  QUALIFY row_number() OVER (PARTITION BY l_partkey
+                             ORDER BY l_extendedprice, l_suppkey) = 1
+)
+SELECT l_partkey AS p_partkey, p_name, s_name, n_name, min_price
+FROM best
+JOIN supplier ON best_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY min_price, p_partkey
+LIMIT 100
 """
     out["embed_pq_encode"] = _pq_encode_oracle_sql()
     out["embed_pq_topk"] = _pq_topk_oracle_sql()

@@ -184,12 +184,14 @@ def pq_encode(
     Scale design: the corpus explodes to (id, subspace, slice) rows —
     ``n_subspaces`` x corpus, each row ``sub_dim`` doubles — then joins
     the BROADCAST codebook table (n_subspaces x n_centroids rows) and
-    takes the rank-1 window per (id, subspace). One corpus-side
-    shuffle (the window partition), no driver state, no Python row
-    code. The encode output is the narrow (id, subspace, code) triple
-    — downstream ADC scans never touch raw vectors."""
-    from pyspark.sql import Window
-
+    takes the argmin via ``min_by`` over the UNIQUE (d, centroid)
+    struct order: a hash aggregate with map-side partial combine — the
+    n_centroids candidate rows per slice collapse before any exchange,
+    so the shuffle carries one row per (id, subspace), not per
+    candidate (a rank-1 window would sort all candidates through the
+    exchange instead). No driver state, no Python row code. The encode
+    output is the narrow (id, subspace, code) triple — downstream ADC
+    scans never touch raw vectors."""
     n_subspaces = len(codebooks)
     sub = len(codebooks[0][0])
     cb = F.broadcast(pq_codebooks_table(df.sparkSession, codebooks))
@@ -208,16 +210,17 @@ def pq_encode(
             )
         ).alias("e"),
     ).select("id", "e.subspace", "e.svec")
-    scored = sliced.join(cb, "subspace").withColumn(
-        "d", _sq_l2(F.col("svec"), F.col("cvec"))
+    scored = sliced.join(cb, "subspace").select(
+        "id",
+        "subspace",
+        "centroid",
+        _sq_l2(F.col("svec"), F.col("cvec")).alias("d"),
     )
-    w = Window.partitionBy("id", "subspace").orderBy(
-        F.asc("d"), F.asc("centroid")
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select("id", "subspace", F.col("centroid").alias("code"))
+    # min_by over a struct whose components are (bit-deterministic
+    # distance, unique centroid index): a total order, so the argmin is
+    # deterministic even under min_by's first-found tie rule
+    return scored.groupBy("id", "subspace").agg(
+        F.min_by("centroid", F.struct("d", "centroid")).alias("code")
     )
 
 

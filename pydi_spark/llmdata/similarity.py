@@ -278,17 +278,19 @@ def ivfpq_topk(
     only its ``nprobe`` nearest cells, ranking by asymmetric distance
     against per-cell residual lookup tables. Jegou et al. 2011 §IV.
 
-    Determinism: assignments are rank-1 windows over bit-deterministic
-    squared-L2 folds (ties on index); per-cell ADC tables are computed
-    driver-side with the SAME float ops and floored to micro-ints, so
-    the per-id ADC sum is an exact integer aggregate; probed cells are
-    chosen driver-side from the same distance fold (ties on cell).
+    Determinism: assignments are min_by aggregates over the UNIQUE
+    (bit-deterministic squared-L2 fold, cell index) struct order; ADC
+    tables are computed driver-side with the SAME float ops and
+    floored to micro-ints, so the per-id ADC sum is an exact integer
+    aggregate; probed cells are chosen driver-side from the same
+    distance fold (ties on cell).
 
     Scale design: the coarse centroid table (n_cells rows) and the
     per-cell distance tables (nprobe x n_subspaces x n_centroids rows)
-    are broadcasts; the corpus shuffles once for the assignment window
-    and once for the encode window, then scans only the
-    (id, cell, subspace, code) quads of probed cells — the candidate
+    are broadcasts; coarse assignment and PQ encode are min_by hash
+    aggregates — candidate rows collapse map-side before the one
+    corpus exchange each — then the query scans only the
+    (id, cell, subspace, code) quads of probed cells: the candidate
     set shrinks by ~nprobe/n_cells before any distance work, and the
     PQ codes are bytes, not float payloads. Train both stages on
     samples (train_pq_codebooks / _kmeans_centroids); this function
@@ -306,20 +308,32 @@ def ivfpq_topk(
         spark.createDataFrame(cent_rows, "cell int, ccvec array<double>")
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = corpus.select(
-        F.col(id_col).alias("id"), v.alias("__v")
-    ).crossJoin(cents).withColumn("d", _sq_l2(F.col("__v"), F.col("ccvec")))
-    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
+    scored = (
+        corpus.select(F.col(id_col).alias("id"), v.alias("__v"))
+        .crossJoin(cents)
         .select(
             "id",
+            "__v",
             "cell",
-            F.zip_with(
-                F.col("__v"), F.col("ccvec"), lambda x, y: x - y
-            ).alias("residual"),
+            "ccvec",
+            _sq_l2(F.col("__v"), F.col("ccvec")).alias("d"),
         )
+    )
+    # argmin via min_by over the unique (d, cell) struct order — a hash
+    # aggregate with map-side partial combine (__v is constant per id,
+    # so first() is deterministic)
+    best = scored.groupBy("id").agg(
+        F.min_by(F.struct("cell", "ccvec"), F.struct("d", "cell")).alias(
+            "__best"
+        ),
+        F.first("__v").alias("__v"),
+    )
+    assigned = best.select(
+        "id",
+        F.col("__best.cell").alias("cell"),
+        F.zip_with(
+            F.col("__v"), F.col("__best.ccvec"), lambda x, y: x - y
+        ).alias("residual"),
     )
     codes = pq_encode(assigned, codebooks, id_col="id", vec_col="residual")
     codes = codes.join(assigned.select("id", "cell"), "id")
