@@ -27,3 +27,36 @@ def test_two_sample_queries_run(spark, sf_dir):
     assert qs["tpch_q1"](spark, sf_dir).count() > 0
     out = qs["blocking_standard"](spark, sf_dir)
     assert out.columns == ["id1", "id2", "block_key"]
+
+
+def test_driver_window_arithmetic():
+    """The driver records correctness for EXACTLY the first 50
+    queries() entries (r03 shipped 51 in the 'first 50' group and
+    silently pushed one query out — ADVICE r3). Pin the arithmetic:
+    every query awaiting its first driver check sits inside the
+    window, and the canaries hold their documented positions."""
+    names = list(entry.queries())
+    window = names[:50]
+    # canaries at documented positions 13-14 (0-indexed 12-13)
+    assert window[12] == "canary_hash_safe"
+    assert window[13] == "canary_hash_risky"
+    # every round-4 query that has never had a green driver row must
+    # be inside the window
+    awaiting = {
+        # r03-red reshapes + never-checked rotations
+        "text_clean", "text_clean_multiline", "text_vocabulary",
+        "text_budget_select", "text_inverted_index", "embed_quantize",
+        "embed_mean_pool", "extract_code", "io_explode_delimited",
+        "io_fwf_roundtrip", "schema_llm_fake", "text_tfidf",
+        # round-4 new operators
+        "tpch_q9", "tpch_q15", "tpch_q17", "dedup_semantic",
+        "text_lm_score", "text_line_dedup", "match_features",
+        "io_feather_roundtrip", "sample_quality_weighted",
+        "blocking_standard_capped", "blocking_token_capped",
+        "match_text_format", "text_zipf", "text_contamination_matrix",
+        "sample_dsir", "streaming_dedup", "embed_pq_encode",
+        "embed_pq_topk", "embed_ivfpq_topk", "tpch_q2", "tpch_q11",
+        "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
+    }
+    outside = awaiting - set(window)
+    assert not outside, f"awaiting first driver check but past 50: {outside}"
