@@ -3408,6 +3408,47 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_list_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list→string rendering (io.readers.list_to_string; reference
+    io/loaders.py:85-107): split each document into a token array and
+    join it back with '|'. md5'd per the hash-safe window convention
+    (the joined string is raw corpus text)."""
+    from pydi_spark.io.readers import list_to_string
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "arr", F.split(F.col("text"), " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(list_to_string("arr", "|").cast("binary")).alias("joined_md5"),
+        F.size("arr").alias("n_items"),
+    )
+
+
+def q_match_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorFeatureExtractor's distance stage
+    (matching.vector_distance_features; reference
+    feature_extraction.py:230-593) over consecutive embedding pairs:
+    cosine/euclidean/manhattan as explicit left folds. Vectors are
+    cast to double BEFORE the folds — float32 arithmetic in Spark
+    would diverge from DuckDB's DOUBLE[] list ops."""
+    from pydi_spark.matching.feature_extraction import vector_distance_features
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l = emb.select(F.col("vec_id").alias("id1"), v.alias("vec_l"))
+    r = emb.select(F.col("vec_id").alias("id2"), v.alias("vec_r"))
+    pairs = l.withColumn("id2", F.col("id1") + 1).join(r, "id2")
+    out = vector_distance_features(pairs, "vec_l", "vec_r")
+    return out.select(
+        "id1",
+        "id2",
+        F.round("dist_cosine", 6).alias("dist_cosine"),
+        F.round("dist_euclidean", 6).alias("dist_euclidean"),
+        F.round("dist_manhattan", 6).alias("dist_manhattan"),
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 adapted (no partsupp/region tables: "minimum supply
     cost" becomes the minimum observed lineitem price): the cheapest
@@ -3763,14 +3804,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q2": q_tpch_q2,
+        "io_list_to_string": q_io_list_to_string,
+        "match_vector_features": q_match_vector_features,
         # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
         "text_search_bm25": q_text_search_bm25,
-        "sample_stratified": q_sample_stratified,
-        "dedup_embedding": q_dedup_embedding,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
@@ -3780,6 +3821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- represented in-window)
         "normalize_text": q_normalize_text,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "sample_stratified": q_sample_stratified,
+        "dedup_embedding": q_dedup_embedding,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6244,6 +6287,38 @@ SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part CROSS JOIN tot
 WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
 ORDER BY part_value DESC, l_partkey
+"""
+    out["io_list_to_string"] = """
+SELECT doc_id,
+       md5(array_to_string(string_split(text, ' '), '|')) AS joined_md5,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_items
+FROM documents
+"""
+    out["match_vector_features"] = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.e AS ea, b.e AS eb
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1)
+SELECT id1, id2,
+       round(1.0
+             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [ea[i] * eb[i] for i in range(1, len(ea) + 1)]),
+                 (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [ea[i] * ea[i] for i in range(1, len(ea) + 1)]),
+                    (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      [eb[i] * eb[i] for i in range(1, len(eb) + 1)]),
+                      (acc, x) -> acc + x))),
+             6) AS dist_cosine,
+       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [(ea[i] - eb[i]) * (ea[i] - eb[i])
+                for i in range(1, len(ea) + 1)]),
+               (acc, x) -> acc + x)), 6) AS dist_euclidean,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [abs(ea[i] - eb[i]) for i in range(1, len(ea) + 1)]),
+               (acc, x) -> acc + x), 6) AS dist_manhattan
+FROM p
 """
     out["tpch_q2"] = """
 WITH j AS (
