@@ -3408,6 +3408,35 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_llm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLMExtractor through the deterministic fake client
+    (extraction.llm; reference informationextraction/llm.py:35-606):
+    schema-guided extraction over synthesized 'key: value' part
+    descriptions. The fake pulls each field by a case-insensitive
+    keyword regex — SQL-replayable via regexp_extract, so the whole
+    mapInPandas prompt/parse plumbing sits under the oracle gate (the
+    match_llm_fake precedent). Values come from p_name/p_size only
+    (clean lowercase ASCII — no '#'/quote hasher risk)."""
+    from pydi_spark.extraction.llm import LLMExtractor
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            "",
+            F.lit("name: "),
+            F.col("p_name"),
+            F.lit("; size: "),
+            F.col("p_size").cast("string"),
+        ).alias("text"),
+    )
+    out = LLMExtractor(fields=["name", "size"]).extract(part, "text")
+    return out.select(
+        "p_partkey",
+        F.col("name").alias("name_value"),
+        F.col("size").alias("size_value"),
+    )
+
+
 def q_io_list_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """list→string rendering (io.readers.list_to_string; reference
     io/loaders.py:85-107): split each document into a token array and
@@ -3806,12 +3835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "io_list_to_string": q_io_list_to_string,
         "match_vector_features": q_match_vector_features,
+        "extract_llm_fake": q_extract_llm_fake,
         # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
-        "text_search_bm25": q_text_search_bm25,
         "fusion_conflicts": q_fusion_conflicts,
         "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
@@ -3823,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
+        "text_search_bm25": q_text_search_bm25,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6287,6 +6317,19 @@ SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part CROSS JOIN tot
 WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
 ORDER BY part_value DESC, l_partkey
+"""
+    out["extract_llm_fake"] = r"""
+WITH t AS (
+  SELECT p_partkey,
+         'name: ' || p_name || '; size: ' || CAST(p_size AS VARCHAR) AS text
+  FROM part
+)
+SELECT p_partkey,
+       trim(regexp_extract(text, '(?i)name\s*[:=]\s*([^,;\n]+)', 1))
+         AS name_value,
+       trim(regexp_extract(text, '(?i)size\s*[:=]\s*([^,;\n]+)', 1))
+         AS size_value
+FROM t
 """
     out["io_list_to_string"] = """
 SELECT doc_id,
