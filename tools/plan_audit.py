@@ -51,6 +51,9 @@ ALLOWED = {
     # ONE-row revenue total broadcast onto the per-part frame (the
     # scalar-subquery HAVING plan Spark itself emits): O(#parts)
     "tpch_q11": {"nested_loop"},
+    # n_cells broadcast coarse centroids x corpus: the IVF assignment
+    # fan-out is O(n*k) by construction, like ann_ivf / dedup_semantic
+    "embed_ivfpq_topk": {"nested_loop"},
 }
 
 
