@@ -1100,3 +1100,34 @@ def test_ivfpq_topk_trained(spark):
     # ADC distances are non-decreasing with rank
     adcs = [r["adc_micro"] for r in sorted(top, key=lambda r: r["rank"])]
     assert adcs == sorted(adcs)
+
+
+def test_new_ops_partition_independent(spark):
+    """dsir_scores / cross_source_overlap / pq_encode must yield
+    identical rows regardless of input partitioning (the determinism
+    contract every sampler/dedup op in the engine carries)."""
+    from pydi_spark.llmdata import cross_source_overlap, dsir_scores, pq_encode
+
+    rng = np.random.RandomState(21)
+    rows = [
+        (i, " ".join(rng.choice(list("abcdefgh"), 6)), ["en", "xx"][i % 2],
+         f"s{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    for frame in (df.coalesce(1), df.repartition(7, "source")):
+        a = sorted(map(tuple, dsir_scores(df, F.col("lang") == "en").collect()))
+        b = sorted(map(tuple, dsir_scores(frame, F.col("lang") == "en").collect()))
+        assert a == b
+        oa = sorted(map(tuple, cross_source_overlap(df).collect()))
+        ob = sorted(map(tuple, cross_source_overlap(frame).collect()))
+        assert oa == ob
+
+    emb_rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    cbs = [[[float(x) for x in rng.randn(4)] for _ in range(4)] for _ in range(4)]
+    ca = sorted(map(tuple, pq_encode(emb, cbs).collect()))
+    cb2 = sorted(map(tuple, pq_encode(emb.repartition(5), cbs).collect()))
+    assert ca == cb2
