@@ -3408,6 +3408,26 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (blocking.meta_blocking; SparkER EDBT 2019 /
+    Efthymiou et al.): weight the token-blocking graph over small
+    parts by Jaccard-of-block-sets (integer ppm) and prune with WNP.
+    The >= node-mean test runs as the exact integer cross-multiply
+    ``w_ppm * deg >= sum_w`` — no float mean anywhere, so the kept
+    edge set is bit-portable."""
+    from pydi_spark.blocking import meta_blocking
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    assignments = part.select(
+        F.col("p_partkey").cast("string").alias("rid"),
+        F.explode(F.split(F.col("p_name"), " ")).alias("block_key"),
+    )
+    out = meta_blocking(
+        assignments, weighting="js", pruning="wnp", max_block_size=1000
+    )
+    return out.select("id1", "id2", "cbs", "w_ppm")
+
+
 def q_extract_llm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLMExtractor through the deterministic fake client
     (extraction.llm; reference informationextraction/llm.py:35-606):
@@ -3836,13 +3856,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_list_to_string": q_io_list_to_string,
         "match_vector_features": q_match_vector_features,
         "extract_llm_fake": q_extract_llm_fake,
+        "blocking_meta": q_blocking_meta,
         # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "text_decontaminate": q_text_decontaminate,
         "fusion_conflicts": q_fusion_conflicts,
-        "fusion_accuracy": q_fusion_accuracy,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
         # -- past the 50-entry window: driver-green in r02 or r03,
@@ -3853,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
         "text_search_bm25": q_text_search_bm25,
+        "fusion_accuracy": q_fusion_accuracy,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6317,6 +6338,29 @@ SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part CROSS JOIN tot
 WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
 ORDER BY part_value DESC, l_partkey
+"""
+    out["blocking_meta"] = """
+WITH p AS (SELECT CAST(p_partkey AS VARCHAR) eid, p_name
+           FROM part WHERE p_size <= 10),
+a0 AS (SELECT DISTINCT eid, unnest(string_split(p_name, ' ')) AS bk FROM p),
+sizes AS (SELECT bk, count(*) AS bs FROM a0 GROUP BY bk),
+a2 AS (SELECT a0.eid, a0.bk FROM a0 JOIN sizes USING (bk) WHERE bs <= 1000),
+ent AS (SELECT eid, count(*) AS nb FROM a2 GROUP BY eid),
+cb AS (SELECT x.eid AS id1, y.eid AS id2, CAST(count(*) AS BIGINT) AS cbs
+       FROM a2 x JOIN a2 y ON x.bk = y.bk AND x.eid < y.eid
+       GROUP BY 1, 2),
+e AS (SELECT id1, id2, cbs,
+             CAST(floor(1000000.0 * cbs
+                        / CAST(e1.nb + e2.nb - cbs AS DOUBLE)) AS BIGINT)
+               AS w_ppm
+      FROM cb JOIN ent e1 ON e1.eid = id1 JOIN ent e2 ON e2.eid = id2),
+b AS (SELECT id1 AS node, id1, id2, cbs, w_ppm FROM e
+      UNION ALL
+      SELECT id2 AS node, id1, id2, cbs, w_ppm FROM e),
+st AS (SELECT node, sum(w_ppm) AS sum_w, count(*) AS deg FROM b GROUP BY node)
+SELECT DISTINCT id1, id2, cbs, w_ppm
+FROM b JOIN st USING (node)
+WHERE w_ppm * deg >= sum_w
 """
     out["extract_llm_fake"] = r"""
 WITH t AS (

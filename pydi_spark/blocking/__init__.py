@@ -3,6 +3,7 @@ from pydi_spark.blocking.embedding import (
     EmbeddingBlocker,
     sentence_transformer_embedder,
 )
+from pydi_spark.blocking.meta import meta_blocking
 from pydi_spark.blocking.no_blocking import NoBlocker
 from pydi_spark.blocking.sorted_neighbourhood import SortedNeighbourhoodBlocker
 from pydi_spark.blocking.standard import StandardBlocker
@@ -16,5 +17,6 @@ __all__ = [
     "TokenBlocker",
     "block_stats",
     "estimate_pairs",
+    "meta_blocking",
     "sentence_transformer_embedder",
 ]

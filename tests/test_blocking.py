@@ -266,3 +266,40 @@ def test_embedding_lsh_band_join_is_ids_only(spark):
     assert not leaked, (
         "vectors leaked into the band-join stage:\n" + "\n".join(leaked)
     )
+
+
+def test_meta_blocking_wnp_and_cnp(spark):
+    from pydi_spark.blocking import meta_blocking
+
+    # blocks: b1={1,2,3}, b2={1,2}, b3={2,3,4}, b4={5}(purged at cap 2? no)
+    rows = [
+        ("1", "b1"), ("2", "b1"), ("3", "b1"),
+        ("1", "b2"), ("2", "b2"),
+        ("2", "b3"), ("3", "b3"), ("4", "b3"),
+        ("5", "b4"),
+    ]
+    a = spark.createDataFrame(rows, "rid string, block_key string")
+    full = meta_blocking(a, pruning="none", weighting="cbs")
+    got = {(r["id1"], r["id2"]): r["cbs"] for r in full.collect()}
+    # pair (1,2) shares b1+b2 -> cbs 2; (2,3) shares b1+b3 -> cbs 2
+    assert got[("1", "2")] == 2 and got[("2", "3")] == 2
+    assert got[("1", "3")] == 1 and got[("3", "4")] == 1
+    assert ("4", "5") not in got  # singleton block makes no pairs
+
+    # WNP drops each node's below-average edges: node 1's edges have
+    # weights {2:(1,2), 1:(1,3)} -> only (1,2) reaches the mean from
+    # node 1, but (1,3) must survive only if node 3's side keeps it
+    wnp = {(r["id1"], r["id2"]) for r in
+           meta_blocking(a, pruning="wnp", weighting="cbs").collect()}
+    assert ("1", "2") in wnp and ("2", "3") in wnp
+    assert ("1", "3") not in wnp  # below mean on both endpoints
+
+    # CNP top-1 per node keeps each node's single best edge
+    cnp = {(r["id1"], r["id2"]) for r in
+           meta_blocking(a, pruning="cnp", top_k=1, weighting="js").collect()}
+    assert ("1", "2") in cnp and ("2", "3") in cnp
+    assert len(cnp) <= 4
+
+    # block purging: cap 2 kills b1/b3 -> only the b2 pair remains
+    purged = meta_blocking(a, pruning="none", max_block_size=2).collect()
+    assert {(r["id1"], r["id2"]) for r in purged} == {("1", "2")}
