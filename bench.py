@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "text_contamination_matrix",
     "sample_dsir",
     "embed_pq_topk",
+    "tpch_q2",
+    "blocking_meta",
 ]
 
 

@@ -49,6 +49,25 @@ def main() -> None:
     print("candidate pairs:", pairs.count())
     block_stats(pairs).orderBy(F.desc("pair_count")).show(5)
 
+    # 2b. meta-blocking (SparkER-style): weight the blocking graph by
+    # Jaccard of block sets and prune per-node — the candidate-taming
+    # stage a corpus-scale pipeline inserts before matching
+    from pydi_spark.blocking import meta_blocking
+
+    assignments = supp.df.select(
+        F.concat(F.lit("s"), F.col("rid")).alias("rid"), F.col("nation").alias("block_key")
+    ).unionByName(cust.df.select(
+        F.concat(F.lit("c"), F.col("rid")).alias("rid"), F.col("nation").alias("block_key")
+    ))
+    pruned = meta_blocking(
+        assignments, weighting="js", pruning="cnp", top_k=20
+    ).where(  # keep the cross-source edges (the dirty-ER graph also
+        # scores supplier-supplier / customer-customer pairs)
+        F.substring("id1", 1, 1) != F.substring("id2", 1, 1)
+    )
+    print("meta-blocking kept:", pruned.count(),
+          "cross-source pairs of", pairs.count())
+
     # 3. rule-based matching (weighted column expressions)
     matcher = RuleBasedMatcher(
         comparators=[(jaccard("name"), 0.3),
