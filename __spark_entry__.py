@@ -3428,6 +3428,28 @@ def q_blocking_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", "cbs", "w_ppm")
 
 
+def q_blocking_meta_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking's other two stages under the gate: block filtering
+    (each entity keeps the ceil(0.8·|B_e|) smallest of its blocks —
+    (size asc, key asc) total order) and CNP pruning (top-3 edges per
+    node by CBS weight, union of directions). All-integer weights."""
+    from pydi_spark.blocking import meta_blocking
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    assignments = part.select(
+        F.col("p_partkey").cast("string").alias("rid"),
+        F.explode(F.split(F.col("p_name"), " ")).alias("block_key"),
+    )
+    out = meta_blocking(
+        assignments,
+        weighting="cbs",
+        pruning="cnp",
+        top_k=3,
+        block_filter_ratio=0.8,
+    )
+    return out.select("id1", "id2", "cbs", "w_ppm")
+
+
 def q_extract_llm_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLMExtractor through the deterministic fake client
     (extraction.llm; reference informationextraction/llm.py:35-606):
@@ -3857,11 +3879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_vector_features": q_match_vector_features,
         "extract_llm_fake": q_extract_llm_fake,
         "blocking_meta": q_blocking_meta,
+        "blocking_meta_cnp": q_blocking_meta_cnp,
         # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
-        "text_decontaminate": q_text_decontaminate,
         "fusion_conflicts": q_fusion_conflicts,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
@@ -3874,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "text_search_bm25": q_text_search_bm25,
         "fusion_accuracy": q_fusion_accuracy,
+        "text_decontaminate": q_text_decontaminate,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6361,6 +6384,32 @@ st AS (SELECT node, sum(w_ppm) AS sum_w, count(*) AS deg FROM b GROUP BY node)
 SELECT DISTINCT id1, id2, cbs, w_ppm
 FROM b JOIN st USING (node)
 WHERE w_ppm * deg >= sum_w
+"""
+    out["blocking_meta_cnp"] = """
+WITH p AS (SELECT CAST(p_partkey AS VARCHAR) eid, p_name
+           FROM part WHERE p_size <= 10),
+a0 AS (SELECT DISTINCT eid, unnest(string_split(p_name, ' ')) AS bk FROM p),
+sizes AS (SELECT bk, count(*) AS bs FROM a0 GROUP BY bk),
+flt AS (
+  SELECT eid, bk FROM (
+    SELECT a0.eid, a0.bk,
+           row_number() OVER (PARTITION BY eid ORDER BY bs, bk) AS rk,
+           ceil(0.8 * count(*) OVER (PARTITION BY eid)) AS keep_n
+    FROM a0 JOIN sizes USING (bk)
+  ) WHERE rk <= keep_n
+),
+cb AS (SELECT x.eid AS id1, y.eid AS id2, CAST(count(*) AS BIGINT) AS cbs
+       FROM flt x JOIN flt y ON x.bk = y.bk AND x.eid < y.eid
+       GROUP BY 1, 2),
+e AS (SELECT id1, id2, cbs, cbs * 1000000 AS w_ppm FROM cb),
+b AS (SELECT id1 AS node, id1, id2, cbs, w_ppm FROM e
+      UNION ALL
+      SELECT id2 AS node, id1, id2, cbs, w_ppm FROM e)
+SELECT DISTINCT id1, id2, cbs, w_ppm FROM (
+  SELECT *, row_number() OVER (PARTITION BY node
+                               ORDER BY w_ppm DESC, id1, id2) AS rk
+  FROM b
+) WHERE rk <= 3
 """
     out["extract_llm_fake"] = r"""
 WITH t AS (

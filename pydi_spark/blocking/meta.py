@@ -39,6 +39,7 @@ def meta_blocking(
     pruning: str = "wnp",
     top_k: int = 5,
     max_block_size: int | None = None,
+    block_filter_ratio: float | None = None,
 ) -> DataFrame:
     """[id1, id2, cbs, w_ppm] — the pruned blocking graph.
 
@@ -49,7 +50,12 @@ def meta_blocking(
     weight of EITHER endpoint (union semantics, the standard WNP);
     'cnp' keeps the top-k edges per node (union); 'none' returns the
     whole weighted graph. ``max_block_size`` purges blocks larger than
-    the cap before pair generation (block purging)."""
+    the cap before pair generation (block purging).
+    ``block_filter_ratio`` applies block filtering: each entity keeps
+    only the ``ceil(ratio * |B_e|)`` SMALLEST of its blocks (size asc,
+    key asc — a total order), the standard redundancy trim that drops
+    an entity's least-discriminative memberships before the quadratic
+    stage."""
     if weighting not in ("cbs", "js"):
         raise ValueError(f"unknown weighting: {weighting}")
     if pruning not in ("wnp", "cnp", "none"):
@@ -65,6 +71,25 @@ def meta_blocking(
         sizes = a.groupBy("bk").agg(F.count("*").alias("__bs"))
         keep = sizes.where(F.col("__bs") <= int(max_block_size)).select("bk")
         a = a.join(F.broadcast(keep), "bk", "left_semi")
+
+    if block_filter_ratio is not None:
+        from pyspark.sql import Window
+
+        sizes = a.groupBy("bk").agg(F.count("*").alias("__bs"))
+        w_ent = Window.partitionBy("eid").orderBy(F.asc("__bs"), F.asc("bk"))
+        a = (
+            a.join(F.broadcast(sizes), "bk")
+            .withColumn("__rk", F.row_number().over(w_ent))
+            .withColumn(
+                "__keep_n",
+                F.ceil(
+                    F.lit(float(block_filter_ratio))
+                    * F.count("*").over(Window.partitionBy("eid"))
+                ),
+            )
+            .where(F.col("__rk") <= F.col("__keep_n"))
+            .select("eid", "bk")
+        )
 
     # per-entity block-set size |B_e|
     ent_sizes = a.groupBy("eid").agg(F.count("*").alias("nb"))

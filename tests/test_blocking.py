@@ -303,3 +303,20 @@ def test_meta_blocking_wnp_and_cnp(spark):
     # block purging: cap 2 kills b1/b3 -> only the b2 pair remains
     purged = meta_blocking(a, pruning="none", max_block_size=2).collect()
     assert {(r["id1"], r["id2"]) for r in purged} == {("1", "2")}
+
+
+def test_meta_blocking_block_filtering(spark):
+    from pydi_spark.blocking import meta_blocking
+
+    # entity 1 is in 2 blocks: big b1 (3 members) and small b2 (2);
+    # ratio 0.5 keeps ceil(0.5*2)=1 block per entity — the SMALLEST
+    rows = [
+        ("1", "b1"), ("2", "b1"), ("3", "b1"),
+        ("1", "b2"), ("2", "b2"),
+    ]
+    a = spark.createDataFrame(rows, "rid string, block_key string")
+    out = meta_blocking(a, pruning="none", weighting="cbs",
+                        block_filter_ratio=0.5).collect()
+    got = {(r["id1"], r["id2"]): r["cbs"] for r in out}
+    # 1 and 2 keep only b2; 3 keeps b1 -> surviving pair: (1,2) via b2
+    assert got == {("1", "2"): 1}
