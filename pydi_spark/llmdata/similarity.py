@@ -335,6 +335,10 @@ def ivfpq_topk(
             F.col("__v"), F.col("__best.ccvec"), lambda x, y: x - y
         ).alias("residual"),
     )
+    # two consumers (encode + cell re-join) — checkpoint so the coarse
+    # assignment aggregate runs once (NOTES: multiply-consumed
+    # intermediates rule)
+    assigned = assigned.localCheckpoint(eager=False)
     codes = pq_encode(assigned, codebooks, id_col="id", vec_col="residual")
     codes = codes.join(assigned.select("id", "cell"), "id")
 
