@@ -3408,6 +3408,60 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_weights() -> list[int]:
+    """Deterministic seed-19 micro-weights for the 256 token buckets —
+    injected like the PQ codebooks (training via
+    train_quality_classifier is driver-side logistic regression and
+    stays pytest-only; the SCORING path is what the oracle checks)."""
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    return [int(x) for x in rng.randint(-500000, 500001, 256)]
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier
+    (llmdata.linear_quality_classifier): hashed-unigram bucket counts
+    against injected integer micro-weights. margin_micro is an exact
+    integer aggregate (bias + sum(count_b * w_b)); keep = margin >= 0
+    int-cast per the hash-safe convention."""
+    from pydi_spark.llmdata import linear_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    out = linear_quality_classifier(
+        docs, _classifier_weights(), bias_micro=250000
+    )
+    return out.select("doc_id", "n_tokens", "margin_micro", "keep")
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming.stream_static_enrich):
+    the events stream joins a broadcast customer dimension per
+    micro-batch — stateless, no watermark, and the identical plan runs
+    as a batch join, which is the oracle."""
+    from pydi_spark.streaming import stream_static_enrich
+    from pydi_spark.streaming.dedup import run_stream_from_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    got = run_stream_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        lambda s: stream_static_enrich(s, dim, "user_id"),
+        output_mode="append",
+        query_name="q_streaming_enrich_contract",
+    )
+    return got.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        "event_type",
+        "c_mktsegment",
+    )
+
+
 def q_blocking_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (blocking.meta_blocking; SparkER EDBT 2019 /
     Efthymiou et al.): weight the token-blocking graph over small
@@ -3880,10 +3934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_llm_fake": q_extract_llm_fake,
         "blocking_meta": q_blocking_meta,
         "blocking_meta_cnp": q_blocking_meta_cnp,
+        "text_quality_classifier": q_text_quality_classifier,
+        "streaming_enrich": q_streaming_enrich,
         # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
         "fusion_conflicts": q_fusion_conflicts,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
@@ -3897,6 +3951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
@@ -6361,6 +6417,31 @@ SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part CROSS JOIN tot
 WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
 ORDER BY part_value DESC, l_partkey
+"""
+    wvals = ", ".join(
+        f"({b}, {w})" for b, w in enumerate(_classifier_weights())
+    )
+    out["text_quality_classifier"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id, unnest({toks_text}) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(token), 14, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(token), 15, 1)) - 1) AS bk
+  FROM t
+),
+wt AS (SELECT * FROM (VALUES {wvals}) AS t(bk, w))
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(250000 + sum(w) AS BIGINT) AS margin_micro,
+       CAST(250000 + sum(w) >= 0 AS INT) AS keep
+FROM b JOIN wt USING (bk)
+GROUP BY doc_id
+"""
+    out["streaming_enrich"] = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
     out["blocking_meta"] = """
 WITH p AS (SELECT CAST(p_partkey AS VARCHAR) eid, p_name

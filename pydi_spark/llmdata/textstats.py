@@ -482,3 +482,107 @@ def zipf_table(
             ).alias("cum_share"),
         )
     )
+
+
+def linear_quality_classifier(
+    df: DataFrame,
+    bucket_weights_micro: list[int],
+    bias_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed unigram
+    buckets [doc_id, n_tokens, margin_micro, keep]: the standard
+    "does this page look like the reference corpus" filter in
+    CCNet/LLaMA-class pipelines (fastText: Joulin et al. 2016). The
+    score is the LINEAR margin — weights are integer micro-units and
+    ``margin_micro = bias + sum_b(count_b * w_b)`` is an exact integer
+    aggregate, so classification (margin >= 0) is bit-portable
+    cross-engine; probability calibration (sigmoid) is left to the
+    caller because exp() rounding is libm-specific (the mean_logprob
+    split).
+
+    ``bucket_weights_micro[b]`` weighs token bucket
+    ``md5_60bit(token) % len(weights)``. Train with
+    ``train_quality_classifier`` (driver-side on a sample — the
+    k-means/codebook pattern) or supply curated weights.
+
+    Scale design: the weight table rides a broadcast of n_buckets
+    rows; scoring is one equi-join + per-doc integer aggregate; the
+    corpus text never shuffles — only (doc, bucket) pairs."""
+    from pydi_spark.functions.tokenize import word_tokens
+    from pydi_spark.llmdata.dedup import _token_hash60
+
+    n_buckets = len(bucket_weights_micro)
+    spark = df.sparkSession
+    wt = F.broadcast(
+        spark.createDataFrame(
+            [(b, int(w)) for b, w in enumerate(bucket_weights_micro)],
+            "b int, w bigint",
+        )
+    )
+    toks = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    ).select(
+        "doc_id",
+        F.pmod(_token_hash60(F.col("token")), F.lit(n_buckets))
+        .cast("int")
+        .alias("b"),
+    )
+    scored = (
+        toks.join(wt, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.lit(int(bias_micro)) + F.sum("w")).alias("margin_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "margin_micro",
+        (F.col("margin_micro") >= 0).cast("int").alias("keep"),
+    )
+
+
+def train_quality_classifier(
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    lr: float = 0.5,
+    n_iter: int = 50,
+    sample_size: int = 10000,
+) -> tuple[list[int], int]:
+    """Driver-side logistic regression on hashed-bucket counts from
+    bounded samples of a positive (reference) and negative (raw)
+    corpus — returns (bucket_weights_micro, bias_micro) for
+    ``linear_quality_classifier``. Driver-side by design (tiny dense
+    problem: n_buckets features), the same train-on-sample pattern as
+    IVF/PQ; the SCORING path is the distributed, oracle-checked one."""
+    import numpy as np
+
+    def counts(df):
+        import hashlib
+
+        rows = df.select(text_col).limit(int(sample_size)).collect()
+        X = np.zeros((len(rows), n_buckets))
+        for i, r in enumerate(rows):
+            for tok in str(r[0]).lower().split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                X[i, h % n_buckets] += 1
+        return X
+
+    Xp, Xn = counts(pos_df), counts(neg_df)
+    X = np.vstack([Xp, Xn])
+    y = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xn))])
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(n_iter):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / len(y)
+        b -= lr * g.mean()
+    return [int(round(x * 1e6)) for x in w], int(round(b * 1e6))

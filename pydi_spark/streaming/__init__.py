@@ -1,5 +1,6 @@
 from pydi_spark.streaming.dedup import (
     sessionize,
+    stream_static_enrich,
     stream_stream_join,
     streaming_dedup,
     windowed_event_counts,
@@ -7,6 +8,7 @@ from pydi_spark.streaming.dedup import (
 
 __all__ = [
     "sessionize",
+    "stream_static_enrich",
     "stream_stream_join",
     "streaming_dedup",
     "windowed_event_counts",

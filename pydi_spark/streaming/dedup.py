@@ -135,6 +135,26 @@ def stream_stream_join(
     return l.join(r, cond, how).select("key", "l_ts", "r_ts", "l_value", "r_value")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_column: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the lookup/enrichment stage of every streaming pipeline).
+    The static side is broadcast — each micro-batch joins map-side
+    with NO stream-side state at all (unlike stream-stream joins,
+    nothing is buffered and no watermark is required). The same plan
+    runs as a batch join unchanged, which is how the oracle checks it.
+
+    Scale: the dimension re-broadcasts per trigger, so it can be
+    updated between micro-batches; for dimensions beyond broadcast
+    size pass ``broadcast_dim=False`` and pre-bucket both sides."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key_column, "left")
+
+
 def run_stream_from_parquet(
     spark,
     path: str,

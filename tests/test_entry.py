@@ -58,6 +58,7 @@ def test_driver_window_arithmetic():
         "embed_pq_topk", "embed_ivfpq_topk", "tpch_q2", "tpch_q11",
         "io_list_to_string", "match_vector_features", "extract_llm_fake",
         "blocking_meta", "blocking_meta_cnp",
+        "text_quality_classifier", "streaming_enrich",
         "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
     }
     outside = awaiting - set(window)

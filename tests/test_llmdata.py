@@ -1131,3 +1131,29 @@ def test_new_ops_partition_independent(spark):
     ca = sorted(map(tuple, pq_encode(emb, cbs).collect()))
     cb2 = sorted(map(tuple, pq_encode(emb.repartition(5), cbs).collect()))
     assert ca == cb2
+
+
+def test_quality_classifier_train_and_score(spark):
+    from pydi_spark.llmdata import (
+        linear_quality_classifier,
+        train_quality_classifier,
+    )
+
+    pos_rows = [(i, "spark query engine join " * 3) for i in range(20)]
+    neg_rows = [(100 + i, "lorem ipsum dolor sit amet " * 3) for i in range(20)]
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    w, b = train_quality_classifier(pos, neg, n_buckets=64, sample_size=40)
+    assert len(w) == 64 and isinstance(b, int)
+
+    both = pos.unionByName(neg)
+    out = {r["doc_id"]: r for r in
+           linear_quality_classifier(both, w, bias_micro=b).collect()}
+    # trained weights separate the two vocabularies
+    assert all(out[str(i)]["keep"] == 1 for i in range(20))
+    assert all(out[str(100 + i)]["keep"] == 0 for i in range(20))
+    # margin is an exact integer, reproducible under repartition
+    out2 = {r["doc_id"]: r["margin_micro"] for r in
+            linear_quality_classifier(both.repartition(7), w,
+                                      bias_micro=b).collect()}
+    assert {k: v["margin_micro"] for k, v in out.items()} == out2
