@@ -71,6 +71,24 @@ def main() -> None:
     docs = docs.join(keep_ids, "doc_id", "left_semi")
     n_quality = docs.count()
 
+    # 2a2. fastText-style quality classifier: train tiny logistic
+    # weights on hashed buckets (reference = confident-English docs,
+    # raw = the rest), then score the corpus with the exact-integer
+    # margin — the distributable stage
+    from pydi_spark.llmdata import (
+        linear_quality_classifier,
+        train_quality_classifier,
+    )
+
+    pos = docs.where(F.col("predicted_lang") == "en").limit(200)
+    neg = docs.where(F.col("predicted_lang") != "en").limit(200)
+    w_cls, b_cls = train_quality_classifier(pos, neg, n_buckets=128,
+                                            sample_size=200, n_iter=20)
+    margins = linear_quality_classifier(docs, w_cls, bias_micro=b_cls)
+    n_keep = margins.where("keep = 1").count()
+    print(f"quality classifier keeps {n_keep} docs "
+          f"(margin >= 0 under trained weights)")
+
     # 2b. corpus-level exact line dedup (C4 rule: every repeated line
     # survives only at its first occurrence)
     lines = dedup_corpus_lines(docs)
