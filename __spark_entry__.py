@@ -2931,6 +2931,22 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+def q_text_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-50 and cosine top-50
+    (query = embedding of vec_id 0, inlined as a double literal) fused
+    by reciprocal rank (1/(60+rank), fixed-order sum — no
+    transcendentals, bit-exact cross-engine). North-star RAG retrieval
+    surface; the reference has none."""
+    from pydi_spark.llmdata import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return hybrid_rrf_topk(
+        docs, emb, ["stream", "hash", "customer"], qvec, k=20, n_each=50
+    )
+
+
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: posting lists as 'doc:tf' strings in
     ascending doc order, truncated at 20 entries (doc_freq keeps the
@@ -3949,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
         "text_search_bm25": q_text_search_bm25,
+        "text_search_hybrid": q_text_search_hybrid,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6175,6 +6192,64 @@ SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
 FROM sc WHERE score > 0
 QUALIFY rank <= 25
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
+    # hybrid RRF = bm25 top-50 (same CTEs as text_search_bm25) + cosine
+    # top-50 vs embedding 0, fused by 1/(60+rank) fixed-order sums —
+    # list_cosine_similarity == the Spark float64 fold (NOTES.md)
+    out["text_search_hybrid"] = """
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents
+),
+pd AS (
+  SELECT doc_id, count(*) AS dl,
+         count(*) FILTER (WHERE token = 'stream') AS tf_0,
+         count(*) FILTER (WHERE token = 'hash') AS tf_1,
+         count(*) FILTER (WHERE token = 'customer') AS tf_2
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf_0 > 0) AS df_0,
+         count(*) FILTER (WHERE tf_1 > 0) AS df_1,
+         count(*) FILTER (WHERE tf_2 > 0) AS df_2
+  FROM pd
+),
+sc AS (
+  SELECT doc_id,
+      ((n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5))
+        * (tf_0::DOUBLE * (1.2 + 1.0) / (tf_0::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5))
+        * (tf_1::DOUBLE * (1.2 + 1.0) / (tf_1::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5))
+        * (tf_2::DOUBLE * (1.2 + 1.0) / (tf_2::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    AS score
+  FROM pd, st
+),
+lex AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM sc WHERE score > 0 QUALIFY rank <= 50
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
+                    vec_id) AS INT) AS rank
+  FROM embeddings QUALIFY rank <= 50
+),
+fused AS (
+  SELECT COALESCE(l.id, s.id) AS doc_id,
+         CAST(COALESCE(l.rank, 0) AS INT) AS lex_rank,
+         CAST(COALESCE(s.rank, 0) AS INT) AS sem_rank,
+         (CASE WHEN l.rank IS NOT NULL THEN 1.0 / (60.0 + CAST(l.rank AS DOUBLE)) ELSE 0.0 END)
+       + (CASE WHEN s.rank IS NOT NULL THEN 1.0 / (60.0 + CAST(s.rank AS DOUBLE)) ELSE 0.0 END)
+         AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 20
 """.replace("{TOK}", _TOK_SQL.format(col="text"))
     out["text_inverted_index"] = """
 WITH tok AS (

@@ -136,3 +136,109 @@ def bm25_scores(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def cosine_rank(
+    emb: DataFrame,
+    query_vec: list[float],
+    n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``n`` corpus vectors by cosine against ONE literal query
+    vector: [id, cos, rank], rank 1..n by (cos desc, id asc).
+
+    The query enters as an inlined double-array literal, so the scan is
+    a single map pass over the corpus (no join at all); top-n is
+    sort+limit (per-partition heaps), never a global window over the
+    corpus. The fold arithmetic is float64 end-to-end — bit-identical
+    to DuckDB's list_cosine_similarity (NOTES.md invariant 1).
+    """
+    from pydi_spark.llmdata.similarity import cosine_expr
+
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(qlit, F.col(vec_col)).alias("cos"),
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("id")).limit(int(n))
+    w = Window.orderBy(F.desc("cos"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists: ``score(d) = Σ_i 1 / (rrf_k + rank_i(d))`` over the lists
+    that contain ``d``. Output: [id, rank_0..rank_{N-1}, rrf_score,
+    rank] — per-list ranks are 0 when the list misses the document.
+
+    Scale shape: each input is already a top-n list (user-request
+    sized), so the full-outer-join chain is tiny regardless of corpus
+    size; all corpus-scale work happened inside the rankers. The score
+    is a FIXED-ORDER sum of ``1.0/(rrf_k + rank)`` terms — identical
+    literal expressions on both engines keep every double bit-exact
+    (no transcendentals, NOTES.md invariant 1).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).alias(f"rank_{i}")
+        )
+        fused = side if fused is None else fused.join(side, "id", "full_outer")
+    score = None
+    rank_cols = []
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"rank_{i}"), F.lit(0)).cast("int")
+        rank_cols.append(c.alias(f"rank_{i}"))
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    out = fused.select("id", *rank_cols, score.alias("rrf_score"))
+    top = out.orderBy(F.desc("rrf_score"), F.asc("id")).limit(int(k))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 20,
+    n_each: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``n_each`` and
+    cosine top-``n_each`` fused by reciprocal rank. Output:
+    [doc_id, lex_rank, sem_rank, rrf_score, rank] (absent-from-list
+    ranks are 0). The standard first-stage retriever for RAG over a
+    training corpus; beyond the reference (PyDI has no retrieval
+    surface — north-star operator)."""
+    lex = bm25_scores(
+        docs, query_terms, k=n_each, text_col=text_col, id_col=id_col
+    ).select(F.col("doc_id").alias("id"), "rank")
+    sem = cosine_rank(
+        emb, query_vec, n=n_each, id_col=emb_id_col, vec_col=vec_col
+    ).select("id", "rank")
+    fused = rrf_fuse([lex, sem], k=k, rrf_k=rrf_k)
+    return fused.select(
+        F.col("id").alias(id_col),
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("sem_rank"),
+        "rrf_score",
+        "rank",
+    )
