@@ -2931,6 +2931,30 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+# BPE merge table trained ONCE by train_bpe_merges on the sf0.01
+# documents (deterministic — argmax under a total order) and inlined as
+# the fixed artifact, the PQ-codebook pattern: the oracle replays the
+# same literal replace chain, the training path is pytest-pinned.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword segmentation (merge-replay mode — identical literal
+    replace chains on both engines) over the corpus word-frequency
+    table; output = top-40 pieces by occurrence-weighted count. All
+    pieces are [a-z]+ substrings — hash-safe by construction."""
+    from pydi_spark.llmdata import bpe_segment, piece_stats, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, word_filter=r"^[a-z]+$")
+    seg = bpe_segment(wf, [tuple(m) for m in _BPE_MERGES], mode="merge_replay")
+    return piece_stats(seg, 40)
+
+
 def q_text_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-50 and cosine top-50
     (query = embedding of vec_id 0, inlined as a double literal) fused
@@ -3966,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "text_search_bm25": q_text_search_bm25,
         "text_search_hybrid": q_text_search_hybrid,
+        "text_bpe_segment": q_text_bpe_segment,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -4277,6 +4302,35 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
 FROM scored
 QUALIFY rank <= 10
 """
+
+
+def _bpe_oracle_sql() -> str:
+    """Replay of q_text_bpe_segment: the same fixed merge table applied
+    as the same 3-pass literal replace chain (leftmost-non-overlapping
+    replace is identical in Spark and DuckDB), over the same
+    word-frequency table."""
+    expr = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+WITH tok AS (SELECT unnest({{TOK}}) AS word FROM documents),
+wf AS (
+  SELECT word, count(*) AS freq FROM tok
+  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+),
+seg AS (SELECT word, freq, replace(trim({expr}), '  ', ' ') AS pieces FROM wf),
+px AS (
+  SELECT word, freq, unnest(string_split(pieces, ' ')) AS piece FROM seg
+),
+st AS (
+  SELECT piece, count(DISTINCT word) AS n_words,
+         CAST(sum(freq) AS BIGINT) AS total_count
+  FROM px GROUP BY piece
+)
+SELECT piece, n_words, total_count,
+       CAST(row_number() OVER (ORDER BY total_count DESC, piece) AS INT) AS rank
+FROM st QUALIFY rank <= 40
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -6196,6 +6250,7 @@ QUALIFY rank <= 25
     # hybrid RRF = bm25 top-50 (same CTEs as text_search_bm25) + cosine
     # top-50 vs embedding 0, fused by 1/(60+rank) fixed-order sums —
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
+    out["text_bpe_segment"] = _bpe_oracle_sql()
     out["text_search_hybrid"] = """
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS token FROM documents

@@ -1157,3 +1157,89 @@ def test_quality_classifier_train_and_score(spark):
             linear_quality_classifier(both.repartition(7), w,
                                       bias_micro=b).collect()}
     assert {k: v["margin_micro"] for k, v in out.items()} == out2
+
+
+# -- BPE subword training / segmentation (llmdata/bpe.py) --------------
+
+
+def _bpe_reference_train(word_freqs, n_merges, min_freq=2):
+    """Pure-Python mirror of train_bpe_merges: overlapping adjacent-pair
+    counts, argmax under (cnt desc, a, b), double-space boundary replace
+    apply (canonical leftmost-greedy)."""
+    words = {w: ["  " + "  ".join(w) + "  ", f] for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for sym, f in words.values():
+            parts = sym.split()
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_freq:
+            break
+        merges.append((a, b))
+        for w, (sym, f) in words.items():
+            words[w] = [sym.replace(f" {a}  {b} ", f" {a}{b} "), f]
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from pydi_spark.llmdata import train_bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the cat chat",
+        "that mat and that hat",
+        "chatter on the matter",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = train_bpe_merges(df, n_merges=8, word_filter=r"^[a-z]+$")
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference_train(freqs, 8)
+    assert got == want
+    # the top merge really is the most frequent bigram: 'at' dominates
+    assert got[0] == ("a", "t")
+
+
+def test_bpe_greedy_apply_canonical():
+    from pydi_spark.llmdata.bpe import greedy_apply
+
+    ranks = {("a", "t"): 0, ("th", "at"): 2, ("t", "h"): 1}
+    assert greedy_apply("that", ranks) == ["that"]
+    assert greedy_apply("hat", ranks) == ["h", "at"]
+    # lower rank wins even when a later pair appears first in the word
+    assert greedy_apply("tha", ranks) == ["th", "a"]
+    # no applicable merges -> characters
+    assert greedy_apply("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_bpe_replay_handles_boundary_chains(spark):
+    from pydi_spark.llmdata import bpe_segment
+
+    # double-space boundaries make one replace pass per merge equal
+    # canonical leftmost-greedy merging, even on same-symbol chains
+    rows = [("aaaa", 1), ("aaaaaa", 1), ("ababab", 1)]
+    df = spark.createDataFrame(rows, "word string, freq long")
+    out = {r["word"]: r["pieces"]
+           for r in bpe_segment(df, [("a", "a"), ("a", "b")]).collect()}
+    assert out["aaaa"] == "aa aa"
+    assert out["aaaaaa"] == "aa aa aa"
+    assert out["ababab"] == "ab ab ab"
+
+
+def test_bpe_modes_agree_on_corpus(spark, sf_dir):
+    from pydi_spark.llmdata import bpe_segment, piece_stats, word_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = word_frequencies(docs, word_filter=r"^[a-z]+$")
+    merges = [("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("a", "t")]
+    a = piece_stats(bpe_segment(wf, merges, mode="merge_replay"), 30)
+    b = piece_stats(bpe_segment(wf, merges, mode="greedy"), 30)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
