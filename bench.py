@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "embed_pq_topk",
     "tpch_q2",
     "blocking_meta",
+    # round-4 session-3 additions
+    "text_search_hybrid",
+    "text_bpe_segment",
 ]
 
 

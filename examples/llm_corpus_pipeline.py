@@ -167,9 +167,22 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens"),
     )
 
+    # 9. subword vocabulary over the surviving corpus: BPE merges
+    # trained on the word-frequency table (one corpus pass; training
+    # iterations are vocab-sized), then segment and report the top
+    # pieces — the vocabulary a tokenizer design would start from
+    from pydi_spark.llmdata import bpe_segment, piece_stats, train_bpe_merges
+    from pydi_spark.llmdata.bpe import word_frequencies
+
+    merges = train_bpe_merges(docs, n_merges=10, word_filter=r"^[a-z]+$")
+    wf = word_frequencies(docs, word_filter=r"^[a-z]+$")
+    top_pieces = piece_stats(bpe_segment(wf, merges), top_n=15)
+
     print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
           f"-> decontaminated {n_clean}")
     summary.orderBy("source").show(25, truncate=False)
+    print(f"BPE merges: {merges}")
+    top_pieces.show(15, truncate=False)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,19 @@ def main() -> None:
     ivfpq_ids = [str(r["id"]) for r in ivfpq]
     print(f"  ivf-pq  {recall(ivfpq_ids, exact_by_q[q0]):.2f}  "
           f"(scanned ~{4}/{16} cells)")
+    # hybrid retrieval: BM25 over the document text + cosine over the
+    # aligned embeddings, fused by reciprocal rank — the two-channel
+    # first stage a RAG system runs before any reranker
+    from pydi_spark.llmdata import hybrid_rrf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fused = hybrid_rrf_topk(
+        docs, corpus, ["stream", "hash", "customer"], qvec, k=10, n_each=50
+    )
+    print("hybrid BM25+cosine RRF top-10 (lex_rank/sem_rank 0 = absent "
+          "from that channel):")
+    fused.show(10, truncate=False)
+
     print("note: the synthetic embeddings are near-uniform random — the "
           "worst case for ANN recall. On clustered real embeddings the "
           "same settings sit far higher; tune bits/bands, nprobe, and "

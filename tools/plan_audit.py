@@ -34,6 +34,9 @@ ALLOWED = {
     # ONE-row corpus-stats frame (N, avgdl, per-term df) broadcast onto
     # the per-doc frame: the keyless join is O(n) by construction
     "text_search_bm25": {"nested_loop"},
+    # same bm25 scalar-stats broadcast inside the lexical channel; the
+    # RRF fusion itself joins two top-50 lists (request-sized)
+    "text_search_hybrid": {"nested_loop"},
     # ONE-row average-balance aggregate broadcast onto the filtered
     # customer side (the scalar-subquery plan Spark itself emits): O(n)
     "tpch_q22": {"nested_loop"},
