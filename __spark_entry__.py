@@ -2931,6 +2931,21 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash dedup: batch = doc_id % 5 == 0 deduped
+    against the signature STORE of the other 80% (the store is built
+    in-query here; in production it's persisted parquet). Survivors
+    dedup among themselves via CC keep-min."""
+    from pydi_spark.llmdata import incremental_minhash_dedup, minhash_signature_table
+
+    docs = _t(spark, sf_dir, "documents")
+    store = minhash_signature_table(docs.where("doc_id % 5 != 0"), num_hashes=8)
+    batch = docs.where("doc_id % 5 = 0")
+    return incremental_minhash_dedup(
+        batch, store, num_hashes=8, bands=4, jaccard_threshold=0.7
+    )
+
+
 # BPE merge table trained ONCE by train_bpe_merges on the sf0.01
 # documents (deterministic — argmax under a total order) and inlined as
 # the fixed artifact, the PQ-codebook pattern: the oracle replays the
@@ -3991,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "text_search_hybrid": q_text_search_hybrid,
         "text_bpe_segment": q_text_bpe_segment,
+        "dedup_incremental": q_dedup_incremental,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -4301,6 +4317,95 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
        row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 10
+"""
+
+
+def _incremental_minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Replay of q_dedup_incremental: same signature/band/verify CTEs as
+    _minhash_sql, split into store (doc_id % 5 != 0) and batch, then the
+    dedup_canonical transitive-closure walk over the surviving batch
+    pairs."""
+    rows = num_hashes // bands
+    sig_cols = ",\n    ".join(
+        f"min(md5('{i}:' || tok)) AS s{i}" for i in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "'%d:' || md5(%s) AS b%d"
+        % (b, " || ',' || ".join(f"s{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, b{b} AS band_key FROM bands" for b in range(bands)
+    )
+    toks = _TOK_SQL.format(col="text")
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    jac = """CASE WHEN len(list_distinct(list_concat(sa.tok_set, sb.tok_set))) > 0
+      THEN len(list_intersect(sa.tok_set, sb.tok_set))::DOUBLE
+           / len(list_distinct(list_concat(sa.tok_set, sb.tok_set)))
+      ELSE 1.0 END"""
+    return f"""
+WITH RECURSIVE tok_rows AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+),
+th_rows AS (
+  SELECT doc_id, tok, ({hex2int}) AS th
+  FROM (SELECT doc_id, tok, md5(tok) AS md5h FROM tok_rows)
+),
+sigs AS (
+  SELECT doc_id, {sig_cols}, list_distinct(list(th)) AS tok_set
+  FROM th_rows GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+),
+band_rows AS ({band_union}),
+br AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 5 = 0 AS is_new, band_key
+  FROM band_rows
+),
+cross_cands AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+  FROM br n JOIN br o USING (band_key)
+  WHERE n.is_new AND NOT o.is_new
+),
+matched AS (
+  SELECT DISTINCT new_id AS id
+  FROM cross_cands c
+  JOIN sigs sa ON CAST(sa.doc_id AS VARCHAR) = c.new_id
+  JOIN sigs sb ON CAST(sb.doc_id AS VARCHAR) = c.old_id
+  WHERE {jac} >= {threshold}
+),
+surv AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+  WHERE doc_id % 5 = 0
+    AND CAST(doc_id AS VARCHAR) NOT IN (SELECT id FROM matched)
+),
+batch_pairs AS (
+  SELECT DISTINCT n.id AS id1, o.id AS id2
+  FROM br n JOIN br o USING (band_key)
+  JOIN sigs sa ON CAST(sa.doc_id AS VARCHAR) = n.id
+  JOIN sigs sb ON CAST(sb.doc_id AS VARCHAR) = o.id
+  WHERE n.is_new AND o.is_new AND n.id < o.id
+    AND n.id IN (SELECT id FROM surv) AND o.id IN (SELECT id FROM surv)
+    AND {jac} >= {threshold}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM batch_pairs
+        UNION ALL SELECT id2, id1 FROM batch_pairs),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT s.id, 0 AS matched_store,
+       coalesce(c.cluster_id, s.id) AS canonical_id,
+       CAST(coalesce(c.cluster_id, s.id) = s.id AS INT) AS kept
+FROM surv s LEFT JOIN comp c ON c.id = s.id
+UNION ALL
+SELECT id, 1 AS matched_store, '' AS canonical_id, 0 AS kept FROM matched
 """
 
 
@@ -6251,6 +6356,7 @@ QUALIFY rank <= 25
     # top-50 vs embedding 0, fused by 1/(60+rank) fixed-order sums —
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
+    out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
     out["text_search_hybrid"] = """
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS token FROM documents

@@ -116,6 +116,54 @@ def token_set_jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """[id, s0..s{n-1}, toks] — MinHash signatures plus the 60-bit
+    hashed token set, in ONE tokenize+groupBy pass. This is also the
+    signature STORE an incremental pipeline persists between batches
+    (write it to parquet; ``incremental_minhash_dedup`` reads it back).
+
+    Verification runs on 60-bit md5-prefix token HASHES (the portable
+    SimHash construction), not token strings: set intersection over
+    longs is several times cheaper than over 32-char strings, and the
+    re-attach payload shrinks ~4x. Jaccard over hashed sets equals
+    jaccard over tokens up to md5 collisions, which strike both engines
+    identically (the oracle hashes the same way).
+
+    Signatures via explode + native min aggregates (codegen'd) instead
+    of array_min(transform(...)) (interpreted higher-order functions);
+    ONE groupBy produces the signatures AND the hashed token sets, so
+    the corpus is tokenized exactly once."""
+    tok_rows = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
+    )
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return tok_rows.groupBy("id").agg(
+        *sig_aggs, F.collect_set(_token_hash60(F.col("tok"))).alias("toks")
+    )
+
+
+def _band_key_cols(num_hashes: int, bands: int) -> list[Column]:
+    """Band-key expressions over a signature table's s0..s{n-1}."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(F.concat_ws(",", *[F.col(f"s{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)])),
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -138,44 +186,16 @@ def minhash_near_duplicates(
     # (small-per-row) side table. Carrying the arrays through the
     # quadratic join would multiply shuffle bytes by avg doc length.
     #
-    # Verification runs on 60-bit md5-prefix token HASHES (the portable
-    # SimHash construction), not token strings: set intersection over
-    # longs is several times cheaper than over 32-char strings, and the
-    # re-attach payload shrinks ~4x. Jaccard over hashed sets equals
-    # jaccard over tokens up to md5 collisions, which are identical on
-    # both engines (the oracle hashes the same way), so cross-engine
-    # bit-equality is preserved.
-    #
-    # Signatures via explode + native min aggregates (codegen'd) instead
-    # of array_min(transform(...)) (interpreted higher-order functions);
-    # ONE groupBy produces the signatures AND the hashed token sets, so
-    # the corpus is tokenized exactly once.
-    tok_rows = df.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
-    )
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"s{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = tok_rows.groupBy("id").agg(
-        *sig_aggs, F.collect_set(_token_hash60(F.col("tok"))).alias("toks")
-    )
     # sigs feeds THREE consumers (band table + both verify sides): without
     # materialization the corpus tokenize + num_hashes-way min aggregate
     # recomputes per consumer. localCheckpoint over persist() so the blocks
     # free with the frame (the embedding-blocker lesson, ADVICE r3).
-    sigs = sigs.localCheckpoint(eager=True)
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.md5(F.concat_ws(",", *[F.col(f"s{b * rows_per_band + r}")
-                                     for r in range(rows_per_band)])),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
+    sigs = minhash_signature_table(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    banded = sigs.select(
+        "id", F.explode(F.array(*_band_key_cols(num_hashes, bands))).alias("band_key")
+    )
     # explicit parallelism on the probe side: the banded table is tiny
     # (docs x bands rows) so AQE coalesces it to ~1 partition — but the
     # band join EXPLODES output quadratically per key, and that explosion
@@ -208,6 +228,116 @@ def minhash_near_duplicates(
         .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
         .select("id1", "id2", "jaccard")
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an EXISTING signature
+    store (the production nightly-crawl shape: the historical corpus is
+    never re-read — only its persisted ``minhash_signature_table``).
+
+    Per new-batch document: ``matched_store=1`` if its verified token
+    Jaccard reaches the threshold against ANY store document; the
+    remaining survivors then dedup among themselves (connected
+    components over their verified pair graph, min-string-id kept).
+    Output: [id, matched_store, canonical_id, kept] — ``canonical_id``
+    is '' for store-matched rows, the cluster representative otherwise;
+    ``kept=1`` rows are the net-new additions whose signature rows
+    should be appended to the store.
+
+    Scale shape: the store is the big side (billions of signature rows
+    at 100 TB) and is touched by exactly TWO key-joins — band_key for
+    candidates and id for token-set re-attach; it is never broadcast
+    and never re-tokenized. The new batch is bounded (a crawl
+    increment), so ITS band table and token sets broadcast, and the
+    quadratic band fan-out is bounded by batch size x band collisions.
+    No reference counterpart (PyDI has no incremental surface);
+    composes minhash_near_duplicates' audited primitives.
+    """
+    parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_sigs = minhash_signature_table(
+        new_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    band_cols = _band_key_cols(num_hashes, bands)
+    new_bands = new_sigs.select(
+        F.col("id").alias("new_id"), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    store_bands = store_sigs.select(
+        F.col("id").alias("old_id"), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    # candidates: store side streams, batch band table broadcasts;
+    # repartition before dropDuplicates so the dedup aggregate AND the
+    # verify behind it run at full width (NOTES.md minhash lesson)
+    cross = (
+        store_bands.join(F.broadcast(new_bands), "band_key")
+        .select("new_id", "old_id")
+        .repartition(parallelism, "new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    new_toks = new_sigs.select(F.col("id").alias("new_id"), F.col("toks").alias("toks_new"))
+    old_toks = store_sigs.select(F.col("id").alias("old_id"), F.col("toks").alias("toks_old"))
+    matched = (
+        cross.join(old_toks, "old_id")  # big side: key-join, never broadcast
+        .join(F.broadcast(new_toks), "new_id")
+        .withColumn("jaccard", token_set_jaccard(F.col("toks_new"), F.col("toks_old")))
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+    # survivors dedup among themselves — batch-sized from here on
+    surv = new_sigs.join(matched, "id", "left_anti").localCheckpoint(eager=True)
+    surv_bands = surv.select(
+        "id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    l = surv_bands.select(F.col("id").alias("id1"), "band_key").repartition(
+        parallelism, "band_key", "id1"
+    )
+    r = surv_bands.select(F.col("id").alias("id2"), "band_key")
+    batch_cands = (
+        l.join(r, "band_key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .repartition(parallelism, "id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    t1 = F.broadcast(surv.select(F.col("id").alias("id1"), F.col("toks").alias("toks1")))
+    t2 = F.broadcast(surv.select(F.col("id").alias("id2"), F.col("toks").alias("toks2")))
+    batch_pairs = (
+        batch_cands.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("jaccard", token_set_jaccard(F.col("toks1"), F.col("toks2")))
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select("id1", "id2")
+    )
+    from pydi_spark.clustering.connected_components import connected_components
+
+    assign = connected_components(batch_pairs)
+    surv_out = (
+        surv.select("id")
+        .join(assign.withColumnRenamed("record_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.lit(0).alias("matched_store"),
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "kept", (F.col("id") == F.col("canonical_id")).cast("int")
+        )
+    )
+    matched_out = matched.select(
+        "id",
+        F.lit(1).alias("matched_store"),
+        F.lit("").alias("canonical_id"),
+        F.lit(0).alias("kept"),
+    )
+    return surv_out.unionByName(matched_out)
 
 
 # ----------------------------------------------------------------- simhash

@@ -1243,3 +1243,37 @@ def test_bpe_modes_agree_on_corpus(spark, sf_dir):
     a = piece_stats(bpe_segment(wf, merges, mode="merge_replay"), 30)
     b = piece_stats(bpe_segment(wf, merges, mode="greedy"), 30)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_incremental_minhash_dedup_semantics(spark):
+    from pydi_spark.llmdata import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    store_rows = [(1, base), (2, "completely different vocabulary about spark joins")]
+    batch_rows = [
+        (10, base),                                    # dup of store doc 1
+        (11, "unrelated text mentioning catalyst optimizer rules"),
+        (12, "unrelated text mentioning catalyst optimizer rules"),  # dup of 11
+        (13, "another singleton about watermark state eviction"),
+    ]
+    store_docs = spark.createDataFrame(store_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    store = minhash_signature_table(store_docs, num_hashes=8)
+    out = {r["id"]: r for r in incremental_minhash_dedup(
+        batch, store, num_hashes=8, bands=4, jaccard_threshold=0.7).collect()}
+    assert len(out) == 4
+    assert out["10"]["matched_store"] == 1 and out["10"]["kept"] == 0
+    # in-batch pair 11/12: min string id kept, other assigned to it
+    assert out["11"]["kept"] == 1 and out["11"]["canonical_id"] == "11"
+    assert out["12"]["kept"] == 0 and out["12"]["canonical_id"] == "11"
+    assert out["13"]["kept"] == 1 and out["13"]["matched_store"] == 0
+    # partition-independence: same decisions under a different layout
+    out2 = {r["id"]: (r["matched_store"], r["canonical_id"], r["kept"])
+            for r in incremental_minhash_dedup(
+                batch.repartition(7), store.repartition(5),
+                num_hashes=8, bands=4, jaccard_threshold=0.7).collect()}
+    assert out2 == {k: (v["matched_store"], v["canonical_id"], v["kept"])
+                    for k, v in out.items()}
