@@ -2931,6 +2931,29 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling: 50 orders per
+    priority class by md5 order (hex prefix order == fraction order, so
+    the decision is float-free and partition-independent)."""
+    from pydi_spark.llmdata import exact_k_sample
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "rid", F.col("o_orderkey").cast("string")
+    )
+    out = exact_k_sample(orders, k=50, key_col="rid", stratum_col="o_orderpriority")
+    return out.select("rid", "o_orderpriority", "sample_rank")
+
+
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight report (profiling.key_skew_report): exact
+    counts + integer ppm share for the heaviest values of a prospective
+    join key — the input to every salting / AQE-threshold decision."""
+    from pydi_spark.profiling import key_skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_orderpriority", top_n=20)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental minhash dedup: batch = doc_id % 5 == 0 deduped
     against the signature STORE of the other 80% (the store is built
@@ -4007,6 +4030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_hybrid": q_text_search_hybrid,
         "text_bpe_segment": q_text_bpe_segment,
         "dedup_incremental": q_dedup_incremental,
+        "sample_exact_k": q_sample_exact_k,
+        "profile_key_skew": q_profile_key_skew,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6357,6 +6382,28 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    out["sample_exact_k"] = """
+SELECT rid, o_orderpriority, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT CAST(o_orderkey AS VARCHAR) AS rid, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12),
+                    CAST(o_orderkey AS VARCHAR)) AS rn
+  FROM orders) t
+WHERE rn <= 50
+"""
+    out["profile_key_skew"] = """
+WITH c AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT key, cnt,
+       cnt * CAST(1000000 AS BIGINT) // total AS share_ppm,
+       CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+FROM c, t
+QUALIFY rank <= 20
+"""
     out["text_search_hybrid"] = """
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS token FROM documents

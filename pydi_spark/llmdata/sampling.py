@@ -15,7 +15,7 @@ mixing"): pass ``rates={stratum: rate}`` + a default.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = float(1 << 32)
@@ -249,4 +249,37 @@ def dsir_scores(
         "target_mass",
         "source_mass",
         F.floor(ratio * F.lit(1000000.0)).cast("bigint").alias("ratio_micro"),
+    )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by md5
+    order of the key — deterministic, partition-independent, and
+    SQL-replayable (``df.sample``/``RAND`` are neither). Adds
+    ``sample_rank`` (1..k within the stratum). The fixed-width lowercase
+    hex prefix orders identically to the uniform fraction it encodes,
+    so no float ever enters the decision.
+
+    Scale shape: with a stratum, ONE exchange by stratum key and a
+    rank window — per-stratum state is the stratum itself, so this is
+    for k << stratum (sampling, not pagination); skewed strata are
+    bounded by the corpus's own source skew. Without a stratum, a bare
+    global window would funnel the corpus through one partition —
+    instead the global case is sort+limit (per-partition top-k heaps,
+    TakeOrderedAndProject) with the rank window over only the k
+    survivors (the BM25 top-k lesson, NOTES.md)."""
+    frac = F.substring(F.md5(F.col(key_col).cast("string")), 1, 12)
+    if stratum_col is None:
+        top = df.orderBy(frac.asc(), F.col(key_col).asc()).limit(int(k))
+        w = Window.orderBy(frac.asc(), F.col(key_col).asc())
+        return top.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+    w = Window.partitionBy(stratum_col).orderBy(frac.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= int(k))
     )

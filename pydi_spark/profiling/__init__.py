@@ -1,3 +1,3 @@
-from pydi_spark.profiling.profiler import DataProfiler
+from pydi_spark.profiling.profiler import DataProfiler, key_skew_report
 
-__all__ = ["DataProfiler"]
+__all__ = ["DataProfiler", "key_skew_report"]

@@ -263,3 +263,39 @@ class DataProfiler:
             + "".join(sections)
             + "</body></html>"
         )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """[key, cnt, share_ppm, rank] — the ``top_n`` heaviest values of a
+    prospective join/groupBy key with exact counts and parts-per-million
+    row share. The pre-flight diagnostic for the 100 TB decisions this
+    engine keeps making: whether a key needs salting (NOTES.md
+    join_skew_salted), an AQE skew-join threshold, or a block-size cap
+    (blocking/meta block purging).
+
+    One map-side-combined groupBy; top-n by sort+limit
+    (TakeOrderedAndProject — per-partition heaps, no global window over
+    the key space); total row count rides the same aggregate tree as a
+    1-row broadcast. share_ppm is exact integer arithmetic
+    (cnt*1000000 div total) — no float, so the report is bit-portable.
+    Beyond the reference (PyDI profiles columns, not key skew).
+    """
+    counts = df.select(F.col(key_col).cast("string").alias("key")).groupBy(
+        "key"
+    ).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(int(top_n))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.crossJoin(F.broadcast(total)).select(
+        "key",
+        "cnt",
+        # integral div — exact on both engines (DuckDB: //)
+        F.expr("cnt * CAST(1000000 AS BIGINT) div total").alias("share_ppm"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1277,3 +1277,32 @@ def test_incremental_minhash_dedup_semantics(spark):
                 num_hashes=8, bands=4, jaccard_threshold=0.7).collect()}
     assert out2 == {k: (v["matched_store"], v["canonical_id"], v["kept"])
                     for k, v in out.items()}
+
+
+def test_exact_k_sample_global_and_stratified(spark):
+    from pydi_spark.llmdata import exact_k_sample
+
+    rows = [(i, "s" + str(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    g = exact_k_sample(df, 10, key_col="k")
+    assert g.count() == 10
+    assert [r["sample_rank"] for r in g.orderBy("sample_rank").collect()] == list(range(1, 11))
+    st = exact_k_sample(df, 5, key_col="k", stratum_col="s")
+    per = {r["s"]: r["n"] for r in st.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # partition independence
+    a = sorted(map(tuple, st.select("k", "s", "sample_rank").collect()))
+    b = sorted(map(tuple, exact_k_sample(df.repartition(13), 5, "k", "s")
+                  .select("k", "s", "sample_rank").collect()))
+    assert a == b
+
+
+def test_key_skew_report(spark):
+    from pydi_spark.profiling import key_skew_report
+
+    rows = [("hot",)] * 90 + [("warm",)] * 9 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in key_skew_report(df, "k", top_n=2).collect()}
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["cnt"] == 90 and out["hot"]["share_ppm"] == 900000
+    assert out["hot"]["rank"] == 1 and out["warm"]["rank"] == 2

@@ -57,6 +57,9 @@ ALLOWED = {
     # n_cells broadcast coarse centroids x corpus: the IVF assignment
     # fan-out is O(n*k) by construction, like ann_ivf / dedup_semantic
     "embed_ivfpq_topk": {"nested_loop"},
+    # ONE-row total-count aggregate broadcast onto the top-n key list:
+    # O(top_n)
+    "profile_key_skew": {"nested_loop"},
 }
 
 
