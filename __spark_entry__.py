@@ -3093,6 +3093,35 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC loader/writer roundtrip (beyond the reference's format list):
+    customer written to ORC, read back through load_orc, aggregated per
+    market segment; the oracle aggregates the parquet view directly, so
+    any type or row corruption in the ORC path breaks the hash."""
+    import os
+
+    from pydi_spark.io import load_orc, write_orc
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_orc_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_orc(cust, base)
+    back = load_orc(spark, base, "customer_orc").df
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
 def q_io_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """load_fwf (reference io/loaders.py:365-431): nation written as a
     fixed-width text file (key left-justified to 5 chars, name to 20),
@@ -4032,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sample_exact_k": q_sample_exact_k,
         "profile_key_skew": q_profile_key_skew,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6382,6 +6412,12 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    out["io_orc_roundtrip"] = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer GROUP BY c_mktsegment
+"""
     out["sample_exact_k"] = """
 SELECT rid, o_orderpriority, CAST(rn AS INT) AS sample_rank FROM (
   SELECT CAST(o_orderkey AS VARCHAR) AS rid, o_orderpriority,

@@ -2,6 +2,7 @@ from pydi_spark.io.readers import (
     explode_delimited,
     list_to_string,
     load_csv,
+    load_orc,
     load_excel,
     load_feather,
     load_fwf,
@@ -11,12 +12,13 @@ from pydi_spark.io.readers import (
     load_table,
     load_xml,
 )
-from pydi_spark.io.writers import write_csv, write_json, write_parquet
+from pydi_spark.io.writers import write_csv, write_json, write_orc, write_parquet
 
 __all__ = [
     "explode_delimited",
     "list_to_string",
     "load_csv",
+    "load_orc",
     "load_excel",
     "load_feather",
     "load_fwf",
@@ -27,5 +29,6 @@ __all__ = [
     "load_xml",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_parquet",
 ]

@@ -63,6 +63,23 @@ def load_parquet(
                      index_column_name, id_prefix, trust_score)
 
 
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    add_index: bool = False,
+    index_column_name: str | None = None,
+    id_prefix: str | None = None,
+    trust_score: float | None = None,
+) -> Dataset:
+    """ORC scan — beyond the reference's format list (Spark-native
+    columnar interchange with the Hive/Trino world; same pushdown and
+    pruning behavior as parquet)."""
+    df = spark.read.orc(path)
+    return _finalize(df, name, path, "orc", add_index,
+                     index_column_name, id_prefix, trust_score)
+
+
 def load_csv(
     spark: SparkSession,
     path: str,

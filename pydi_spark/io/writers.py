@@ -33,6 +33,14 @@ def write_json(data: Dataset | DataFrame, path: str, mode: str = "overwrite") ->
     as_dataframe(data).write.mode(mode).json(path)
 
 
+def write_orc(data: Dataset | DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    w = as_dataframe(data).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_artifact(obj: Any, path: str) -> None:
     """Driver-side JSON artifact (evaluation summaries, cluster reports)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -130,3 +130,16 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     assert not is_exchange_free_join(
         left.repartition(5).join(right.repartition(5), "k")
     )
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from pydi_spark.io import load_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "k long, s string, v double"
+    )
+    write_orc(df, str(tmp_path / "t"))
+    back = load_orc(spark, str(tmp_path / "t"), "t")
+    assert back.df.schema == df.schema
+    assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, df.collect()))
+    assert back.provenance["reader"] == "orc"
