@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     # round-4 session-3 additions
     "text_search_hybrid",
     "text_bpe_segment",
+    "dedup_incremental",
+    "sample_exact_k",
+    "profile_key_skew",
 ]
 
 

@@ -3,6 +3,7 @@ from pydi_spark.streaming.dedup import (
     stream_static_enrich,
     stream_stream_join,
     streaming_dedup,
+    streaming_incremental_dedup,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_join",
     "streaming_dedup",
+    "streaming_incremental_dedup",
     "windowed_event_counts",
 ]

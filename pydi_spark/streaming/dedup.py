@@ -271,3 +271,73 @@ def stateful_dedup_ttl(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_incremental_dedup(
+    spark,
+    docs_stream: DataFrame,
+    store_path: str,
+    decisions_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    query_name: str = "pydi_incremental_dedup",
+):
+    """Streaming corpus ingest with dedup-at-the-door: each micro-batch
+    runs ``incremental_minhash_dedup`` against the parquet signature
+    store, appends its per-document decisions to ``decisions_path``,
+    and appends the KEPT documents' signature rows back to the store —
+    so later batches dedup against everything admitted so far.
+
+    foreachBatch because the store is read anew per trigger (a
+    stream-static join would snapshot it once); the store mutation is
+    append-only parquet, the exactly-once story is the decisions sink
+    keyed by (batch_id, id). State never lives in the stream — it IS
+    the signature store, which is also what makes the pipeline
+    restartable: the store and the checkpoint advance together.
+
+    Scale: identical to the batch operator per trigger — the store is
+    touched by two key-joins and never broadcast; batch-side tables
+    broadcast. Store growth is one parquet append of kept-row
+    signatures per trigger (compact periodically, like any streaming
+    upsert sink). Returns the started StreamingQuery (availableNow
+    trigger; call ``.awaitTermination()``)."""
+    from pydi_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = spark.read.parquet(store_path)
+        decisions = incremental_minhash_dedup(
+            batch_df,
+            store,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+        ).localCheckpoint(eager=True)  # decide BEFORE mutating the store
+        decisions.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(decisions_path)
+        kept = decisions.where(F.col("kept") == 1).select("id")
+        new_sigs = minhash_signature_table(
+            batch_df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+        ).join(F.broadcast(kept), "id", "left_semi")
+        new_sigs.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            decisions_path.rstrip("/") + "_checkpoint",
+        )
+        .start()
+    )

@@ -261,3 +261,56 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         got = {tuple(map(str, r))
                for r in spark.sql("SELECT * FROM ssj_parity").collect()}
     assert got == expected
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """foreachBatch ingest dedup: decisions land per batch, kept docs'
+    signatures append to the store, later batches see them. Assertions
+    are order-robust (file->trigger order is not contractual): the
+    dedup INVARIANT is one representative per duplicate class."""
+    from pydi_spark.llmdata import minhash_signature_table
+    from pydi_spark.streaming import streaming_incremental_dedup
+
+    base_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    other = "one two three four five six seven eight nine ten eleven"
+    store_docs = spark.createDataFrame(
+        [(1, base_text)], "doc_id long, text string"
+    )
+    store_path = str(tmp_path / "store")
+    minhash_signature_table(store_docs, num_hashes=8).write.parquet(store_path)
+
+    src = tmp_path / "incoming"
+    spark.createDataFrame(
+        [(100, other), (101, base_text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(200, other), (201, "unique zulu yankee xray whiskey victor")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    decisions_path = str(tmp_path / "decisions")
+    q = streaming_incremental_dedup(
+        spark, stream, store_path, decisions_path,
+        num_hashes=8, bands=4, jaccard_threshold=0.7,
+    )
+    q.awaitTermination()
+
+    out = {r["id"]: r for r in spark.read.parquet(decisions_path).collect()}
+    assert set(out) == {"100", "101", "200", "201"}
+    # 101 duplicates the seeded store doc — always matched
+    assert out["101"]["matched_store"] == 1
+    # exactly ONE of the identical pair {100, 200} is kept overall
+    kept_dupes = [i for i in ("100", "200")
+                  if out[i]["kept"] == 1]
+    assert len(kept_dupes) == 1
+    assert out["201"]["kept"] == 1
+    # the store grew by exactly the kept rows
+    store_ids = {r["id"] for r in spark.read.parquet(store_path).select("id").collect()}
+    expected = {"1"} | {i for i in out if out[i]["kept"] == 1}
+    assert store_ids == expected
