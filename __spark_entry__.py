@@ -2931,6 +2931,20 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+def q_text_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 top-50 candidates reranked to top-10 by
+    the injectable cross-encoder seam (mapInPandas, PLM pattern). The
+    default deterministic scorer counts distinct query terms present
+    under an ascii tokenizer written identically in the oracle — the
+    Arrow plumbing is what the gate verifies (match_plm_fake pattern)."""
+    from pydi_spark.llmdata import bm25_scores, rerank_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["stream", "hash", "customer"]
+    cands = bm25_scores(docs, terms, k=50)
+    return rerank_topk(cands, docs, terms, k=10)
+
+
 def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-stratum deterministic sampling: 50 orders per
     priority class by md5 order (hex prefix order == fraction order, so
@@ -4062,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "profile_key_skew": q_profile_key_skew,
         "io_orc_roundtrip": q_io_orc_roundtrip,
+        "text_rerank": q_text_rerank,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6412,6 +6427,58 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    out["text_rerank"] = """
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents
+),
+pd AS (
+  SELECT doc_id, count(*) AS dl,
+         count(*) FILTER (WHERE token = 'stream') AS tf_0,
+         count(*) FILTER (WHERE token = 'hash') AS tf_1,
+         count(*) FILTER (WHERE token = 'customer') AS tf_2
+  FROM tok GROUP BY doc_id
+),
+st AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf_0 > 0) AS df_0,
+         count(*) FILTER (WHERE tf_1 > 0) AS df_1,
+         count(*) FILTER (WHERE tf_2 > 0) AS df_2
+  FROM pd
+),
+sc AS (
+  SELECT doc_id,
+      ((n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5))
+        * (tf_0::DOUBLE * (1.2 + 1.0) / (tf_0::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5))
+        * (tf_1::DOUBLE * (1.2 + 1.0) / (tf_1::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    + ((n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5))
+        * (tf_2::DOUBLE * (1.2 + 1.0) / (tf_2::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+    AS score
+  FROM pd, st
+),
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM sc WHERE score > 0 QUALIFY rnk <= 50
+),
+cand AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(lower(d.text), '[^a-z0-9#'']+'),
+                     x -> x != '') AS atoks
+  FROM documents d JOIN lex ON lex.id = d.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CAST((CASE WHEN list_contains(atoks, 'stream') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(atoks, 'hash') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(atoks, 'customer') THEN 1 ELSE 0 END)
+           AS DOUBLE) AS score
+  FROM cand
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["io_orc_roundtrip"] = """
 SELECT c_mktsegment, count(*) AS n,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,

@@ -242,3 +242,72 @@ def hybrid_rrf_topk(
         "rrf_score",
         "rank",
     )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    scorer_factory=None,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Second-stage reranking of first-stage retrieval candidates:
+    fetch each candidate's text (ONE key-join — candidates are
+    request-sized, the corpus was already pruned by BM25/ANN/RRF),
+    score every (query, document) pair with an injectable scorer, and
+    return the top-``k`` as [doc_id, score, rank].
+
+    ``scorer_factory()`` must return a callable
+    ``(terms: list[str], texts: list[str]) -> list[float]`` — the
+    cross-encoder seam. It is created ONCE PER EXECUTOR TASK inside
+    mapInPandas (model load amortized over the Arrow batch, the
+    PLMBasedMatcher pattern, matching/model_based.py). The default is a
+    deterministic distinct-term-overlap scorer, exactly replayable in
+    SQL — production injects a real model client here.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if scorer_factory is None:
+        def scorer_factory():  # noqa: D401 - default fake
+            import re
+
+            # ascii split, written identically in the SQL oracle (RE2)
+            # — NOT the engine's \p{L}\p{N} tokenizer, whose unicode
+            # boundaries Python's stdlib re cannot reproduce exactly
+            splitter = re.compile(r"[^a-z0-9#']+")
+
+            def score(ts, texts):
+                out = []
+                for txt in texts:
+                    toks = set(t for t in splitter.split((txt or "").lower()) if t)
+                    out.append(float(sum(1 for t in ts if t in toks)))
+                return out
+
+            return score
+
+    cand_ids = candidates.select(F.col(id_col).alias("__cid"))
+    fetched = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi"
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+
+    import pandas as pd  # noqa: F401
+
+    out_schema = "doc_id string, score double"
+
+    def scorer(batches):
+        fn = scorer_factory()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "score": fn(terms, list(pdf["__text"])),
+                }
+            )
+
+    scored = fetched.withColumn("doc_id", F.col("doc_id").cast("string")).mapInPandas(
+        scorer, out_schema
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

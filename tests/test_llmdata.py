@@ -1306,3 +1306,23 @@ def test_key_skew_report(spark):
     assert set(out) == {"hot", "warm"}
     assert out["hot"]["cnt"] == 90 and out["hot"]["share_ppm"] == 900000
     assert out["hot"]["rank"] == 1 and out["warm"]["rank"] == 2
+
+
+def test_rerank_topk_custom_scorer(spark):
+    from pydi_spark.llmdata import rerank_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark join engine"), (2, "spark only"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    cands = docs.select("doc_id")
+    # default overlap scorer
+    out = {r["doc_id"]: r for r in
+           rerank_topk(cands, docs, ["spark", "join"], k=3).collect()}
+    assert out["1"]["score"] == 2.0 and out["1"]["rank"] == 1
+    assert out["2"]["score"] == 1.0 and out["3"]["score"] == 0.0
+    # injectable scorer seam: score by text length
+    def factory():
+        return lambda terms, texts: [float(len(t)) for t in texts]
+    out2 = rerank_topk(cands, docs, ["x"], scorer_factory=factory, k=1).collect()
+    assert out2[0]["doc_id"] == "1" and out2[0]["score"] == len("spark join engine")

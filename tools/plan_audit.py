@@ -37,6 +37,9 @@ ALLOWED = {
     # same bm25 scalar-stats broadcast inside the lexical channel; the
     # RRF fusion itself joins two top-50 lists (request-sized)
     "text_search_hybrid": {"nested_loop"},
+    # bm25 scalar-stats broadcast inside the candidate stage; the
+    # rerank itself touches only the top-50 candidates
+    "text_rerank": {"nested_loop"},
     # ONE-row average-balance aggregate broadcast onto the filtered
     # customer side (the scalar-subquery plan Spark itself emits): O(n)
     "tpch_q22": {"nested_loop"},
