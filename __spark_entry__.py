@@ -2931,6 +2931,25 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup method agreement matrix (llmdata.dedup_method_agreement):
+    verified pair counts per subset of {minhash, simhash, ngram} — the
+    sample-first diagnostic before committing one method to a full
+    corpus pass. Same parameters as the three standalone dedup queries,
+    so the oracle composes their SQL builders verbatim."""
+    from pydi_spark.llmdata import dedup_method_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_method_agreement(
+        docs,
+        minhash_params=dict(num_hashes=8, bands=4, jaccard_threshold=0.7),
+        simhash_params=dict(max_hamming=3, bands=4),
+        ngram_params=dict(
+            shingle_size=3, jaccard_threshold=0.5, max_shingle_frequency=None
+        ),
+    )
+
+
 def q_text_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: BM25 top-50 candidates reranked to top-10 by
     the injectable cross-encoder seam (mapInPandas, PLM pattern). The
@@ -2976,7 +2995,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.llmdata import incremental_minhash_dedup, minhash_signature_table
 
     docs = _t(spark, sf_dir, "documents")
-    store = minhash_signature_table(docs.where("doc_id % 5 != 0"), num_hashes=8)
+    # production stores are parquet (materialized); an in-query derived
+    # store feeds two consumers (bands + token re-attach), so checkpoint
+    # it — without this the 80%-corpus tokenize+min groupBy runs twice
+    store = minhash_signature_table(
+        docs.where("doc_id % 5 != 0"), num_hashes=8
+    ).localCheckpoint(eager=True)
     batch = docs.where("doc_id % 5 = 0")
     return incremental_minhash_dedup(
         batch, store, num_hashes=8, bands=4, jaccard_threshold=0.7
@@ -4077,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_key_skew": q_profile_key_skew,
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "text_rerank": q_text_rerank,
+        "dedup_agreement": q_dedup_agreement,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6427,6 +6452,29 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    out["dedup_agreement"] = f"""
+WITH mh AS (SELECT id1, id2 FROM ({_minhash_sql(8, 4, 0.7)}) t),
+sh AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) t),
+ng AS (SELECT id1, id2 FROM ({_ngram_jaccard_sql(3, 0.5)}) t),
+allp AS (
+  SELECT DISTINCT id1, id2 FROM (
+    SELECT id1, id2 FROM mh
+    UNION ALL SELECT id1, id2 FROM sh
+    UNION ALL SELECT id1, id2 FROM ng) u
+),
+flags AS (
+  SELECT p.id1, p.id2,
+         CASE WHEN m.id1 IS NOT NULL THEN 1 ELSE 0 END AS minhash,
+         CASE WHEN s.id1 IS NOT NULL THEN 1 ELSE 0 END AS simhash,
+         CASE WHEN g.id1 IS NOT NULL THEN 1 ELSE 0 END AS ngram
+  FROM allp p
+  LEFT JOIN mh m ON m.id1 = p.id1 AND m.id2 = p.id2
+  LEFT JOIN sh s ON s.id1 = p.id1 AND s.id2 = p.id2
+  LEFT JOIN ng g ON g.id1 = p.id1 AND g.id2 = p.id2
+)
+SELECT minhash, simhash, ngram, count(*) AS n_pairs
+FROM flags GROUP BY 1, 2, 3
+"""
     out["text_rerank"] = """
 WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS token FROM documents

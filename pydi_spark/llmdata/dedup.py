@@ -269,9 +269,14 @@ def incremental_minhash_dedup(
     new_bands = new_sigs.select(
         F.col("id").alias("new_id"), F.explode(F.array(*band_cols)).alias("band_key")
     )
+    # explicit width on the probe: the store band table is narrow, so
+    # AQE coalesces it to ~1 partition — and the quadratic band-join
+    # fan-out inherits that partitioning (the NOTES.md minhash lesson;
+    # unfixed this serialized the whole candidate stage, 11 s -> ~5 s
+    # at sf0.1)
     store_bands = store_sigs.select(
         F.col("id").alias("old_id"), F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    ).repartition(parallelism, "band_key", "old_id")
     # candidates: store side streams, batch band table broadcasts;
     # repartition before dropDuplicates so the dedup aggregate AND the
     # verify behind it run at full width (NOTES.md minhash lesson)
@@ -716,4 +721,46 @@ def canonical_corpus(
         *[F.col(c) for c in df.columns],
         canonical.alias("canonical_id"),
         (F.col(id_col).cast("string") == canonical).alias("is_canonical"),
+    )
+
+
+def dedup_method_agreement(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_params: dict | None = None,
+    simhash_params: dict | None = None,
+    ngram_params: dict | None = None,
+) -> DataFrame:
+    """[minhash, simhash, ngram, n_pairs] — the agreement matrix across
+    the three text near-dup pair generators: how many verified pairs
+    each subset of methods finds. The method-selection diagnostic a
+    corpus engineer runs on a sample before committing a 100 TB pass
+    (near-identical corpora: all three agree; templated corpora:
+    simhash diverges; short docs: ngram diverges).
+
+    Each generator runs its own audited banded pipeline; the agreement
+    join operates on pair KEYS only (narrow), and the output is at most
+    7 rows. Run on a sample at corpus scale — three full passes over
+    100 TB is a deliberate decision, not a default."""
+    mh = minhash_near_duplicates(
+        df, text_col=text_col, id_col=id_col, **(minhash_params or {})
+    ).select("id1", "id2", F.lit(1).alias("minhash"))
+    sh = simhash_near_duplicates(
+        df, text_col=text_col, id_col=id_col, **(simhash_params or {})
+    ).select("id1", "id2", F.lit(1).alias("simhash"))
+    ng = ngram_jaccard_duplicates(
+        df, text_col=text_col, id_col=id_col, **(ngram_params or {})
+    ).select("id1", "id2", F.lit(1).alias("ngram"))
+    joined = (
+        mh.join(sh, ["id1", "id2"], "full_outer")
+        .join(ng, ["id1", "id2"], "full_outer")
+        .select(
+            F.coalesce(F.col("minhash"), F.lit(0)).alias("minhash"),
+            F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"),
+            F.coalesce(F.col("ngram"), F.lit(0)).alias("ngram"),
+        )
+    )
+    return joined.groupBy("minhash", "simhash", "ngram").agg(
+        F.count("*").alias("n_pairs")
     )

@@ -1326,3 +1326,25 @@ def test_rerank_topk_custom_scorer(spark):
         return lambda terms, texts: [float(len(t)) for t in texts]
     out2 = rerank_topk(cands, docs, ["x"], scorer_factory=factory, k=1).collect()
     assert out2[0]["doc_id"] == "1" and out2[0]["score"] == len("spark join engine")
+
+
+def test_dedup_method_agreement(spark):
+    from pydi_spark.llmdata import dedup_method_agreement
+
+    near_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    near_b = near_a + " kilo"          # high-jaccard near dup of near_a
+    rows = [(1, near_a), (2, near_b), (3, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_method_agreement(
+        df,
+        minhash_params=dict(num_hashes=8, bands=4, jaccard_threshold=0.7),
+        simhash_params=dict(max_hamming=3, bands=4),
+        ngram_params=dict(shingle_size=3, jaccard_threshold=0.5,
+                          max_shingle_frequency=None),
+    ).collect()
+    # every emitted subset is non-empty and involves the (1,2) pair only
+    total = sum(r["n_pairs"] for r in out)
+    assert total >= 1
+    for r in out:
+        assert r["minhash"] + r["simhash"] + r["ngram"] >= 1
+        assert r["n_pairs"] >= 1
