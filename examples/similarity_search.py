@@ -101,6 +101,17 @@ def main() -> None:
           "from that channel):")
     fused.show(10, truncate=False)
 
+    # second stage: rerank the fused candidates with the injectable
+    # cross-encoder seam (default = deterministic term-overlap scorer;
+    # production plugs a real model client into scorer_factory)
+    from pydi_spark.llmdata import rerank_topk
+
+    reranked = rerank_topk(
+        fused, docs, ["stream", "hash", "customer"], k=5
+    )
+    print("reranked top-5:")
+    reranked.show(5, truncate=False)
+
     print("note: the synthetic embeddings are near-uniform random — the "
           "worst case for ANN recall. On clustered real embeddings the "
           "same settings sit far higher; tune bits/bands, nprobe, and "
