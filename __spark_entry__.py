@@ -2931,6 +2931,24 @@ def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, ["stream", "hash", "customer"], k=25)
 
 
+# fixed vocabulary for the coverage diagnostic (the corpus's 12 head
+# words at sf0.01 — a literal artifact like the BPE merge table)
+_COVERAGE_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "column",
+    "customer", "filter", "small", "merge", "slow", "order",
+]
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token coverage under a fixed vocabulary
+    (llmdata.vocab_coverage): in-vocab mass + distinct OOV types +
+    exact-integer ppm coverage."""
+    from pydi_spark.llmdata import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, list(_COVERAGE_VOCAB), group_col="source")
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup method agreement matrix (llmdata.dedup_method_agreement):
     verified pair counts per subset of {minhash, simhash, ngram} — the
@@ -4102,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "text_rerank": q_text_rerank,
         "dedup_agreement": q_dedup_agreement,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6452,6 +6471,19 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    vocab_list = ", ".join(f"'{w}'" for w in _COVERAGE_VOCAB)
+    out["text_vocab_coverage"] = f"""
+WITH tok AS (
+  SELECT source, unnest({{TOK}}) AS tok FROM documents
+)
+SELECT source AS grp, count(*) AS n_tokens,
+       count(*) FILTER (WHERE tok IN ({vocab_list})) AS n_in_vocab,
+       count(DISTINCT CASE WHEN tok NOT IN ({vocab_list}) THEN tok END)
+         AS n_oov_types,
+       (count(*) FILTER (WHERE tok IN ({vocab_list})))
+         * CAST(1000000 AS BIGINT) // count(*) AS coverage_ppm
+FROM tok GROUP BY source
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["dedup_agreement"] = f"""
 WITH mh AS (SELECT id1, id2 FROM ({_minhash_sql(8, 4, 0.7)}) t),
 sh AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) t),

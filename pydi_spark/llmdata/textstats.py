@@ -586,3 +586,42 @@ def train_quality_classifier(
         w -= lr * (X.T @ g) / len(y)
         b -= lr * g.mean()
     return [int(round(x * 1e6)) for x in w], int(round(b * 1e6))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Token coverage of a corpus under a fixed vocabulary — the OOV
+    diagnostic a tokenizer/vocab design is judged by. Output per group
+    (or one corpus row with grp=''): [grp, n_tokens, n_in_vocab,
+    n_oov_types, coverage_ppm]. coverage_ppm is exact integer
+    arithmetic (n_in_vocab * 1e6 div n_tokens) — bit-portable.
+
+    Scale shape: the vocabulary enters as a broadcast literal set via
+    isin (vocab tables beyond literal size: join against a vocab frame
+    instead); ONE tokenize+explode pass, map-side combined aggregate,
+    output is #groups rows. n_oov_types counts DISTINCT out-of-vocab
+    word types — the signal for growing the vocab (high mass + low
+    types = a few frequent misses; low mass + high types = long tail).
+    """
+    vset = sorted(set(v.lower() for v in vocab))
+    toks = df.select(
+        (F.col(group_col) if group_col else F.lit("")).alias("grp"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    hit = F.col("tok").isin(vset)
+    return (
+        toks.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(hit.cast("bigint")).alias("n_in_vocab"),
+            F.count_distinct(F.when(~hit, F.col("tok"))).alias("n_oov_types"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("n_in_vocab * CAST(1000000 AS BIGINT) div n_tokens"),
+        )
+    )

@@ -1348,3 +1348,19 @@ def test_dedup_method_agreement(spark):
     for r in out:
         assert r["minhash"] + r["simhash"] + r["ngram"] >= 1
         assert r["n_pairs"] >= 1
+
+
+def test_vocab_coverage(spark):
+    from pydi_spark.llmdata import vocab_coverage
+
+    rows = [(1, "a b c a", "s1"), (2, "a x y", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["grp"]: r for r in
+           vocab_coverage(df, ["a", "b"], group_col="source").collect()}
+    assert out["s1"]["n_tokens"] == 4 and out["s1"]["n_in_vocab"] == 3
+    assert out["s1"]["n_oov_types"] == 1          # 'c'
+    assert out["s1"]["coverage_ppm"] == 750000
+    assert out["s2"]["n_in_vocab"] == 1 and out["s2"]["n_oov_types"] == 2
+    # corpus-level (no group)
+    tot = vocab_coverage(df, ["a", "b"], group_col=None).collect()
+    assert len(tot) == 1 and tot[0]["n_tokens"] == 7
