@@ -1265,6 +1265,73 @@ def q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form behind rollup/cube — §2.13):
+    totals by (returnflag, linestatus), by returnflag alone, and a
+    grand total, in ONE aggregate pass. Exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel over the events stream (view -> click -> purchase,
+    each within 24h of the previous stage, per user): how many users
+    reach each stage. Classic product-analytics shape; each stage is a
+    per-user min-ts aggregate gated on the previous stage's timestamp —
+    three map-side-combined aggregates and two narrow joins, no window
+    over the raw event stream. Interval arithmetic on micros timestamps
+    is exact on both engines."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    staged = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -4121,6 +4188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rerank": q_text_rerank,
         "dedup_agreement": q_dedup_agreement,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "tpch_grouping_sets": q_tpch_grouping_sets,
+        "events_funnel": q_events_funnel,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6471,6 +6540,35 @@ QUALIFY rank <= 25
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
+    out["tpch_grouping_sets"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+    out["events_funnel"] = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY e.user_id),
+staged AS (
+  SELECT CASE WHEN p.t_purchase IS NOT NULL THEN 3
+              WHEN c.t_click IS NOT NULL THEN 2
+              ELSE 1 END AS stage
+  FROM v LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id
+)
+SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+"""
     vocab_list = ", ".join(f"'{w}'" for w in _COVERAGE_VOCAB)
     out["text_vocab_coverage"] = f"""
 WITH tok AS (
