@@ -63,3 +63,33 @@ def test_driver_window_arithmetic():
     }
     outside = awaiting - set(window)
     assert not outside, f"awaiting first driver check but past 50: {outside}"
+
+
+def test_partition_independence_of_new_queries(spark):
+    """Session-3 queries produce identical results under different
+    shuffle-partition settings — the distributed-correctness property
+    every oracle comparison silently relies on."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "text_search_hybrid", "text_bpe_segment", "sample_exact_k",
+        "profile_key_skew", "text_vocab_coverage", "events_funnel",
+        "tpch_grouping_sets", "text_rerank",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = sorted(
+                    tuple(r) for r in qs[name](spark, sf).collect()
+                )
+                if name in results:
+                    assert results[name] == rows, f"{name} differs at {n_part}"
+                else:
+                    results[name] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
