@@ -1332,6 +1332,52 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by ISO week of first
+    signup; n_users active per week offset. Week arithmetic is
+    day-difference div 7 between Monday-truncated timestamps — exact
+    integers on both engines (datediff('week', ...) boundary semantics
+    would not be portable)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .where(F.col("ts") >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            F.expr("datediff(date_trunc('week', ts), cw) div 7")
+            .cast("int")
+            .alias("wk_off"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cw").cast("date").cast("string").alias("cohort_week"), "wk_off"
+    ).agg(F.count("*").alias("n_users"))
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props extraction: per event type, stats over the
+    JSON payload's $.k field (get_json_object — JVM-side Jackson path,
+    no UDF; DuckDB replays with json_extract)."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -4190,6 +4236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_json": q_events_json,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6547,6 +6595,29 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+    out["events_retention"] = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+su AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+       FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, su.cw,
+         CAST(datediff('day', su.cw, date_trunc('week', e.ts)) // 7 AS INT)
+           AS wk_off
+  FROM ev e JOIN su ON su.user_id = e.user_id
+  WHERE e.ts >= su.cw
+)
+SELECT CAST(CAST(cw AS DATE) AS VARCHAR) AS cohort_week, wk_off,
+       count(*) AS n_users
+FROM act GROUP BY 1, 2
+"""
+    out["events_json"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
 """
     out["events_funnel"] = """
 WITH ev AS (SELECT user_id, event_type, ts FROM events),
