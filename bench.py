@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "sample_exact_k",
     "profile_key_skew",
+    "text_rerank",
+    "text_vocab_coverage",
+    "tpch_grouping_sets",
+    "events_funnel",
+    "events_retention",
+    "events_json",
 ]
 
 
