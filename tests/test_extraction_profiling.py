@@ -314,3 +314,20 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     store_ids = {r["id"] for r in spark.read.parquet(store_path).select("id").collect()}
     expected = {"1"} | {i for i in out if out[i]["kept"] == 1}
     assert store_ids == expected
+
+
+def test_heavy_hitters_sketch(spark):
+    from pydi_spark.profiling.sketches import heavy_hitters_sketch
+
+    rows = (["hot"] * 500 + ["warm"] * 120 + ["mild"] * 60
+            + [f"tail{i}" for i in range(300)])
+    df = spark.createDataFrame([(v,) for v in rows], "k string").repartition(4)
+    out = heavy_hitters_sketch(df, "k", k=16, top_n=3).collect()
+    got = {r["key"]: r for r in out}
+    # the three true heavy keys survive and rank correctly
+    assert [r["key"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "hot", "warm", "mild"]
+    # MG bound: est <= true <= est + undercount
+    for key, true in (("hot", 500), ("warm", 120), ("mild", 60)):
+        r = got[key]
+        assert r["est_count"] <= true <= r["est_count"] + r["max_undercount"]
