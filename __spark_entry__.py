@@ -4155,10 +4155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         embed_pq_topk, tpch_q11/q12/q16/q20/q21) + 13 r03-green
     #         continuity representatives; displaced twice-green reps
     #         moved past 50.
-    # Everything past 50 has a driver-green row in r02 or r03 and
-    # stays under the local gate (tools/check_oracle.py). After a
-    # green r04 window, all 105 round-3 queries have been driver-green
-    # at least once.
+    # Everything past 50 stays under the local gate
+    # (tools/check_oracle.py): the pre-session-3 entries all have a
+    # driver-green row in r02 or r03; the 13 session-3 additions
+    # (text_search_hybrid, text_bpe_segment, dedup_incremental,
+    # sample_exact_k, profile_key_skew, io_orc_roundtrip, text_rerank,
+    # dedup_agreement, text_vocab_coverage, tpch_grouping_sets,
+    # events_funnel, events_retention, events_json) are local-green
+    # only — rotate them into the round-5 window. After a green r04
+    # window, all 105 round-3 queries have been driver-green at least
+    # once.
     return {
         # -- window 1-7: r03-red queries, reshaped hash-safe
         "text_clean": q_text_clean,
