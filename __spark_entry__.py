@@ -1361,6 +1361,30 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_users"))
 
 
+def q_events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of streaming_sessionize):
+    per-user sessions split on >30 min gaps via lag + running sum —
+    one exchange by user, gap math on exact micros integers."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > F.lit(1800000000)), 1).otherwise(0),
+    )
+    sid = (
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+    )
+    sess = flagged.withColumn("session_id", sid)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("duration_us"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props extraction: per event type, stats over the
     JSON payload's $.k field (get_json_object — JVM-side Jackson path,
@@ -4244,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_json": q_events_json,
+        "events_sessionize_batch": q_events_sessionize_batch,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -6616,6 +6641,27 @@ act AS (
 SELECT CAST(CAST(cw AS DATE) AS VARCHAR) AS cohort_week, wk_off,
        count(*) AS n_users
 FROM act GROUP BY 1, 2
+"""
+    out["events_sessionize_batch"] = """
+WITH ev AS (SELECT user_id, event_id, ts FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_id
 """
     out["events_json"] = """
 SELECT event_type, count(*) AS n,

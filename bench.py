@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_json",
+    "events_sessionize_batch",
 ]
 
 
