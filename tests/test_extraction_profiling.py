@@ -331,3 +331,16 @@ def test_heavy_hitters_sketch(spark):
     for key, true in (("hot", 500), ("warm", 120), ("mild", 60)):
         r = got[key]
         assert r["est_count"] <= true <= r["est_count"] + r["max_undercount"]
+
+
+def test_batch_stream_sessionize_parity(spark, sf_dir):
+    """The lag-based batch sessionizer and session_window agree on the
+    session partitioning (boundary semantics differ only at an exact
+    30:00.000000 gap, which real micros timestamps never hit)."""
+    import __spark_entry__ as entry
+
+    batch = entry.q_events_sessionize_batch(spark, sf_dir)
+    sw = entry.q_streaming_sessionize(spark, sf_dir)  # batch plan of session_window
+    a = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
+    assert a == b
