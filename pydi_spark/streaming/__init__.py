@@ -3,6 +3,7 @@ from pydi_spark.streaming.dedup import (
     stream_static_enrich,
     stream_stream_join,
     streaming_dedup,
+    compact_signature_store,
     streaming_incremental_dedup,
     windowed_event_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_join",
     "streaming_dedup",
+    "compact_signature_store",
     "streaming_incremental_dedup",
     "windowed_event_counts",
 ]

@@ -341,3 +341,20 @@ def streaming_incremental_dedup(
         )
         .start()
     )
+
+
+def compact_signature_store(spark, store_path: str, num_hashes: int = 16) -> int:
+    """Rewrite the append-only signature store keeping one row per id
+    (first occurrence wins by id order — rows for one id are identical
+    signatures anyway, they only arise from replayed batches). Returns
+    the compacted row count. Run periodically, like any streaming
+    upsert sink's maintenance job."""
+    import tempfile
+
+    store = spark.read.parquet(store_path)
+    compacted = store.dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n = compacted.count()
+    tmp = tempfile.mkdtemp(prefix="sigstore_compact_")
+    compacted.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    return n

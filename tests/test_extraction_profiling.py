@@ -344,3 +344,54 @@ def test_batch_stream_sessionize_parity(spark, sf_dir):
     a = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
     b = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
     assert a == b
+
+
+def test_streaming_incremental_dedup_restart(spark, tmp_path):
+    """Checkpointed restart: a second run with the same checkpoint
+    processes only files that arrived after the first run — each doc
+    gets exactly one decision row across restarts."""
+    from pydi_spark.llmdata import minhash_signature_table
+    from pydi_spark.streaming import (
+        compact_signature_store,
+        streaming_incremental_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(1, "seed words alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "store")
+    minhash_signature_table(store_docs, num_hashes=8).write.parquet(store_path)
+    src = tmp_path / "in"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(10, "first batch unique doc one two three")], schema
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    dec_path = str(tmp_path / "dec")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = streaming_incremental_dedup(
+            spark, stream, store_path, dec_path,
+            num_hashes=8, bands=4, jaccard_threshold=0.7,
+        )
+        q.awaitTermination()
+
+    run()
+    # second file lands AFTER the first run finished; restart resumes
+    spark.createDataFrame(
+        [(20, "second batch other words four five six")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    run()
+
+    dec = spark.read.parquet(dec_path)
+    ids = [r["id"] for r in dec.select("id").collect()]
+    assert sorted(ids) == ["10", "20"]  # exactly once each
+    # both kept -> store grew to 3; compaction is idempotent
+    n = compact_signature_store(spark, store_path, num_hashes=8)
+    assert n == 3
+    assert spark.read.parquet(store_path).count() == 3
