@@ -66,3 +66,37 @@ def test_mra_encode_stable(s):
         e1 = metrics_py._mra_encode(tok)
         assert e1 == metrics_py._mra_encode(tok)
         assert len(e1) <= 6
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=14),
+    merges=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+                  st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"])),
+        min_size=1, max_size=4,
+    ),
+)
+def test_bpe_replay_equals_greedy_pure(word, merges):
+    """The double-space replace replay == ranked-greedy apply, on a
+    tiny alphabet that maximizes same-symbol chains and boundary
+    sharing (the failure mode of the single-space representation).
+    Pure-Python replay mirror of merge_replay_expr's semantics."""
+    from pydi_spark.llmdata.bpe import greedy_apply
+
+    # merges must be learnable-in-order: a pair may only reference
+    # symbols that exist (chars or earlier merge outputs)
+    symbols = {"a", "b"}
+    valid = []
+    for a, b in merges:
+        if a in symbols and b in symbols:
+            valid.append((a, b))
+            symbols.add(a + b)
+    if not valid:
+        return
+    sym = "  " + "  ".join(word) + "  "
+    for a, b in valid:
+        sym = sym.replace(f" {a}  {b} ", f" {a}{b} ")
+    replay = [p for p in sym.split() if p]
+    ranks = {m: i for i, m in enumerate(valid)}
+    assert replay == greedy_apply(word, ranks), (word, valid)
