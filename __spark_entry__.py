@@ -3086,6 +3086,48 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, list(_COVERAGE_VOCAB), group_col="source")
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-micro PageRank over the simhash near-dup graph
+    (llmdata.pagerank_micro): 5 power iterations, all-integer
+    arithmetic (rank div deg contributions, ppm damping) — order-free
+    aggregates, so the iterative computation replays exactly as 5
+    unrolled SQL passes."""
+    from pydi_spark.llmdata import pagerank_micro, simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    return pagerank_micro(pairs, n_iter=5)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping_ppm: int = 850000) -> str:
+    """Unrolled replay of q_graph_pagerank: the fixed iteration count
+    becomes chained CTEs (aggregates are not allowed in a recursive
+    term), each the same integer formula as the engine."""
+    base = 1000000 - damping_ppm
+    head = f"""
+WITH e AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) t),
+sym AS (SELECT id1 AS s, id2 AS d FROM e UNION ALL SELECT id2, id1 FROM e),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+n AS (SELECT DISTINCT s AS id FROM sym),
+pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+pr{i} AS (
+  SELECT n.id,
+         CAST({base} + ({damping_ppm} * COALESCE(x.S, 0)) // 1000000
+              AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT sym.d AS id, SUM(pr{i - 1}.r // deg.deg) AS S
+    FROM sym JOIN pr{i - 1} ON pr{i - 1}.id = sym.s
+             JOIN deg ON deg.s = sym.s
+    GROUP BY sym.d) x ON x.id = n.id)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\nSELECT id, r AS rank_micro FROM pr{n_iter}"
+    )
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup method agreement matrix (llmdata.dedup_method_agreement):
     verified pair counts per subset of {minhash, simhash, ngram} — the
@@ -4263,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "text_rerank": q_text_rerank,
         "dedup_agreement": q_dedup_agreement,
+        "graph_pagerank": q_graph_pagerank,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6705,6 +6748,7 @@ SELECT source AS grp, count(*) AS n_tokens,
          * CAST(1000000 AS BIGINT) // count(*) AS coverage_ppm
 FROM tok GROUP BY source
 """.replace("{TOK}", _TOK_SQL.format(col="text"))
+    out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
     out["dedup_agreement"] = f"""
 WITH mh AS (SELECT id1, id2 FROM ({_minhash_sql(8, 4, 0.7)}) t),
 sh AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) t),

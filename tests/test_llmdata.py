@@ -1364,3 +1364,22 @@ def test_vocab_coverage(spark):
     # corpus-level (no group)
     tot = vocab_coverage(df, ["a", "b"], group_col=None).collect()
     assert len(tot) == 1 and tot[0]["n_tokens"] == 7
+
+
+def test_pagerank_micro(spark):
+    from pydi_spark.llmdata import pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "id1 string, id2 string",
+    )
+    out = {r["id"]: r["rank_micro"] for r in pagerank_micro(edges, n_iter=5).collect()}
+    # hub c (deg 3) outranks everything; leaf d (deg 1) ranks last
+    assert out["c"] == max(out.values()) and out["d"] == min(out.values())
+    # conservation (up to the documented floor bias): sum <= n * 1e6
+    assert sum(out.values()) <= 4 * 1_000_000
+    assert sum(out.values()) > 4 * 1_000_000 - 4 * 5  # bias < 1 micro/term/iter... loose bound
+    # partition independence
+    out2 = {r["id"]: r["rank_micro"]
+            for r in pagerank_micro(edges.repartition(5), n_iter=5).collect()}
+    assert out == out2
