@@ -1383,3 +1383,23 @@ def test_pagerank_micro(spark):
     out2 = {r["id"]: r["rank_micro"]
             for r in pagerank_micro(edges.repartition(5), n_iter=5).collect()}
     assert out == out2
+
+
+def test_rrf_fuse_three_way(spark):
+    from pydi_spark.llmdata import rrf_fuse
+
+    def ranking(pairs):
+        return spark.createDataFrame(pairs, "id long, rank int")
+
+    a = ranking([(1, 1), (2, 2)])
+    b = ranking([(2, 1), (3, 2)])
+    c = ranking([(2, 3), (4, 1)])
+    out = {r["id"]: r for r in rrf_fuse([a, b, c], k=4, rrf_k=60).collect()}
+    # 2 appears in all three lists -> top score
+    assert out[2]["rank"] == 1
+    assert out[2]["rank_0"] == 2 and out[2]["rank_1"] == 1 and out[2]["rank_2"] == 3
+    expected = 1.0 / 62 + 1.0 / 61 + 1.0 / 63
+    assert abs(out[2]["rrf_score"] - expected) < 1e-12
+    # absent ranks report 0 and contribute nothing
+    assert out[4]["rank_0"] == 0 and out[4]["rank_1"] == 0
+    assert abs(out[4]["rrf_score"] - 1.0 / 61) < 1e-12
