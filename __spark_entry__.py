@@ -3086,6 +3086,44 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, list(_COVERAGE_VOCAB), group_col="source")
 
 
+def q_io_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC application (io.cdc.apply_changes): a change
+    batch synthesized from customer (updates for %7==0, deletes for
+    %7==1, inserts under shifted keys for %7==2) applied
+    last-writer-wins; the oracle replays the same rank window."""
+    from pydi_spark.io import apply_changes
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    raw = _t(spark, sf_dir, "customer")
+    upd = raw.where("c_custkey % 7 = 0").select(
+        F.col("c_custkey").cast("string").alias("rid"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("bal"),
+        F.col("c_custkey").cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dele = raw.where("c_custkey % 7 = 1").select(
+        F.col("c_custkey").cast("string").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_custkey").cast("long").alias("version"),
+        F.lit("D").alias("op"),
+    )
+    ins = raw.where("c_custkey % 7 = 2").select(
+        (F.col("c_custkey") + F.lit(1000000)).cast("string").alias("rid"),
+        F.lit("Customer#new").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_custkey").cast("long").alias("version"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return apply_changes(cust, changes, key_col="rid")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-micro PageRank over the simhash near-dup graph
     (llmdata.pagerank_micro): 5 power iterations, all-integer
@@ -4306,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rerank": q_text_rerank,
         "dedup_agreement": q_dedup_agreement,
         "graph_pagerank": q_graph_pagerank,
+        "io_cdc_upsert": q_io_cdc_upsert,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6749,6 +6788,33 @@ SELECT source AS grp, count(*) AS n_tokens,
 FROM tok GROUP BY source
 """.replace("{TOK}", _TOK_SQL.format(col="text"))
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
+    out["io_cdc_upsert"] = """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS rid, c_name AS name,
+         c_acctbal AS bal, CAST(-1 AS BIGINT) AS v, 'B' AS op
+  FROM customer
+),
+ch AS (
+  SELECT CAST(c_custkey AS VARCHAR), c_name, c_acctbal + 100.0,
+         CAST(c_custkey AS BIGINT), 'U'
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), c_name, c_acctbal,
+         CAST(c_custkey AS BIGINT), 'D'
+  FROM customer WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS VARCHAR), 'Customer#new', c_acctbal,
+         CAST(c_custkey AS BIGINT), 'I'
+  FROM customer WHERE c_custkey % 7 = 2
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+r AS (
+  SELECT rid, name, bal, op,
+         row_number() OVER (PARTITION BY rid ORDER BY v DESC, op ASC) AS rk
+  FROM u
+)
+SELECT rid, name, bal FROM r WHERE rk = 1 AND op != 'D'
+"""
     out["dedup_agreement"] = f"""
 WITH mh AS (SELECT id1, id2 FROM ({_minhash_sql(8, 4, 0.7)}) t),
 sh AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) t),

@@ -12,11 +12,13 @@ from pydi_spark.io.readers import (
     load_table,
     load_xml,
 )
+from pydi_spark.io.cdc import apply_changes
 from pydi_spark.io.writers import write_csv, write_json, write_orc, write_parquet
 
 __all__ = [
     "explode_delimited",
     "list_to_string",
+    "apply_changes",
     "load_csv",
     "load_orc",
     "load_excel",

@@ -1,0 +1,61 @@
+"""Change-data-capture application: MERGE-style upserts on plain
+parquet tables (no transactional table format required).
+
+A data-integration pipeline that maintains a master entity table needs
+to apply change batches — inserts, updates, deletes — deterministically.
+``apply_changes`` is the engine's last-writer-wins merge: pure
+DataFrame ops, SQL-replayable, no Delta/Iceberg dependency (swap in
+``MERGE INTO`` where one exists; the semantics below match).
+
+Scale shape: ONE shuffle by key over (base ∪ changes); the rank window
+partitions by key, so state per task is the per-key version chain
+(bounded by change volume per key, not table size). Base rows carry
+version -1 so any change outranks them; ties inside a change batch
+break by operation precedence then deterministic order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change batch to a base table, last-writer-wins.
+
+    ``changes`` carries the base's data columns plus ``version_col``
+    (monotone change ordering — a sequence number or event time cast to
+    a comparable integer) and ``op_col`` with values 'I'/'U' (upsert)
+    or 'D' (delete). Result: one row per surviving key — the
+    highest-version change wins; a winning 'D' removes the key; keys
+    untouched by changes keep their base row. Version ties break by
+    (op desc, so 'U'>'I'>'D' is NOT assumed — ties are a data bug;
+    the deterministic tiebreak is op asc then the key itself) — pin
+    versions unique per key in the feed.
+    """
+    data_cols = [c for c in base.columns]
+    b = base.select(
+        *data_cols,
+        F.lit(-1).cast("long").alias("__v"),
+        F.lit("B").alias("__op"),
+    )
+    c = changes.select(
+        *data_cols,
+        F.col(version_col).cast("long").alias("__v"),
+        F.col(op_col).alias("__op"),
+    )
+    unioned = b.unionByName(c)
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("__v"), F.asc("__op")
+    )
+    ranked = unioned.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.where((F.col("__rk") == 1) & (F.col("__op") != "D"))
+        .select(*data_cols)
+    )

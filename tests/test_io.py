@@ -143,3 +143,30 @@ def test_orc_roundtrip(spark, tmp_path):
     assert back.df.schema == df.schema
     assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, df.collect()))
     assert back.provenance["reader"] == "orc"
+
+
+def test_apply_changes_semantics(spark):
+    from pydi_spark.io import apply_changes
+
+    base = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k3", "c")], "id string, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("k1", "a2", 1, "U"),      # update
+            ("k1", "a3", 2, "U"),      # later update wins
+            ("k2", "b", 1, "D"),       # delete
+            ("k4", "d", 1, "I"),       # insert
+            ("k5", "e", 1, "I"),       # insert then delete -> gone
+            ("k5", "e", 2, "D"),
+        ],
+        "id string, v string, version long, op string",
+    )
+    out = {r["id"]: r["v"] for r in
+           apply_changes(base, changes, key_col="id").collect()}
+    assert out == {"k1": "a3", "k3": "c", "k4": "d"}
+    # partition independence
+    out2 = {r["id"]: r["v"] for r in
+            apply_changes(base.repartition(3), changes.repartition(5),
+                          key_col="id").collect()}
+    assert out == out2
