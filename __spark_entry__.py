@@ -3266,6 +3266,17 @@ def q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piece_stats(seg, 40)
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under the fixed merge table
+    (llmdata.bpe_fertility) — pieces per word occurrence, exact ppm."""
+    from pydi_spark.llmdata import bpe_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fertility(
+        docs, [tuple(m) for m in _BPE_MERGES], word_filter=r"^[a-z]+$"
+    )
+
+
 def q_text_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 top-50 and cosine top-50
     (query = embedding of vec_id 0, inlined as a double literal) fused
@@ -4345,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "graph_pagerank": q_graph_pagerank,
         "io_cdc_upsert": q_io_cdc_upsert,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6700,6 +6712,29 @@ QUALIFY rank <= 25
     # top-50 vs embedding 0, fused by 1/(60+rank) fixed-order sums —
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
     out["text_bpe_segment"] = _bpe_oracle_sql()
+    _fert_expr = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for _a, _b in _BPE_MERGES:
+        _fert_expr = f"replace({_fert_expr}, ' {_a}  {_b} ', ' {_a}{_b} ')"
+    out["text_bpe_fertility"] = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({{TOK}}) AS word FROM documents
+),
+wf AS (
+  SELECT grp, word, count(*) AS freq FROM tok
+  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY grp, word
+),
+seg AS (
+  SELECT grp, freq,
+         CAST(len(string_split(trim({_fert_expr}), '  ')) AS BIGINT)
+           AS n_pieces
+  FROM wf
+)
+SELECT grp, CAST(sum(freq) AS BIGINT) AS total_words,
+       CAST(sum(freq * n_pieces) AS BIGINT) AS total_pieces,
+       CAST(sum(freq * n_pieces) AS BIGINT) * CAST(1000000 AS BIGINT)
+         // CAST(sum(freq) AS BIGINT) AS fertility_ppm
+FROM seg GROUP BY grp
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["dedup_incremental"] = _incremental_minhash_sql(8, 4, 0.7)
     out["tpch_grouping_sets"] = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -213,3 +213,42 @@ def piece_stats(segmented: DataFrame, top_n: int = 40) -> DataFrame:
     top = stats.orderBy(F.desc("total_count"), F.asc("piece")).limit(int(top_n))
     w = Window.orderBy(F.desc("total_count"), F.asc("piece"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+    word_filter: str | None = r"^[a-z0-9]+$",
+) -> DataFrame:
+    """Tokenizer fertility per group: [grp, total_words, total_pieces,
+    fertility_ppm] where fertility = pieces emitted per word occurrence
+    under the merge table (the metric a vocab is sized against — a
+    fertility of 2e6 ppm means every word costs two subword tokens).
+    Exact integer arithmetic (pieces*1e6 div words).
+
+    Same scale shape as segmentation: one corpus pass reduces to
+    (group, word type) counts; the replay and piece counting run over
+    types, weighted back by frequency."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(F.col(text_col))).alias("word"),
+    )
+    if word_filter:
+        toks = toks.where(F.col("word").rlike(word_filter))
+    wf = toks.groupBy("grp", "word").agg(F.count("*").alias("freq"))
+    sym = merge_replay_expr(symbol_string_expr("word"), merges)
+    pieces = F.size(F.split(F.trim(sym), "  "))
+    per_word = wf.withColumn("n_pieces", pieces.cast("long"))
+    return (
+        per_word.groupBy("grp")
+        .agg(
+            F.sum("freq").alias("total_words"),
+            F.sum(F.col("freq") * F.col("n_pieces")).alias("total_pieces"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("total_pieces * CAST(1000000 AS BIGINT) div total_words"),
+        )
+    )

@@ -1403,3 +1403,16 @@ def test_rrf_fuse_three_way(spark):
     # absent ranks report 0 and contribute nothing
     assert out[4]["rank_0"] == 0 and out[4]["rank_1"] == 0
     assert abs(out[4]["rrf_score"] - 1.0 / 61) < 1e-12
+
+
+def test_bpe_fertility(spark):
+    from pydi_spark.llmdata import bpe_fertility
+
+    rows = [(1, "aa aa bb", "s1"), (2, "aa", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["grp"]: r for r in
+           bpe_fertility(df, [("a", "a")], word_filter=r"^[a-z]+$").collect()}
+    # s1: 'aa'(x2) -> 1 piece each, 'bb' -> 2 pieces => 4 pieces / 3 words
+    assert out["s1"]["total_words"] == 3 and out["s1"]["total_pieces"] == 4
+    assert out["s1"]["fertility_ppm"] == 4 * 1000000 // 3
+    assert out["s2"]["fertility_ppm"] == 1000000
