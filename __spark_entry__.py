@@ -3076,6 +3076,16 @@ _COVERAGE_VOCAB = [
 ]
 
 
+def q_text_gram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source internal 2-gram duplication mass
+    (llmdata.gram_duplication) — the templated-ness signal that decides
+    where a near-dup pass pays off."""
+    from pydi_spark.llmdata import gram_duplication
+
+    docs = _t(spark, sf_dir, "documents")
+    return gram_duplication(docs, n=2)
+
+
 def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token coverage under a fixed vocabulary
     (llmdata.vocab_coverage): in-vocab mass + distinct OOV types +
@@ -4357,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "io_cdc_upsert": q_io_cdc_upsert,
         "text_bpe_fertility": q_text_bpe_fertility,
+        "text_gram_duplication": q_text_gram_duplication,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6711,6 +6722,25 @@ QUALIFY rank <= 25
     # hybrid RRF = bm25 top-50 (same CTEs as text_search_bm25) + cosine
     # top-50 vs embedding 0, fused by 1/(60+rank) fixed-order sums —
     # list_cosine_similarity == the Spark float64 fold (NOTES.md)
+    out["text_gram_duplication"] = """
+WITH t AS (
+  SELECT source, {TOKS} AS tok FROM documents
+),
+g AS (
+  SELECT source, unnest([array_to_string(tok[i:i+1], ' ')
+                         for i in range(1, len(tok))]) AS gram
+  FROM t WHERE len(tok) >= 2
+),
+gh AS (
+  SELECT source, ((strpos('0123456789abcdef', substr(gh15,1,1))-1)*72057594037927936 + (strpos('0123456789abcdef', substr(gh15,2,1))-1)*4503599627370496 + (strpos('0123456789abcdef', substr(gh15,3,1))-1)*281474976710656 + (strpos('0123456789abcdef', substr(gh15,4,1))-1)*17592186044416 + (strpos('0123456789abcdef', substr(gh15,5,1))-1)*1099511627776 + (strpos('0123456789abcdef', substr(gh15,6,1))-1)*68719476736 + (strpos('0123456789abcdef', substr(gh15,7,1))-1)*4294967296 + (strpos('0123456789abcdef', substr(gh15,8,1))-1)*268435456 + (strpos('0123456789abcdef', substr(gh15,9,1))-1)*16777216 + (strpos('0123456789abcdef', substr(gh15,10,1))-1)*1048576 + (strpos('0123456789abcdef', substr(gh15,11,1))-1)*65536 + (strpos('0123456789abcdef', substr(gh15,12,1))-1)*4096 + (strpos('0123456789abcdef', substr(gh15,13,1))-1)*256 + (strpos('0123456789abcdef', substr(gh15,14,1))-1)*16 + (strpos('0123456789abcdef', substr(gh15,15,1))-1)*1) AS h
+  FROM (SELECT source, substr(md5(gram), 1, 15) AS gh15 FROM g)
+)
+SELECT source AS grp, count(*) AS total_grams,
+       count(DISTINCT h) AS distinct_grams,
+       (count(*) - count(DISTINCT h)) * CAST(1000000 AS BIGINT) // count(*)
+         AS dup_mass_ppm
+FROM gh GROUP BY source
+""".replace("{TOKS}", _TOK_SQL.format(col="text"))
     out["text_bpe_segment"] = _bpe_oracle_sql()
     _fert_expr = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
     for _a, _b in _BPE_MERGES:

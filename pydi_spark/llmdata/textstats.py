@@ -625,3 +625,64 @@ def vocab_coverage(
             F.expr("n_in_vocab * CAST(1000000 AS BIGINT) div n_tokens"),
         )
     )
+
+
+def gram_duplication(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-internal duplication mass per group: [grp, total_grams,
+    distinct_grams, dup_mass_ppm] — the share of n-gram occurrences
+    that are repeats of an already-seen gram (within the group).
+    High mass = templated/boilerplate-heavy source, the signal that a
+    near-dup pass will pay off there. Exact integer ppm.
+
+    Grams ride as 60-bit md5-prefix ints (the portable construction —
+    collisions strike both engines identically); construction is
+    posexplode + window leads (codegen'd). One exchange by doc for the
+    leads, one aggregate by group."""
+    from pyspark.sql import Window
+
+    from pydi_spark.llmdata.dedup import _token_hash60
+
+    toks = word_tokens(F.col(text_col))
+    # the doc key must be materialized BEFORE the explode: in the same
+    # projection as posexplode, a nondeterministic expression like
+    # monotonically_increasing_id is evaluated per EXPLODED row, giving
+    # every token its own "document"
+    base = df.where(F.size(toks) >= n).select(
+        F.col(group_col).alias("grp"),
+        F.monotonically_increasing_id().alias("__doc"),
+        toks.alias("__toks"),
+    )
+    tok_rows = base.select(
+        "grp", "__doc", F.posexplode("__toks").alias("pos", "tok")
+    )
+    wpos = Window.partitionBy("__doc").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    grams = (
+        tok_rows.select("grp", "tok", *lead_cols)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "grp",
+            _token_hash60(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("h"),
+        )
+    )
+    return (
+        grams.groupBy("grp")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count_distinct("h").alias("distinct_grams"),
+        )
+        .withColumn(
+            "dup_mass_ppm",
+            F.expr(
+                "(total_grams - distinct_grams) * CAST(1000000 AS BIGINT)"
+                " div total_grams"
+            ),
+        )
+    )

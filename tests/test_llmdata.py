@@ -1416,3 +1416,19 @@ def test_bpe_fertility(spark):
     assert out["s1"]["total_words"] == 3 and out["s1"]["total_pieces"] == 4
     assert out["s1"]["fertility_ppm"] == 4 * 1000000 // 3
     assert out["s2"]["fertility_ppm"] == 1000000
+
+
+def test_gram_duplication(spark):
+    from pydi_spark.llmdata import gram_duplication
+
+    rows = [(1, "a b a b a b", "s1"), (2, "x y z w", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["grp"]: r for r in gram_duplication(df, n=2).collect()}
+    # s1 grams: ab ba ab ba ab -> 5 total, 2 distinct
+    assert out["s1"]["total_grams"] == 5 and out["s1"]["distinct_grams"] == 2
+    assert out["s1"]["dup_mass_ppm"] == 3 * 1000000 // 5
+    assert out["s2"]["dup_mass_ppm"] == 0
+    out2 = {r["grp"]: (r["total_grams"], r["distinct_grams"])
+            for r in gram_duplication(df.repartition(4), n=2).collect()}
+    assert out2 == {k: (v["total_grams"], v["distinct_grams"])
+                    for k, v in out.items()}
