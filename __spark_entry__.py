@@ -3096,6 +3096,18 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, list(_COVERAGE_VOCAB), group_col="source")
 
 
+def q_sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (llmdata.leakage_safe_split):
+    near-dup clusters (simhash pairs -> CC) assigned as UNITS by the
+    md5-fraction of the cluster id — no duplicate pair ever straddles
+    an eval boundary."""
+    from pydi_spark.llmdata import leakage_safe_split, simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    return leakage_safe_split(docs, pairs, train=0.8, valid=0.1)
+
+
 def q_io_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC application (io.cdc.apply_changes): a change
     batch synthesized from customer (updates for %7==0, deletes for
@@ -4368,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_cdc_upsert": q_io_cdc_upsert,
         "text_bpe_fertility": q_text_bpe_fertility,
         "text_gram_duplication": q_text_gram_duplication,
+        "sample_split_leakage_safe": q_sample_split_leakage_safe,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6852,6 +6865,28 @@ SELECT source AS grp, count(*) AS n_tokens,
          * CAST(1000000 AS BIGINT) // count(*) AS coverage_ppm
 FROM tok GROUP BY source
 """.replace("{TOK}", _TOK_SQL.format(col="text"))
+    out["sample_split_leakage_safe"] = """
+WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ({SIM}) q),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+asg AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id,
+         coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+),
+fr AS (SELECT id, cluster_id, list_sum([(strpos('0123456789abcdef', substr(md5(cluster_id), i, 1)) - 1) * 16.0 ** (8 - i) for i in range(1, 9)]) / 4294967296.0 AS frac FROM asg)
+SELECT id, cluster_id,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM fr
+""".replace("{SIM}", _simhash_sql(3))
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
     out["io_cdc_upsert"] = """
 WITH base AS (

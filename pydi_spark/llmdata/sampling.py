@@ -283,3 +283,41 @@ def exact_k_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= int(k))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    train: float = 0.8,
+    valid: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/valid/test assignment that near-duplicate clusters never
+    straddle: connected components over the pair graph give each
+    document a cluster id; the md5-fraction of the CLUSTER id (not the
+    document id) picks the split, so every member of a duplicate
+    cluster lands on the same side — the split that actually prevents
+    eval leakage, where a per-document split does not. Output:
+    [id, cluster_id, split] with split in {train, valid, test}.
+
+    Scale shape: the pair graph is ids-only; CC auto-routes
+    hybrid/distributed; the corpus is touched by one left join on id.
+    The fraction decision is the established md5 construction —
+    deterministic, partition-independent, SQL-replayable."""
+    from pydi_spark.clustering.connected_components import connected_components
+
+    assign = connected_components(pairs.select("id1", "id2"))
+    out = df.select(F.col(id_col).cast("string").alias("id")).join(
+        assign.withColumnRenamed("record_id", "id"), "id", "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col("id"))
+    frac = hash_fraction(cluster)
+    t, v = float(train), float(train) + float(valid)
+    return out.select(
+        "id",
+        cluster.alias("cluster_id"),
+        F.when(frac < F.lit(t), F.lit("train"))
+        .when(frac < F.lit(v), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

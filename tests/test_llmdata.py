@@ -1432,3 +1432,29 @@ def test_gram_duplication(spark):
             for r in gram_duplication(df.repartition(4), n=2).collect()}
     assert out2 == {k: (v["total_grams"], v["distinct_grams"])
                     for k, v in out.items()}
+
+
+def test_leakage_safe_split(spark):
+    from pydi_spark.llmdata import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("0", "1"), ("1", "2"), ("5", "6"), ("10", "11")],
+        "id1 string, id2 string",
+    )
+    out = {r["id"]: r for r in
+           leakage_safe_split(docs, pairs, train=0.6, valid=0.2).collect()}
+    assert len(out) == 40
+    # every cluster lands on one side
+    for cluster in (("0", "1", "2"), ("5", "6"), ("10", "11")):
+        splits = {out[i]["split"] for i in cluster}
+        cids = {out[i]["cluster_id"] for i in cluster}
+        assert len(splits) == 1 and len(cids) == 1
+    assert {r["split"] for r in out.values()} <= {"train", "valid", "test"}
+    # partition independence
+    out2 = {r["id"]: (r["cluster_id"], r["split"]) for r in
+            leakage_safe_split(docs.repartition(7), pairs.repartition(3),
+                               train=0.6, valid=0.2).collect()}
+    assert out2 == {k: (v["cluster_id"], v["split"]) for k, v in out.items()}
