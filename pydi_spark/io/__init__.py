@@ -13,7 +13,13 @@ from pydi_spark.io.readers import (
     load_xml,
 )
 from pydi_spark.io.cdc import apply_changes
-from pydi_spark.io.writers import write_csv, write_json, write_orc, write_parquet
+from pydi_spark.io.writers import (
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+    write_training_shards,
+)
 
 __all__ = [
     "explode_delimited",
@@ -32,5 +38,6 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_orc",
+    "write_training_shards",
     "write_parquet",
 ]

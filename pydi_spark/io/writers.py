@@ -46,3 +46,37 @@ def write_artifact(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         json.dump(obj, fh, indent=2, default=str)
+
+
+def write_training_shards(
+    data: Dataset | DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    order_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """The pipeline's final sink: deterministic sharded output for a
+    training loader. Each row lands in ``shard = floor(md5_fraction(key)
+    * n_shards)`` — stable across runs AND input partitionings, unlike
+    ``repartition(n)``/``df.randomSplit`` whose assignment depends on
+    the upstream layout — and each shard directory is written with its
+    rows ordered by ``order_col`` (pack order, curriculum order).
+
+    Scale shape: ONE shuffle keyed on the shard id; a resumable loader
+    addresses shards by directory (``shard=<i>/``); re-running the job
+    reproduces byte-identical shard membership, so a partially consumed
+    run can be resumed against a rewrite."""
+    from pyspark.sql import functions as F
+
+    from pydi_spark.llmdata.sampling import hash_fraction
+
+    df = as_dataframe(data).withColumn(
+        "shard",
+        F.floor(hash_fraction(F.col(key_col)) * F.lit(int(n_shards))).cast("int"),
+    )
+    df = df.repartition(int(n_shards), "shard")
+    if order_col:
+        df = df.sortWithinPartitions("shard", order_col)
+    df.write.mode(mode).partitionBy("shard").format(fmt).save(path)

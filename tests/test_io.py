@@ -170,3 +170,26 @@ def test_apply_changes_semantics(spark):
             apply_changes(base.repartition(3), changes.repartition(5),
                           key_col="id").collect()}
     assert out == out2
+
+
+def test_write_training_shards(spark, tmp_path):
+    from pydi_spark.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i % 17) for i in range(200)],
+        "doc_id long, text string, pos int",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=4, key_col="doc_id",
+                          order_col="pos")
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards <= {0, 1, 2, 3} and len(shards) == 4
+    # assignment is stable across input partitionings
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(13), path2, n_shards=4,
+                          key_col="doc_id", order_col="pos")
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(path2).collect()))
+    assert a == b
