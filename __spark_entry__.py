@@ -3108,6 +3108,51 @@ def q_sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, pairs, train=0.8, valid=0.1)
 
 
+def q_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair building (llmdata.contrastive_pairs): simhash
+    positives + 2 deterministic md5-rank negatives per anchor; the
+    corpus rank is a distributed global row_number, replayed as a plain
+    window in the oracle."""
+    from pydi_spark.llmdata import contrastive_pairs, simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    return contrastive_pairs(pairs, docs, k_negatives=2)
+
+
+def _contrastive_oracle_sql() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"""
+WITH pairs AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) q),
+ids AS (SELECT CAST(doc_id AS VARCHAR) AS pid FROM documents),
+ranked AS (
+  SELECT pid, row_number() OVER (ORDER BY md5(pid), pid) AS rnk FROM ids
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM ids),
+anchors AS (SELECT DISTINCT id1 AS anchor FROM pairs),
+negs AS (
+  SELECT anchor,
+         (({hex2int}) % cnt) + 1 AS rnk,
+         j AS neg_idx
+  FROM (
+    SELECT anchor, j,
+           substr(md5(anchor || ':' || CAST(j AS VARCHAR)), 1, 15) AS md5h
+    FROM anchors, (SELECT unnest([1, 2]) AS j) js
+  ) x, n
+),
+negatives AS (
+  SELECT anchor, pid AS partner, 0 AS label, neg_idx
+  FROM negs JOIN ranked USING (rnk) WHERE pid != anchor
+)
+SELECT id1 AS anchor, id2 AS partner, 1 AS label, 0 AS neg_idx FROM pairs
+UNION ALL
+SELECT anchor, partner, label, neg_idx FROM negatives
+"""
+
+
 def q_io_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC application (io.cdc.apply_changes): a change
     batch synthesized from customer (updates for %7==0, deletes for
@@ -4381,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_fertility": q_text_bpe_fertility,
         "text_gram_duplication": q_text_gram_duplication,
         "sample_split_leakage_safe": q_sample_split_leakage_safe,
+        "sample_contrastive": q_sample_contrastive,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
         "events_funnel": q_events_funnel,
@@ -6887,6 +6933,7 @@ SELECT id, cluster_id,
             ELSE 'test' END AS split
 FROM fr
 """.replace("{SIM}", _simhash_sql(3))
+    out["sample_contrastive"] = _contrastive_oracle_sql()
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
     out["io_cdc_upsert"] = """
 WITH base AS (

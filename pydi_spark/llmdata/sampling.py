@@ -321,3 +321,61 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def contrastive_pairs(
+    pos_pairs: DataFrame,
+    corpus: DataFrame,
+    k_negatives: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training examples for a retriever/matcher: every positive pair
+    (label 1) plus ``k_negatives`` deterministic pseudo-random
+    negatives per anchor (label 0): the corpus is ranked ONCE by md5 of
+    its id (distributed global rank — one narrow shuffle, never a bare
+    global window), and negative j for anchor a is the id at rank
+    ``h60(a:j) mod n``. Output: [anchor, partner, label, neg_idx].
+
+    Determinism: assignment depends only on ids, so it is stable across
+    runs/partitionings and SQL-replayable. A sampled partner can
+    occasionally be a true positive (probability ~k/n) — the standard
+    in-batch-negative noise, accepted; a partner equal to the anchor
+    itself is dropped."""
+    from pydi_spark.functions.ranks import global_row_number
+    from pydi_spark.llmdata.dedup import _token_hash60
+
+    ids = corpus.select(F.col(id_col).cast("string").alias("pid")).withColumn(
+        "h", F.md5(F.col("pid"))
+    )
+    ranked, n = global_row_number(ids, ["h", "pid"], out_col="rnk",
+                                  return_count=True)
+    ranked = ranked.select("pid", "rnk")
+    pos = pos_pairs.select(
+        F.col("id1").alias("anchor"),
+        F.col("id2").alias("partner"),
+        F.lit(1).alias("label"),
+        F.lit(0).alias("neg_idx"),
+    )
+    anchors = pos_pairs.select(F.col("id1").alias("anchor")).distinct()
+    negs = None
+    for j in range(1, int(k_negatives) + 1):
+        target = (
+            F.pmod(
+                _token_hash60(F.concat_ws(":", F.col("anchor"), F.lit(str(j)))),
+                F.lit(int(n)),
+            )
+            + F.lit(1)
+        ).alias("rnk")
+        nj = anchors.select("anchor", target, F.lit(j).alias("neg_idx"))
+        negs = nj if negs is None else negs.unionByName(nj)
+    negatives = (
+        negs.join(ranked, "rnk")
+        .where(F.col("pid") != F.col("anchor"))
+        .select(
+            "anchor",
+            F.col("pid").alias("partner"),
+            F.lit(0).alias("label"),
+            "neg_idx",
+        )
+    )
+    return pos.unionByName(negatives)

@@ -1458,3 +1458,22 @@ def test_leakage_safe_split(spark):
             leakage_safe_split(docs.repartition(7), pairs.repartition(3),
                                train=0.6, valid=0.2).collect()}
     assert out2 == {k: (v["cluster_id"], v["split"]) for k, v in out.items()}
+
+
+def test_contrastive_pairs(spark):
+    from pydi_spark.llmdata import contrastive_pairs
+
+    docs = spark.createDataFrame([(i, "t") for i in range(30)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([("1", "2"), ("5", "6")],
+                                  "id1 string, id2 string")
+    out = contrastive_pairs(pairs, docs, k_negatives=3).collect()
+    pos = [r for r in out if r["label"] == 1]
+    neg = [r for r in out if r["label"] == 0]
+    assert {(r["anchor"], r["partner"]) for r in pos} == {("1", "2"), ("5", "6")}
+    assert all(r["partner"] != r["anchor"] for r in neg)
+    assert 4 <= len(neg) <= 6  # <= k per anchor (self-collisions drop)
+    # deterministic under repartition
+    out2 = contrastive_pairs(pairs.repartition(3), docs.repartition(7),
+                             k_negatives=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
