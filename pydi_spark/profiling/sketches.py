@@ -99,6 +99,12 @@ def heavy_hitters_sketch(
     > N/k survives. The batched update is the exact MG semantics:
     merge a batch's value counts into the counters, then subtract the
     (k+1)-th largest counter value from all and drop non-positives.
+    ``max_undercount`` is the TOTAL shed across all partitions — within
+    a partition a key's true count is bounded by est + shed whether or
+    not it survived there, so the global sum bounds every key (a
+    per-key tightening would need per-partition presence bookkeeping;
+    the global bound is the one the docstring promises and the one a
+    threshold decision can rely on).
 
     Python loops never touch rows — each Arrow batch is folded via
     pandas value_counts/nlargest (vectorized); per-batch work is
@@ -115,29 +121,33 @@ def heavy_hitters_sketch(
                 cut = counters.nlargest(k + 1).iloc[-1]
                 shed += int(cut)
                 counters = (counters - cut)[lambda s: s > 0]
-        yield pd.DataFrame(
-            {
-                "key": counters.index.astype(str),
-                "cnt": counters.values,
-                "err": shed,
-            }
+        out = pd.DataFrame(
+            {"key": counters.index.astype(str), "cnt": counters.values}
         )
+        # one sentinel row per partition carries that partition's shed,
+        # so the merge can bound keys that were fully shed somewhere
+        out["err"] = 0
+        sentinel = pd.DataFrame({"key": [None], "cnt": [0], "err": [shed]})
+        yield pd.concat([out, sentinel], ignore_index=True)
 
     per_part = (
         df.select(F.col(key_col).cast("string").alias("__k"))
         .mapInPandas(mg, "key string, cnt long, err long")
+    ).localCheckpoint(eager=True)  # feeds the key merge AND the shed total
+    total_shed = per_part.where(F.col("key").isNull()).agg(
+        F.sum("err").alias("max_undercount")
     )
-    merged = per_part.groupBy("key").agg(
-        F.sum("cnt").alias("est_count"),
-        # undercount bound: a key may have been shed in EVERY partition,
-        # including ones where it no longer appears — the conservative
-        # bound is the total shed across partitions where it survived
-        # plus the global max shed of the others; we report the simple
-        # per-survivor bound (sum of err where the key appeared)
-        F.sum("err").alias("max_undercount"),
+    merged = (
+        per_part.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("est_count"))
     )
     top = merged.orderBy(F.desc("est_count"), F.asc("key")).limit(int(top_n))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("est_count"), F.asc("key"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (
+        top.crossJoin(F.broadcast(total_shed))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("key", "est_count", "max_undercount", "rank")
+    )

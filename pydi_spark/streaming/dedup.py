@@ -293,10 +293,18 @@ def streaming_incremental_dedup(
 
     foreachBatch because the store is read anew per trigger (a
     stream-static join would snapshot it once); the store mutation is
-    append-only parquet, the exactly-once story is the decisions sink
-    keyed by (batch_id, id). State never lives in the stream — it IS
-    the signature store, which is also what makes the pipeline
-    restartable: the store and the checkpoint advance together.
+    append-only parquet. Crash-replay safety: a batch EXCLUDES ITS OWN
+    ids from the store view before deciding, so a replay after a crash
+    that landed the store append but not the checkpoint commit cannot
+    match documents against their own signatures — the replayed
+    decisions are byte-identical to the lost trigger's, and the
+    signature append is anti-joined against ids already in the store,
+    so it is idempotent too. The decisions sink is therefore
+    at-least-once with deterministic content: consumers dedupe by
+    (batch_id, id) and never see conflicting rows. State never lives
+    in the stream — it IS the signature store, which is what makes the
+    pipeline restartable: the store and the checkpoint advance
+    together.
 
     Scale: identical to the batch operator per trigger — the store is
     touched by two key-joins and never broadcast; batch-side tables
@@ -312,7 +320,15 @@ def streaming_incremental_dedup(
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store = spark.read.parquet(store_path)
+        batch_ids = batch_df.select(
+            F.col(id_col).cast("string").alias("id")
+        ).distinct()
+        # exclude this batch's own ids from the store view: on a
+        # crash-replay whose store append landed, the batch would
+        # otherwise match its own signatures and flip its decisions
+        store = spark.read.parquet(store_path).join(
+            F.broadcast(batch_ids), "id", "left_anti"
+        )
         decisions = incremental_minhash_dedup(
             batch_df,
             store,
@@ -326,9 +342,23 @@ def streaming_incremental_dedup(
             "append"
         ).parquet(decisions_path)
         kept = decisions.where(F.col("kept") == 1).select("id")
-        new_sigs = minhash_signature_table(
-            batch_df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
-        ).join(F.broadcast(kept), "id", "left_semi")
+        # idempotent append under replay: drop ids already stored. The
+        # already-present set is computed store-side with the BATCH ids
+        # broadcast (batch-bounded output — never a corpus-side build),
+        # and materialized so the append job does not read the path it
+        # is writing to.
+        present = (
+            spark.read.parquet(store_path)
+            .join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id")
+        )
+        new_sigs = (
+            minhash_signature_table(
+                batch_df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+            )
+            .join(F.broadcast(kept), "id", "left_semi")
+            .join(F.broadcast(present), "id", "left_anti")
+        ).localCheckpoint(eager=True)
         new_sigs.write.mode("append").parquet(store_path)
 
     return (

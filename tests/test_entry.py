@@ -63,6 +63,22 @@ def test_driver_window_arithmetic():
     }
     outside = awaiting - set(window)
     assert not outside, f"awaiting first driver check but past 50: {outside}"
+    # session-3 additions deliberately sit PAST the window this round
+    # (the 50 slots are claimed by the r04 first-check queries above);
+    # this list IS the round-5 rotation queue (NOTES.md) — keep it in
+    # sync so nothing falls through silently like extract_code in r03
+    rotation_queue = {
+        "text_search_hybrid", "text_bpe_segment", "dedup_incremental",
+        "sample_exact_k", "profile_key_skew", "io_orc_roundtrip",
+        "text_rerank", "dedup_agreement", "text_vocab_coverage",
+        "tpch_grouping_sets", "events_funnel", "events_retention",
+        "events_json", "events_sessionize_batch", "graph_pagerank",
+        "io_cdc_upsert", "text_bpe_fertility", "text_gram_duplication",
+        "sample_split_leakage_safe", "sample_contrastive",
+    }
+    past_window = set(names[50:])
+    missing = rotation_queue - past_window - set(window)
+    assert not missing, f"rotation-queue query vanished: {missing}"
 
 
 def test_partition_independence_of_new_queries(spark):

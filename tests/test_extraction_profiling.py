@@ -395,3 +395,56 @@ def test_streaming_incremental_dedup_restart(spark, tmp_path):
     n = compact_signature_store(spark, store_path, num_hashes=8)
     assert n == 3
     assert spark.read.parquet(store_path).count() == 3
+
+
+def test_streaming_incremental_dedup_crash_replay(spark, tmp_path):
+    """Simulate the crash window: the batch's signature append LANDED
+    but the checkpoint did not commit. The replayed trigger must
+    produce the same decisions (self-exclusion hides the landed rows)
+    and must not duplicate store rows."""
+    from pydi_spark.llmdata import minhash_signature_table
+    from pydi_spark.streaming import streaming_incremental_dedup
+
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame(
+        [(1, "seed alpha beta gamma delta epsilon zeta")], schema
+    )
+    batch = spark.createDataFrame(
+        [(10, "fresh words one two three four"),
+         (11, "seed alpha beta gamma delta epsilon zeta")], schema
+    )
+    src = tmp_path / "in"
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+
+    def run(store_path, dec_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = streaming_incremental_dedup(
+            spark, stream, store_path, dec_path,
+            num_hashes=8, bands=4, jaccard_threshold=0.7,
+        )
+        q.awaitTermination()
+
+    # clean reference run
+    clean_store = str(tmp_path / "store_clean")
+    minhash_signature_table(seed, num_hashes=8).write.parquet(clean_store)
+    run(clean_store, str(tmp_path / "dec_clean"))
+    ref = {(r["id"], r["matched_store"], r["kept"])
+           for r in spark.read.parquet(str(tmp_path / "dec_clean")).collect()}
+
+    # crash-window run: store already holds the batch's kept signatures
+    crash_store = str(tmp_path / "store_crash")
+    minhash_signature_table(seed, num_hashes=8).write.parquet(crash_store)
+    minhash_signature_table(
+        batch.where("doc_id = 10"), num_hashes=8
+    ).write.mode("append").parquet(crash_store)  # the landed append
+    run(crash_store, str(tmp_path / "dec_crash"))
+    got = {(r["id"], r["matched_store"], r["kept"])
+           for r in spark.read.parquet(str(tmp_path / "dec_crash")).collect()}
+    assert got == ref  # identical decisions despite the landed append
+    # no duplicate store rows
+    ids = [r["id"] for r in spark.read.parquet(crash_store).select("id").collect()]
+    assert sorted(ids) == sorted(set(ids))
