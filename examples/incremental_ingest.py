@@ -67,12 +67,40 @@ def main() -> None:
     n_store = spark.read.parquet(store_path).count()
     print(f"signature store now holds {n_store} documents")
 
-    # streaming mode: the same pipeline as a foreachBatch query
+    # streaming mode: the same pipeline as a foreachBatch query. The
+    # batch mixes exact copies of stored documents (rejected) with
+    # fresh synthetic ones (admitted) so the demo shows both outcomes
     stream_src = os.path.join(work, "incoming")
-    docs.where("doc_id % 10 = 3").coalesce(1).write.parquet(
+    copies = (
+        docs.where("doc_id % 10 = 3")
+        .limit(25)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    # each fresh doc gets its own md5-derived vocabulary (sharing a
+    # template would — correctly — get all but one within-batch-deduped)
+    fresh_tokens = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}"))),
+                1,
+                8,
+            )
+            for i in range(8)
+        ],
+    )
+    fresh = (
+        docs.where("doc_id % 10 = 4")
+        .limit(25)
+        .select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            fresh_tokens.alias("text"),
+        )
+    )
+    copies.unionByName(fresh).coalesce(1).write.parquet(
         os.path.join(stream_src, "b0")
     )
-    schema = docs.schema
+    schema = copies.schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

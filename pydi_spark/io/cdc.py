@@ -34,10 +34,11 @@ def apply_changes(
     a comparable integer) and ``op_col`` with values 'I'/'U' (upsert)
     or 'D' (delete). Result: one row per surviving key — the
     highest-version change wins; a winning 'D' removes the key; keys
-    untouched by changes keep their base row. Version ties break by
-    (op desc, so 'U'>'I'>'D' is NOT assumed — ties are a data bug;
-    the deterministic tiebreak is op asc then the key itself) — pin
-    versions unique per key in the feed.
+    untouched by changes keep their base row. Version ties are a feed
+    bug (pin versions unique per key), but when they happen the winner
+    is still deterministic: op asc, then the md5 of the row's data
+    columns — never the shuffle arrival order, so the result is
+    partition-independent even on malformed input.
     """
     data_cols = [c for c in base.columns]
     b = base.select(
@@ -51,8 +52,9 @@ def apply_changes(
         F.col(op_col).alias("__op"),
     )
     unioned = b.unionByName(c)
+    row_hash = F.md5(F.to_json(F.struct(*[F.col(x) for x in data_cols])))
     w = Window.partitionBy(key_col).orderBy(
-        F.desc("__v"), F.asc("__op")
+        F.desc("__v"), F.asc("__op"), row_hash.asc()
     )
     ranked = unioned.withColumn("__rk", F.row_number().over(w))
     return (

@@ -344,18 +344,20 @@ def contrastive_pairs(
     from pydi_spark.functions.ranks import global_row_number
     from pydi_spark.llmdata.dedup import _token_hash60
 
+    pos_only = pos_pairs.select(
+        F.col("id1").alias("anchor"),
+        F.col("id2").alias("partner"),
+        F.lit(1).alias("label"),
+        F.lit(0).alias("neg_idx"),
+    )
+    if int(k_negatives) <= 0:
+        return pos_only
     ids = corpus.select(F.col(id_col).cast("string").alias("pid")).withColumn(
         "h", F.md5(F.col("pid"))
     )
     ranked, n = global_row_number(ids, ["h", "pid"], out_col="rnk",
                                   return_count=True)
     ranked = ranked.select("pid", "rnk")
-    pos = pos_pairs.select(
-        F.col("id1").alias("anchor"),
-        F.col("id2").alias("partner"),
-        F.lit(1).alias("label"),
-        F.lit(0).alias("neg_idx"),
-    )
     anchors = pos_pairs.select(F.col("id1").alias("anchor")).distinct()
     negs = None
     for j in range(1, int(k_negatives) + 1):
@@ -378,4 +380,4 @@ def contrastive_pairs(
             "neg_idx",
         )
     )
-    return pos.unionByName(negatives)
+    return pos_only.unionByName(negatives)

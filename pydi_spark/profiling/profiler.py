@@ -277,16 +277,20 @@ def key_skew_report(
     join_skew_salted), an AQE skew-join threshold, or a block-size cap
     (blocking/meta block purging).
 
-    One map-side-combined groupBy; top-n by sort+limit
+    ONE map-side-combined groupBy (materialized — it feeds both the
+    1-row total and the top-n); top-n by sort+limit
     (TakeOrderedAndProject — per-partition heaps, no global window over
-    the key space); total row count rides the same aggregate tree as a
-    1-row broadcast. share_ppm is exact integer arithmetic
+    the key space). share_ppm is exact integer arithmetic
     (cnt*1000000 div total) — no float, so the report is bit-portable.
     Beyond the reference (PyDI profiles columns, not key skew).
     """
     counts = df.select(F.col(key_col).cast("string").alias("key")).groupBy(
         "key"
     ).agg(F.count("*").alias("cnt"))
+    # counts feeds the totals row AND the top-n: materialize it so the
+    # corpus-wide groupBy runs once, not per consumer (the dedup-sigs
+    # multi-consumer lesson, NOTES.md)
+    counts = counts.localCheckpoint(eager=True)
     total = counts.agg(F.sum("cnt").alias("total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(int(top_n))
     from pyspark.sql import Window

@@ -373,18 +373,18 @@ def streaming_incremental_dedup(
     )
 
 
-def compact_signature_store(spark, store_path: str, num_hashes: int = 16) -> int:
+def compact_signature_store(spark, store_path: str) -> int:
     """Rewrite the append-only signature store keeping one row per id
-    (first occurrence wins by id order — rows for one id are identical
-    signatures anyway, they only arise from replayed batches). Returns
-    the compacted row count. Run periodically, like any streaming
-    upsert sink's maintenance job."""
-    import tempfile
+    (rows for one id are identical signatures; duplicates only arise
+    from replayed batches). Returns the compacted row count. Run
+    periodically, like any streaming upsert sink's maintenance job.
 
+    The dedup'd frame is localCheckpoint'ed (eager — the data is fully
+    materialized in executor storage before any write starts), which
+    cuts the self-referential read-write cycle and lets the store be
+    overwritten in place with ONE write and no staging copy."""
     store = spark.read.parquet(store_path)
     compacted = store.dropDuplicates(["id"]).localCheckpoint(eager=True)
     n = compacted.count()
-    tmp = tempfile.mkdtemp(prefix="sigstore_compact_")
-    compacted.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+    compacted.write.mode("overwrite").parquet(store_path)
     return n

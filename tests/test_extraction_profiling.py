@@ -392,7 +392,7 @@ def test_streaming_incremental_dedup_restart(spark, tmp_path):
     ids = [r["id"] for r in dec.select("id").collect()]
     assert sorted(ids) == ["10", "20"]  # exactly once each
     # both kept -> store grew to 3; compaction is idempotent
-    n = compact_signature_store(spark, store_path, num_hashes=8)
+    n = compact_signature_store(spark, store_path)
     assert n == 3
     assert spark.read.parquet(store_path).count() == 3
 
