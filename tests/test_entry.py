@@ -92,7 +92,11 @@ def test_partition_independence_of_new_queries(spark):
     names = [
         "text_search_hybrid", "text_bpe_segment", "sample_exact_k",
         "profile_key_skew", "text_vocab_coverage", "events_funnel",
-        "tpch_grouping_sets", "text_rerank",
+        "tpch_grouping_sets", "text_rerank", "events_retention",
+        "events_json", "events_sessionize_batch", "graph_pagerank",
+        "io_cdc_upsert", "text_bpe_fertility", "text_gram_duplication",
+        "sample_split_leakage_safe", "sample_contrastive",
+        "dedup_agreement", "dedup_incremental",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
