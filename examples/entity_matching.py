@@ -96,6 +96,24 @@ def main() -> None:
     )
     fused.select("_id", "name", "bal", "_fusion_sources").show(5, truncate=False)
 
+    # 6. master-table maintenance: apply a CDC batch to the fused
+    # entities (last-writer-wins; no transactional table format needed)
+    from pydi_spark.io import apply_changes
+
+    master = fused.select("_id", "name", "bal")
+    changes = (
+        master.limit(3)
+        .select(
+            "_id",
+            F.concat(F.col("name"), F.lit(" (verified)")).alias("name"),
+            (F.col("bal") + F.lit(1.0)).alias("bal"),
+            F.lit(1).cast("long").alias("version"),
+            F.lit("U").alias("op"),
+        )
+    )
+    maintained = apply_changes(master, changes, key_col="_id")
+    print("master rows after CDC batch:", maintained.count())
+
 
 if __name__ == "__main__":
     main()
