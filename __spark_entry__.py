@@ -948,6 +948,33 @@ def q_match_date_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr.select("id1", "id2", "score")
 
 
+def q_match_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection (matching.uncertainty_band): the
+    100 candidate pairs whose rule score sits closest to the 0.5
+    decision threshold — the next labels an EM labeling loop would
+    request. Same scoring as match_date_numeric with threshold=0.0
+    (keep every scored pair), so the oracle reuses that replay."""
+    from pydi_spark.functions.comparators import DateComparator, NumericComparator
+    from pydi_spark.matching import RuleBasedMatcher, uncertainty_band
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("rid"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_totalprice").alias("price"),
+    )
+    _, edges = _orders_datasets(spark, sf_dir)
+    matcher = RuleBasedMatcher(
+        comparators=[
+            (DateComparator("odate", max_days_difference=365.0), 0.6),
+            (NumericComparator("price", method="relative_difference"), 0.4),
+        ]
+    )
+    corr = matcher.match(orders, orders, edges, threshold=0.0, id_column="rid")
+    return uncertainty_band(
+        corr.select("id1", "id2", "score"), threshold=0.5, band=0.1, max_pairs=100
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.llmdata import simhash_near_duplicates
 
@@ -4423,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "graph_pagerank": q_graph_pagerank,
         "io_cdc_upsert": q_io_cdc_upsert,
+        "match_uncertainty": q_match_uncertainty,
         "text_bpe_fertility": q_text_bpe_fertility,
         "text_gram_duplication": q_text_gram_duplication,
         "sample_split_leakage_safe": q_sample_split_leakage_safe,
@@ -5391,6 +5419,32 @@ scored AS (
   FROM edges e JOIN o a ON e.id1 = a.rid JOIN o b ON e.id2 = b.rid
 )
 SELECT id1, id2, score FROM scored WHERE score >= 0.5
+""",
+        "match_uncertainty": """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+o AS (SELECT CAST(o_orderkey AS VARCHAR) rid, o_orderdate, o_totalprice FROM orders),
+scored AS (
+  SELECT e.id1, e.id2,
+         0.6 * greatest(0.0, 1.0 - abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+                                                  CAST(a.o_orderdate AS DATE)))::DOUBLE / 365.0)
+       + 0.4 * (CASE WHEN greatest(abs(a.o_totalprice), abs(b.o_totalprice)) = 0 THEN 1.0
+                ELSE greatest(0.0, 1.0 - abs(a.o_totalprice - b.o_totalprice)
+                              / greatest(abs(a.o_totalprice), abs(b.o_totalprice))) END)
+         AS score
+  FROM edges e JOIN o a ON e.id1 = a.rid JOIN o b ON e.id2 = b.rid
+),
+banded AS (
+  SELECT id1, id2, score, abs(score - 0.5) AS margin
+  FROM scored WHERE score >= 0.0 AND abs(score - 0.5) <= 0.1
+)
+SELECT id1, id2, score, margin,
+       CAST(row_number() OVER (ORDER BY margin, id1, id2) AS INT) AS rank
+FROM banded QUALIFY rank <= 100
 """,
         "dedup_simhash": _simhash_sql(3),
         "dedup_canonical": f"""

@@ -1,3 +1,4 @@
+from pydi_spark.matching.active import uncertainty_band
 from pydi_spark.matching.feature_extraction import (
     FeatureExtractor,
     VectorFeatureExtractor,
@@ -13,6 +14,7 @@ from pydi_spark.matching.rule_based import RuleBasedMatcher
 from pydi_spark.matching.text_formatting import TextFormatter
 
 __all__ = [
+    "uncertainty_band",
     "FeatureExtractor",
     "LLMBasedMatcher",
     "MLBasedMatcher",

@@ -177,3 +177,16 @@ def test_string_comparator_best_match_python_tier(spark):
                           list_strategy="best_match")
     vals2 = [r[0] for r in df.select(c2.expr(F.col("l"), F.col("r"))).collect()]
     assert vals2 == [1.0, 1.0]  # 'Acme...'/'ACME' no—first-char A==A; W==W or G
+
+
+def test_uncertainty_band(spark):
+    from pydi_spark.matching import uncertainty_band
+
+    rows = [("a", "b", 0.52), ("c", "d", 0.49), ("e", "f", 0.9),
+            ("g", "h", 0.45), ("i", "j", 0.1)]
+    df = spark.createDataFrame(rows, "id1 string, id2 string, score double")
+    out = uncertainty_band(df, threshold=0.5, band=0.05)
+    assert {(r["id1"], r["id2"]) for r in out.collect()} == {
+        ("a", "b"), ("c", "d"), ("g", "h")}
+    top = uncertainty_band(df, threshold=0.5, band=0.05, max_pairs=2).collect()
+    assert [r["id1"] for r in sorted(top, key=lambda r: r["rank"])] == ["c", "a"]
