@@ -100,3 +100,59 @@ def test_bpe_replay_equals_greedy_pure(word, merges):
     replay = [p for p in sym.split() if p]
     ranks = {m: i for i, m in enumerate(valid)}
     assert replay == greedy_apply(word, ranks), (word, valid)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1", "k2", "k3"]),   # key
+            st.text(alphabet="xyz", min_size=1, max_size=3),  # payload
+            st.integers(min_value=0, max_value=9),       # version
+            st.sampled_from(["I", "U", "D"]),            # op
+        ),
+        max_size=12,
+    )
+)
+def test_apply_changes_matches_lww_reference(spark, changes):
+    """apply_changes == a dict-based last-writer-wins replay under the
+    same total order (version desc, op asc, md5(payload)) for any
+    change feed, including version ties and delete-then-insert."""
+    import hashlib
+
+    from pydi_spark.io import apply_changes
+
+    base_rows = [("k0", "base0"), ("k1", "base1")]
+    base = spark.createDataFrame(base_rows, "id string, v string")
+    if changes:
+        ch = spark.createDataFrame(
+            [(k, p, ver, op) for k, p, ver, op in changes],
+            "id string, v string, version long, op string",
+        )
+    else:
+        ch = spark.createDataFrame([], "id string, v string, version long, op string")
+    got = {r["id"]: r["v"] for r in apply_changes(base, ch, key_col="id").collect()}
+
+    # reference: pick per key the max under (version, -ord(op-asc), -hash)
+    def row_hash(key, payload):
+        import json
+        # Spark's to_json: compact separators, struct field order
+        return hashlib.md5(
+            json.dumps({"id": key, "v": payload},
+                       separators=(",", ":")).encode()
+        ).hexdigest()
+
+    cand: dict = {}
+    for k, p in base_rows:
+        cand.setdefault(k, []).append((-1, "B", row_hash(k, p), p))
+    for k, p, ver, op in changes:
+        cand[k] = cand.get(k, [])
+        cand[k].append((ver, op, row_hash(k, p), p))
+    want = {}
+    for k, rows in cand.items():
+        # order: version desc, op asc, hash asc -> first wins
+        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+        ver, op, _, p = rows[0]
+        if op != "D":
+            want[k] = p
+    assert got == want, (changes, got, want)
