@@ -3103,6 +3103,15 @@ _COVERAGE_VOCAB = [
 ]
 
 
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style token blocklist gate (llmdata.blocklist_filter): keep=0
+    for documents containing any blocklisted word token."""
+    from pydi_spark.llmdata import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ["error", "slow", "skew"], mode="token")
+
+
 def q_text_gram_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source internal 2-gram duplication mass
     (llmdata.gram_duplication) — the templated-ness signal that decides
@@ -4451,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "io_cdc_upsert": q_io_cdc_upsert,
         "match_uncertainty": q_match_uncertainty,
+        "text_blocklist": q_text_blocklist,
         "text_bpe_fertility": q_text_bpe_fertility,
         "text_gram_duplication": q_text_gram_duplication,
         "sample_split_leakage_safe": q_sample_split_leakage_safe,
@@ -6854,6 +6864,14 @@ SELECT source AS grp, count(*) AS total_grams,
          AS dup_mass_ppm
 FROM gh GROUP BY source
 """.replace("{TOKS}", _TOK_SQL.format(col="text"))
+    out["text_blocklist"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(len(list_intersect(list_distinct({TOK}),
+                               ['error', 'skew', 'slow'])) AS INT) AS n_hits,
+       CAST(len(list_intersect(list_distinct({TOK}),
+                               ['error', 'skew', 'slow'])) = 0 AS INT) AS keep
+FROM documents
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["text_bpe_segment"] = _bpe_oracle_sql()
     _fert_expr = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
     for _a, _b in _BPE_MERGES:

@@ -686,3 +686,39 @@ def gram_duplication(
             ),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "token",
+) -> DataFrame:
+    """C4-style blocklist gate: [id, n_hits, keep] — a document is
+    dropped (keep=0) if it contains any blocklisted term. ``token``
+    mode matches whole word tokens (array_intersect against a literal
+    broadcast list — one narrow scan, no join, no UDF; the C4 word-list
+    semantics); ``substring`` mode matches anywhere via chained
+    contains (for terms that cross token boundaries). n_hits counts
+    DISTINCT blocklisted terms present."""
+    tset = sorted(set(t.lower() for t in terms))
+    out_id = F.col(id_col).cast("string").alias("id")
+    if mode == "token":
+        toks = F.array_distinct(word_tokens(F.col(text_col)))
+        hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(t) for t in tset]))
+        )
+    elif mode == "substring":
+        low = F.lower(F.col(text_col))
+        hits = sum(
+            (F.when(low.contains(t), 1).otherwise(0) for t in tset),
+            F.lit(0),
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return df.select(
+        out_id,
+        hits.cast("int").alias("n_hits"),
+        (hits == 0).cast("int").alias("keep"),
+    )

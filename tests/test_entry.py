@@ -75,7 +75,7 @@ def test_driver_window_arithmetic():
         "events_json", "events_sessionize_batch", "graph_pagerank",
         "io_cdc_upsert", "text_bpe_fertility", "text_gram_duplication",
         "sample_split_leakage_safe", "sample_contrastive",
-        "match_uncertainty",
+        "match_uncertainty", "text_blocklist",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)

@@ -1477,3 +1477,20 @@ def test_contrastive_pairs(spark):
     out2 = contrastive_pairs(pairs.repartition(3), docs.repartition(7),
                              k_negatives=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_blocklist_filter(spark):
+    from pydi_spark.llmdata import blocklist_filter
+
+    rows = [(1, "clean text here"), (2, "contains BadWord here"),
+            (3, "badword inside compound-badword token")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = {r["id"]: r for r in
+           blocklist_filter(df, ["badword"], mode="token").collect()}
+    assert tok["1"]["keep"] == 1
+    assert tok["2"]["keep"] == 0 and tok["2"]["n_hits"] == 1
+    # 'compound-badword' splits into tokens, so token mode catches it
+    assert tok["3"]["keep"] == 0
+    sub = {r["id"]: r for r in
+           blocklist_filter(df, ["ins"], mode="substring").collect()}
+    assert sub["3"]["keep"] == 0 and sub["1"]["keep"] == 1
