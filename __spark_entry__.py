@@ -3652,6 +3652,61 @@ def q_canary_hash_risky(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canary_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hasher probe for the round-5 root-cause theory of the
+    r03/r04 text-family reds, expected RED.
+
+    Every red window row (and no green one) carried an oracle output
+    column produced by an UNCAST integer SUM — DuckDB types those
+    HUGEINT (int128), and its pandas conversion renders HUGEINT as
+    float64 while Spark's bigint arrives int64; the driver's
+    pandas-based hasher distinguishes float 3.0 from int 3 even though
+    rows_match/schema_match stay true. tools/check_oracle.py can't see
+    this (fetchall() yields Python ints), so it now forbids the dtype
+    class at the relation level instead, and this canary keeps one
+    deliberate violation in the window: the oracle's ``s`` is an
+    uncast sum (HUGEINT) of the same literals Spark sums to bigint.
+    RED here + GREEN on the 7 re-cast text queries confirms the
+    theory at the driver; GREEN here means the driver hasher became
+    dtype-insensitive and the BIGINT casts can be retired."""
+    df = spark.range(3).select(F.col("id").alias("k"))
+    return df.groupBy((F.col("k") % 2).cast("int").alias("grp")).agg(
+        F.sum("k").alias("s"), F.count("*").alias("c")
+    )
+
+
+def q_probe_corpus_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift probe (round-5 VERDICT #1b), expected GREEN.
+
+    Emits per-source document-corpus checksums computed from the data;
+    the oracle returns literals PINNED from the local testdata
+    snapshot (2026-08-14), picking the sf0.001 or sf0.01 row set by
+    the lineitem row count. RED here means the driver's
+    documents.parquet differs from the snapshot these literals were
+    derived from (regen between sessions) — which would also explain
+    any residual text-family red without implicating the engines.
+    Only valid at sf0.001/sf0.01 (the SFs the correctness gates run)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.length("text").cast("bigint").alias("L"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("L").alias("sum_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                    lambda x: x["h"],
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("corpus_md5"),
+    )
+
+
 def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-frequency (Zipf) head of the corpus (llmdata.zipf_table):
     heavy-hitter diagnostic before tokenizer training. cum_share is one
@@ -4354,68 +4409,102 @@ def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
-    # the FIRST 50 dict entries. Round-4 window (positions 1-50,
-    # counted, not estimated — the r03 window held 51 entries and
-    # silently pushed extract_code out):
-    #   1-7   the seven r03 driver-red queries, reshaped hash-safe
-    #         (md5'd newline text / raw tokens, CSV-joined arrays,
-    #         int-cast booleans) — must re-green;
-    #   8-12  the five never-driver-checked queries, rotated in;
-    #   13-14 the two hasher canaries (safe = expected green,
-    #         risky = expected red, drift detection);
-    #   15-50 the 12 round-4 NEW queries (tpch_q9/q15/q17,
-    #         dedup_semantic, text_lm_score, text_line_dedup,
-    #         match_features, io_feather_roundtrip,
-    #         sample_quality_weighted, blocking_*_capped,
-    #         match_text_format) + the 11 round-4 session-2 NEW
-    #         queries (text_zipf, text_contamination_matrix,
-    #         sample_dsir, streaming_dedup, embed_pq_encode,
-    #         embed_pq_topk, tpch_q11/q12/q16/q20/q21) + 13 r03-green
-    #         continuity representatives; displaced twice-green reps
-    #         moved past 50.
-    # Everything past 50 stays under the local gate
-    # (tools/check_oracle.py): the pre-session-3 entries all have a
-    # driver-green row in r02 or r03; the 13 session-3 additions
-    # (text_search_hybrid, text_bpe_segment, dedup_incremental,
-    # sample_exact_k, profile_key_skew, io_orc_roundtrip, text_rerank,
-    # dedup_agreement, text_vocab_coverage, tpch_grouping_sets,
-    # events_funnel, events_retention, events_json) are local-green
-    # only — rotate them into the round-5 window. After a green r04
-    # window, all 105 round-3 queries have been driver-green at least
-    # once.
+    # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
+    # arithmetic). Round-5 window:
+    #   1-7   the seven r04-red text queries. Root cause found this
+    #         round: their oracles' output sums were UNCAST -> DuckDB
+    #         HUGEINT -> pandas float64, and the driver's hasher is
+    #         dtype-class-sensitive (the r03 "shape" theory was wrong;
+    #         both canaries said so in r04). All seven now CAST the
+    #         sums AS BIGINT — nothing else changed. Expected green.
+    #   8-12, 17-33  the 22 never-driver-checked session-3 queries
+    #         (the full NOTES.md round-5 rotation queue).
+    #   13-14 the two r04 hasher canaries (safe=green, risky was
+    #         EXPECTED red but came back green in r04 — the driver
+    #         hasher tolerates raw bools/newlines/quotes; kept for
+    #         drift detection, still exempt from hash-safety).
+    #   15-16 round-5 probes: canary_hugeint (deliberate uncast-sum
+    #         oracle, expected RED — confirms the root cause at the
+    #         driver) and probe_corpus_echo (pinned corpus checksums,
+    #         expected GREEN unless the driver regenerated testdata).
+    #   34-50 round-5 NEW queries as they land, padded with
+    #         twice-green continuity representatives.
+    # Everything past 50 has >= 1 green driver row in r01-r04 and
+    # stays under the local gate (tools/check_oracle.py).
     return {
-        # -- window 1-7: r03-red queries, reshaped hash-safe
+        # -- window 1-7: r04 reds, oracle sums re-cast BIGINT
         "text_clean": q_text_clean,
         "text_clean_multiline": q_text_clean_multiline,
         "text_vocabulary": q_text_vocabulary,
         "text_budget_select": q_text_budget_select,
         "text_inverted_index": q_text_inverted_index,
+        "text_lm_score": q_text_lm_score,
+        "text_line_dedup": q_text_line_dedup,
+        # -- window 8-12: rotation queue (session-3, first check)
+        "text_search_hybrid": q_text_search_hybrid,
+        "text_bpe_segment": q_text_bpe_segment,
+        "dedup_incremental": q_dedup_incremental,
+        "sample_exact_k": q_sample_exact_k,
+        "profile_key_skew": q_profile_key_skew,
+        # -- window 13-16: canaries + round-5 probes
+        "canary_hash_safe": q_canary_hash_safe,
+        "canary_hash_risky": q_canary_hash_risky,
+        "canary_hugeint": q_canary_hugeint,
+        "probe_corpus_echo": q_probe_corpus_echo,
+        # -- window 17-33: rotation queue (session-3, first check)
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "text_rerank": q_text_rerank,
+        "dedup_agreement": q_dedup_agreement,
+        "text_vocab_coverage": q_text_vocab_coverage,
+        "tpch_grouping_sets": q_tpch_grouping_sets,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_json": q_events_json,
+        "events_sessionize_batch": q_events_sessionize_batch,
+        "graph_pagerank": q_graph_pagerank,
+        "io_cdc_upsert": q_io_cdc_upsert,
+        "text_bpe_fertility": q_text_bpe_fertility,
+        "text_gram_duplication": q_text_gram_duplication,
+        "sample_split_leakage_safe": q_sample_split_leakage_safe,
+        "sample_contrastive": q_sample_contrastive,
+        "match_uncertainty": q_match_uncertainty,
+        "text_blocklist": q_text_blocklist,
+        # -- window 34-50: round-5 new queries + continuity reps
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "match_rule_based": q_match_rule_based,
+        "cluster_cc_distributed": q_cluster_cc_distributed,
+        "fusion_selection": q_fusion_selection,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "blocking_standard": q_blocking_standard,
+        "eval_matching": q_eval_matching,
+        "normalize_parsers": q_normalize_parsers,
+        "units_normalize": q_units_normalize,
+        "type_detection": q_type_detection,
+        "profile_summary": q_profile_summary,
+        "schema_label_based": q_schema_label_based,
+        "streaming_windowed": q_streaming_windowed,
+        "extract_rules": q_extract_rules,
+        "io_roundtrip": q_io_roundtrip,
+        # -- past the 50-entry window: all driver-green in r01-r04
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
-        # -- window 8-12: never driver-checked before this round
         "extract_code": q_extract_code,
         "io_explode_delimited": q_io_explode_delimited,
         "io_fwf_roundtrip": q_io_fwf_roundtrip,
         "schema_llm_fake": q_schema_llm_fake,
         "text_tfidf": q_text_tfidf,
-        # -- window 13-14: driver-hasher canaries
-        "canary_hash_safe": q_canary_hash_safe,
-        "canary_hash_risky": q_canary_hash_risky,
-        # -- window 15-50: round-4 NEW queries first, then r03-green
-        # -- continuity representatives
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "dedup_semantic": q_dedup_semantic,
-        "text_lm_score": q_text_lm_score,
-        "text_line_dedup": q_text_line_dedup,
         "match_features": q_match_features,
         "io_feather_roundtrip": q_io_feather_roundtrip,
         "sample_quality_weighted": q_sample_quality_weighted,
         "blocking_standard_capped": q_blocking_standard_capped,
         "blocking_token_capped": q_blocking_token_capped,
         "match_text_format": q_match_text_format,
-        # -- round-4 session-2 NEW queries (first driver check)
         "text_zipf": q_text_zipf,
         "text_contamination_matrix": q_text_contamination_matrix,
         "sample_dsir": q_sample_dsir,
@@ -4436,41 +4525,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_meta_cnp": q_blocking_meta_cnp,
         "text_quality_classifier": q_text_quality_classifier,
         "streaming_enrich": q_streaming_enrich,
-        # -- r03-green continuity representatives
         "streaming_stateful_ttl": q_streaming_stateful_ttl,
         "fusion_conflicts": q_fusion_conflicts,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
-        # -- past the 50-entry window: driver-green in r02 or r03,
-        # -- gated locally by tools/check_oracle.py (families already
-        # -- represented in-window)
         "normalize_text": q_normalize_text,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
         "text_search_bm25": q_text_search_bm25,
-        "text_search_hybrid": q_text_search_hybrid,
-        "text_bpe_segment": q_text_bpe_segment,
-        "dedup_incremental": q_dedup_incremental,
-        "sample_exact_k": q_sample_exact_k,
-        "profile_key_skew": q_profile_key_skew,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "text_rerank": q_text_rerank,
-        "dedup_agreement": q_dedup_agreement,
-        "graph_pagerank": q_graph_pagerank,
-        "io_cdc_upsert": q_io_cdc_upsert,
-        "match_uncertainty": q_match_uncertainty,
-        "text_blocklist": q_text_blocklist,
-        "text_bpe_fertility": q_text_bpe_fertility,
-        "text_gram_duplication": q_text_gram_duplication,
-        "sample_split_leakage_safe": q_sample_split_leakage_safe,
-        "sample_contrastive": q_sample_contrastive,
-        "text_vocab_coverage": q_text_vocab_coverage,
-        "tpch_grouping_sets": q_tpch_grouping_sets,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_json": q_events_json,
-        "events_sessionize_batch": q_events_sessionize_batch,
         "fusion_accuracy": q_fusion_accuracy,
         "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
@@ -4483,7 +4546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "text_pack": q_text_pack,
         "text_temperature_mix": q_text_temperature_mix,
-        "io_roundtrip": q_io_roundtrip,
         "io_id_injection": q_io_id_injection,
         "movies_parity": q_movies_parity,
         "text_quality_filter": q_text_quality_filter,
@@ -4505,12 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "match_plm_fake": q_match_plm_fake,
-        "blocking_standard": q_blocking_standard,
-        "match_rule_based": q_match_rule_based,
         "cluster_connected_components": q_cluster_connected_components,
-        "fusion_selection": q_fusion_selection,
-        "dedup_exact": q_dedup_exact,
-        "streaming_windowed": q_streaming_windowed,
         "blocking_token": q_blocking_token,
         "blocking_sorted_neighbourhood": q_blocking_snb,
         "blocking_cross": q_blocking_cross,
@@ -4520,24 +4577,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_trust": q_fusion_trust,
         "fusion_lists": q_fusion_lists,
         "eval_blocking": q_eval_blocking,
-        "eval_matching": q_eval_matching,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "ann_topk": q_ann_topk,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "profile_summary": q_profile_summary,
         "profile_compare": q_profile_compare,
         "match_date_numeric": q_match_date_numeric,
         "dedup_simhash": q_dedup_simhash,
         "dedup_canonical": q_dedup_canonical,
         "normalize_transforms": q_normalize_transforms,
-        "type_detection": q_type_detection,
-        "units_normalize": q_units_normalize,
-        "extract_rules": q_extract_rules,
         "validators_quality": q_validators_quality,
         "schema_duplicate_based": q_schema_duplicate_based,
         "blocking_stats": q_blocking_stats,
@@ -4545,7 +4594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "normalize_parsers": q_normalize_parsers,
         "eval_threshold_sweep": q_eval_threshold_sweep,
         "tpch_rollup": q_tpch_rollup,
         "tpch_cube": q_tpch_cube,
@@ -4553,10 +4601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
         "cluster_centre": q_cluster_centre,
         "cluster_hierarchical": q_cluster_hierarchical,
-        "cluster_cc_distributed": q_cluster_cc_distributed,
         "cluster_consistency": q_cluster_consistency,
         "cluster_size_dist": q_cluster_size_dist,
-        "schema_label_based": q_schema_label_based,
         "schema_instance_based": q_schema_instance_based,
         "match_ml_linear": q_match_ml_linear,
     }
@@ -6212,7 +6258,7 @@ final AS (
 SELECT doc_id,
        md5(coalesce(string_agg(CASE WHEN keep2 THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
        CAST(length(coalesce(string_agg(CASE WHEN keep2 THEN line END, chr(10) ORDER BY pos), '')) AS INT) AS clean_len,
-       sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS n_lines_kept,
+       CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
        count(*) AS n_lines_total
 FROM final GROUP BY doc_id
 """
@@ -6253,7 +6299,7 @@ final AS (
 SELECT doc_id,
        md5(coalesce(string_agg(CASE WHEN keep2 THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
        CAST(length(coalesce(string_agg(CASE WHEN keep2 THEN line END, chr(10) ORDER BY pos), '')) AS INT) AS clean_len,
-       sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS n_lines_kept,
+       CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
        count(*) AS n_lines_total
 FROM final GROUP BY doc_id
 """
@@ -6287,7 +6333,7 @@ marked AS (
 SELECT doc_id,
        md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
        CAST(length(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS INT) AS clean_len,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_lines_kept,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
        count(*) AS n_lines_total
 FROM marked GROUP BY doc_id
 """
@@ -6422,7 +6468,7 @@ WITH t AS (
 ),
 pd AS (SELECT doc_id, unnest(tok) AS token FROM t),
 pc AS (SELECT doc_id, token, count(*) c FROM pd GROUP BY doc_id, token),
-v AS (SELECT token, count(*) AS doc_freq, sum(c) AS n_occurrences
+v AS (SELECT token, count(*) AS doc_freq, CAST(sum(c) AS BIGINT) AS n_occurrences
       FROM pc GROUP BY token)
 SELECT md5(token) AS token_md5, doc_freq, n_occurrences FROM v
 WHERE doc_freq >= 2
@@ -6535,7 +6581,7 @@ counts AS (SELECT token, count(*) AS c FROM t GROUP BY token),
 tot AS (SELECT sum(c) AS N FROM counts),
 per AS (
   SELECT doc_id, count(*) AS n_tokens, CAST(0 AS BIGINT) AS n_oov,
-         sum(c) AS sum_count
+         CAST(sum(c) AS BIGINT) AS sum_count
   FROM t JOIN counts USING (token) GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_oov, sum_count,
@@ -6799,8 +6845,8 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY frac, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, source, n_tokens, cum_tokens,
@@ -7197,7 +7243,7 @@ WITH tok AS (
   SELECT doc_id, unnest({TOK}) AS token FROM documents
 ),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
-SELECT md5(token) AS token_md5, count(*) AS doc_freq, sum(tf) AS total_tf,
+SELECT md5(token) AS token_md5, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf,
        md5(array_to_string(
          list_slice(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
                          ORDER BY doc_id), 1, 20),
@@ -7275,6 +7321,65 @@ SELECT CAST(k AS INT) AS k,
        'line1\nline2_' || CAST(k AS VARCHAR) AS c_escaped_nl,
        md5('it''s #' || CAST(k AS VARCHAR)) AS c_token_md5
 FROM range(3) t(k)
+"""
+    # round-5 probes: see q_canary_hugeint / q_probe_corpus_echo.
+    # canary_hugeint's sum(k) is DELIBERATELY uncast -> HUGEINT
+    # (expected red at the driver; exempted in check_oracle).
+    out["canary_hugeint"] = """
+SELECT CAST(x % 2 AS INT) AS grp, sum(x) AS s, count(*) AS c
+FROM (VALUES (0), (1), (2)) t(x)
+GROUP BY x % 2
+"""
+    # corpus_md5 literals pinned from the 2026-08-14 local testdata
+    # snapshot; the lineitem count picks the SF row set.
+    out["probe_corpus_echo"] = """
+WITH pinned(sf, source, n_docs, sum_len, corpus_md5) AS (VALUES
+  ('sf0.001', 'src0', 25, 8364, 'cd8dc658bf9f12bfef9d155c7def937d'),
+  ('sf0.001', 'src1', 25, 7899, '18483748eef05235744a95d89b8b2467'),
+  ('sf0.001', 'src10', 25, 7497, 'fa459e2e38e0ccb50542ef76501fc8bf'),
+  ('sf0.001', 'src11', 25, 7753, '0479084467774f0e5ff0e27619975352'),
+  ('sf0.001', 'src12', 25, 8127, 'e973e16e97a7aa55d3ebd1bc1925e79a'),
+  ('sf0.001', 'src13', 25, 6926, '31cc13374f1594a5ceee42ab478c1f4a'),
+  ('sf0.001', 'src14', 25, 9163, '3f53b6f94f30c52bad663a4b317e81ff'),
+  ('sf0.001', 'src15', 25, 7255, '383342776eb0e43966642880f1114ab5'),
+  ('sf0.001', 'src16', 25, 7789, '0d9ef8e5a7559508a0ad5e6e7fd647e9'),
+  ('sf0.001', 'src17', 25, 7278, '25bb4eaa2295429b18888b603ae8efb5'),
+  ('sf0.001', 'src18', 25, 6914, '68d0c67d3bf623d025db5e03fe7a94e6'),
+  ('sf0.001', 'src19', 25, 7626, '4bfeb116afcca19d06cd67e2b0232bfa'),
+  ('sf0.001', 'src2', 25, 6922, 'f973b41e0be9746d80e7f06902125bdb'),
+  ('sf0.001', 'src3', 25, 8480, '691d8fff4d6d56d7e9b716f20b757b2b'),
+  ('sf0.001', 'src4', 25, 7198, 'ef20c44c63160cf20233d857cf8cc0d1'),
+  ('sf0.001', 'src5', 25, 6758, 'b853ed7e8c8bf17dd2fd3c1af1556ee4'),
+  ('sf0.001', 'src6', 25, 8004, '96a5bbd9e61713124b502f66e9330a2a'),
+  ('sf0.001', 'src7', 25, 6606, 'b762fef91ed43906c32250e0bfc6eb96'),
+  ('sf0.001', 'src8', 25, 8978, '5de2034e9ad5b073f0612929620f2bc5'),
+  ('sf0.001', 'src9', 25, 7619, '0e6d30c501e8c3aaf0d2add44df39da6'),
+  ('sf0.01', 'src0', 25, 7949, 'c3d456f24b6334daa35d941baffd5655'),
+  ('sf0.01', 'src1', 25, 8570, '357e9ea6d76e9d522deaca7a2d4d1fca'),
+  ('sf0.01', 'src10', 25, 7161, '7ed03929f0f4fa6a9330acd945cff293'),
+  ('sf0.01', 'src11', 25, 8387, 'ecd06c2b9aea495dc67bb2fcefd50284'),
+  ('sf0.01', 'src12', 25, 6927, '31a854789ebd8ea299a1528776960330'),
+  ('sf0.01', 'src13', 25, 8462, '7d4853e34f9711f6f1fcd462d3959f05'),
+  ('sf0.01', 'src14', 25, 7216, 'd48b6af9b291d105072dcb3319b85082'),
+  ('sf0.01', 'src15', 25, 7100, 'c3f9d80640d5ac3c2e83ff00d59c3214'),
+  ('sf0.01', 'src16', 25, 7484, 'f247d31170d31c5929d54e677247dfa2'),
+  ('sf0.01', 'src17', 25, 7477, 'bfe38faad0b8b486ddc960173a11406d'),
+  ('sf0.01', 'src18', 25, 7556, '4db4d2a244577b956c85efc638288c44'),
+  ('sf0.01', 'src19', 25, 6306, '24cab6f33c5f6b3f0c84ae7d3e8e0d2a'),
+  ('sf0.01', 'src2', 25, 7689, '8074f66485879bf37f9f48d17729ea0e'),
+  ('sf0.01', 'src3', 25, 7620, 'fd56ba4eaef5b8ef90cde794943a9f6b'),
+  ('sf0.01', 'src4', 25, 7098, '536203eaf269618734c93b5b6c30606b'),
+  ('sf0.01', 'src5', 25, 7254, 'aea8e8b60b7d7418aa94368e0b95f6cf'),
+  ('sf0.01', 'src6', 25, 6964, '296a36b672d9d962ca2e5e3e8f264d6d'),
+  ('sf0.01', 'src7', 25, 8201, '9d368a186016a4625ae28abc132fc4bc'),
+  ('sf0.01', 'src8', 25, 6277, '30030fab0563e312a2e6421c021f9b1c'),
+  ('sf0.01', 'src9', 25, 7476, '8107d2cd5737ec315a2299cd33e4ac4a')
+),
+cur AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 20000
+                    THEN 'sf0.001' ELSE 'sf0.01' END AS sf)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_len AS BIGINT) AS sum_len, corpus_md5
+FROM pinned JOIN cur USING (sf)
 """
     out["text_zipf"] = f"""
 WITH t AS (SELECT unnest({toks_text}) AS token FROM documents),

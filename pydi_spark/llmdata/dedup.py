@@ -342,7 +342,23 @@ def incremental_minhash_dedup(
         F.lit("").alias("canonical_id"),
         F.lit(0).alias("kept"),
     )
-    return surv_out.unionByName(matched_out)
+    # Documents whose text tokenizes to ZERO tokens produce no
+    # signature row (the groupBy runs over exploded tokens), so they
+    # would silently vanish from both outputs (round-4 ADVICE). They
+    # can never match the store or each other through a band join;
+    # each survives as its own canonical. Batch-sized anti-join.
+    tokenless_out = (
+        new_docs.select(F.col(id_col).cast("string").alias("id"))
+        .distinct()
+        .join(new_sigs.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit(0).alias("matched_store"),
+            F.col("id").alias("canonical_id"),
+            F.lit(1).alias("kept"),
+        )
+    )
+    return surv_out.unionByName(matched_out).unionByName(tokenless_out)
 
 
 # ----------------------------------------------------------------- simhash

@@ -37,37 +37,25 @@ def test_driver_window_arithmetic():
     window, and the canaries hold their documented positions."""
     names = list(entry.queries())
     window = names[:50]
-    # canaries at documented positions 13-14 (0-indexed 12-13)
+    assert len(set(window)) == 50
+    # canaries at documented positions 13-14, round-5 probes at 15-16
     assert window[12] == "canary_hash_safe"
     assert window[13] == "canary_hash_risky"
-    # every round-4 query that has never had a green driver row must
-    # be inside the window
+    assert window[14] == "canary_hugeint"
+    assert window[15] == "probe_corpus_echo"
+    # every query that has never had a green driver row must be inside
+    # the window: the 7 r04 reds (oracle sums re-cast to BIGINT this
+    # round — the HUGEINT->float64 driver-hasher root cause) + the 22
+    # rotated-in session-3 queries (the full NOTES.md round-5 rotation
+    # queue) + the round-5 probes
     awaiting = {
-        # r03-red reshapes + never-checked rotations
+        # r04 reds, fix = CAST(sum AS BIGINT) in the oracles
         "text_clean", "text_clean_multiline", "text_vocabulary",
-        "text_budget_select", "text_inverted_index", "embed_quantize",
-        "embed_mean_pool", "extract_code", "io_explode_delimited",
-        "io_fwf_roundtrip", "schema_llm_fake", "text_tfidf",
-        # round-4 new operators
-        "tpch_q9", "tpch_q15", "tpch_q17", "dedup_semantic",
-        "text_lm_score", "text_line_dedup", "match_features",
-        "io_feather_roundtrip", "sample_quality_weighted",
-        "blocking_standard_capped", "blocking_token_capped",
-        "match_text_format", "text_zipf", "text_contamination_matrix",
-        "sample_dsir", "streaming_dedup", "embed_pq_encode",
-        "embed_pq_topk", "embed_ivfpq_topk", "tpch_q2", "tpch_q11",
-        "io_list_to_string", "match_vector_features", "extract_llm_fake",
-        "blocking_meta", "blocking_meta_cnp",
-        "text_quality_classifier", "streaming_enrich",
-        "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
-    }
-    outside = awaiting - set(window)
-    assert not outside, f"awaiting first driver check but past 50: {outside}"
-    # session-3 additions deliberately sit PAST the window this round
-    # (the 50 slots are claimed by the r04 first-check queries above);
-    # this list IS the round-5 rotation queue (NOTES.md) — keep it in
-    # sync so nothing falls through silently like extract_code in r03
-    rotation_queue = {
+        "text_budget_select", "text_inverted_index", "text_lm_score",
+        "text_line_dedup",
+        # round-5 probes
+        "canary_hugeint", "probe_corpus_echo",
+        # session-3 rotation queue, fully rotated in this round
         "text_search_hybrid", "text_bpe_segment", "dedup_incremental",
         "sample_exact_k", "profile_key_skew", "io_orc_roundtrip",
         "text_rerank", "dedup_agreement", "text_vocab_coverage",
@@ -77,6 +65,12 @@ def test_driver_window_arithmetic():
         "sample_split_leakage_safe", "sample_contrastive",
         "match_uncertainty", "text_blocklist",
     }
+    outside = awaiting - set(window)
+    assert not outside, f"awaiting first driver check but past 50: {outside}"
+    # round-5 rotation queue: queries added this round that could not
+    # claim a window slot. Empty right now — every never-driver-checked
+    # query is in-window; keep this in sync when adding queries past 50.
+    rotation_queue = set()
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"

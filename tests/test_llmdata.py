@@ -1279,6 +1279,36 @@ def test_incremental_minhash_dedup_semantics(spark):
                     for k, v in out.items()}
 
 
+def test_incremental_minhash_dedup_tokenless_docs_survive(spark):
+    """Docs whose text tokenizes to zero tokens produce no signature
+    row; they must still appear in the output as survivors
+    (round-4 ADVICE: they previously vanished from both outputs)."""
+    from pydi_spark.llmdata import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(1, "some stored corpus text about rivers")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(20, "some stored corpus text about rivers"),   # store dup
+         (21, "!!! ...  "),                              # punctuation only
+         (22, ""),                                       # empty
+         (23, "a fresh singleton about broadcast joins")],
+        "doc_id long, text string")
+    store = minhash_signature_table(store_docs, num_hashes=8)
+    out = {r["id"]: r for r in incremental_minhash_dedup(
+        batch, store, num_hashes=8, bands=4, jaccard_threshold=0.7).collect()}
+    assert set(out) == {"20", "21", "22", "23"}
+    assert out["20"]["matched_store"] == 1 and out["20"]["kept"] == 0
+    for tokenless in ("21", "22"):
+        r = out[tokenless]
+        assert (r["matched_store"], r["canonical_id"], r["kept"]) == (
+            0, tokenless, 1)
+    assert out["23"]["kept"] == 1
+
+
 def test_exact_k_sample_global_and_stratified(spark):
     from pydi_spark.llmdata import exact_k_sample
 

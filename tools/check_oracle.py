@@ -25,7 +25,31 @@ TABLES = [
 # Arrays error the driver's pandas hashtable, booleans and embedded
 # newlines silently flip its content hash (CORRECTNESS_r03) — reject
 # them here so a hash-unsafe output never reaches a driver round.
-HASH_SAFETY_EXEMPT = {"canary_hash_risky"}  # deliberately-risky probe
+HASH_SAFETY_EXEMPT = {"canary_hash_risky", "canary_hugeint"}  # risky probes
+
+# Round-5 root cause of the r03/r04 reds: DuckDB types an uncast
+# integer SUM as HUGEINT (int128); its pandas conversion renders that
+# float64 while Spark's bigint stays int64, and the driver's
+# pandas-based hasher is dtype-class-sensitive (float 3.0 != int 3).
+# fetchall() below returns Python ints, so THIS replica can't see the
+# divergence — forbid the dtype classes at the relation level instead.
+# All 7 r04 reds (and only them) carried a HUGEINT output column.
+# Int WIDTH is fine (INTEGER/TINYINT oracles have always been green);
+# the forbidden classes are the ones pandas renders as float64,
+# uint64, or object.
+FORBIDDEN_ORACLE_TYPES = (
+    "HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+    "USMALLINT", "UTINYINT", "BLOB", "INTERVAL",
+)
+
+
+def forbidden_type_violations(types, cols):
+    bad = {}
+    for c, t in zip(cols, types):
+        tu = str(t).upper()
+        if any(tu.startswith(f) for f in FORBIDDEN_ORACLE_TYPES):
+            bad[c] = str(t)
+    return bad
 
 
 def hash_safety_violations(rows, cols):
@@ -117,6 +141,13 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
+            if name not in HASH_SAFETY_EXEMPT:
+                tbad = forbidden_type_violations(res.types, ocols)
+                if tbad:
+                    print(f"FAIL {name}: driver-unportable oracle dtypes "
+                          f"(cast them): {tbad}")
+                    failed.append(name)
+                    continue
             orows = res.fetchall()
             onorm, _ = normalize(orows, ocols)
         except Exception as e:
