@@ -4407,6 +4407,138 @@ def q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_excel under the oracle gate (round-5 VERDICT #5; reference
+    io/loaders.py:532-560 with the {base}_{sheet} fan-out :308-326):
+    supplier+nation written to a two-sheet xlsx via the pure-stdlib
+    SpreadsheetML codec (io/xlsx.py — openpyxl isn't in this runtime,
+    so load_excel's fallback path is exactly what production hits),
+    read back through the loader, three-way joined; the oracle runs
+    the same join on the parquet views, so any codec/loader type or
+    row corruption breaks the hash."""
+    import os
+
+    from pydi_spark.io import load_excel, write_excel
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_excel_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "book.xlsx")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_excel({"supplier": supp, "nation": nat}, path)
+    loaded = load_excel(spark, path, "book")
+    s = loaded["book_supplier"].df
+    n = loaded["book_nation"].df
+    return s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+        F.col("s_suppkey").cast("int").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+    )
+
+
+def q_io_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_html under the oracle gate (round-5 VERDICT #5; reference
+    io/loaders.py:985-1012): nation+region rendered to one HTML page
+    with two tables, read back through the loader's stdlib fallback
+    (lxml/bs4 absent in this runtime), joined; oracle = the same join
+    on the parquet views."""
+    import os
+
+    from pydi_spark.io import load_html, write_html_page
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_html_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "page.html")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_html_page({"nation": nat, "region": reg}, path)
+    loaded = load_html(spark, path, "page")
+    n = loaded["page_0"].df
+    r = loaded["page_1"].df
+    return n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        "r_name",
+    )
+
+
+def q_units_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct unit-to-unit conversion (round-5 VERDICT #6; reference
+    UnitConverter units.py:483-524 / convert_units :729-765): supplier
+    balances converted through four category-representative pairs plus
+    one deliberate category mismatch (null + ok=0). The converted
+    doubles are single fixed IEEE expression trees (value * factor_from
+    / factor_to, affine pivot for temperature), so the oracle replays
+    them with the same dimension-table literals — bit-identical, no
+    rounding."""
+    from pydi_spark.normalization import convert_units
+
+    m = F.col("s_suppkey") % 5
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("int").alias("key"),
+        F.col("s_acctbal").alias("v"),
+        F.when(m == 0, "km").when(m == 1, "kg").when(m == 2, "h")
+        .when(m == 3, "f").otherwise("km").alias("from_unit"),
+        F.when(m == 0, "mi").when(m == 1, "lb").when(m == 2, "min")
+        .when(m == 3, "k").otherwise("kg").alias("to_unit"),
+    )
+    out = convert_units(supp, "v", "from_unit", "to_unit")
+    return out.select("key", "from_unit", "to_unit", "converted",
+                      "converted_ok")
+
+
+def q_normalize_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-aware numeric parsing (round-5 VERDICT #7; reference
+    NumericParser via Babel, normalization/types.py:383-743): customer
+    balances rendered into de/fr/de_CH/en-formatted strings with exact
+    integer arithmetic (grouping dots, NBSP-free spaces, apostrophes,
+    $-prefix), parsed back through parse_numeric(locale=...). Each
+    parsed double equals cents/100.0 — one correctly-rounded IEEE op on
+    both engines."""
+    from pydi_spark.normalization.parsers import parse_numeric
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("key"),
+        F.floor(F.abs(F.col("c_acctbal")) * 100.0).cast("bigint").alias("cents"),
+    )
+    ip = F.expr("cents div 100")
+    th = F.expr("(cents div 100) div 1000")
+    rem = F.expr("(cents div 100) % 1000")
+    fr2 = F.col("cents") % 100
+    grouped = lambda sep: F.when(
+        th > 0,
+        F.concat(th.cast("string"), F.lit(sep),
+                 F.lpad(rem.cast("string"), 3, "0")),
+    ).otherwise(ip.cast("string"))
+    frac2 = F.lpad(fr2.cast("string"), 2, "0")
+    strs = cust.select(
+        "key", "cents",
+        F.concat(grouped("."), F.lit(","), frac2).alias("de_str"),
+        F.concat(grouped(" "), F.lit(","), frac2).alias("fr_str"),
+        F.concat(grouped("'"), F.lit("."), frac2).alias("ch_str"),
+        F.concat(F.lit("$"), grouped(","), F.lit("."), frac2).alias("en_str"),
+    )
+    return strs.select(
+        "key", "cents",
+        parse_numeric("de_str", locale="de").alias("de_parsed"),
+        parse_numeric("fr_str", locale="fr").alias("fr_parsed"),
+        parse_numeric("ch_str", locale="de_CH").alias("ch_parsed"),
+        parse_numeric("en_str", locale="en").alias("en_parsed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4483,11 +4615,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "units_normalize": q_units_normalize,
         "type_detection": q_type_detection,
         "profile_summary": q_profile_summary,
+        "io_excel_roundtrip": q_io_excel_roundtrip,
+        "io_html_roundtrip": q_io_html_roundtrip,
+        "units_convert": q_units_convert,
+        "normalize_locale": q_normalize_locale,
+        # -- past the 50-entry window: all driver-green in r01-r04
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
         "io_roundtrip": q_io_roundtrip,
-        # -- past the 50-entry window: all driver-green in r01-r04
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "extract_code": q_extract_code,
@@ -7321,6 +7457,49 @@ SELECT CAST(k AS INT) AS k,
        'line1\nline2_' || CAST(k AS VARCHAR) AS c_escaped_nl,
        md5('it''s #' || CAST(k AS VARCHAR)) AS c_token_md5
 FROM range(3) t(k)
+"""
+    out["io_excel_roundtrip"] = """
+SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+    out["io_html_roundtrip"] = """
+SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    # factor literals are the UNITS_TABLE values verbatim; expression
+    # order matches convert_units (value * factor_from / factor_to,
+    # affine pivot for temperature) so the doubles are bit-identical
+    out["units_convert"] = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS INT) AS key, s_acctbal AS v,
+         s_suppkey % 5 AS m
+  FROM supplier
+)
+SELECT key,
+       CASE m WHEN 0 THEN 'km' WHEN 1 THEN 'kg' WHEN 2 THEN 'h'
+              WHEN 3 THEN 'f' ELSE 'km' END AS from_unit,
+       CASE m WHEN 0 THEN 'mi' WHEN 1 THEN 'lb' WHEN 2 THEN 'min'
+              WHEN 3 THEN 'k' ELSE 'kg' END AS to_unit,
+       CASE m WHEN 0 THEN v * 1000.0 / 1609.344
+              WHEN 1 THEN v * 1.0 / 0.45359237
+              WHEN 2 THEN v * 3600.0 / 60.0
+              WHEN 3 THEN ((v - 32.0) * 5.0 / 9.0) + 273.15
+              ELSE NULL END AS converted,
+       CASE WHEN m = 4 THEN 0 ELSE 1 END AS converted_ok
+FROM s
+"""
+    out["normalize_locale"] = """
+WITH c AS (
+  SELECT CAST(c_custkey AS INT) AS key,
+         CAST(floor(abs(c_acctbal) * 100.0) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT key, cents,
+       CAST(cents AS DOUBLE) / 100.0 AS de_parsed,
+       CAST(cents AS DOUBLE) / 100.0 AS fr_parsed,
+       CAST(cents AS DOUBLE) / 100.0 AS ch_parsed,
+       CAST(cents AS DOUBLE) / 100.0 AS en_parsed
+FROM c
 """
     # round-5 probes: see q_canary_hugeint / q_probe_corpus_echo.
     # canary_hugeint's sum(k) is DELIBERATELY uncast -> HUGEINT

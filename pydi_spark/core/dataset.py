@@ -65,6 +65,19 @@ class Dataset:
         ops = list(self.provenance.get("operations", [])) + [entry]
         return replace(self, provenance={**self.provenance, "operations": ops})
 
+    def with_column_provenance(self, column: str, **entry: Any) -> "Dataset":
+        """Append a per-column lineage entry (reference: the translator
+        writes ``Series.attrs`` per translated column,
+        datatranslation/mapping_translator.py:144-188). Entries
+        accumulate under ``provenance['columns'][column]``."""
+        cols = {k: list(v) for k, v in self.provenance.get("columns", {}).items()}
+        cols.setdefault(column, []).append({**entry, "ts": _utcnow_iso()})
+        return replace(self, provenance={**self.provenance, "columns": cols})
+
+    def column_provenance(self, column: str) -> list[dict[str, Any]]:
+        """Lineage entries recorded for ``column`` (empty if none)."""
+        return list(self.provenance.get("columns", {}).get(column, []))
+
     def with_trust(self, trust_score: float) -> "Dataset":
         return replace(self, trust_score=trust_score)
 

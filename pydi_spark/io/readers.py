@@ -279,12 +279,30 @@ def load_excel(
 ) -> dict[str, Dataset]:
     """Multi-sheet Excel -> dict of Datasets named ``{base}_{sheet}``
     (reference: io/loaders.py:532-560, fan-out :308-326). Driver-side
-    pandas read — Excel is a small-file format; gated import."""
+    read — Excel is a small-file format. Uses ``pandas.read_excel``
+    when its engine (openpyxl) is importable, else the repo's
+    pure-stdlib SpreadsheetML codec (io/xlsx.py), so the loader works
+    without optional dependencies."""
     import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=sheet_name, **kwargs)
-    if not isinstance(sheets, dict):
-        sheets = {str(sheet_name or 0): sheets}
+    try:
+        sheets = pd.read_excel(path, sheet_name=sheet_name, **kwargs)
+        if not isinstance(sheets, dict):
+            sheets = {str(sheet_name or 0): sheets}
+    except ImportError:
+        from pydi_spark.io.xlsx import read_xlsx
+
+        parsed = read_xlsx(path)
+        if sheet_name is not None and not isinstance(sheet_name, (list, tuple)):
+            if isinstance(sheet_name, int):
+                key = list(parsed)[sheet_name]
+            else:
+                key = sheet_name
+            parsed = {key: parsed[key]}
+        sheets = {
+            s: pd.DataFrame(rows, columns=cols)
+            for s, (cols, rows) in parsed.items()
+        }
     out: dict[str, Dataset] = {}
     for sheet, pdf in sheets.items():
         ds_name = f"{name}_{sheet}" if len(sheets) > 1 else name
@@ -297,10 +315,21 @@ def load_html(
     spark: SparkSession, path: str, name: str, add_index: bool = False, **kwargs: Any
 ) -> dict[str, Dataset]:
     """HTML tables per page (reference: io/loaders.py:985-1012);
-    driver-side ``pandas.read_html``."""
+    driver-side ``pandas.read_html`` when lxml/bs4 is importable, else
+    the repo's stdlib table parser (io/htmltables.py)."""
     import pandas as pd
 
-    tables = pd.read_html(path, **kwargs)
+    try:
+        tables = pd.read_html(path, **kwargs)
+    except ImportError:
+        from pydi_spark.io.htmltables import read_html_tables
+
+        with open(path, encoding=kwargs.get("encoding", "utf-8")) as fh:
+            text = fh.read()
+        tables = [
+            pd.DataFrame(rows, columns=cols)
+            for cols, rows in read_html_tables(text)
+        ]
     out: dict[str, Dataset] = {}
     for i, pdf in enumerate(tables):
         ds_name = f"{name}_{i}" if len(tables) > 1 else name

@@ -41,6 +41,44 @@ def write_orc(data: Dataset | DataFrame, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def write_excel(
+    sheets: "dict[str, Dataset | DataFrame]", path: str
+) -> None:
+    """Driver-side multi-sheet xlsx sink (the write twin of
+    ``load_excel``; reference exports via pandas ``to_excel``). Uses
+    the pure-stdlib SpreadsheetML codec (io/xlsx.py) — no openpyxl
+    needed. Collects each frame: xlsx is a small-file interchange
+    format, same contract as load_excel/load_html."""
+    from pydi_spark.io.xlsx import write_xlsx
+
+    payload = {}
+    for name, data in sheets.items():
+        df = as_dataframe(data)
+        payload[name] = (list(df.columns),
+                         [list(r) for r in df.collect()])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_xlsx(path, payload)
+
+
+def write_html_page(
+    tables: "dict[str, Dataset | DataFrame]", path: str
+) -> None:
+    """Driver-side HTML page with one ``<table>`` per frame (the write
+    twin of ``load_html``)."""
+    from pydi_spark.io.htmltables import html_table
+
+    parts = ["<html><body>"]
+    for name, data in tables.items():
+        df = as_dataframe(data)
+        parts.append(f"<h2>{name}</h2>")
+        parts.append(html_table(list(df.columns),
+                                [list(r) for r in df.collect()]))
+    parts.append("</body></html>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("".join(parts))
+
+
 def write_artifact(obj: Any, path: str) -> None:
     """Driver-side JSON artifact (evaluation summaries, cluster reports)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -7,7 +7,13 @@ from pydi_spark.normalization.detectors import (
 )
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
 from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
-from pydi_spark.normalization.units import UNITS_TABLE, normalize_units_expr, parse_quantity_expr
+from pydi_spark.normalization.units import (
+    UNITS_TABLE,
+    convert_units,
+    convert_units_expr,
+    normalize_units_expr,
+    parse_quantity_expr,
+)
 from pydi_spark.normalization.validators import DataQualityChecker
 
 __all__ = [
@@ -17,6 +23,8 @@ __all__ = [
     "NULL_TOKENS",
     "UNITS_TABLE",
     "apply_column_transforms",
+    "convert_units",
+    "convert_units_expr",
     "detect_column_types",
     "duplicate_stats",
     "normalize_units_expr",

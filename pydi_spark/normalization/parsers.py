@@ -10,6 +10,8 @@ percentage :182, country :246, accents :353).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -27,12 +29,60 @@ def parse_boolean(col: Column | str) -> Column:
     )
 
 
-def parse_numeric(col: Column | str, decimal_sep: str = ".") -> Column:
+# (group_separator, decimal_separator) per language tag — the Babel
+# conventions the reference's NumericParser resolves through
+# ``babel.numbers`` (types.py:383-743), pinned as data so the parse
+# stays a pure Column expression with no runtime locale dependency.
+# Space-grouped locales (fr, sv, …) list " " but ANY unicode
+# space is stripped for them (Babel renders NBSP/narrow-NBSP, users
+# type plain spaces).
+_LOCALE_SEPARATORS: dict[str, tuple[str, str]] = {
+    "en": (",", "."), "en_us": (",", "."), "en_gb": (",", "."),
+    "en_in": (",", "."),  # Indian 1,23,456.78 — same strip rule
+    "de": (".", ","), "de_de": (".", ","), "de_at": (".", ","),
+    "de_ch": ("'", "."), "fr_ch": ("'", "."), "it_ch": ("'", "."),
+    "fr": (" ", ","), "fr_fr": (" ", ","),
+    "sv": (" ", ","), "fi": (" ", ","), "nb": (" ", ","),
+    "ru": (" ", ","), "pl": (" ", ","), "cs": (" ", ","),
+    "it": (".", ","), "es": (".", ","), "pt": (".", ","),
+    "pt_br": (".", ","), "nl": (".", ","), "da": (".", ","),
+    "tr": (".", ","), "id": (".", ","), "el": (".", ","),
+}
+
+
+def locale_separators(locale: str) -> tuple[str, str]:
+    """(group_sep, decimal_sep) for a language tag; falls back from
+    'de-CH' -> 'de_ch' -> 'de' like Babel's locale negotiation."""
+    key = locale.strip().lower().replace("-", "_")
+    if key in _LOCALE_SEPARATORS:
+        return _LOCALE_SEPARATORS[key]
+    lang = key.split("_")[0]
+    if lang in _LOCALE_SEPARATORS:
+        return _LOCALE_SEPARATORS[lang]
+    raise ValueError(f"unknown locale: {locale!r}")
+
+
+def parse_numeric(
+    col: Column | str, decimal_sep: str = ".", locale: str | None = None
+) -> Column:
     """Locale-tolerant numeric: strips currency/space, normalizes
-    thousands/decimal separators (reference: types.py:383-743)."""
+    thousands/decimal separators (reference: types.py:383-743, which
+    resolves the separators through Babel; the conventions are pinned
+    in ``_LOCALE_SEPARATORS`` here). ``locale`` (e.g. 'de', 'fr',
+    'de_CH', 'pt-BR') overrides ``decimal_sep``; without it the
+    round-1 behavior is unchanged."""
     c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
-    c = F.regexp_replace(c, r"[$€£\s]", "")
-    if decimal_sep == ",":
+    # every locale: currency symbols and unicode spaces never carry
+    # numeric meaning in the grouped position (fr/sv group on NBSP)
+    c = F.regexp_replace(c, "[$\u20ac\u00a3\\s\u00a0\u202f\u2009]", "")
+    if locale is not None:
+        group, dec = locale_separators(locale)
+        if group not in (" ", ""):
+            c = F.regexp_replace(c, "[" + re.escape(group) + "’']", "") \
+                if group == "'" else F.regexp_replace(c, re.escape(group), "")
+        if dec != ".":
+            c = F.regexp_replace(c, re.escape(dec), ".")
+    elif decimal_sep == ",":
         c = F.regexp_replace(c, r"\.", "")
         c = F.regexp_replace(c, ",", ".")
     else:

@@ -160,6 +160,101 @@ def normalize_units_expr(col: Column | str) -> Column:
                     category.alias("category"))
 
 
+def _temperature_from_c(value: Column, unit: Column) -> Column:
+    return (
+        F.when(unit.isin("°f", "f", "fahrenheit"), value * 9.0 / 5.0 + 32.0)
+        .when(unit.isin("k", "kelvin"), value + 273.15)
+        .otherwise(value)
+    )
+
+
+def convert_units(
+    df: DataFrame,
+    value_col: str,
+    from_unit_col: str,
+    to_unit_col: str,
+    out_col: str = "converted",
+) -> DataFrame:
+    """Direct unit-to-unit conversion (reference ``UnitConverter``,
+    PyDI/normalization/units.py:483-524, and ``convert_units``
+    :729-765): converts ``value_col`` from the unit named in
+    ``from_unit_col`` to the unit in ``to_unit_col``, composing the
+    dimension table both directions — value * factor_from / factor_to
+    for linear categories, the affine °C pivot for temperature.
+
+    Adds ``out_col`` (double; null for unknown units or a category
+    mismatch) and ``{out_col}_ok`` (int 1/0). Plan: two broadcast
+    joins against the ~70-row units dim — the fact side never
+    shuffles, so this composes with 100 TB scans.
+    """
+    spark = df.sparkSession
+    dim = units_dim(spark)
+    f_dim = F.broadcast(
+        dim.select(
+            F.col("alias").alias("__f_alias"),
+            F.col("category").alias("__f_cat"),
+            F.col("factor").alias("__f_factor"),
+        )
+    )
+    t_dim = F.broadcast(
+        dim.select(
+            F.col("alias").alias("__t_alias"),
+            F.col("category").alias("__t_cat"),
+            F.col("factor").alias("__t_factor"),
+        )
+    )
+    joined = df.join(
+        f_dim, F.lower(F.col(from_unit_col)) == F.col("__f_alias"), "left"
+    ).join(t_dim, F.lower(F.col(to_unit_col)) == F.col("__t_alias"), "left")
+    v = F.col(value_col).cast("double")
+    ok = (
+        F.col("__f_cat").isNotNull()
+        & F.col("__t_cat").isNotNull()
+        & (F.col("__f_cat") == F.col("__t_cat"))
+    )
+    as_c = _temperature_to_c(v, F.lower(F.col(from_unit_col)))
+    temp_out = _temperature_from_c(as_c, F.lower(F.col(to_unit_col)))
+    linear_out = v * F.col("__f_factor") / F.col("__t_factor")
+    out = F.when(~ok, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("__f_cat") == "temperature", temp_out).otherwise(linear_out)
+    )
+    return (
+        joined.withColumn(out_col, out)
+        .withColumn(f"{out_col}_ok", ok.cast("int"))
+        .drop("__f_alias", "__f_cat", "__f_factor",
+              "__t_alias", "__t_cat", "__t_factor")
+    )
+
+
+def convert_units_expr(
+    value: Column, from_unit: Column | str, to_unit: Column | str
+) -> Column:
+    """Pure-expression unit-to-unit conversion (no join): the dim table
+    folded into when-chains, affine for temperature. Null for unknown
+    units or a category mismatch. Mirrors :func:`convert_units` —
+    handy inside other expressions on small when-chain budgets."""
+    f_u = F.lower(F.lit(from_unit) if isinstance(from_unit, str) else from_unit)
+    t_u = F.lower(F.lit(to_unit) if isinstance(to_unit, str) else to_unit)
+    v = value.cast("double")
+
+    def lookup(unit: Column):
+        cat = F.lit(None).cast("string")
+        fac = F.lit(None).cast("double")
+        for alias, c, f, _b in UNITS_TABLE:
+            cat = F.when(unit == alias, F.lit(c)).otherwise(cat)
+            fac = F.when(unit == alias, F.lit(f)).otherwise(fac)
+        return cat, fac
+
+    f_cat, f_fac = lookup(f_u)
+    t_cat, t_fac = lookup(t_u)
+    ok = f_cat.isNotNull() & t_cat.isNotNull() & (f_cat == t_cat)
+    temp_out = _temperature_from_c(_temperature_to_c(v, f_u), t_u)
+    linear_out = v * f_fac / t_fac
+    return F.when(~ok, F.lit(None).cast("double")).otherwise(
+        F.when(f_cat == "temperature", temp_out).otherwise(linear_out)
+    )
+
+
 def parse_unit_from_header(header: str) -> str | None:
     """'Speed (km/h)' -> 'km/h' (reference: units.py:653-726)."""
     import re

@@ -19,6 +19,7 @@ the batch DuckDB oracle can check the windowed logic.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -317,6 +318,19 @@ def streaming_incremental_dedup(
         minhash_signature_table,
     )
 
+    def _read_store():
+        """The signature store, or an empty frame on the FIRST run —
+        a cold start has no store yet and must not fail inside the
+        batch handler (round-4 ADVICE; previously the pre-seed
+        requirement was only implicit in examples/)."""
+        try:
+            return spark.read.parquet(store_path)
+        except AnalysisException:
+            sig_cols = ", ".join(f"s{i} string" for i in range(num_hashes))
+            return spark.createDataFrame(
+                [], f"id string, {sig_cols}, toks array<bigint>"
+            )
+
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -326,7 +340,7 @@ def streaming_incremental_dedup(
         # exclude this batch's own ids from the store view: on a
         # crash-replay whose store append landed, the batch would
         # otherwise match its own signatures and flip its decisions
-        store = spark.read.parquet(store_path).join(
+        store = _read_store().join(
             F.broadcast(batch_ids), "id", "left_anti"
         )
         decisions = incremental_minhash_dedup(
@@ -348,7 +362,7 @@ def streaming_incremental_dedup(
         # and materialized so the append job does not read the path it
         # is writing to.
         present = (
-            spark.read.parquet(store_path)
+            _read_store()
             .join(F.broadcast(batch_ids), "id", "left_semi")
             .select("id")
         )
@@ -379,12 +393,26 @@ def compact_signature_store(spark, store_path: str) -> int:
     from replayed batches). Returns the compacted row count. Run
     periodically, like any streaming upsert sink's maintenance job.
 
-    The dedup'd frame is localCheckpoint'ed (eager — the data is fully
-    materialized in executor storage before any write starts), which
-    cuts the self-referential read-write cycle and lets the store be
-    overwritten in place with ONE write and no staging copy."""
-    store = spark.read.parquet(store_path)
-    compacted = store.dropDuplicates(["id"]).localCheckpoint(eager=True)
-    n = compacted.count()
-    compacted.write.mode("overwrite").parquet(store_path)
+    Crash safety (round-4 ADVICE): the compacted frame is written to a
+    SIBLING staging directory first and only then swapped into place —
+    an in-place ``mode('overwrite')`` deletes the only copy before the
+    rewrite commits, and the localCheckpoint blocks backing the rewrite
+    are not fault-tolerant, so a lost executor mid-write would truncate
+    the store. The old store directory survives (as ``*_old``) until
+    the swap has fully succeeded."""
+    import os
+    import shutil
+
+    base = store_path.rstrip("/")
+    staging = base + "_compacting"
+    backup = base + "_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    compacted = spark.read.parquet(store_path).dropDuplicates(["id"])
+    compacted.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    # swap: old -> *_old, staging -> store; delete the backup last
+    os.rename(base, backup)
+    os.rename(staging, base)
+    shutil.rmtree(backup, ignore_errors=True)
     return n

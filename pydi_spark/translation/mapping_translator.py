@@ -56,7 +56,19 @@ class MappingTranslator:
         out = df.withColumnsRenamed(mapping)
 
         if isinstance(data, Dataset):
-            return data.with_df(out).with_provenance(
+            ds = data.with_df(out).with_provenance(
                 "schema_translate", mapping=mapping, strategy=self.strategy
             )
+            # per-column lineage under the TARGET name (reference
+            # appends to each translated column's Series.attrs,
+            # mapping_translator.py:144-188)
+            for s, t in mapping.items():
+                ds = ds.with_column_provenance(
+                    t,
+                    op="schema_translate",
+                    translated_from=s,
+                    source_dataset=name,
+                    score=best[s][1],
+                )
+            return ds
         return out

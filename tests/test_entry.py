@@ -55,6 +55,9 @@ def test_driver_window_arithmetic():
         "text_line_dedup",
         # round-5 probes
         "canary_hugeint", "probe_corpus_echo",
+        # round-5 new operators
+        "io_excel_roundtrip", "io_html_roundtrip", "units_convert",
+        "normalize_locale",
         # session-3 rotation queue, fully rotated in this round
         "text_search_hybrid", "text_bpe_segment", "dedup_incremental",
         "sample_exact_k", "profile_key_skew", "io_orc_roundtrip",

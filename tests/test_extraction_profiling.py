@@ -448,3 +448,35 @@ def test_streaming_incremental_dedup_crash_replay(spark, tmp_path):
     # no duplicate store rows
     ids = [r["id"] for r in spark.read.parquet(crash_store).select("id").collect()]
     assert sorted(ids) == sorted(set(ids))
+
+
+def test_streaming_incremental_dedup_cold_start(spark, tmp_path):
+    """First-ever run with NO pre-seeded signature store: the batch
+    handler must treat the missing path as an empty store instead of
+    failing inside foreachBatch (round-4 ADVICE)."""
+    from pydi_spark.streaming import streaming_incremental_dedup
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "cold start first doc alpha beta gamma"),
+         (2, "cold start first doc alpha beta gamma")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    store_path = str(tmp_path / "store")  # does not exist yet
+    dec_path = str(tmp_path / "dec")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = streaming_incremental_dedup(
+        spark, stream, store_path, dec_path,
+        num_hashes=8, bands=4, jaccard_threshold=0.7,
+    )
+    q.awaitTermination()
+    out = {r["id"]: r for r in spark.read.parquet(dec_path).collect()}
+    assert set(out) == {"1", "2"}
+    # in-batch pair deduped; min id kept; store was created with 1 row
+    assert out["1"]["kept"] == 1 and out["2"]["kept"] == 0
+    assert spark.read.parquet(store_path).count() == 1

@@ -193,3 +193,38 @@ def test_write_training_shards(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(path).collect()))
     b = sorted(map(tuple, spark.read.parquet(path2).collect()))
     assert a == b
+
+
+def test_load_excel_roundtrip_fanout(spark, tmp_path):
+    """xlsx write->load through the stdlib codec (openpyxl absent here,
+    so load_excel exercises its fallback path); multi-sheet fan-out
+    names follow the reference's {base}_{sheet} rule."""
+    from pydi_spark.io import load_excel, write_excel
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(3.5, "emoji & <tags>")], "m double, t string")
+    path = str(tmp_path / "book.xlsx")
+    write_excel({"alpha": a, "beta": b}, path)
+    out = load_excel(spark, path, "book")
+    assert set(out) == {"book_alpha", "book_beta"}
+    got = {tuple(r) for r in out["book_alpha"].df.collect()}
+    assert got == {(1, "x"), (2, "y")}
+    row = out["book_beta"].df.collect()[0]
+    assert row["m"] == 3.5 and row["t"] == "emoji & <tags>"
+    # single-sheet selection keeps the bare name
+    only = load_excel(spark, path, "book", sheet_name="alpha")
+    assert set(only) == {"book"}
+
+
+def test_load_html_roundtrip_fanout(spark, tmp_path):
+    from pydi_spark.io import load_html, write_html_page
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(9, "z")], "p int, q string")
+    path = str(tmp_path / "page.html")
+    write_html_page({"first": a, "second": b}, path)
+    out = load_html(spark, path, "page")
+    assert set(out) == {"page_0", "page_1"}
+    got = {tuple(r) for r in out["page_0"].df.collect()}
+    assert got == {(1, "x"), (2, "y")}
+    assert out["page_1"].df.collect()[0]["q"] == "z"

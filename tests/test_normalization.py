@@ -154,3 +154,80 @@ def test_encoding_and_country(spark):
     assert one(spark, standardize_country_name("x"), " USA ") == "United States"
     assert one(spark, standardize_country_name("x"), "Great Britain") == "United Kingdom"
     assert one(spark, standardize_country_name("x"), "France") == "France"
+
+
+def test_convert_units_direct(spark):
+    from pydi_spark.normalization import convert_units, convert_units_expr
+
+    df = spark.createDataFrame(
+        [(1.0, "km", "mi"), (10.0, "kg", "lb"), (2.0, "h", "min"),
+         (212.0, "f", "k"), (100.0, "c", "f"), (5.0, "km", "kg"),
+         (3.0, "zorp", "m")],
+        "v double, fu string, tu string",
+    )
+    out = {(r["fu"], r["tu"]): (r["converted"], r["converted_ok"])
+           for r in convert_units(df, "v", "fu", "tu").collect()}
+    assert out[("km", "mi")][0] == pytest.approx(0.62137119, abs=1e-6)
+    assert out[("kg", "lb")][0] == pytest.approx(22.0462262, abs=1e-5)
+    assert out[("h", "min")][0] == pytest.approx(120.0)
+    assert out[("f", "k")][0] == pytest.approx(373.15)
+    assert out[("c", "f")][0] == pytest.approx(212.0)
+    # category mismatch and unknown unit -> null + ok=0
+    assert out[("km", "kg")] == (None, 0)
+    assert out[("zorp", "m")] == (None, 0)
+    # the pure-expression variant matches the join variant
+    expr_out = {
+        (r["fu"], r["tu"]): r["e"]
+        for r in df.select(
+            "fu", "tu",
+            convert_units_expr(F.col("v"), F.col("fu"), F.col("tu")).alias("e"),
+        ).collect()
+    }
+    for k, (v, _ok) in out.items():
+        if v is None:
+            assert expr_out[k] is None
+        else:
+            assert expr_out[k] == pytest.approx(v)
+
+
+def test_parse_numeric_locales(spark):
+    from pydi_spark.normalization.parsers import locale_separators
+
+    assert one(spark, parse_numeric("x", locale="de"), "1.234,56") == 1234.56
+    assert one(spark, parse_numeric("x", locale="fr"), "1 234,56") == 1234.56
+    # Babel renders NBSP group separators for fr — both space kinds parse
+    assert one(spark, parse_numeric("x", locale="fr"), "1 234,56") == 1234.56
+    assert one(spark, parse_numeric("x", locale="de_CH"), "1'234.56") == 1234.56
+    assert one(spark, parse_numeric("x", locale="pt-BR"), "R 1.234,56") is None  # R not stripped
+    assert one(spark, parse_numeric("x", locale="pt-BR"), "1.234,56") == 1234.56
+    assert one(spark, parse_numeric("x", locale="en"), "$1,234.56") == 1234.56
+    # fallback de-AT -> de; unknown locale raises
+    assert locale_separators("de-AT") == (".", ",")
+    with pytest.raises(ValueError):
+        locale_separators("xx_YY")
+    # no-locale behavior unchanged
+    assert one(spark, parse_numeric("x"), "1,234.5") == 1234.5
+
+
+def test_translate_per_column_provenance(spark):
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.translation import MappingTranslator
+
+    df = spark.createDataFrame([(1, "x")], "mid int, title string")
+    ds = Dataset.wrap(df, name="movies_a")
+    mapping = spark.createDataFrame(
+        [("movies_a", "title", "name", 0.9),
+         ("movies_a", "title", "label", 0.4),
+         ("movies_b", "title", "other", 1.0)],
+        "source_dataset string, source_column string, "
+        "target_column string, score double",
+    )
+    out = MappingTranslator().translate(ds, mapping)
+    assert out.df.columns == ["mid", "name"]
+    lineage = out.column_provenance("name")
+    assert len(lineage) == 1
+    e = lineage[0]
+    assert e["translated_from"] == "title"
+    assert e["source_dataset"] == "movies_a"
+    assert e["score"] == 0.9
+    assert out.column_provenance("mid") == []

@@ -85,11 +85,14 @@ def test_bpe_replay_equals_greedy_pure(word, merges):
     from pydi_spark.llmdata.bpe import greedy_apply
 
     # merges must be learnable-in-order: a pair may only reference
-    # symbols that exist (chars or earlier merge outputs)
+    # symbols that exist (chars or earlier merge outputs), and can
+    # never repeat — BPE learns a pair at most once (after the merge
+    # the pair is a single symbol), and a duplicate would corrupt the
+    # rank dict (last index wins) while the replay applies list-order
     symbols = {"a", "b"}
     valid = []
     for a, b in merges:
-        if a in symbols and b in symbols:
+        if a in symbols and b in symbols and (a, b) not in valid:
             valid.append((a, b))
             symbols.add(a + b)
     if not valid:
