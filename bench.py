@@ -117,19 +117,26 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # best-of-N per query: single-shot timings on a shared host swing
-    # up to 3x with ambient load; the minimum measures the engine
+    # up to 3x with ambient load; the minimum measures the engine.
+    # Passes are INTERLEAVED (all queries once, then all again) so a
+    # query's N samples are minutes apart — back-to-back samples both
+    # land inside the same ambient spike and the minimum learns
+    # nothing (round-5: blocking_token recorded 11.9 s in a driver
+    # bench vs 4.0 s warm-isolated on identical code+data).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best, n = float("inf"), 0
-        for _ in range(runs):
+    counts: dict[str, int] = {}
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s ({n} rows, best of {runs})", file=sys.stderr)
+            df = qs[name](spark, sf_dir)
+            counts[name] = df.count()
+            el = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, float("inf")), el)
+    for name in BENCH_QUERIES:
+        timings[name] = round(timings[name], 3)
+        print(f"# {name}: {timings[name]:.3f}s ({counts[name]} rows, "
+              f"best of {runs} interleaved)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -52,6 +52,50 @@ def forbidden_type_violations(types, cols):
     return bad
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype into the classes the driver's hasher
+    distinguishes: int-like widths all hash alike, but int vs float vs
+    bool vs object do NOT (the r03/r04 HUGEINT->float64 lesson)."""
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return "object"
+
+
+def dtype_class_mismatches(spark_rows, spark_cols, duck_rel):
+    """Build both sides the way the driver does (Spark rows -> pandas,
+    DuckDB .df()) and compare per-column dtype CLASSES. A mismatch
+    means the driver's hasher will see different value types even when
+    fetchall() values compare equal."""
+    import pandas as pd
+
+    sdf = pd.DataFrame(spark_rows, columns=spark_cols)
+    odf = duck_rel.df()
+    bad = {}
+    for c in spark_cols:
+        if c not in odf.columns:
+            continue
+        s_cls = _dtype_class(sdf[c].dtype)
+        o_cls = _dtype_class(odf[c].dtype)
+        # nullable columns convert version-dependently (duckdb may
+        # render int-with-NULL as float64 OR masked Int; the driver is
+        # GREEN on them — canary_hash_safe's c_null_int) — only the
+        # null-free case is a reliable signal
+        if sdf[c].isna().any() or odf[c].isna().any():
+            continue
+        # Spark rows arrive as Python objects: a str column is object
+        # on the spark side but object on the duck side too; int/float
+        # infer natively on both. Compare the classes directly.
+        if s_cls != o_cls:
+            bad[c] = f"spark={sdf[c].dtype}({s_cls}) duckdb={odf[c].dtype}({o_cls})"
+    return bad
+
+
 def hash_safety_violations(rows, cols):
     bad = {}
     for r in rows[:2000]:
@@ -158,6 +202,12 @@ def main() -> int:
             print(f"FAIL {name}: schema mismatch spark={sorted(scols)} duckdb={sorted(ocols)}")
             failed.append(name)
             continue
+        if name not in HASH_SAFETY_EXEMPT:
+            dbad = dtype_class_mismatches(srows, scols, res)
+            if dbad:
+                print(f"FAIL {name}: driver-hasher dtype-class mismatch: {dbad}")
+                failed.append(name)
+                continue
         if snorm == onorm:
             print(f"PASS {name} ({len(snorm)} rows)")
         else:
