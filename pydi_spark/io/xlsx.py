@@ -41,6 +41,27 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 """
 
 
+# XML 1.0 cannot carry most control characters (and \r is normalized
+# away by every conformant parser). SpreadsheetML's own convention —
+# what Excel writes — encodes them as _xHHHH_ and protects literal
+# text that LOOKS like an escape by encoding its underscore as
+# _x005F_. Decode is a single left-to-right pass, so the protected
+# sequence "_x005F_x0041_" round-trips to the literal "_x0041_".
+_ILLEGAL_XML = re.compile(
+    "[\x00-\x08\x0b\x0c\x0d\x0e-\x1f\x7f￾￿]"
+)
+_ESC_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _encode_cell_text(s: str) -> str:
+    s = _ESC_SEQ.sub(lambda m: "_x005F_x" + m.group(1) + "_", s)
+    return _ILLEGAL_XML.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _decode_cell_text(s: str) -> str:
+    return _ESC_SEQ.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _col_letter(idx: int) -> str:
     """0 -> A, 25 -> Z, 26 -> AA."""
     out = ""
@@ -123,7 +144,7 @@ def _sheet_xml(all_rows: list[list[Any]]) -> str:
             else:
                 cells.append(
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                    f"{escape(str(v))}</t></is></c>"
+                    f"{escape(_encode_cell_text(str(v)))}</t></is></c>"
                 )
         parts.append(f'<row r="{r}">{"".join(cells)}</row>')
     parts.append("</sheetData></worksheet>")
@@ -139,7 +160,8 @@ def read_xlsx(path: str) -> dict[str, tuple[list[str], list[list[Any]]]]:
         if "xl/sharedStrings.xml" in zf.namelist():
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_NS}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                shared.append(_decode_cell_text(
+                    "".join(t.text or "" for t in si.iter(f"{_NS}t"))))
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
         target_by_rid = {
@@ -177,9 +199,9 @@ def _read_sheet(root: ET.Element, shared: list[str]) -> list[list[Any]]:
             t = c.get("t", "n")
             if t == "inlineStr":
                 is_el = c.find(f"{_NS}is")
-                v: Any = "".join(
+                v: Any = _decode_cell_text("".join(
                     el.text or "" for el in is_el.iter(f"{_NS}t")
-                ) if is_el is not None else None
+                )) if is_el is not None else None
             else:
                 v_el = c.find(f"{_NS}v")
                 raw = v_el.text if v_el is not None else None

@@ -159,3 +159,79 @@ def test_apply_changes_matches_lww_reference(spark, changes):
         if op != "D":
             want[k] = p
     assert got == want, (changes, got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-10**12, 10**12)),
+            st.one_of(st.none(), st.floats(allow_nan=False,
+                                           allow_infinity=False,
+                                           width=64)),
+            st.one_of(st.none(), st.text(max_size=12)),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        max_size=12,
+    )
+)
+def test_xlsx_codec_roundtrip(rows, tmp_path_factory):
+    """write_xlsx -> read_xlsx is the identity on the supported cell
+    classes (int / float / arbitrary-unicode str / bool / None)."""
+    import math
+    import os
+    import tempfile
+
+    from pydi_spark.io.xlsx import read_xlsx, write_xlsx
+
+    cols = ["i", "f", "s", "b"]
+    with tempfile.TemporaryDirectory(dir="spark-warehouse") as d:
+        p = os.path.join(d, "t.xlsx")
+        write_xlsx(p, {"data": (cols, [list(r) for r in rows])})
+        got_cols, got_rows = read_xlsx(p)["data"]
+    assert got_cols == cols
+    assert len(got_rows) == len(rows)
+    for (i, f, s, b), got in zip(rows, got_rows):
+        gi, gf, gs, gb = got
+        assert gi == i
+        if f is None:
+            assert gf is None
+        else:
+            # integral floats round-trip as ints (Excel number model)
+            assert math.isclose(float(gf), f, rel_tol=0, abs_tol=0) or gf == f
+        # exact: control chars (incl. \r) ride the _xHHHH_ escape
+        assert gs == s
+        assert gb == b
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    v=st.floats(min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False),
+    pair=st.sampled_from([
+        ("km", "mi"), ("kg", "lb"), ("h", "min"), ("m/s", "mph"),
+        ("gb", "mb"), ("c", "f"), ("f", "k"), ("k", "c"),
+    ]),
+)
+def test_convert_units_expr_invertible_pure(v, pair):
+    """a->b then b->a returns the input (up to float rounding), for
+    linear AND affine categories — the pure-python replay of
+    convert_units_expr's arithmetic."""
+    from pydi_spark.normalization.units import UNITS_TABLE
+
+    table = {a: (c, f) for a, c, f, _ in UNITS_TABLE}
+    a, b = pair
+
+    def conv(x, fu, tu):
+        cat, ff = table[fu]
+        _, tf = table[tu]
+        if cat == "temperature":
+            as_c = {"f": (x - 32.0) * 5.0 / 9.0,
+                    "k": x - 273.15}.get(fu, x)
+            return {"f": as_c * 9.0 / 5.0 + 32.0,
+                    "k": as_c + 273.15}.get(tu, as_c)
+        return x * ff / tf
+
+    there = conv(v, a, b)
+    back = conv(there, b, a)
+    assert abs(back - v) <= 1e-6 * max(1.0, abs(v))
