@@ -1,0 +1,137 @@
+"""Empirical scale-up probe: does the dedup/blocking family scale
+linearly when the data grows 10x?
+
+SCALE.md claims the band/token-join pipelines are linear in corpus
+size for fixed duplicate-class sizes (no all-pairs stage anywhere).
+This probe CHECKS that on this machine: it synthesizes a 10x corpus
+whose copies are token-disjoint — every word in copy k is suffixed
+``_k``, so each copy reproduces the 1x near-dup structure and NO pair
+crosses copies. True output therefore scales exactly 10x, and a
+linear operator should take ~10x the time at fixed parallelism
+(less, where fixed overhead amortizes). A super-linear ratio means a
+quadratic stage is hiding somewhere.
+
+    python3 tools/scale_probe.py [sf_dir] [ops...]
+
+Writes the synthetic tables under spark-warehouse/scale_probe/ (real
+parquet scans, so Catalyst size estimates and broadcast gates behave
+exactly as they would in production) and prints one JSON line:
+  {"op": {"rows_1x": n, "rows_10x": n, "sec_1x": t, "sec_10x": t,
+          "time_ratio": r, "row_ratio": r}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COPIES = 10
+
+
+def synthesize(spark, src_path: str, out_path: str, id_col: str,
+               text_col: str, keep_cols: list[str]) -> None:
+    """Union COPIES token-disjoint clones: ids offset, every word
+    suffixed with the copy index."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_path, "_SUCCESS")):
+        return
+    base = spark.read.parquet(src_path)
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            base.select(
+                (F.col(id_col) + F.lit(k * 10_000_000)).alias(id_col),
+                # suffix must survive the word tokenizer as ONE token:
+                # '_' is a split character under [^\p{L}\p{N}#']+, so
+                # use a letter run + the copy digit ("hash" -> "hashzq3")
+                F.regexp_replace(
+                    F.col(text_col), r"(\w+)", "$1zq" + str(k)
+                ).alias(text_col),
+                *keep_cols,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import functions as F
+
+    from pydi_spark import get_spark
+    from pydi_spark.blocking.token import TokenBlocker
+    from pydi_spark.llmdata.dedup import (
+        exact_duplicates,
+        minhash_near_duplicates,
+        ngram_jaccard_duplicates,
+        simhash_near_duplicates,
+    )
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", "scale_probe",
+    )
+    docs10 = os.path.join(scratch, "documents10.parquet")
+    part10 = os.path.join(scratch, "part10.parquet")
+    synthesize(spark, f"{sf_dir}/documents.parquet", docs10,
+               "doc_id", "text", ["source"])
+    synthesize(spark, f"{sf_dir}/part.parquet", part10,
+               "p_partkey", "p_name", [])
+
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs10_df = spark.read.parquet(docs10)
+    part1 = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part10_df = spark.read.parquet(part10)
+
+    def tok_block(df):
+        return TokenBlocker(column="p_name").block(
+            df.select(F.col("p_partkey").alias("_id"), "p_name"),
+            None, id_column="_id",
+        )
+
+    ops = {
+        "dedup_exact": lambda df: exact_duplicates(df),
+        "dedup_minhash": lambda df: minhash_near_duplicates(df),
+        "dedup_simhash": lambda df: simhash_near_duplicates(df),
+        "dedup_ngram": lambda df: ngram_jaccard_duplicates(df),
+        "blocking_token": tok_block,
+    }
+    inputs = {
+        "blocking_token": (part1, part10_df),
+    }
+
+    results = {}
+    for name, fn in ops.items():
+        if only and name not in only:
+            continue
+        a, b = inputs.get(name, (docs1, docs10_df))
+        # warm the scans so both measurements see cached files equally
+        a.count(); b.count()
+        t0 = time.perf_counter(); n1 = fn(a).count()
+        t1 = time.perf_counter(); n10 = fn(b).count()
+        t2 = time.perf_counter()
+        sec1, sec10 = t1 - t0, t2 - t1
+        results[name] = {
+            "rows_1x": n1, "rows_10x": n10,
+            "sec_1x": round(sec1, 2), "sec_10x": round(sec10, 2),
+            "row_ratio": round(n10 / max(n1, 1), 2),
+            "time_ratio": round(sec10 / max(sec1, 1e-9), 2),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
