@@ -69,30 +69,57 @@ def main() -> None:
 
     from pydi_spark import get_spark
     from pydi_spark.blocking.token import TokenBlocker
+    from pydi_spark.clustering.connected_components import (
+        connected_components,
+    )
     from pydi_spark.llmdata.dedup import (
         exact_duplicates,
         minhash_near_duplicates,
         ngram_jaccard_duplicates,
         simhash_near_duplicates,
     )
+    from pydi_spark.llmdata.similarity import ivf_topk
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "spark-warehouse", "scale_probe",
+        os.path.basename(os.path.normpath(sf_dir)),  # key cache by SF
     )
     docs10 = os.path.join(scratch, "documents10.parquet")
     part10 = os.path.join(scratch, "part10.parquet")
+    emb10 = os.path.join(scratch, "embeddings10.parquet")
     synthesize(spark, f"{sf_dir}/documents.parquet", docs10,
                "doc_id", "text", ["source"])
     synthesize(spark, f"{sf_dir}/part.parquet", part10,
                "p_partkey", "p_name", [])
+    if not os.path.exists(os.path.join(emb10, "_SUCCESS")):
+        # 10x embeddings: ids offset, vectors shifted by a copy-dependent
+        # per-element nudge so copies are distinct but identically
+        # distributed
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        parts = []
+        for k in range(COPIES):
+            parts.append(e.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (i % 7 - 3).cast("float") * F.lit(0.01 * k),
+                ).alias("embedding"),
+                "label",
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(emb10)
 
     docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs10_df = spark.read.parquet(docs10)
     part1 = spark.read.parquet(f"{sf_dir}/part.parquet")
     part10_df = spark.read.parquet(part10)
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10_df = spark.read.parquet(emb10)
 
     def tok_block(df):
         return TokenBlocker(column="p_name").block(
@@ -100,15 +127,33 @@ def main() -> None:
             None, id_column="_id",
         )
 
+    def cc_over_simhash(df):
+        # composed measure: simhash edge generation + the CC rounds
+        # (rows = components, so row_ratio tracks cluster structure,
+        # not work volume — read the time ratio against simhash's)
+        edges = simhash_near_duplicates(df).select(
+            F.col("id1"), F.col("id2")
+        ).localCheckpoint(eager=True)
+        return connected_components(edges)
+
+    def ivf(df):
+        # fixed 200-query batch against a 1x vs 10x corpus: output is
+        # constant (200*k rows) by design; time ratio is the metric
+        q = df.limit(200).localCheckpoint(eager=True)
+        return ivf_topk(df, q, k=10, nprobe=3)
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
         "dedup_simhash": lambda df: simhash_near_duplicates(df),
         "dedup_ngram": lambda df: ngram_jaccard_duplicates(df),
         "blocking_token": tok_block,
+        "cluster_cc": cc_over_simhash,
+        "ann_ivf": ivf,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
+        "ann_ivf": (emb1, emb10_df),
     }
 
     results = {}
