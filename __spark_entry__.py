@@ -4539,6 +4539,26 @@ def q_normalize_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring dedup TRANSFORM (round-5; Lee et
+    al. 2022): repeated 8-token spans keep their first corpus
+    occurrence under the (doc_id, pos) total order, later occurrences'
+    token positions are dropped, text reassembled. The destructive
+    counterpart of text_span_dedup's statistics. md5(clean_text) keeps
+    the output hash-safe; counts are count(*) bigints (never uncast
+    sums — the round-5 HUGEINT rule)."""
+    from pydi_spark.llmdata import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(docs, span_tokens=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_tokens_total",
+        "n_tokens_kept",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4620,6 +4640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "units_convert": q_units_convert,
         "normalize_locale": q_normalize_locale,
         # -- past the 50-entry window: all driver-green in r01-r04
+        # round-5 new operator — rotation queue for the r6 window
+        "text_span_remove": q_text_span_remove,
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
@@ -7409,6 +7431,53 @@ walk AS (
 )
 SELECT doc_id, source, n_tokens, bin_id, bin_fill FROM walk
 """
+    out["text_span_remove"] = """
+WITH t AS (
+  SELECT doc_id, {TOK} AS tok FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest([{'pos': i - 1, 'h': md5(array_to_string(tok[i:i+7], ' '))}
+                 for i in range(1, len(tok) - 6)]) AS s
+  FROM t WHERE len(tok) >= 8
+),
+spans AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sp),
+rep AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM spans JOIN rep USING (h)
+),
+cov AS (
+  SELECT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+        FROM ranked WHERE rk > 1)
+  GROUP BY doc_id, p
+),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (SELECT doc_id,
+               unnest([{'pos': i - 1, 'tok': tok[i]}
+                       for i in range(1, len(tok) + 1)]) AS u
+        FROM t)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.p
+  WHERE cov.p IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_total FROM t)
+SELECT d.doc_id,
+       md5(coalesce(reb.clean_text, '')) AS clean_md5,
+       coalesce(tot.n_total, 0) AS n_tokens_total,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["text_span_dedup"] = """
 WITH t AS (
   SELECT doc_id, {TOK} AS tok FROM documents

@@ -107,3 +107,98 @@ def exact_span_stats(
         .otherwise(F.lit(0.0))
         .alias("coverage_ratio"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact-substring DEDUP (the destructive counterpart
+    of :func:`exact_span_stats`; Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — the reference has no
+    such operator, this is training-pipeline surface): every
+    ``span_tokens``-gram occurring in >= ``min_docs`` documents keeps
+    its FIRST corpus occurrence (minimum (doc_id, pos)) and every
+    other occurrence's token positions are dropped from the text.
+
+    Deterministic by construction — the survivor per span hash is a
+    total-order minimum, so re-runs and different partitionings give
+    identical output (partition-independence pytest-pinned).
+
+    Output: [doc_id, clean_text, n_tokens_total, n_tokens_kept].
+
+    Scale shape: one tokenize pass (posexplode + window leads — the
+    codegen'd shingle pattern, NOTES.md), one narrow (hash) shuffle
+    for the duplicate-span vote, one (hash) window for first
+    occurrence, a position-explode bounded by span hits, and one
+    per-doc reassembly aggregate. md5 span keys keep the shuffle rows
+    small; raw text moves only in the initial scan and the final
+    aggregate.
+    """
+    n = int(span_tokens)
+    toks = word_tokens(F.col(text_col))
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    ).localCheckpoint(eager=True)  # feeds spans AND the reassembly
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    spans = (
+        tok_rows.select("doc_id", "pos", "tok", *lead_cols)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("h"),
+        )
+    )
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("h")
+    )
+    # non-first occurrences of repeated spans: rank under the global
+    # (doc_id, pos) total order per hash — rank 1 survives
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dropped_spans = (
+        spans.join(repeated, "h", "left_semi")
+        .withColumn("__rk", F.row_number().over(wh))
+        .where(F.col("__rk") > 1)
+    )
+    covered = dropped_spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).dropDuplicates(["doc_id", "pos"])
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    totals = tok_rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_total")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_total", F.lit(0)).alias("n_tokens_total"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+    )

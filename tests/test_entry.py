@@ -71,9 +71,9 @@ def test_driver_window_arithmetic():
     outside = awaiting - set(window)
     assert not outside, f"awaiting first driver check but past 50: {outside}"
     # round-5 rotation queue: queries added this round that could not
-    # claim a window slot. Empty right now — every never-driver-checked
-    # query is in-window; keep this in sync when adding queries past 50.
-    rotation_queue = set()
+    # claim a window slot (the 50 slots are full) — rotate into the
+    # r6 window; keep this in sync when adding queries past 50.
+    rotation_queue = {"text_span_remove"}
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"

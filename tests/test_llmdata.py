@@ -1524,3 +1524,34 @@ def test_blocklist_filter(spark):
     sub = {r["id"]: r for r in
            blocklist_filter(df, ["ins"], mode="substring").collect()}
     assert sub["3"]["keep"] == 0 and sub["1"]["keep"] == 1
+
+
+def test_remove_repeated_spans_first_occurrence_survives(spark):
+    """Corpus-level exact-substring dedup: the minimum (doc_id, pos)
+    occurrence of a repeated span keeps its text; later occurrences'
+    token positions are dropped; untouched docs pass through."""
+    from pydi_spark.llmdata import remove_repeated_spans
+
+    rows = [
+        (1, "a b c d e f g h x y"),
+        (2, "p q a b c d e f g h r"),
+        (3, "totally different words here seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_repeated_spans(
+        df, span_tokens=8, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "a b c d e f g h x y"
+    assert (out[1]["n_tokens_total"], out[1]["n_tokens_kept"]) == (10, 10)
+    assert out[2]["clean_text"] == "p q r"
+    assert (out[2]["n_tokens_total"], out[2]["n_tokens_kept"]) == (11, 3)
+    assert out[3]["n_tokens_kept"] == out[3]["n_tokens_total"] == 8
+    # partition independence: identical output under a different layout
+    out2 = {r["doc_id"]: tuple(r) for r in remove_repeated_spans(
+        df.repartition(7), span_tokens=8, min_docs=2).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
+    # a doc shorter than one span is returned intact with zero drops
+    tiny = spark.createDataFrame([(9, "just three words")],
+                                 "doc_id long, text string")
+    t = remove_repeated_spans(tiny, span_tokens=8, min_docs=2).collect()[0]
+    assert t["clean_text"] == "just three words"
+    assert t["n_tokens_kept"] == 3
