@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "events_retention",
     "events_json",
     "events_sessionize_batch",
+    # round-5 additions
+    "text_span_remove",
 ]
 
 
