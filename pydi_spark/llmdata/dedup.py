@@ -780,3 +780,38 @@ def dedup_method_agreement(
     return joined.groupBy("minhash", "simhash", "ngram").agg(
         F.count("*").alias("n_pairs")
     )
+
+
+# ------------------------------------------------------------- LSH tuning
+
+def lsh_candidate_probability(
+    jaccard: float, num_hashes: int = 16, bands: int = 4
+) -> float:
+    """P(a pair with this true Jaccard becomes an LSH candidate) under
+    the banding scheme: ``1 - (1 - s^r)^b`` with ``r = num_hashes //
+    bands`` rows per band (Leskovec et al., MMDS ch. 3). The operating
+    knob at corpus scale: candidates cost (verify joins), misses cost
+    recall — size bands so the S-curve's threshold sits at the target
+    Jaccard before running a 100 TB pass."""
+    r = num_hashes // bands
+    s = min(max(float(jaccard), 0.0), 1.0)
+    return 1.0 - (1.0 - s ** r) ** bands
+
+
+def suggest_bands(
+    threshold: float, num_hashes: int = 16, min_recall: float = 0.9
+) -> int:
+    """Smallest band count (most selective ⇒ fewest candidates) whose
+    S-curve still catches pairs AT the threshold with ``min_recall``
+    probability. Raises if no divisor of ``num_hashes`` achieves it —
+    then ``num_hashes`` itself must grow."""
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    # fewer bands (more rows per band) = more selective; walk from the
+    # most selective up until recall at the threshold is met
+    for b in divisors:
+        if lsh_candidate_probability(threshold, num_hashes, b) >= min_recall:
+            return b
+    raise ValueError(
+        f"no banding of {num_hashes} hashes reaches recall "
+        f"{min_recall} at jaccard {threshold}; increase num_hashes"
+    )

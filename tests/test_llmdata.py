@@ -1555,3 +1555,19 @@ def test_remove_repeated_spans_first_occurrence_survives(spark):
     t = remove_repeated_spans(tiny, span_tokens=8, min_docs=2).collect()[0]
     assert t["clean_text"] == "just three words"
     assert t["n_tokens_kept"] == 3
+
+
+def test_lsh_tuning_helpers():
+    """S-curve math: monotone in jaccard; suggest_bands returns the
+    most selective banding that still meets recall at the threshold."""
+    from pydi_spark.llmdata import lsh_candidate_probability, suggest_bands
+
+    ps = [lsh_candidate_probability(s, 16, 4) for s in (0.1, 0.4, 0.7, 0.95)]
+    assert ps == sorted(ps) and ps[0] < 0.01 and ps[-1] > 0.99
+    b = suggest_bands(0.7, 16, min_recall=0.9)
+    assert b == 8
+    assert lsh_candidate_probability(0.7, 16, b) >= 0.9
+    # no divisor of 4 hashes catches 0.2-jaccard pairs at 99% recall
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        suggest_bands(0.05, 4, min_recall=0.99)

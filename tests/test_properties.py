@@ -235,3 +235,35 @@ def test_convert_units_expr_invertible_pure(v, pair):
     there = conv(v, a, b)
     back = conv(there, b, a)
     assert abs(back - v) <= 1e-6 * max(1.0, abs(v))
+
+
+@settings(max_examples=120, deadline=None)
+@given(doc=st.text(max_size=300))
+def test_html_table_parser_never_crashes(doc):
+    """read_html_tables must be total over arbitrary text — malformed
+    markup yields zero-or-more tables, never an exception."""
+    from pydi_spark.io.htmltables import read_html_tables
+
+    for cols, rows in read_html_tables(doc):
+        assert isinstance(cols, list)
+        for r in rows:
+            assert len(r) == len(cols)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cols=st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                  max_size=4, unique=True),
+    nrows=st.integers(0, 6),
+)
+def test_html_table_roundtrip(cols, nrows):
+    """html_table -> read_html_tables preserves shape and string cells
+    (whitespace-trimmed, as pandas.read_html does)."""
+    from pydi_spark.io.htmltables import html_table, read_html_tables
+
+    rows = [[f"v{r}c{c}" for c in range(len(cols))] for r in range(nrows)]
+    parsed = read_html_tables("<html>" + html_table(cols, rows) + "</html>")
+    assert len(parsed) == 1
+    got_cols, got_rows = parsed[0]
+    assert got_cols == [c.strip() for c in cols] or got_cols == cols
+    assert got_rows == rows
