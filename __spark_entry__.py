@@ -4559,6 +4559,25 @@ def q_text_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (pay-as-you-go) ER ordering (round-5;
+    blocking.progressive_pairs): the full JS-weighted token-blocking
+    graph over small parts, ranked best-first and truncated at a
+    500-pair budget. Rank ties break on the (w_ppm desc, id1, id2)
+    total order, so the emission prefix is deterministic and the
+    oracle replays it with ORDER BY + LIMIT."""
+    from pydi_spark.blocking import progressive_pairs
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    assignments = part.select(
+        F.col("p_partkey").cast("string").alias("rid"),
+        F.explode(F.split(F.col("p_name"), " ")).alias("block_key"),
+    )
+    return progressive_pairs(
+        assignments, budget=500, weighting="js", max_block_size=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4640,8 +4659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "units_convert": q_units_convert,
         "normalize_locale": q_normalize_locale,
         # -- past the 50-entry window: all driver-green in r01-r04
-        # round-5 new operator — rotation queue for the r6 window
+        # round-5 new operators — rotation queue for the r6 window
         "text_span_remove": q_text_span_remove,
+        "blocking_progressive": q_blocking_progressive,
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
@@ -7811,6 +7831,26 @@ GROUP BY doc_id
     out["streaming_enrich"] = """
 SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+    out["blocking_progressive"] = """
+WITH p AS (SELECT CAST(p_partkey AS VARCHAR) eid, p_name
+           FROM part WHERE p_size <= 10),
+a0 AS (SELECT DISTINCT eid, unnest(string_split(p_name, ' ')) AS bk FROM p),
+sizes AS (SELECT bk, count(*) AS bs FROM a0 GROUP BY bk),
+a2 AS (SELECT a0.eid, a0.bk FROM a0 JOIN sizes USING (bk) WHERE bs <= 1000),
+ent AS (SELECT eid, count(*) AS nb FROM a2 GROUP BY eid),
+cb AS (SELECT x.eid AS id1, y.eid AS id2, CAST(count(*) AS BIGINT) AS cbs
+       FROM a2 x JOIN a2 y ON x.bk = y.bk AND x.eid < y.eid
+       GROUP BY 1, 2),
+e AS (SELECT id1, id2, cbs,
+             CAST(floor(1000000.0 * cbs
+                        / CAST(e1.nb + e2.nb - cbs AS DOUBLE)) AS BIGINT)
+               AS w_ppm
+      FROM cb JOIN ent e1 ON e1.eid = id1 JOIN ent e2 ON e2.eid = id2),
+head AS (SELECT * FROM e ORDER BY w_ppm DESC, id1, id2 LIMIT 500)
+SELECT CAST(row_number() OVER (ORDER BY w_ppm DESC, id1, id2) AS INT) AS rank,
+       id1, id2, cbs, w_ppm
+FROM head
 """
     out["blocking_meta"] = """
 WITH p AS (SELECT CAST(p_partkey AS VARCHAR) eid, p_name

@@ -3,7 +3,7 @@ from pydi_spark.blocking.embedding import (
     EmbeddingBlocker,
     sentence_transformer_embedder,
 )
-from pydi_spark.blocking.meta import meta_blocking
+from pydi_spark.blocking.meta import meta_blocking, progressive_pairs
 from pydi_spark.blocking.no_blocking import NoBlocker
 from pydi_spark.blocking.sorted_neighbourhood import SortedNeighbourhoodBlocker
 from pydi_spark.blocking.standard import StandardBlocker
@@ -18,5 +18,6 @@ __all__ = [
     "block_stats",
     "estimate_pairs",
     "meta_blocking",
+    "progressive_pairs",
     "sentence_transformer_embedder",
 ]

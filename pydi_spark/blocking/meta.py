@@ -162,3 +162,49 @@ def meta_blocking(
         .dropDuplicates(["id1", "id2"])
     )
     return kept
+
+
+def progressive_pairs(
+    assignments: DataFrame,
+    budget: int,
+    id_col: str = "rid",
+    block_col: str = "block_key",
+    weighting: str = "js",
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Progressive (pay-as-you-go) entity resolution ordering: the
+    FULL weighted blocking graph ranked best-first, truncated at
+    ``budget`` pairs (Whang et al., "Pay-As-You-Go ER"; the parallel
+    progressive-ER line, ICDE 2017 — capabilities the pandas reference
+    lacks). A budget-limited matcher consumes candidates in
+    (w_ppm desc, id1, id2) order, so match yield per comparison is
+    front-loaded; the order is a deterministic total order, so a
+    LARGER budget strictly EXTENDS a smaller one (prefix-stable —
+    re-running with 2x budget never reorders already-emitted pairs).
+
+    Output: [rank, id1, id2, cbs, w_ppm] with rank 1..budget.
+
+    Scale: the graph build is meta_blocking's (block purge before the
+    quadratic stage, integer weights); the global order materializes
+    via sort+limit (TakeOrderedAndProject — per-partition top-budget
+    then a budget-sized merge on ONE task, never a full-corpus global
+    sort) and only the budget-sized survivor set passes through the
+    rank window.
+    """
+    g = meta_blocking(
+        assignments,
+        id_col=id_col,
+        block_col=block_col,
+        weighting=weighting,
+        pruning="none",
+        max_block_size=max_block_size,
+    )
+    head = g.orderBy(
+        F.desc("w_ppm"), F.asc("id1"), F.asc("id2")
+    ).limit(int(budget))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("w_ppm"), F.asc("id1"), F.asc("id2"))
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id1", "id2", "cbs", "w_ppm"
+    )

@@ -320,3 +320,29 @@ def test_meta_blocking_block_filtering(spark):
     got = {(r["id1"], r["id2"]): r["cbs"] for r in out}
     # 1 and 2 keep only b2; 3 keeps b1 -> surviving pair: (1,2) via b2
     assert got == {("1", "2"): 1}
+
+
+def test_progressive_pairs_prefix_stable(spark):
+    """Best-first candidate ordering: rank follows (w_ppm desc, id1,
+    id2); a larger budget strictly extends a smaller one."""
+    from pydi_spark.blocking import progressive_pairs
+
+    rows = [
+        ("a", "red shiny box"), ("b", "red shiny box"),
+        ("c", "red plain crate"), ("d", "blue plain crate"),
+        ("e", "green unique widget thing"),
+    ]
+    df = spark.createDataFrame(rows, "rid string, name string")
+    assignments = df.select(
+        "rid", F.explode(F.split("name", " ")).alias("block_key")
+    )
+    p3 = progressive_pairs(assignments, budget=3).collect()
+    assert [r["rank"] for r in p3] == [1, 2, 3]
+    # a/b share all 3 blocks -> highest weight first
+    assert (p3[0]["id1"], p3[0]["id2"]) == ("a", "b")
+    # weights non-increasing down the ranks
+    ws = [r["w_ppm"] for r in p3]
+    assert ws == sorted(ws, reverse=True)
+    p6 = progressive_pairs(assignments, budget=6).collect()
+    assert [tuple(r) for r in p6[:3]] == [tuple(r) for r in p3]
+    assert len(p6) == min(6, len(p6))
