@@ -95,6 +95,9 @@ def test_partition_independence_of_new_queries(spark):
         "io_cdc_upsert", "text_bpe_fertility", "text_gram_duplication",
         "sample_split_leakage_safe", "sample_contrastive",
         "dedup_agreement", "dedup_incremental",
+        # round-5 additions
+        "text_span_remove", "blocking_progressive", "units_convert",
+        "normalize_locale",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
