@@ -1,3 +1,4 @@
+from pydi_spark.streaming.health import streaming_health
 from pydi_spark.streaming.dedup import (
     sessionize,
     stream_static_enrich,
@@ -14,6 +15,7 @@ __all__ = [
     "stream_stream_join",
     "streaming_dedup",
     "compact_signature_store",
+    "streaming_health",
     "streaming_incremental_dedup",
     "windowed_event_counts",
 ]

@@ -480,3 +480,34 @@ def test_streaming_incremental_dedup_cold_start(spark, tmp_path):
     # in-batch pair deduped; min id kept; store was created with 1 row
     assert out["1"]["kept"] == 1 and out["2"]["kept"] == 0
     assert spark.read.parquet(store_path).count() == 1
+
+
+def test_streaming_health_snapshot(spark, tmp_path):
+    """streaming_health condenses StreamingQueryProgress into the
+    ingest-alarm metrics (input rows, watermark, state footprint)."""
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import streaming_health, windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "ev"
+    rows = [(i, 1000000000000 + i * 60_000_000_000) for i in range(50)]
+    spark.createDataFrame(rows, "user_id long, ts long").coalesce(1)\
+        .write.parquet(str(src / "b0"))
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    events = nanos_to_timestamp(stream, "ts")
+    agg = windowed_event_counts(
+        events, window_duration="10 minutes", watermark="5 minutes",
+        key_column=None, value_column=None,
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("health_probe")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    h = streaming_health(q)
+    assert h["batches"] >= 1
+    assert h["input_rows"] == 50
+    assert h["watermark"] is not None
+    assert h["dropped_late_rows"] == 0
+    assert isinstance(h["behind"], bool)
+    q.stop()
