@@ -124,8 +124,10 @@ def main() -> None:
     # query's N samples are minutes apart — back-to-back samples both
     # land inside the same ambient spike and the minimum learns
     # nothing (round-5: blocking_token recorded 11.9 s in a driver
-    # bench vs 4.0 s warm-isolated on identical code+data).
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # bench vs 4.0 s warm-isolated on identical code+data). Default 3
+    # passes: a third temporally-spread sample costs ~40 s and halves
+    # the chance an ambient spike survives into the minimum.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(runs):
