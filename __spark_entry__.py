@@ -4578,6 +4578,35 @@ def q_blocking_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_pickle under the oracle gate (reference io/loaders.py:
+    954-984 — the LAST §2.1 loader row, previously a documented drop;
+    round 5 ships it behind an explicit allow_unsafe opt-in): nation
+    written to a self-produced pandas pickle, read back through the
+    loader, compared to the parquet oracle directly."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pydi_spark.io import load_pickle
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_pickle_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "nation.pkl")
+    pq.read_table(f"{sf_dir}/nation.parquet").to_pandas().to_pickle(path)
+    out = load_pickle(spark, path, "nation_pickle", allow_unsafe=True).df
+    return out.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4662,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 new operators — rotation queue for the r6 window
         "text_span_remove": q_text_span_remove,
         "blocking_progressive": q_blocking_progressive,
+        "io_pickle_roundtrip": q_io_pickle_roundtrip,
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
@@ -7546,6 +7576,11 @@ SELECT CAST(k AS INT) AS k,
        'line1\nline2_' || CAST(k AS VARCHAR) AS c_escaped_nl,
        md5('it''s #' || CAST(k AS VARCHAR)) AS c_token_md5
 FROM range(3) t(k)
+"""
+    out["io_pickle_roundtrip"] = """
+SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS INT) AS n_regionkey
+FROM nation
 """
     out["io_excel_roundtrip"] = """
 SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name

@@ -338,6 +338,39 @@ def load_html(
     return out
 
 
+def load_pickle(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    add_index: bool = False,
+    allow_unsafe: bool = False,
+    **kwargs: Any,
+) -> Dataset:
+    """Pickled pandas DataFrame -> Dataset (reference:
+    io/loaders.py:954-984). Driver-side like the other small-file
+    interchange loaders, and **opt-in only**: unpickling executes
+    arbitrary code from the file, so the caller must pass
+    ``allow_unsafe=True`` and should only do so for files they
+    produced themselves. Prefer the parquet round-trip for anything
+    crossing a trust boundary — this loader exists for parity with
+    pipelines that already persist ``to_pickle`` artifacts."""
+    if not allow_unsafe:
+        raise ValueError(
+            "load_pickle deserializes arbitrary code; pass "
+            "allow_unsafe=True only for files you created yourself "
+            "(use parquet for anything crossing a trust boundary)"
+        )
+    import pandas as pd
+
+    pdf = pd.read_pickle(path, **kwargs)
+    if not isinstance(pdf, pd.DataFrame):
+        raise TypeError(
+            "load_pickle expected a pandas DataFrame in the pickle file"
+        )
+    df = _pandas_to_spark(spark, pdf)
+    return _finalize(df, name, path, "pickle", add_index, None, None)
+
+
 def load_feather(
     spark: SparkSession, path: str, name: str, add_index: bool = False, **kwargs: Any
 ) -> Dataset:

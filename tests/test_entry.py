@@ -73,7 +73,8 @@ def test_driver_window_arithmetic():
     # round-5 rotation queue: queries added this round that could not
     # claim a window slot (the 50 slots are full) — rotate into the
     # r6 window; keep this in sync when adding queries past 50.
-    rotation_queue = {"text_span_remove", "blocking_progressive"}
+    rotation_queue = {"text_span_remove", "blocking_progressive",
+                      "io_pickle_roundtrip"}
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"

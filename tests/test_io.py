@@ -228,3 +228,25 @@ def test_load_html_roundtrip_fanout(spark, tmp_path):
     got = {tuple(r) for r in out["page_0"].df.collect()}
     assert got == {(1, "x"), (2, "y")}
     assert out["page_1"].df.collect()[0]["q"] == "z"
+
+
+def test_load_pickle_requires_opt_in(spark, tmp_path):
+    """load_pickle (reference io/loaders.py:954-984): refuses without
+    allow_unsafe=True (unpickling executes code), round-trips a
+    self-produced pandas pickle when opted in."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pydi_spark.io import load_pickle
+
+    p = str(tmp_path / "df.pkl")
+    pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}).to_pickle(p)
+    with _pytest.raises(ValueError, match="allow_unsafe"):
+        load_pickle(spark, p, "d")
+    ds = load_pickle(spark, p, "d", allow_unsafe=True)
+    assert {tuple(r) for r in ds.df.collect()} == {(1, "x"), (2, "y")}
+    assert ds.provenance["reader"] == "pickle"
+    # non-DataFrame payloads are rejected
+    pd.to_pickle([1, 2, 3], p)
+    with _pytest.raises(TypeError):
+        load_pickle(spark, p, "d", allow_unsafe=True)
