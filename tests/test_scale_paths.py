@@ -66,3 +66,53 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_operators_total_on_empty_inputs(spark):
+    """Every core operator is TOTAL on empty inputs — returns an empty
+    frame instead of crashing (the contrastive_pairs(k=0) bug class).
+    Round-5 sweep: all 29 core ops passed; this pins the property."""
+    import pyspark.sql.functions as F
+
+    from pydi_spark.blocking import meta_blocking, progressive_pairs
+    from pydi_spark.clustering.connected_components import (
+        connected_components,
+    )
+    from pydi_spark.llmdata import (
+        bm25_scores,
+        brute_force_topk,
+        exact_duplicates,
+        exact_k_sample,
+        inverted_index,
+        mean_pool,
+        minhash_near_duplicates,
+        ngram_jaccard_duplicates,
+        pack_sequences,
+        quality_filter,
+        quantize_int8,
+        remove_repeated_spans,
+        select_token_budget,
+        simhash_near_duplicates,
+        tfidf_keywords,
+        vocabulary,
+        zipf_table,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    pairs = spark.createDataFrame([], "id1 string, id2 string")
+    assign = spark.createDataFrame([], "rid string, block_key string")
+    cases = [
+        exact_duplicates(docs), minhash_near_duplicates(docs),
+        simhash_near_duplicates(docs), ngram_jaccard_duplicates(docs),
+        vocabulary(docs), tfidf_keywords(docs), zipf_table(docs),
+        inverted_index(docs), bm25_scores(docs, ["x"]),
+        quality_filter(docs), remove_repeated_spans(docs),
+        select_token_budget(docs, 100), pack_sequences(docs, 64),
+        exact_k_sample(docs.select("doc_id"), 5, key_col="doc_id"),
+        mean_pool(emb, "label"), quantize_int8(emb),
+        brute_force_topk(emb, emb, k=3), connected_components(pairs),
+        meta_blocking(assign), progressive_pairs(assign, 10),
+    ]
+    for df in cases:
+        assert df.count() == 0
