@@ -4607,6 +4607,23 @@ def q_io_pickle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/RefinedWeb cleanup cascade as ONE composition (round-5;
+    llmdata.corpus_cleanup): blocklist gate -> exact dedup -> SimHash
+    near-dup keep-min, returning the per-stage attrition report. The
+    id_digest (bit-XOR of 60-bit md5-prefix id hashes — order-free,
+    overflow-free, bigint in both engines) pins WHICH documents
+    survive each stage, so the oracle checks set identity, not just
+    counts."""
+    from pydi_spark.llmdata import corpus_cleanup
+
+    docs = _t(spark, sf_dir, "documents")
+    _clean, report = corpus_cleanup(
+        docs, ["error", "slow", "skew"], max_hamming=3
+    )
+    return report
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4692,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_remove": q_text_span_remove,
         "blocking_progressive": q_blocking_progressive,
         "io_pickle_roundtrip": q_io_pickle_roundtrip,
+        "text_corpus_cleanup": q_text_corpus_cleanup,
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
@@ -7582,6 +7600,55 @@ SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
        CAST(n_regionkey AS INT) AS n_regionkey
 FROM nation
 """
+    # cascade stages replay the blocklist / exact / simhash-CC SQL;
+    # restricting the full simhash pair set to stage-2 survivors is
+    # exact (fingerprints are per-document). id_digest = bit_xor of
+    # the h60 id hashes — BIGINT on both engines (never a sum).
+    out["text_corpus_cleanup"] = """
+WITH RECURSIVE s0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+),
+hh AS (
+  SELECT id, ((strpos('0123456789abcdef', substr(md5h,1,1))-1)*72057594037927936 + (strpos('0123456789abcdef', substr(md5h,2,1))-1)*4503599627370496 + (strpos('0123456789abcdef', substr(md5h,3,1))-1)*281474976710656 + (strpos('0123456789abcdef', substr(md5h,4,1))-1)*17592186044416 + (strpos('0123456789abcdef', substr(md5h,5,1))-1)*1099511627776 + (strpos('0123456789abcdef', substr(md5h,6,1))-1)*68719476736 + (strpos('0123456789abcdef', substr(md5h,7,1))-1)*4294967296 + (strpos('0123456789abcdef', substr(md5h,8,1))-1)*268435456 + (strpos('0123456789abcdef', substr(md5h,9,1))-1)*16777216 + (strpos('0123456789abcdef', substr(md5h,10,1))-1)*1048576 + (strpos('0123456789abcdef', substr(md5h,11,1))-1)*65536 + (strpos('0123456789abcdef', substr(md5h,12,1))-1)*4096 + (strpos('0123456789abcdef', substr(md5h,13,1))-1)*256 + (strpos('0123456789abcdef', substr(md5h,14,1))-1)*16 + (strpos('0123456789abcdef', substr(md5h,15,1))-1)*1) AS h60
+  FROM (SELECT id, substr(md5(id), 1, 15) AS md5h FROM s0)
+),
+s1 AS (
+  SELECT id, text FROM s0
+  WHERE len(list_intersect(list_distinct({TOK}),
+                           ['error', 'skew', 'slow'])) = 0
+),
+s2 AS (
+  SELECT id, text FROM (
+    SELECT id, text, min(id) OVER (PARTITION BY md5(text)) AS m FROM s1
+  ) WHERE id = m
+),
+pr AS (
+  SELECT p.id1, p.id2 FROM ({SIMHASH}) p
+  JOIN s2 a ON a.id = p.id1 JOIN s2 b ON b.id = p.id2
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pr
+        UNION ALL SELECT id2, id1 FROM pr),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+s3 AS (
+  SELECT s2.id, s2.text FROM s2
+  LEFT JOIN comp c ON c.id = s2.id
+  WHERE c.id IS NULL OR c.cluster_id = s2.id
+)
+SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_docs,
+       bit_xor(h60) AS id_digest FROM s0 JOIN hh USING (id)
+UNION ALL
+SELECT 1, 'blocklist', count(*), bit_xor(h60) FROM s1 JOIN hh USING (id)
+UNION ALL
+SELECT 2, 'exact_dedup', count(*), bit_xor(h60) FROM s2 JOIN hh USING (id)
+UNION ALL
+SELECT 3, 'near_dedup', count(*), bit_xor(h60) FROM s3 JOIN hh USING (id)
+""".replace("{TOK}", _TOK_SQL.format(col="text")).replace(
+        "{SIMHASH}", _simhash_sql(3))
     out["io_excel_roundtrip"] = """
 SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

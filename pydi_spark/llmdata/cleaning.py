@@ -318,3 +318,86 @@ def cross_source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def corpus_cleanup(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The C4/RefinedWeb-shaped cleanup CASCADE as one composition:
+    blocklist gate -> exact dedup (min-string-id canonical) -> SimHash
+    near-dup dedup (connected-component keep-min) — with a per-stage
+    attrition report, the artifact a data curator actually reviews.
+
+    Returns ``(clean_docs, report)``:
+      - ``clean_docs``: [id, text] — the surviving corpus;
+      - ``report``: [stage, stage_name, n_docs, id_digest] — one row
+        per stage (0=input, 1=blocklist, 2=exact_dedup, 3=near_dedup)
+        where ``id_digest`` is the bit-XOR of the survivors' 60-bit
+        md5-prefix id hashes: an order-free, overflow-free set digest
+        that pins WHICH documents survive, not just how many (two
+        different survivor sets of equal size collide with
+        probability ~2^-60).
+
+    Composition is sound because each stage's decision depends only on
+    per-document state (blocklist tokens, content hash, SimHash
+    fingerprint) — the SimHash pair set of a SUBSET equals the full
+    pair set restricted to that subset, so stage order is semantics,
+    not an approximation. Each stage's survivor frame is
+    localCheckpoint'ed: it feeds both the next stage and the report
+    aggregate, and the cascade's lineage would otherwise re-run the
+    tokenize scans once per consumer.
+    """
+    from pydi_spark.clustering.connected_components import (
+        connected_components,
+    )
+    from pydi_spark.llmdata.dedup import (
+        _token_hash60,
+        simhash_near_duplicates,
+    )
+    from pydi_spark.llmdata.textstats import blocklist_filter
+
+    s0 = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    # stage 1: blocklist gate
+    keep1 = blocklist_filter(
+        df, blocklist, text_col=text_col, id_col=id_col, mode="token"
+    ).where(F.col("keep") == 1).select("id")
+    s1 = s0.join(keep1, "id", "left_semi").localCheckpoint(eager=True)
+    # stage 2: exact dedup — min string id per content hash survives
+    canon = s1.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("id").alias("id")
+    )
+    s2 = s1.join(canon.select("id"), "id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    # stage 3: SimHash near-dup — CC keep-min among stage-2 survivors
+    pairs = simhash_near_duplicates(
+        s2, text_col="text", id_col="id", max_hamming=max_hamming
+    ).select("id1", "id2")
+    assign = connected_components(pairs)
+    dropped = assign.where(
+        F.col("record_id") != F.col("cluster_id")
+    ).select(F.col("record_id").alias("id"))
+    s3 = s2.join(dropped, "id", "left_anti").localCheckpoint(eager=True)
+
+    def stage_row(frame: DataFrame, stage: int, name: str) -> DataFrame:
+        return frame.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+            F.bit_xor(_token_hash60(F.col("id"))).alias("id_digest"),
+        ).select("stage", "stage_name", "n_docs", "id_digest")
+
+    report = (
+        stage_row(s0, 0, "input")
+        .unionByName(stage_row(s1, 1, "blocklist"))
+        .unionByName(stage_row(s2, 2, "exact_dedup"))
+        .unionByName(stage_row(s3, 3, "near_dedup"))
+    )
+    return s3, report

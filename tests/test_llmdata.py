@@ -1571,3 +1571,36 @@ def test_lsh_tuning_helpers():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         suggest_bands(0.05, 4, min_recall=0.99)
+
+
+def test_corpus_cleanup_cascade(spark):
+    """blocklist -> exact dedup -> near-dup dedup with per-stage
+    attrition report; id_digest pins the surviving id SET."""
+    from pydi_spark.llmdata import corpus_cleanup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    rows = [
+        (1, base),                                   # survives everything
+        (2, base),                                   # exact dup of 1
+        (3, base + " extra"),                        # near-dup of 1
+        (4, "totally different words about spark catalyst planning"),
+        (5, "contains the forbidden badword token here right now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, report = corpus_cleanup(df, ["badword"], max_hamming=6)
+    rep = {r["stage"]: r for r in report.collect()}
+    assert [rep[i]["stage_name"] for i in range(4)] == [
+        "input", "blocklist", "exact_dedup", "near_dedup"]
+    assert rep[0]["n_docs"] == 5
+    assert rep[1]["n_docs"] == 4          # doc 5 blocked
+    assert rep[2]["n_docs"] == 3          # doc 2 exact-deduped
+    survivors = {r["id"] for r in clean.collect()}
+    assert rep[3]["n_docs"] == len(survivors)
+    assert "1" in survivors and "4" in survivors
+    assert "2" not in survivors and "5" not in survivors
+    # digests differ between stages that differ, and the attrition is
+    # monotone non-increasing
+    counts = [rep[i]["n_docs"] for i in range(4)]
+    assert counts == sorted(counts, reverse=True)
+    assert rep[0]["id_digest"] != rep[1]["id_digest"]
