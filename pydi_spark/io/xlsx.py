@@ -48,7 +48,8 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 # _x005F_. Decode is a single left-to-right pass, so the protected
 # sequence "_x005F_x0041_" round-trips to the literal "_x0041_".
 _ILLEGAL_XML = re.compile(
-    "[\x00-\x08\x0b\x0c\x0d\x0e-\x1f\x7f￾￿]"
+    "[\x00-\x08\x0b\x0c\x0d\x0e-\x1f\x7f"
+    "\ud800-\udfff\ufffe\uffff]"
 )
 _ESC_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
 

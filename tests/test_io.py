@@ -250,3 +250,15 @@ def test_load_pickle_requires_opt_in(spark, tmp_path):
     pd.to_pickle([1, 2, 3], p)
     with _pytest.raises(TypeError):
         load_pickle(spark, p, "d", allow_unsafe=True)
+
+
+def test_xlsx_escapes_surrogates_and_noncharacters(tmp_path):
+    """Lone surrogates and U+FFFE/FFFF can't be UTF-8-encoded or carried
+    in XML — they must ride the _xHHHH_ escape like control chars."""
+    from pydi_spark.io.xlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "t.xlsx")
+    evil = "a\ud800b￾c\x07d\udfff"
+    write_xlsx(p, {"s": (["v"], [[evil]])})
+    cols, rows = read_xlsx(p)["s"]
+    assert rows[0][0] == evil
