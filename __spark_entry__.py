@@ -4624,6 +4624,20 @@ def q_text_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH banding S-curve (round-5; llmdata.lsh_recall_probe):
+    exact all-pairs Jaccard vs band-candidate status on a deterministic
+    100-doc md5-ordered sample, bucketed by Jaccard decile. recall_ppm
+    is an exact integer division; the jaccard doubles are identical
+    expression trees on both engines, so floor(j*10) buckets match
+    bit-for-bit. The sample cross join is k^2 by design (plan_audit
+    allowance) — never corpus-sized."""
+    from pydi_spark.llmdata import lsh_recall_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_recall_probe(docs, sample_k=100, num_hashes=16, bands=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4710,6 +4724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_progressive": q_blocking_progressive,
         "io_pickle_roundtrip": q_io_pickle_roundtrip,
         "text_corpus_cleanup": q_text_corpus_cleanup,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "schema_label_based": q_schema_label_based,
         "streaming_windowed": q_streaming_windowed,
         "extract_rules": q_extract_rules,
@@ -7649,6 +7664,60 @@ UNION ALL
 SELECT 3, 'near_dedup', count(*), bit_xor(h60) FROM s3 JOIN hh USING (id)
 """.replace("{TOK}", _TOK_SQL.format(col="text")).replace(
         "{SIMHASH}", _simhash_sql(3))
+    # empirical S-curve probe: md5-ordered 100-doc sample, exhaustive
+    # pair ground truth, band-overlap candidacy; integer recall_ppm
+    out["dedup_lsh_recall"] = """
+WITH samp AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+  LIMIT 100
+),
+tok_rows AS (
+  SELECT id, unnest(list_distinct({TOK})) AS tok FROM samp
+),
+th_rows AS (
+  SELECT id, tok, ((strpos('0123456789abcdef', substr(md5h,1,1))-1)*72057594037927936 + (strpos('0123456789abcdef', substr(md5h,2,1))-1)*4503599627370496 + (strpos('0123456789abcdef', substr(md5h,3,1))-1)*281474976710656 + (strpos('0123456789abcdef', substr(md5h,4,1))-1)*17592186044416 + (strpos('0123456789abcdef', substr(md5h,5,1))-1)*1099511627776 + (strpos('0123456789abcdef', substr(md5h,6,1))-1)*68719476736 + (strpos('0123456789abcdef', substr(md5h,7,1))-1)*4294967296 + (strpos('0123456789abcdef', substr(md5h,8,1))-1)*268435456 + (strpos('0123456789abcdef', substr(md5h,9,1))-1)*16777216 + (strpos('0123456789abcdef', substr(md5h,10,1))-1)*1048576 + (strpos('0123456789abcdef', substr(md5h,11,1))-1)*65536 + (strpos('0123456789abcdef', substr(md5h,12,1))-1)*4096 + (strpos('0123456789abcdef', substr(md5h,13,1))-1)*256 + (strpos('0123456789abcdef', substr(md5h,14,1))-1)*16 + (strpos('0123456789abcdef', substr(md5h,15,1))-1)*1) AS th
+  FROM (SELECT id, tok, md5(tok) AS md5h FROM tok_rows)
+),
+sigs AS (
+  SELECT id, min(md5('0:' || tok)) AS s0,
+    min(md5('1:' || tok)) AS s1,
+    min(md5('2:' || tok)) AS s2,
+    min(md5('3:' || tok)) AS s3,
+    min(md5('4:' || tok)) AS s4,
+    min(md5('5:' || tok)) AS s5,
+    min(md5('6:' || tok)) AS s6,
+    min(md5('7:' || tok)) AS s7,
+    min(md5('8:' || tok)) AS s8,
+    min(md5('9:' || tok)) AS s9,
+    min(md5('10:' || tok)) AS s10,
+    min(md5('11:' || tok)) AS s11,
+    min(md5('12:' || tok)) AS s12,
+    min(md5('13:' || tok)) AS s13,
+    min(md5('14:' || tok)) AS s14,
+    min(md5('15:' || tok)) AS s15, list_distinct(list(th)) AS tok_set
+  FROM th_rows GROUP BY id
+),
+bands AS (
+  SELECT id, tok_set, [b0, b1, b2, b3] AS bk
+  FROM (SELECT id, tok_set, '0:' || md5(s0 || ',' || s1 || ',' || s2 || ',' || s3) AS b0, '1:' || md5(s4 || ',' || s5 || ',' || s6 || ',' || s7) AS b1, '2:' || md5(s8 || ',' || s9 || ',' || s10 || ',' || s11) AS b2, '3:' || md5(s12 || ',' || s13 || ',' || s14 || ',' || s15) AS b3 FROM sigs)
+),
+pairs AS (
+  SELECT CAST(floor((CASE
+           WHEN len(a.tok_set) + len(b.tok_set)
+                - len(list_intersect(a.tok_set, b.tok_set)) > 0
+           THEN len(list_intersect(a.tok_set, b.tok_set))::DOUBLE
+                / (len(a.tok_set)::DOUBLE + len(b.tok_set)::DOUBLE
+                   - len(list_intersect(a.tok_set, b.tok_set))::DOUBLE)
+           ELSE 1.0 END) * 10.0) AS INT) AS bucket,
+         CAST(len(list_intersect(a.bk, b.bk)) > 0 AS INT) AS cand
+  FROM bands a JOIN bands b ON a.id < b.id
+)
+SELECT bucket, count(*) AS n_pairs,
+       CAST(sum(cand) AS BIGINT) AS n_candidates,
+       (1000000 * CAST(sum(cand) AS BIGINT)) // count(*) AS recall_ppm
+FROM pairs GROUP BY bucket
+""".replace("{TOK}", _TOK_SQL.format(col="text"))
     out["io_excel_roundtrip"] = """
 SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -815,3 +815,63 @@ def suggest_bands(
         f"no banding of {num_hashes} hashes reaches recall "
         f"{min_recall} at jaccard {threshold}; increase num_hashes"
     )
+
+
+def lsh_recall_probe(
+    df: DataFrame,
+    sample_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """EMPIRICAL banding S-curve: on a deterministic md5-ordered sample
+    of ``sample_k`` documents, compute exact all-pairs token Jaccard
+    and whether each pair would be an LSH band candidate, bucketed by
+    Jaccard decile — the measured counterpart of
+    :func:`lsh_candidate_probability`'s theory curve. Run this before
+    committing a (num_hashes, bands) choice to a full-corpus pass: the
+    theory assumes idealized min-wise hashing; the probe shows what
+    THIS corpus' token distributions actually get.
+
+    Output: [bucket, n_pairs, n_candidates, recall_ppm] where bucket =
+    floor(jaccard*10) (10 = exact duplicates) and recall_ppm is the
+    exact integer (1e6 * candidates) div pairs.
+
+    Scale: everything after the sort+limit sample is sample-sized —
+    the all-pairs cross join is k^2/2 rows by design (k defaults to
+    100 -> 4,950 pairs), never corpus-sized.
+    """
+    sample = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+    ).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string")) \
+     .limit(int(sample_k))
+    st = minhash_signature_table(
+        sample, text_col="text", id_col="id", num_hashes=num_hashes
+    ).withColumn(
+        "bk", F.array(*_band_key_cols(num_hashes, bands))
+    ).localCheckpoint(eager=True)
+    a = st.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"),
+                  F.col("bk").alias("bk1"))
+    b = st.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"),
+                  F.col("bk").alias("bk2"))
+    pairs = (
+        a.crossJoin(b)  # sample-sized by construction (k^2)
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            F.floor(
+                token_set_jaccard(F.col("toks1"), F.col("toks2")) * 10.0
+            ).cast("int").alias("bucket"),
+            F.arrays_overlap(F.col("bk1"), F.col("bk2"))
+            .cast("int").alias("cand"),
+        )
+    )
+    out = pairs.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("cand").alias("n_candidates"),
+    )
+    return out.select(
+        "bucket", "n_pairs", "n_candidates",
+        F.expr("(1000000 * n_candidates) div n_pairs").alias("recall_ppm"),
+    )

@@ -74,7 +74,8 @@ def test_driver_window_arithmetic():
     # claim a window slot (the 50 slots are full) — rotate into the
     # r6 window; keep this in sync when adding queries past 50.
     rotation_queue = {"text_span_remove", "blocking_progressive",
-                      "io_pickle_roundtrip", "text_corpus_cleanup"}
+                      "io_pickle_roundtrip", "text_corpus_cleanup",
+                      "dedup_lsh_recall"}
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"

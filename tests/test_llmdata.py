@@ -1604,3 +1604,24 @@ def test_corpus_cleanup_cascade(spark):
     counts = [rep[i]["n_docs"] for i in range(4)]
     assert counts == sorted(counts, reverse=True)
     assert rep[0]["id_digest"] != rep[1]["id_digest"]
+
+
+def test_lsh_recall_probe_scurve(spark):
+    """Empirical S-curve sanity: recall is (weakly) monotone in the
+    jaccard bucket at the top end — exact duplicates share all bands,
+    disjoint docs share none."""
+    from pydi_spark.llmdata import lsh_recall_probe
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = ([(i, base) for i in range(4)]                 # exact dups
+            + [(10 + i, f"unique{i} words{i} only{i} here{i}")
+               for i in range(8)])                        # disjoint
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in lsh_recall_probe(
+        df, sample_k=12, num_hashes=8, bands=4).collect()}
+    # identical docs -> bucket 10, every pair a candidate
+    assert out[10]["recall_ppm"] == 1000000
+    # disjoint docs -> bucket 0, (near-)zero candidates
+    assert out[0]["recall_ppm"] <= 10000
+    for b in out.values():
+        assert b["n_candidates"] <= b["n_pairs"]

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # query -> patterns that are intended there (with reasons, for the reader)
 ALLOWED = {
     "blocking_cross": {"cartesian", "nested_loop"},  # NoBlocker IS the cartesian op
+    # k-doc sample all-pairs by design (k=100 -> 4,950 pairs) — the
+    # empirical S-curve needs exhaustive ground truth on the sample
+    "dedup_lsh_recall": {"cartesian", "nested_loop"},
     "ann_topk": {"nested_loop"},          # broadcast query-side brute force
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
