@@ -34,15 +34,30 @@ class _TableParser(HTMLParser):
             self._cell_tag = tag
             self._cell_text = []
 
+    def _flush_cell(self) -> None:
+        # Mis-nested markup (e.g. ``<td>x</tr></td>``) can close a row
+        # while a cell is still open; flush the cell into whatever row
+        # is current (or drop it) so no end-tag ever touches a None row.
+        if self._cell_tag is not None:
+            if self._row is not None:
+                self._row.append(
+                    (self._cell_tag, "".join(self._cell_text).strip())
+                )
+            self._cell_tag = None
+
     def handle_endtag(self, tag):
         if tag in ("td", "th") and self._cell_tag:
-            self._row.append((self._cell_tag, "".join(self._cell_text).strip()))
-            self._cell_tag = None
-        elif tag == "tr" and self._row is not None:
+            self._flush_cell()
+        elif tag == "tr" and self._rows is not None:
+            self._flush_cell()
             if self._row:
                 self._rows.append(self._row)
             self._row = None
         elif tag == "table" and self._rows is not None:
+            self._flush_cell()
+            if self._row:
+                self._rows.append(self._row)
+            self._row = None
             self.tables.append(self._rows)
             self._rows = None
 

@@ -15,6 +15,7 @@ loader surface works in both environments.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 import xml.etree.ElementTree as ET
@@ -94,7 +95,8 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list[Any]]]]) 
         for i in range(len(sheet_names))
     )
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(sheet_names)
     )
     workbook = (
@@ -141,6 +143,12 @@ def _sheet_xml(all_rows: list[list[Any]]) -> str:
             if isinstance(v, bool):
                 cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
             elif isinstance(v, (int, float)):
+                # Excel's number model has no NaN/inf — repr() would
+                # emit invalid SpreadsheetML that openpyxl rejects.
+                # Write non-finite floats as empty cells (pandas'
+                # to_excel convention): they read back as None.
+                if isinstance(v, float) and not math.isfinite(v):
+                    continue
                 cells.append(f'<c r="{ref}"><v>{v!r}</v></c>')
             else:
                 cells.append(

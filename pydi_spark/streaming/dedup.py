@@ -399,13 +399,23 @@ def compact_signature_store(spark, store_path: str) -> int:
     rewrite commits, and the localCheckpoint blocks backing the rewrite
     are not fault-tolerant, so a lost executor mid-write would truncate
     the store. The old store directory survives (as ``*_old``) until
-    the swap has fully succeeded."""
+    the swap has fully succeeded.
+
+    Local filesystems only: the swap uses ``os.rename``, which does not
+    exist on HDFS/S3 — object-store deployments should compact into a
+    new prefix and flip a pointer instead."""
     import os
     import shutil
 
     base = store_path.rstrip("/")
     staging = base + "_compacting"
     backup = base + "_old"
+    # Crash recovery (round-5 ADVICE): a crash between the two renames
+    # below leaves ``base`` missing while ``backup`` holds the only
+    # surviving copy — restore it BEFORE clearing staging/backup, or
+    # the cleanup would delete every copy and the read would fail.
+    if not os.path.exists(base) and os.path.exists(backup):
+        os.rename(backup, base)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
     compacted = spark.read.parquet(store_path).dropDuplicates(["id"])

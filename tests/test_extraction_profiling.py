@@ -511,3 +511,31 @@ def test_streaming_health_snapshot(spark, tmp_path):
     assert h["dropped_late_rows"] == 0
     assert isinstance(h["behind"], bool)
     q.stop()
+
+
+def test_compact_signature_store_recovers_interrupted_swap(spark, tmp_path):
+    """Round-5 ADVICE: a crash between os.rename(base, backup) and
+    os.rename(staging, base) leaves base missing — the next invocation
+    must restore the backup BEFORE clearing staging/backup, not delete
+    the only surviving copies."""
+    import os
+    import shutil
+
+    from pydi_spark.streaming import compact_signature_store
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "id string, sig string"
+    )
+    df.write.parquet(store)
+    # simulate the crash window: base renamed away, staging half-written
+    os.rename(store, store + "_old")
+    os.makedirs(store + "_compacting")
+    with open(os.path.join(store + "_compacting", "junk"), "w") as f:
+        f.write("partial")
+    n = compact_signature_store(spark, store)
+    assert n == 2
+    assert spark.read.parquet(store).count() == 2
+    assert not os.path.exists(store + "_old")
+    assert not os.path.exists(store + "_compacting")
+    shutil.rmtree(store, ignore_errors=True)

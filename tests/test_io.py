@@ -262,3 +262,54 @@ def test_xlsx_escapes_surrogates_and_noncharacters(tmp_path):
     write_xlsx(p, {"s": (["v"], [[evil]])})
     cols, rows = read_xlsx(p)["s"]
     assert rows[0][0] == evil
+
+
+def test_xlsx_sheet_name_with_quote_parses(tmp_path):
+    """Round-5 ADVICE: a double quote in a sheet name must be escaped
+    in workbook.xml's name="..." attribute — saxutils.escape alone
+    leaves it raw and every subsequent read fails to parse."""
+    from pydi_spark.io.xlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "q.xlsx")
+    name = 'he said "hi" & <left'
+    write_xlsx(p, {name: (["v"], [[1]])})
+    got = read_xlsx(p)
+    assert set(got) == {name}
+    assert got[name][1] == [[1]]
+
+
+def test_xlsx_nonfinite_floats_write_empty_cells(tmp_path):
+    """Round-5 ADVICE: Excel has no numeric NaN/inf — repr() emitted
+    '<v>nan</v>', invalid SpreadsheetML. Non-finite floats now write
+    as empty cells (pandas to_excel convention) and read back None;
+    the worksheet XML must stay parseable and free of nan/inf tokens."""
+    import math
+    import zipfile
+
+    from pydi_spark.io.xlsx import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "nf.xlsx")
+    write_xlsx(p, {"s": (["a", "b"], [
+        [float("nan"), 1.5],
+        [float("inf"), float("-inf")],
+    ])})
+    with zipfile.ZipFile(p) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert "nan" not in xml and "inf" not in xml
+    cols, rows = read_xlsx(p)["s"]
+    assert rows == [[None, 1.5], [None, None]]
+
+
+def test_html_parser_misnested_markup_does_not_crash():
+    """Round-5 ADVICE: '</tr>' closing while a cell is open left
+    _row=None and the trailing '</td>' crashed on None.append. The
+    open cell must flush into the current row instead."""
+    from pydi_spark.io.htmltables import read_html_tables
+
+    tables = read_html_tables("<table><tr><td>x</tr></td></table>")
+    assert tables == [(["c0"], [["x"]])]
+    # cell still open when the table itself closes
+    tables = read_html_tables("<table><tr><td>y</table>")
+    assert tables == [(["c0"], [["y"]])]
+    # stray close tags with no open row at all
+    assert read_html_tables("</td></tr></table>x") == []
