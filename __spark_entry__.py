@@ -4641,54 +4641,98 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
-    # arithmetic). Round-5 window:
-    #   1-7   the seven r04-red text queries. Root cause found this
-    #         round: their oracles' output sums were UNCAST -> DuckDB
-    #         HUGEINT -> pandas float64, and the driver's hasher is
-    #         dtype-class-sensitive (the r03 "shape" theory was wrong;
-    #         both canaries said so in r04). All seven now CAST the
-    #         sums AS BIGINT — nothing else changed. Expected green.
-    #   8-12, 17-33  the 22 never-driver-checked session-3 queries
-    #         (the full NOTES.md round-5 rotation queue).
-    #   13-14 the two r04 hasher canaries (safe=green, risky was
-    #         EXPECTED red but came back green in r04 — the driver
-    #         hasher tolerates raw bools/newlines/quotes; kept for
-    #         drift detection, still exempt from hash-safety).
-    #   15-16 round-5 probes: canary_hugeint (deliberate uncast-sum
-    #         oracle, expected RED — confirms the root cause at the
-    #         driver) and probe_corpus_echo (pinned corpus checksums,
-    #         expected GREEN unless the driver regenerated testdata).
-    #   34-50 round-5 NEW queries as they land, padded with
+    # arithmetic). Round-6 window:
+    #   1-9   the NINE queries with no driver row anywhere in r01-r05:
+    #         the round-5 rotation queue (text_span_remove,
+    #         blocking_progressive, io_pickle_roundtrip,
+    #         text_corpus_cleanup, dedup_lsh_recall) plus the four that
+    #         fell through every rotation (fusion_debug,
+    #         profile_compare, tpch_cube, tpch_pivot — VERDICT r5 #1).
+    #   10-12 re-checks for queries whose code changes this round:
+    #         units_convert/units_normalize (unit table broadened to
+    #         the reference's 18 categories) and dedup_incremental
+    #         (perf work, VERDICT r5 #3).
+    #   13-16 canaries + probes at their pinned positions:
+    #         canary_hash_safe/risky (both green r04-r05 — driver
+    #         tolerates those classes; kept for drift detection),
+    #         canary_hugeint (expected RED by design — r5 confirmed
+    #         the HUGEINT->float64 driver-hasher mechanism; decision:
+    #         one more confirming round here, demote in r7 — NOTES),
+    #         probe_corpus_echo (RED means testdata regenerated).
+    #   17-50 round-6 NEW queries as they land, padded with
     #         twice-green continuity representatives.
-    # Everything past 50 has >= 1 green driver row in r01-r04 and
+    # Everything past 50 has >= 1 green driver row in r01-r05 and
     # stays under the local gate (tools/check_oracle.py).
     return {
-        # -- window 1-7: r04 reds, oracle sums re-cast BIGINT
-        "text_clean": q_text_clean,
-        "text_clean_multiline": q_text_clean_multiline,
-        "text_vocabulary": q_text_vocabulary,
-        "text_budget_select": q_text_budget_select,
-        "text_inverted_index": q_text_inverted_index,
-        "text_lm_score": q_text_lm_score,
-        "text_line_dedup": q_text_line_dedup,
-        # -- window 8-12: rotation queue (session-3, first check)
-        "text_search_hybrid": q_text_search_hybrid,
-        "text_bpe_segment": q_text_bpe_segment,
+        # -- window 1-9: first driver check (never checked r01-r05)
+        "text_span_remove": q_text_span_remove,
+        "blocking_progressive": q_blocking_progressive,
+        "io_pickle_roundtrip": q_io_pickle_roundtrip,
+        "text_corpus_cleanup": q_text_corpus_cleanup,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "fusion_debug": q_fusion_debug,
+        "profile_compare": q_profile_compare,
+        "tpch_cube": q_tpch_cube,
+        "tpch_pivot": q_tpch_pivot,
+        # -- window 10-12: re-checks (code changed this round)
+        "units_convert": q_units_convert,
+        "units_normalize": q_units_normalize,
         "dedup_incremental": q_dedup_incremental,
-        "sample_exact_k": q_sample_exact_k,
-        "profile_key_skew": q_profile_key_skew,
-        # -- window 13-16: canaries + round-5 probes
+        # -- window 13-16: canaries + probes (pinned positions)
         "canary_hash_safe": q_canary_hash_safe,
         "canary_hash_risky": q_canary_hash_risky,
         "canary_hugeint": q_canary_hugeint,
         "probe_corpus_echo": q_probe_corpus_echo,
-        # -- window 17-33: rotation queue (session-3, first check)
+        # -- window 17-50: r6 new queries + continuity reps
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "blocking_standard": q_blocking_standard,
+        "blocking_token": q_blocking_token,
+        "match_rule_based": q_match_rule_based,
+        "cluster_cc_distributed": q_cluster_cc_distributed,
+        "fusion_selection": q_fusion_selection,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "ann_topk": q_ann_topk,
+        "eval_matching": q_eval_matching,
+        "normalize_parsers": q_normalize_parsers,
+        "type_detection": q_type_detection,
+        "profile_summary": q_profile_summary,
+        "io_excel_roundtrip": q_io_excel_roundtrip,
+        "io_html_roundtrip": q_io_html_roundtrip,
+        "normalize_locale": q_normalize_locale,
+        "text_clean": q_text_clean,
+        "text_vocabulary": q_text_vocabulary,
+        "streaming_windowed": q_streaming_windowed,
+        "schema_label_based": q_schema_label_based,
+        "extract_rules": q_extract_rules,
+        "io_roundtrip": q_io_roundtrip,
+        "fusion_numeric": q_fusion_numeric,
+        "cluster_connected_components": q_cluster_connected_components,
+        "match_ml_linear": q_match_ml_linear,
+        "text_search_bm25": q_text_search_bm25,
+        "sample_dsir": q_sample_dsir,
+        "text_decontaminate": q_text_decontaminate,
+        "events_funnel": q_events_funnel,
+        # -- past the 50-entry window: all driver-green in r01-r05
+        "text_clean_multiline": q_text_clean_multiline,
+        "text_budget_select": q_text_budget_select,
+        "text_inverted_index": q_text_inverted_index,
+        "text_lm_score": q_text_lm_score,
+        "text_line_dedup": q_text_line_dedup,
+        "text_search_hybrid": q_text_search_hybrid,
+        "text_bpe_segment": q_text_bpe_segment,
+        "sample_exact_k": q_sample_exact_k,
+        "profile_key_skew": q_profile_key_skew,
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "text_rerank": q_text_rerank,
         "dedup_agreement": q_dedup_agreement,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
-        "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_json": q_events_json,
         "events_sessionize_batch": q_events_sessionize_batch,
@@ -4700,35 +4744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_contrastive": q_sample_contrastive,
         "match_uncertainty": q_match_uncertainty,
         "text_blocklist": q_text_blocklist,
-        # -- window 34-50: round-5 new queries + continuity reps
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "match_rule_based": q_match_rule_based,
-        "cluster_cc_distributed": q_cluster_cc_distributed,
-        "fusion_selection": q_fusion_selection,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "blocking_standard": q_blocking_standard,
-        "eval_matching": q_eval_matching,
-        "normalize_parsers": q_normalize_parsers,
-        "units_normalize": q_units_normalize,
-        "type_detection": q_type_detection,
-        "profile_summary": q_profile_summary,
-        "io_excel_roundtrip": q_io_excel_roundtrip,
-        "io_html_roundtrip": q_io_html_roundtrip,
-        "units_convert": q_units_convert,
-        "normalize_locale": q_normalize_locale,
-        # -- past the 50-entry window: all driver-green in r01-r04
-        # round-5 new operators — rotation queue for the r6 window
-        "text_span_remove": q_text_span_remove,
-        "blocking_progressive": q_blocking_progressive,
-        "io_pickle_roundtrip": q_io_pickle_roundtrip,
-        "text_corpus_cleanup": q_text_corpus_cleanup,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "schema_label_based": q_schema_label_based,
-        "streaming_windowed": q_streaming_windowed,
-        "extract_rules": q_extract_rules,
-        "io_roundtrip": q_io_roundtrip,
         "embed_quantize": q_embed_quantize,
         "embed_mean_pool": q_embed_mean_pool,
         "extract_code": q_extract_code,
@@ -4748,7 +4763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_text_format": q_match_text_format,
         "text_zipf": q_text_zipf,
         "text_contamination_matrix": q_text_contamination_matrix,
-        "sample_dsir": q_sample_dsir,
         "streaming_dedup": q_streaming_dedup,
         "embed_pq_encode": q_embed_pq_encode,
         "embed_pq_topk": q_embed_pq_topk,
@@ -4774,9 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding": q_dedup_embedding,
-        "text_search_bm25": q_text_search_bm25,
         "fusion_accuracy": q_fusion_accuracy,
-        "text_decontaminate": q_text_decontaminate,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "tpch_q7": q_tpch_q7,
@@ -4808,24 +4820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "match_plm_fake": q_match_plm_fake,
-        "cluster_connected_components": q_cluster_connected_components,
-        "blocking_token": q_blocking_token,
         "blocking_sorted_neighbourhood": q_blocking_snb,
         "blocking_cross": q_blocking_cross,
         "cluster_stable_matching": q_cluster_stable_matching,
-        "fusion_numeric": q_fusion_numeric,
-        "fusion_debug": q_fusion_debug,
         "fusion_trust": q_fusion_trust,
         "fusion_lists": q_fusion_lists,
         "eval_blocking": q_eval_blocking,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
-        "ann_topk": q_ann_topk,
-        "profile_compare": q_profile_compare,
         "match_date_numeric": q_match_date_numeric,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_canonical": q_dedup_canonical,
         "normalize_transforms": q_normalize_transforms,
         "validators_quality": q_validators_quality,
@@ -4837,15 +4839,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "eval_threshold_sweep": q_eval_threshold_sweep,
         "tpch_rollup": q_tpch_rollup,
-        "tpch_cube": q_tpch_cube,
-        "tpch_pivot": q_tpch_pivot,
         "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
         "cluster_centre": q_cluster_centre,
         "cluster_hierarchical": q_cluster_hierarchical,
         "cluster_consistency": q_cluster_consistency,
         "cluster_size_dist": q_cluster_size_dist,
         "schema_instance_based": q_schema_instance_based,
-        "match_ml_linear": q_match_ml_linear,
     }
 
 

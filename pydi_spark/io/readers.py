@@ -13,8 +13,10 @@ Spark-first mapping:
 - Driver-only formats the reference supports (excel/html/feather) are
   loaded via pandas on the driver then parallelized; they are small-file
   formats by nature and clearly documented as such.
-- ``load_pickle`` is intentionally NOT provided (unsafe + single-node);
-  parquet round-trip replaces it.
+- ``load_pickle`` requires an explicit ``allow_unsafe=True`` opt-in
+  (unpickling executes arbitrary code); it loads a pandas pickle on the
+  driver and parallelizes it — a small-file interchange path, like
+  excel/html.
 """
 
 from __future__ import annotations

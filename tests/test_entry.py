@@ -38,47 +38,55 @@ def test_driver_window_arithmetic():
     names = list(entry.queries())
     window = names[:50]
     assert len(set(window)) == 50
-    # canaries at documented positions 13-14, round-5 probes at 15-16
+    # canaries at positions 13-14, probes at 15-16 (pinned since r4/r5)
     assert window[12] == "canary_hash_safe"
     assert window[13] == "canary_hash_risky"
     assert window[14] == "canary_hugeint"
     assert window[15] == "probe_corpus_echo"
-    # every query that has never had a green driver row must be inside
-    # the window: the 7 r04 reds (oracle sums re-cast to BIGINT this
-    # round — the HUGEINT->float64 driver-hasher root cause) + the 22
-    # rotated-in session-3 queries (the full NOTES.md round-5 rotation
-    # queue) + the round-5 probes
-    awaiting = {
-        # r04 reds, fix = CAST(sum AS BIGINT) in the oracles
-        "text_clean", "text_clean_multiline", "text_vocabulary",
-        "text_budget_select", "text_inverted_index", "text_lm_score",
-        "text_line_dedup",
-        # round-5 probes
-        "canary_hugeint", "probe_corpus_echo",
-        # round-5 new operators
-        "io_excel_roundtrip", "io_html_roundtrip", "units_convert",
-        "normalize_locale",
-        # session-3 rotation queue, fully rotated in this round
-        "text_search_hybrid", "text_bpe_segment", "dedup_incremental",
-        "sample_exact_k", "profile_key_skew", "io_orc_roundtrip",
-        "text_rerank", "dedup_agreement", "text_vocab_coverage",
-        "tpch_grouping_sets", "events_funnel", "events_retention",
-        "events_json", "events_sessionize_batch", "graph_pagerank",
-        "io_cdc_upsert", "text_bpe_fertility", "text_gram_duplication",
-        "sample_split_leakage_safe", "sample_contrastive",
-        "match_uncertainty", "text_blocklist",
-    }
-    outside = awaiting - set(window)
-    assert not outside, f"awaiting first driver check but past 50: {outside}"
-    # round-5 rotation queue: queries added this round that could not
-    # claim a window slot (the 50 slots are full) — rotate into the
-    # r6 window; keep this in sync when adding queries past 50.
-    rotation_queue = {"text_span_remove", "blocking_progressive",
-                      "io_pickle_roundtrip", "text_corpus_cleanup",
-                      "dedup_lsh_recall"}
+    # the NINE queries with no driver row anywhere in r01-r05 (VERDICT
+    # r5 #1: the round-5 rotation queue plus the four that fell through
+    # every earlier rotation) lead the r6 window
+    assert window[:9] == [
+        "text_span_remove", "blocking_progressive", "io_pickle_roundtrip",
+        "text_corpus_cleanup", "dedup_lsh_recall", "fusion_debug",
+        "profile_compare", "tpch_cube", "tpch_pivot",
+    ]
+    # re-checks for code changed this round sit in-window too
+    assert {"units_convert", "units_normalize",
+            "dedup_incremental"} <= set(window[:12])
+    # round-6 rotation queue: queries added past position 50 because
+    # the window is full — rotate into the NEXT round's window; keep
+    # in sync when adding queries.
+    rotation_queue = set()
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"
+
+
+def test_every_query_has_driver_row_or_awaits_one():
+    """VERDICT r5 #1: four contract queries silently never rotated into
+    any driver window r01-r05. Guard the invariant structurally: every
+    queries() name must either (a) have a recorded row in some
+    CORRECTNESS_r*.json, (b) sit inside the current 50-entry window
+    (awaiting its first check next round), or (c) be listed in the
+    rotation queue pinned above."""
+    import glob
+    import json
+    import os
+
+    names = list(entry.queries())
+    window = set(names[:50])
+    rotation_queue = set()  # keep in sync with the window test
+    repo = os.path.dirname(os.path.abspath(entry.__file__))
+    checked = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(path)))
+    assert checked, "no CORRECTNESS_r*.json found"
+    unaccounted = set(names) - checked - window - rotation_queue
+    assert not unaccounted, (
+        f"queries with no driver row, outside the window and the "
+        f"rotation queue: {sorted(unaccounted)}"
+    )
 
 
 def test_partition_independence_of_new_queries(spark):
