@@ -253,11 +253,21 @@ def incremental_minhash_dedup(
     should be appended to the store.
 
     Scale shape: the store is the big side (billions of signature rows
-    at 100 TB) and is touched by exactly TWO key-joins — band_key for
-    candidates and id for token-set re-attach; it is never broadcast
-    and never re-tokenized. The new batch is bounded (a crawl
-    increment), so ITS band table and token sets broadcast, and the
-    quadratic band fan-out is bounded by batch size x band collisions.
+    at 100 TB) and verification against it is INLINE at collision time
+    — the store's band table carries its token sets, the batch's band
+    table (bounded: a crawl increment) broadcasts WITH its token sets,
+    and the Jaccard check runs inside the single map-side broadcast
+    hash join. The store is therefore touched by exactly ONE
+    shuffle-free pass: no candidate-pair materialization, no pair
+    dropDuplicates exchange, no token re-attach join. A (new, old)
+    pair colliding in k bands is verified k (<= ``bands``) times — a
+    deliberate trade: re-running an O(|toks|) array intersect beats
+    shuffling the candidate-pair table (measured at sf0.1: the pair
+    dropDuplicates alone cost more than the whole inline plan, NOTES.md
+    round-6). Skew is a non-issue on this path — hot bands fan out
+    map-side inside the scan partitioning, never into an exchange.
+    The only batch-sized shuffles left are the distinct on matched ids
+    and the survivors' self-dedup.
     No reference counterpart (PyDI has no incremental surface);
     composes minhash_near_duplicates' audited primitives.
     """
@@ -266,59 +276,64 @@ def incremental_minhash_dedup(
         new_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
     band_cols = _band_key_cols(num_hashes, bands)
-    new_bands = new_sigs.select(
-        F.col("id").alias("new_id"), F.explode(F.array(*band_cols)).alias("band_key")
+    # both band tables carry their token sets so the Jaccard check runs
+    # inside the broadcast join itself — see the docstring trade-off
+    new_band_toks = new_sigs.select(
+        F.col("id").alias("new_id"),
+        F.col("toks").alias("toks_new"),
+        F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    # explicit width on the probe: the store band table is narrow, so
-    # AQE coalesces it to ~1 partition — and the quadratic band-join
-    # fan-out inherits that partitioning (the NOTES.md minhash lesson;
-    # unfixed this serialized the whole candidate stage, 11 s -> ~5 s
-    # at sf0.1)
-    store_bands = store_sigs.select(
-        F.col("id").alias("old_id"), F.explode(F.array(*band_cols)).alias("band_key")
-    ).repartition(parallelism, "band_key", "old_id")
-    # candidates: store side streams, batch band table broadcasts;
-    # repartition before dropDuplicates so the dedup aggregate AND the
-    # verify behind it run at full width (NOTES.md minhash lesson)
-    cross = (
-        store_bands.join(F.broadcast(new_bands), "band_key")
-        .select("new_id", "old_id")
-        .repartition(parallelism, "new_id", "old_id")
-        .dropDuplicates(["new_id", "old_id"])
+    store_band_toks = store_sigs.select(
+        F.col("id").alias("old_id"),
+        F.col("toks").alias("toks_old"),
+        F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    new_toks = new_sigs.select(F.col("id").alias("new_id"), F.col("toks").alias("toks_new"))
-    old_toks = store_sigs.select(F.col("id").alias("old_id"), F.col("toks").alias("toks_old"))
+    # the quadratic fan-out is map-side, so its width is the STORE's
+    # scan width. A production parquet store is already wide; a small /
+    # derived store can arrive AQE-coalesced to 1 partition, which
+    # serializes the whole verify (NOTES.md width lesson — measured
+    # 30 s single-threaded vs 2 s wide at sf0.1). Widen only when
+    # narrow: no-op at scale, round-robin (no key skew) when needed.
+    if store_sigs.rdd.getNumPartitions() < parallelism:
+        store_band_toks = store_band_toks.repartition(parallelism)
     matched = (
-        cross.join(old_toks, "old_id")  # big side: key-join, never broadcast
-        .join(F.broadcast(new_toks), "new_id")
-        .withColumn("jaccard", token_set_jaccard(F.col("toks_new"), F.col("toks_old")))
-        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        store_band_toks.join(F.broadcast(new_band_toks), "band_key")
+        .where(
+            token_set_jaccard(F.col("toks_new"), F.col("toks_old"))
+            >= F.lit(float(jaccard_threshold))
+        )
         .select(F.col("new_id").alias("id"))
-        .distinct()
+        .distinct()  # batch-sized: first (and only) store-path shuffle
+        .localCheckpoint(eager=True)
     )
-    # survivors dedup among themselves — batch-sized from here on
+    # survivors dedup among themselves — batch-sized from here on; the
+    # same inline-verify shape (both sides carry toks, one broadcast
+    # band join, Jaccard in the join filter) replaces the old
+    # candidates->dedup->re-attach chain and its three shuffles.
+    # Duplicate (id1, id2) edges from multi-band collisions are
+    # harmless: connected components is idempotent over repeated edges.
     surv = new_sigs.join(matched, "id", "left_anti").localCheckpoint(eager=True)
-    surv_bands = surv.select(
-        "id", F.explode(F.array(*band_cols)).alias("band_key")
+    sb1 = surv.select(
+        F.col("id").alias("id1"),
+        F.col("toks").alias("toks1"),
+        F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    l = surv_bands.select(F.col("id").alias("id1"), "band_key").repartition(
-        parallelism, "band_key", "id1"
+    if surv.rdd.getNumPartitions() < parallelism:
+        sb1 = sb1.repartition(parallelism)
+    sb2 = surv.select(
+        F.col("id").alias("id2"),
+        F.col("toks").alias("toks2"),
+        F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    r = surv_bands.select(F.col("id").alias("id2"), "band_key")
-    batch_cands = (
-        l.join(r, "band_key")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .repartition(parallelism, "id1", "id2")
-        .dropDuplicates(["id1", "id2"])
-    )
-    t1 = F.broadcast(surv.select(F.col("id").alias("id1"), F.col("toks").alias("toks1")))
-    t2 = F.broadcast(surv.select(F.col("id").alias("id2"), F.col("toks").alias("toks2")))
     batch_pairs = (
-        batch_cands.join(t1, "id1")
-        .join(t2, "id2")
-        .withColumn("jaccard", token_set_jaccard(F.col("toks1"), F.col("toks2")))
-        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        sb1.join(F.broadcast(sb2), "band_key")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (
+                token_set_jaccard(F.col("toks1"), F.col("toks2"))
+                >= F.lit(float(jaccard_threshold))
+            )
+        )
         .select("id1", "id2")
     )
     from pydi_spark.clustering.connected_components import connected_components
