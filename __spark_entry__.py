@@ -1045,13 +1045,25 @@ def q_units_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("string").alias("pk"),
         F.concat(F.col("p_size").cast("string"), F.lit(" cm")).alias("q_len"),
         F.concat(F.col("p_size").cast("string"), F.lit(" °F")).alias("q_temp"),
+        # round-6 unit-registry broadening (VERDICT r5 #4): one probe
+        # per new category — energy/pressure/angle, all value*factor
+        # single IEEE ops replayed literally by the oracle
+        F.concat(F.col("p_size").cast("string"), F.lit(" kWh")).alias("q_energy"),
+        F.concat(F.col("p_size").cast("string"), F.lit(" bar")).alias("q_press"),
+        F.concat(F.col("p_size").cast("string"), F.lit(" deg")).alias("q_angle"),
     )
     out = normalize_units(part, "q_len")
     out = normalize_units(out, "q_temp")
+    out = normalize_units(out, "q_energy")
+    out = normalize_units(out, "q_press")
+    out = normalize_units(out, "q_angle")
     return out.select(
         "pk",
         "q_len_value", "q_len_unit", "q_len_category",
         "q_temp_value", "q_temp_unit", "q_temp_category",
+        "q_energy_value", "q_energy_unit", "q_energy_category",
+        "q_press_value", "q_press_unit", "q_press_category",
+        "q_angle_value", "q_angle_unit", "q_angle_category",
     )
 
 
@@ -4485,14 +4497,18 @@ def q_units_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding."""
     from pydi_spark.normalization import convert_units
 
-    m = F.col("s_suppkey") % 5
+    m = F.col("s_suppkey") % 9
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("int").alias("key"),
         F.col("s_acctbal").alias("v"),
         F.when(m == 0, "km").when(m == 1, "kg").when(m == 2, "h")
-        .when(m == 3, "f").otherwise("km").alias("from_unit"),
+        .when(m == 3, "f").when(m == 4, "kwh").when(m == 5, "bar")
+        .when(m == 6, "n").when(m == 7, "deg").otherwise("km")
+        .alias("from_unit"),
         F.when(m == 0, "mi").when(m == 1, "lb").when(m == 2, "min")
-        .when(m == 3, "k").otherwise("kg").alias("to_unit"),
+        .when(m == 3, "k").when(m == 4, "j").when(m == 5, "psi")
+        .when(m == 6, "lbf").when(m == 7, "rad").otherwise("kg")
+        .alias("to_unit"),
     )
     out = convert_units(supp, "v", "from_unit", "to_unit")
     return out.select("key", "from_unit", "to_unit", "converted",
@@ -5774,7 +5790,16 @@ SELECT CAST(p_partkey AS VARCHAR) pk,
        'length' AS q_len_category,
        (p_size::DOUBLE - 32.0) * 5.0 / 9.0 AS q_temp_value,
        '°c' AS q_temp_unit,
-       'temperature' AS q_temp_category
+       'temperature' AS q_temp_category,
+       p_size::DOUBLE * 3600000.0 AS q_energy_value,
+       'j' AS q_energy_unit,
+       'energy' AS q_energy_category,
+       p_size::DOUBLE * 100000.0 AS q_press_value,
+       'pa' AS q_press_unit,
+       'pressure' AS q_press_category,
+       p_size::DOUBLE * 0.0174533 AS q_angle_value,
+       'rad' AS q_angle_unit,
+       'angle' AS q_angle_category
 FROM part
 """,
         "extract_rules": """
@@ -7731,20 +7756,26 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     out["units_convert"] = """
 WITH s AS (
   SELECT CAST(s_suppkey AS INT) AS key, s_acctbal AS v,
-         s_suppkey % 5 AS m
+         s_suppkey % 9 AS m
   FROM supplier
 )
 SELECT key,
        CASE m WHEN 0 THEN 'km' WHEN 1 THEN 'kg' WHEN 2 THEN 'h'
-              WHEN 3 THEN 'f' ELSE 'km' END AS from_unit,
+              WHEN 3 THEN 'f' WHEN 4 THEN 'kwh' WHEN 5 THEN 'bar'
+              WHEN 6 THEN 'n' WHEN 7 THEN 'deg' ELSE 'km' END AS from_unit,
        CASE m WHEN 0 THEN 'mi' WHEN 1 THEN 'lb' WHEN 2 THEN 'min'
-              WHEN 3 THEN 'k' ELSE 'kg' END AS to_unit,
+              WHEN 3 THEN 'k' WHEN 4 THEN 'j' WHEN 5 THEN 'psi'
+              WHEN 6 THEN 'lbf' WHEN 7 THEN 'rad' ELSE 'kg' END AS to_unit,
        CASE m WHEN 0 THEN v * 1000.0 / 1609.344
               WHEN 1 THEN v * 1.0 / 0.45359237
               WHEN 2 THEN v * 3600.0 / 60.0
               WHEN 3 THEN ((v - 32.0) * 5.0 / 9.0) + 273.15
+              WHEN 4 THEN v * 3600000.0 / 1.0
+              WHEN 5 THEN v * 100000.0 / 6895.0
+              WHEN 6 THEN v * 1.0 / 4.448222
+              WHEN 7 THEN v * 0.0174533 / 1.0
               ELSE NULL END AS converted,
-       CASE WHEN m = 4 THEN 0 ELSE 1 END AS converted_ok
+       CASE WHEN m = 8 THEN 0 ELSE 1 END AS converted_ok
 FROM s
 """
     out["normalize_locale"] = """

@@ -18,55 +18,187 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (alias, category, factor_to_base, base_unit); affine units handled below
-UNITS_TABLE: list[tuple[str, str, float, str]] = [
-    # length -> m
-    ("mm", "length", 0.001, "m"), ("cm", "length", 0.01, "m"),
-    ("m", "length", 1.0, "m"), ("km", "length", 1000.0, "m"),
-    ("in", "length", 0.0254, "m"), ("inch", "length", 0.0254, "m"),
-    ("ft", "length", 0.3048, "m"), ("feet", "length", 0.3048, "m"),
-    ("yd", "length", 0.9144, "m"), ("mi", "length", 1609.344, "m"),
-    ("mile", "length", 1609.344, "m"), ("miles", "length", 1609.344, "m"),
-    # mass -> kg
-    ("mg", "mass", 1e-6, "kg"), ("g", "mass", 0.001, "kg"),
-    ("kg", "mass", 1.0, "kg"), ("t", "mass", 1000.0, "kg"),
-    ("lb", "mass", 0.45359237, "kg"), ("lbs", "mass", 0.45359237, "kg"),
-    ("oz", "mass", 0.028349523125, "kg"),
-    # volume -> l
-    ("ml", "volume", 0.001, "l"), ("cl", "volume", 0.01, "l"),
-    ("l", "volume", 1.0, "l"), ("gal", "volume", 3.785411784, "l"),
-    # time -> s
-    ("ms", "time", 0.001, "s"), ("s", "time", 1.0, "s"),
-    ("sec", "time", 1.0, "s"), ("min", "time", 60.0, "s"),
-    ("h", "time", 3600.0, "s"), ("hr", "time", 3600.0, "s"),
-    ("d", "time", 86400.0, "s"), ("day", "time", 86400.0, "s"),
-    # speed -> m/s
-    ("m/s", "speed", 1.0, "m/s"), ("km/h", "speed", 1 / 3.6, "m/s"),
-    ("kmh", "speed", 1 / 3.6, "m/s"), ("mph", "speed", 0.44704, "m/s"),
-    ("kn", "speed", 0.514444, "m/s"),
-    # data -> b
-    ("b", "data", 1.0, "b"), ("kb", "data", 1e3, "b"),
-    ("mb", "data", 1e6, "b"), ("gb", "data", 1e9, "b"),
-    ("tb", "data", 1e12, "b"), ("kib", "data", 1024.0, "b"),
-    ("mib", "data", 1048576.0, "b"), ("gib", "data", 1073741824.0, "b"),
-    # frequency -> hz
-    ("hz", "frequency", 1.0, "hz"), ("khz", "frequency", 1e3, "hz"),
-    ("mhz", "frequency", 1e6, "hz"), ("ghz", "frequency", 1e9, "hz"),
-    # power -> w
-    ("w", "power", 1.0, "w"), ("kw", "power", 1e3, "w"),
-    ("mw", "power", 1e6, "w"), ("hp", "power", 745.699872, "w"),
-    # area -> m2
-    ("m2", "area", 1.0, "m2"), ("km2", "area", 1e6, "m2"),
-    ("ha", "area", 1e4, "m2"), ("acre", "area", 4046.8564224, "m2"),
-    ("sqft", "area", 0.09290304, "m2"),
-    # temperature (affine; factor unused)
-    ("°c", "temperature", 1.0, "°c"), ("c", "temperature", 1.0, "°c"),
-    ("celsius", "temperature", 1.0, "°c"),
-    ("°f", "temperature", 1.0, "°c"), ("f", "temperature", 1.0, "°c"),
-    ("fahrenheit", "temperature", 1.0, "°c"),
-    ("k", "temperature", 1.0, "°c"), ("kelvin", "temperature", 1.0, "°c"),
-    # currency-ish magnitudes excluded (not physical units)
+# Unit catalog, mirroring the reference's comprehensive registry
+# (units.py:105-345: 18 categories; symbol + full name + plural all
+# resolve). Each entry: (symbol, full_name_or_None, factor_to_base,
+# optional extra aliases). LEGACY symbols stay listed first within
+# their category and alias resolution is FIRST-WINS, so every alias
+# that was green under earlier oracles keeps its exact
+# (category, factor, base) — new rows only ever ADD aliases.
+_CATALOG: list[tuple[str, str, list[tuple]]] = [
+    ("length", "m", [
+        ("mm", "millimeter", 0.001), ("cm", "centimeter", 0.01),
+        ("m", "meter", 1.0), ("km", "kilometer", 1000.0),
+        ("in", "inch", 0.0254), ("ft", "foot", 0.3048, ("feet",)),
+        ("yd", "yard", 0.9144), ("mi", "mile", 1609.344),
+        ("dm", "decimeter", 0.1),
+        ("μm", "micrometer", 1e-6, ("um", "µm")),
+        ("nm", "nanometer", 1e-9), ("mil", None, 2.54e-5),
+        ("nmi", "nautical mile", 1852.0),
+        ("fathom", None, 1.8288, ("fathoms",)),
+        ("au", "astronomical unit", 149597870700.0),
+        ("ly", "light year", 9.461e15), ("pc", "parsec", 3.086e16),
+    ]),
+    ("mass", "kg", [
+        ("mg", "milligram", 1e-6), ("g", "gram", 0.001),
+        ("kg", "kilogram", 1.0),
+        ("t", "ton", 1000.0, ("tonne", "tonnes", "mt")),
+        ("lb", "pound", 0.45359237, ("lbs",)),
+        ("oz", "ounce", 0.028349523125),
+        ("st", "stone", 6.35029), ("cwt", "hundredweight", 50.8023),
+        ("ozt", "troy ounce", 0.0311035),
+        ("grain", None, 6.47989e-5, ("grains",)),
+        ("carat", None, 0.0002, ("carats", "ct")),
+    ]),
+    ("volume", "l", [
+        ("ml", "milliliter", 0.001), ("cl", "centiliter", 0.01),
+        ("l", "liter", 1.0), ("gal", "gallon", 3.785411784, ("us gal",)),
+        ("dl", "deciliter", 0.1), ("hl", "hectoliter", 100.0),
+        ("qt", "quart", 0.946353), ("pt", "pint", 0.473176),
+        ("cup", None, 0.236588, ("cups",)),
+        ("fl oz", "fluid ounce", 0.0284131),
+        ("tbsp", "tablespoon", 0.0147868), ("tsp", "teaspoon", 0.00492892),
+        ("m³", "cubic meter", 1000.0, ("m3",)),
+        ("cm³", "cubic centimeter", 0.001, ("cm3", "cc")),
+    ]),
+    ("time", "s", [
+        ("ms", "millisecond", 0.001), ("s", "second", 1.0, ("sec", "secs")),
+        ("min", "minute", 60.0, ("mins",)),
+        ("h", "hour", 3600.0, ("hr", "hrs")),
+        ("d", "day", 86400.0),
+        ("week", None, 604800.0, ("weeks", "wk")),
+        ("year", None, 31556952.0, ("years", "yr")),
+    ]),
+    ("speed", "m/s", [
+        ("m/s", None, 1.0), ("km/h", None, 1 / 3.6, ("kmh", "kph")),
+        ("mph", None, 0.44704), ("kn", "knot", 0.514444),
+        ("ft/s", None, 0.3048, ("fps",)),
+    ]),
+    ("data", "b", [
+        ("b", "byte", 1.0), ("kb", "kilobyte", 1e3),
+        ("mb", "megabyte", 1e6), ("gb", "gigabyte", 1e9),
+        ("tb", "terabyte", 1e12), ("pb", "petabyte", 1e15),
+        ("kib", "kibibyte", 1024.0), ("mib", "mebibyte", 1048576.0),
+        ("gib", "gibibyte", 1073741824.0),
+        ("tib", "tebibyte", 1099511627776.0),
+        ("bit", None, 0.125, ("bits",)),
+    ]),
+    ("frequency", "hz", [
+        ("hz", "hertz", 1.0), ("khz", "kilohertz", 1e3),
+        ("mhz", "megahertz", 1e6), ("ghz", "gigahertz", 1e9),
+    ]),
+    ("power", "w", [
+        ("w", "watt", 1.0), ("kw", "kilowatt", 1e3),
+        ("mw", "megawatt", 1e6), ("hp", "horsepower", 745.699872),
+        ("gw", "gigawatt", 1e9),
+    ]),
+    ("area", "m2", [
+        ("m2", "square meter", 1.0, ("m²", "sqm", "sq m")),
+        ("km2", "square kilometer", 1e6, ("km²",)),
+        ("ha", "hectare", 1e4), ("acre", None, 4046.8564224, ("acres",)),
+        ("sqft", "square foot", 0.09290304, ("sq ft", "ft2", "ft²")),
+        ("sq mi", "square mile", 2589988.110336, ("mi2",)),
+        ("mm²", "square millimeter", 1e-6, ("mm2",)),
+        ("cm²", "square centimeter", 1e-4, ("cm2",)),
+    ]),
+    # affine; factor unused — handled by _temperature_to_c/_from_c
+    ("temperature", "°c", [
+        ("°c", "celsius", 1.0, ("c",)),
+        ("°f", "fahrenheit", 1.0, ("f",)),
+        ("k", "kelvin", 1.0),
+    ]),
+    ("energy", "j", [
+        ("j", "joule", 1.0), ("kj", "kilojoule", 1e3),
+        ("mj", "megajoule", 1e6), ("gj", "gigajoule", 1e9),
+        ("cal", "calorie", 4.184), ("kcal", "kilocalorie", 4184.0),
+        ("btu", None, 1055.06, ("btus",)),
+        ("wh", "watt hour", 3600.0), ("kwh", "kilowatt hour", 3600000.0),
+        ("mwh", "megawatt hour", 3600000000.0),
+        ("ev", "electronvolt", 1.602176634e-19),
+        ("erg", None, 1e-7, ("ergs",)),
+    ]),
+    ("pressure", "pa", [
+        ("pa", "pascal", 1.0), ("kpa", "kilopascal", 1e3),
+        ("mpa", "megapascal", 1e6), ("hpa", "hectopascal", 100.0),
+        ("bar", None, 100000.0, ("bars",)), ("mbar", "millibar", 100.0),
+        ("atm", "atmosphere", 101325.0), ("psi", None, 6895.0),
+        ("torr", None, 133.322), ("mmhg", None, 133.322),
+    ]),
+    ("force", "n", [
+        ("n", "newton", 1.0), ("kilonewton", None, 1e3),
+        ("lbf", None, 4.448222), ("dyn", "dyne", 1e-5),
+        ("kgf", None, 9.80665),
+    ]),
+    ("angle", "rad", [
+        ("rad", "radian", 1.0), ("deg", "degree", 0.0174533, ("°",)),
+        ("grad", "gradian", 0.015708),
+        ("arcmin", None, 0.000290888), ("arcsec", None, 4.84814e-6),
+        ("rev", "revolution", 6.283185307179586, ("turn", "turns")),
+    ]),
+    ("density", "kg/m3", [
+        ("kg/m3", None, 1.0, ("kg/m³",)),
+        ("g/cm3", None, 1000.0, ("g/cm³", "g/cc")),
+        ("g/ml", None, 1000.0), ("g/l", None, 1.0),
+        ("kg/l", None, 1000.0), ("mg/ml", None, 1.0),
+        ("lb/ft3", None, 16.018463, ("lb/ft³",)),
+    ]),
+    # currencies carry NO FX conversion (reference semantics,
+    # units.py:175-183: every currency factor is 1.0 — the category
+    # tags the value; cross-currency conversion needs a rate table)
+    ("currency", "$", [
+        ("$", "dollar", 1.0, ("usd",)), ("€", "euro", 1.0, ("eur",)),
+        ("£", None, 1.0, ("gbp",)), ("¥", "yen", 1.0, ("jpy",)),
+        ("₹", "rupee", 1.0, ("inr",)), ("₽", "ruble", 1.0, ("rub",)),
+        ("₩", "won", 1.0, ("krw",)),
+        ("cad", None, 1.0), ("aud", None, 1.0),
+        ("chf", None, 1.0), ("cny", None, 1.0),
+    ]),
+    ("percentage", "%", [
+        ("%", "percent", 1.0, ("pct",)), ("‰", "permille", 0.1),
+        ("bps", None, 0.01, ("bp",)),
+    ]),
+    ("count", "count", [
+        ("count", None, 1.0), ("dozen", None, 12.0, ("dozens", "dz")),
+        ("pair", None, 2.0, ("pairs",)), ("gross", None, 144.0),
+        ("score", None, 20.0),
+    ]),
 ]
+
+
+def _build_units_table() -> list[tuple[str, str, float, str]]:
+    """Expand the catalog to (alias, category, factor, base_unit) rows.
+
+    Symbol, full name, naive plural (the reference's _add_units rule,
+    units.py:316-325), and explicit extras all become aliases;
+    first-wins dedup keeps cross-category homonyms (e.g. 'pound'
+    mass-vs-currency) deterministic AND preserves every legacy alias.
+    Alias uniqueness matters downstream: normalize_units broadcast-joins
+    on alias, and a duplicate would fan rows out.
+    """
+    table: list[tuple[str, str, float, str]] = []
+    seen: set[str] = set()
+
+    def add(alias: str, cat: str, factor: float, base: str) -> None:
+        a = alias.lower()
+        if a and a not in seen:
+            seen.add(a)
+            table.append((a, cat, float(factor), base))
+
+    for cat, base, units in _CATALOG:
+        for symbol, name, factor, *rest in units:
+            add(symbol, cat, factor, base)
+            if name:
+                add(name, cat, factor, base)
+                if not name.endswith("s") and len(name) > 3:
+                    tail = "es" if name[-1] in "xz" or name.endswith(("ch", "sh")) else "s"
+                    add(name + tail, cat, factor, base)
+            for extra in (rest[0] if rest else ()):
+                add(extra, cat, factor, base)
+    return table
+
+
+# (alias, category, factor_to_base, base_unit); affine units handled below
+UNITS_TABLE: list[tuple[str, str, float, str]] = _build_units_table()
 
 QUANTITY_MODIFIERS: dict[str, float] = {
     "hundred": 1e2, "thousand": 1e3, "k": 1e3, "million": 1e6, "m": 1e6,
@@ -76,7 +208,11 @@ QUANTITY_MODIFIERS: dict[str, float] = {
 
 _NUM = r"([+-]?[0-9]+(?:[.,][0-9]+)?)"
 _MOD = r"\s*(hundred|thousand|million|billion|trillion|quadrillion|k|mio|bn)?"
-_UNIT = r"\s*([a-zA-Z°/%][a-zA-Z°/0-9²³]*)?\s*$"
+# unit token: one leading symbol char (letters, °, %, ‰, currency
+# glyphs, micro signs), a symbol body, and optionally ONE more
+# space-separated word ("fl oz", "sq mi", "nautical mile"). RE2-safe:
+# character classes + a bounded optional group, no backtracking traps.
+_UNIT = r"\s*([a-zA-Z°/%‰$€£¥₹₽₩µμ][a-zA-Z°/0-9²³µμ]*(?:\s[a-zA-Z]+)?)?\s*$"
 QUANTITY_RE = r"^\s*" + _NUM + _MOD + _UNIT
 
 
@@ -105,8 +241,8 @@ def parse_quantity_expr(col: Column | str) -> Column:
 
 def _temperature_to_c(value: Column, unit: Column) -> Column:
     return (
-        F.when(unit.isin("°f", "f", "fahrenheit"), (value - 32.0) * 5.0 / 9.0)
-        .when(unit.isin("k", "kelvin"), value - 273.15)
+        F.when(unit.isin("°f", "f", "fahrenheit", "fahrenheits"), (value - 32.0) * 5.0 / 9.0)
+        .when(unit.isin("k", "kelvin", "kelvins"), value - 273.15)
         .otherwise(value)
     )
 
@@ -140,19 +276,35 @@ def normalize_units(
     )
 
 
+def _alias_maps() -> tuple[Column, Column, Column]:
+    """(factor, category, base) literal-map columns over UNITS_TABLE.
+
+    map literals + try_element_at keep the lookup a single O(1)
+    expression node — a per-alias when-chain over the ~450-alias table
+    would nest hundreds of branches deep and stall Catalyst analysis.
+    Keys are unique by construction (_build_units_table dedups), so the
+    map never hits the duplicate-key runtime error.
+    """
+    fac_args: list[Column] = []
+    cat_args: list[Column] = []
+    base_args: list[Column] = []
+    for alias, cat, f, b in UNITS_TABLE:
+        fac_args += [F.lit(alias), F.lit(f)]
+        cat_args += [F.lit(alias), F.lit(cat)]
+        base_args += [F.lit(alias), F.lit(b)]
+    return F.create_map(*fac_args), F.create_map(*cat_args), F.create_map(*base_args)
+
+
 def normalize_units_expr(col: Column | str) -> Column:
     """Pure-expression variant (no join): struct(value, unit, category)
-    with the units table folded into when-chains — handy inside other
+    with the units table folded into literal maps — handy inside other
     expressions; the join variant is preferred for wide use."""
     q = parse_quantity_expr(col)
     val, unit = q["value"], q["unit"]
-    factor = F.lit(None).cast("double")
-    category = F.lit(None).cast("string")
-    base = F.lit(None).cast("string")
-    for alias, cat, f, b in UNITS_TABLE:
-        factor = F.when(unit == alias, F.lit(f)).otherwise(factor)
-        category = F.when(unit == alias, F.lit(cat)).otherwise(category)
-        base = F.when(unit == alias, F.lit(b)).otherwise(base)
+    fac_map, cat_map, base_map = _alias_maps()
+    factor = F.try_element_at(fac_map, unit)
+    category = F.try_element_at(cat_map, unit)
+    base = F.try_element_at(base_map, unit)
     value = F.when(category == "temperature", _temperature_to_c(val, unit)).otherwise(
         val * F.coalesce(factor, F.lit(1.0))
     )
@@ -162,8 +314,8 @@ def normalize_units_expr(col: Column | str) -> Column:
 
 def _temperature_from_c(value: Column, unit: Column) -> Column:
     return (
-        F.when(unit.isin("°f", "f", "fahrenheit"), value * 9.0 / 5.0 + 32.0)
-        .when(unit.isin("k", "kelvin"), value + 273.15)
+        F.when(unit.isin("°f", "f", "fahrenheit", "fahrenheits"), value * 9.0 / 5.0 + 32.0)
+        .when(unit.isin("k", "kelvin", "kelvins"), value + 273.15)
         .otherwise(value)
     )
 
@@ -184,7 +336,7 @@ def convert_units(
 
     Adds ``out_col`` (double; null for unknown units or a category
     mismatch) and ``{out_col}_ok`` (int 1/0). Plan: two broadcast
-    joins against the ~70-row units dim — the fact side never
+    joins against the ~450-row units dim — the fact side never
     shuffles, so this composes with 100 TB scans.
     """
     spark = df.sparkSession
@@ -230,20 +382,16 @@ def convert_units_expr(
     value: Column, from_unit: Column | str, to_unit: Column | str
 ) -> Column:
     """Pure-expression unit-to-unit conversion (no join): the dim table
-    folded into when-chains, affine for temperature. Null for unknown
+    folded into literal maps, affine for temperature. Null for unknown
     units or a category mismatch. Mirrors :func:`convert_units` —
-    handy inside other expressions on small when-chain budgets."""
+    handy inside other expressions."""
     f_u = F.lower(F.lit(from_unit) if isinstance(from_unit, str) else from_unit)
     t_u = F.lower(F.lit(to_unit) if isinstance(to_unit, str) else to_unit)
     v = value.cast("double")
+    fac_map, cat_map, _ = _alias_maps()
 
     def lookup(unit: Column):
-        cat = F.lit(None).cast("string")
-        fac = F.lit(None).cast("double")
-        for alias, c, f, _b in UNITS_TABLE:
-            cat = F.when(unit == alias, F.lit(c)).otherwise(cat)
-            fac = F.when(unit == alias, F.lit(f)).otherwise(fac)
-        return cat, fac
+        return F.try_element_at(cat_map, unit), F.try_element_at(fac_map, unit)
 
     f_cat, f_fac = lookup(f_u)
     t_cat, t_fac = lookup(t_u)

@@ -99,6 +99,50 @@ def test_units(spark):
     assert parse_unit_from_header("Name") is None
 
 
+def test_units_catalog_breadth(spark):
+    """Round-6 registry broadening (reference units.py:105-345):
+    18 categories, symbol + full-name + plural aliases, legacy aliases
+    byte-stable, no duplicate alias rows (a dup would fan out the
+    broadcast join in normalize_units)."""
+    from pydi_spark.normalization.units import UNITS_TABLE
+
+    aliases = [a for a, *_ in UNITS_TABLE]
+    assert len(aliases) == len(set(aliases)), "duplicate alias would fan out joins"
+    cats = {c for _, c, _, _ in UNITS_TABLE}
+    assert cats == {
+        "length", "mass", "volume", "time", "speed", "data", "frequency",
+        "power", "area", "temperature", "energy", "pressure", "force",
+        "angle", "density", "currency", "percentage", "count",
+    }
+    d = {a: (c, f, b) for a, c, f, b in UNITS_TABLE}
+    # legacy aliases keep their exact mapping (oracle stability)
+    assert d["km"] == ("length", 1000.0, "m")
+    assert d["lbs"] == ("mass", 0.45359237, "kg")
+    assert d["gib"] == ("data", 1073741824.0, "b")
+    assert d["kmh"] == ("speed", 1 / 3.6, "m/s")
+    # name + plural generation (the reference _add_units rule)
+    assert d["kilometer"] == d["kilometers"] == d["km"]
+    assert d["inches"] == d["in"]
+    # first-wins homonyms: 'pound' is mass (listed first), not currency
+    assert d["pound"][0] == "mass"
+    df = spark.createDataFrame(
+        [("2 kWh",), ("3 bar",), ("90 deg",), ("1.5 g/cm3",), ("7 N",),
+         ("16 fl oz",), ("45 %",), ("2 dozen",), ("3 nautical miles",)],
+        "q string",
+    )
+    got = {r["q"]: (r["q_value"], r["q_unit"], r["q_category"])
+           for r in normalize_units(df, "q").collect()}
+    assert got["2 kWh"] == (pytest.approx(7200000.0), "j", "energy")
+    assert got["3 bar"] == (pytest.approx(300000.0), "pa", "pressure")
+    assert got["90 deg"] == (pytest.approx(1.570797), "rad", "angle")
+    assert got["1.5 g/cm3"] == (pytest.approx(1500.0), "kg/m3", "density")
+    assert got["7 N"] == (pytest.approx(7.0), "n", "force")
+    assert got["16 fl oz"] == (pytest.approx(0.4546096), "l", "volume")
+    assert got["45 %"] == (pytest.approx(45.0), "%", "percentage")
+    assert got["2 dozen"] == (pytest.approx(24.0), "count", "count")
+    assert got["3 nautical miles"] == (pytest.approx(5556.0), "m", "length")
+
+
 def test_parsers(spark):
     assert one(spark, parse_boolean("x"), "Oui") is True
     assert one(spark, parse_numeric("x"), "1.234,56") == 1.23456  # default sep '.'
