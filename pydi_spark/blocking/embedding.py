@@ -360,7 +360,13 @@ class EmbeddingBlocker:
         if method == "brute":
             pairs = self._brute(l, r)
         elif method == "lsh":
-            dim = len(l.select("vec").first()["vec"])
+            head = l.select("vec").where(F.col("vec").isNotNull()).first()
+            if head is None:
+                # empty (or all-null-vector) left side: no candidate
+                # pairs by definition — stay total instead of crashing
+                # on the dim probe (round-6 empty-input sweep)
+                return l.sparkSession.createDataFrame([], PAIR_SCHEMA)
+            dim = len(head["vec"])
             # broadcast-pin decision keys on the INPUT relations (parquet
             # size estimates are reliable; derived frames are not) — never
             # pins at corpus scale, where the re-attach joins must shuffle

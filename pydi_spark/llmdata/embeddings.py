@@ -145,6 +145,8 @@ def train_pq_codebooks(
         .toPandas()["v"]
     )
     mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    if len(mat) == 0:
+        raise ValueError("cannot train PQ codebooks on an empty input")
     dim = mat.shape[1]
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces}")

@@ -98,6 +98,10 @@ def _kmeans_centroids(
     frac = min(1.0, sample_size * 1.2 / max(n, 1))
     sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
     X = np.array([r[vec_col] for r in sample.collect()], dtype=np.float32)
+    if len(X) == 0:
+        # empty corpus: no cells — callers treat a (0, 0) centroid
+        # matrix as "assign nothing" (round-6 empty-input sweep)
+        return np.zeros((0, 0), dtype=np.float32)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(X))
@@ -171,7 +175,7 @@ def ivf_topk(
 
             Cm = bc.value
             for pdf in batches:
-                if len(pdf) == 0:
+                if len(pdf) == 0 or Cm.size == 0:
                     continue
                 M = np.array(list(pdf["vec"]), dtype=np.float32)
                 M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

@@ -577,6 +577,8 @@ def train_quality_classifier(
     Xp, Xn = counts(pos_df), counts(neg_df)
     X = np.vstack([Xp, Xn])
     y = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xn))])
+    if len(y) == 0:
+        raise ValueError("cannot train a quality classifier on empty corpora")
     w = np.zeros(n_buckets)
     b = 0.0
     for _ in range(n_iter):

@@ -71,13 +71,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 def test_operators_total_on_empty_inputs(spark):
     """Every core operator is TOTAL on empty inputs — returns an empty
     frame instead of crashing (the contrastive_pairs(k=0) bug class).
-    Round-5 sweep: all 29 core ops passed; this pins the property."""
+    Round-5 pinned 20 ops; round-6 (VERDICT r5 #8) widens the pin to
+    the full llmdata surface — the widening sweep found and fixed four
+    real crashes (LSH dim probe on an empty frame, k-means/IVF on an
+    empty sample, PQ + quality-classifier trainers on empty corpora)."""
     import pyspark.sql.functions as F
 
     from pydi_spark.blocking import meta_blocking, progressive_pairs
     from pydi_spark.clustering.connected_components import (
         connected_components,
     )
+    import pydi_spark.llmdata as m
     from pydi_spark.llmdata import (
         bm25_scores,
         brute_force_topk,
@@ -114,5 +118,74 @@ def test_operators_total_on_empty_inputs(spark):
         brute_force_topk(emb, emb, k=3), connected_components(pairs),
         meta_blocking(assign), progressive_pairs(assign, 10),
     ]
+    # round-6 widening: the rest of the llmdata DataFrame surface
+    cand = spark.createDataFrame([], "doc_id string, rank int")
+    seg = spark.createDataFrame(
+        [], "word string, freq long, sym string, pieces string"
+    )
+    nonempty_q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cb = [[[0.0, 0.0], [1.0, 1.0]]]
+    cases += [
+        m.blocklist_filter(docs, ["bad"]),
+        m.canonical_corpus(docs, pairs),
+        m.chunk_documents(docs),
+        m.clean_document_lines(docs),
+        m.contrastive_pairs(pairs, docs),
+        m.cosine_rank(emb, [1.0, 0.0]),
+        m.cross_source_overlap(docs),
+        m.decontaminate(docs, docs),
+        m.dedup_corpus_lines(docs),
+        m.dedup_method_agreement(docs),
+        m.deterministic_sample(docs, 0.5, "doc_id"),
+        m.document_fingerprint(docs),
+        m.dsir_scores(docs, F.col("source") == "a"),
+        m.embedding_near_duplicates(emb),
+        m.exact_span_stats(docs),
+        m.gram_duplication(docs),
+        m.hybrid_rrf_topk(docs, emb, ["x"], [1.0, 0.0]),
+        m.incremental_minhash_dedup(docs, m.minhash_signature_table(docs)),
+        m.ivf_topk(emb, emb, k=2),
+        m.language_id(docs),
+        m.leakage_safe_split(docs, pairs),
+        m.linear_quality_classifier(docs, [0] * 256),
+        m.lsh_recall_probe(docs, sample_k=10),
+        m.lsh_topk(emb, emb, k=2),
+        # asymmetric edges: one side empty, the other not
+        m.lsh_topk(nonempty_q, emb, k=2),
+        m.ivf_topk(emb, nonempty_q, k=2),
+        m.pagerank_micro(pairs),
+        m.quality_scores(docs),
+        m.quality_weighted_sample(
+            docs.withColumn("w", F.lit(1.0)), "w", "doc_id", 0.5
+        ),
+        m.repetition_scores(docs),
+        m.rerank_topk(cand, docs, ["x"]),
+        m.rrf_fuse([cand, cand], id_col="doc_id"),
+        m.semantic_dedup_pairs(emb),
+        m.temperature_mix(docs, 0.5),
+        m.token_counts(docs),
+        m.unigram_lm_scores(docs),
+        m.vocab_coverage(docs, ["x"]),
+        m.word_frequencies(docs),
+        m.bpe_segment(seg.select("word", "freq"), [("a", "b")]),
+        m.bpe_fertility(docs, [("a", "b")]),
+        m.piece_stats(seg.select("word", "freq", "pieces")),
+        m.pair_counts(seg.select("word", "freq", "sym")),
+        m.pq_encode(emb, cb),
+        m.pq_adc_topk(m.pq_encode(emb, cb), cb, [1.0, 0.0], k=2),
+        m.ivfpq_topk(emb, [[0.0, 0.0]], cb, [1.0, 0.0], k=2),
+    ]
     for df in cases:
         assert df.count() == 0
+    # tuple-returning op: (kept, attrition report with fixed stages)
+    kept, report = m.corpus_cleanup(docs, ["bad"])
+    assert kept.count() == 0 and report.count() > 0
+    # trainers on empty input fail FAST with a clear message — a silent
+    # NaN/garbage model is the failure mode these guards close
+    assert m.train_bpe_merges(docs, n_merges=3) == []
+    with pytest.raises(ValueError, match="empty"):
+        m.train_pq_codebooks(emb, n_subspaces=2, n_centroids=2)
+    with pytest.raises(ValueError, match="empty"):
+        m.train_quality_classifier(docs, docs)
