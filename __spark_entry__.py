@@ -3357,6 +3357,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental EXACT dedup (llmdata.bloom, round
+    6): the batch (doc_id % 5 == 0) deduped against the other 80% on a
+    16-char text-prefix key (full texts are unique at the oracle SFs —
+    the prefix key gives ~10-30%% true dups so BOTH routes run: the
+    map-side definitely-new pass AND the exact verify for
+    might-contain). No false negatives, so the output is the exact
+    net-new set — the oracle replays it as a plain NOT EXISTS.
+    Output: one hash-safe string column (net-new ids)."""
+    from pydi_spark.llmdata import bloom_prefilter_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "k16", F.substring(F.col("text"), 1, 16)
+    )
+    batch = docs.where("doc_id % 5 = 0")
+    store = docs.where("doc_id % 5 != 0")
+    out = bloom_prefilter_dedup(
+        batch, store, key_col="k16", id_col="doc_id",
+        m_bits=1 << 20, n_hashes=5,
+    )
+    return out.select(F.col("doc_id").cast("string").alias("id"))
+
+
 # BPE merge table trained ONCE by train_bpe_merges on the sf0.01
 # documents (deterministic — argmax under a total order) and inlined as
 # the fixed artifact, the PQ-codebook pattern: the oracle replays the
@@ -4700,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_hugeint": q_canary_hugeint,
         "probe_corpus_echo": q_probe_corpus_echo,
         # -- window 17-50: r6 new queries + continuity reps
+        "dedup_bloom_incremental": q_dedup_bloom_incremental,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "blocking_standard": q_blocking_standard,
@@ -7753,6 +7777,14 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     # factor literals are the UNITS_TABLE values verbatim; expression
     # order matches convert_units (value * factor_from / factor_to,
     # affine pivot for temperature) so the doubles are bit-identical
+    out["dedup_bloom_incremental"] = """
+SELECT CAST(doc_id AS VARCHAR) AS id
+FROM documents b
+WHERE doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 5 <> 0
+                    AND substr(s.text, 1, 16) = substr(b.text, 1, 16))
+"""
     out["units_convert"] = """
 WITH s AS (
   SELECT CAST(s_suppkey AS INT) AS key, s_acctbal AS v,

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "events_sessionize_batch",
     # round-5 additions
     "text_span_remove",
+    # round-6 additions
+    "dedup_bloom_incremental",
 ]
 
 

@@ -108,6 +108,8 @@ def test_partition_independence_of_new_queries(spark):
         # round-5 additions
         "text_span_remove", "blocking_progressive", "units_convert",
         "normalize_locale",
+        # round-6 additions
+        "dedup_bloom_incremental", "units_normalize",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

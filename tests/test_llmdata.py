@@ -1625,3 +1625,65 @@ def test_lsh_recall_probe_scurve(spark):
     assert out[0]["recall_ppm"] <= 10000
     for b in out.values():
         assert b["n_candidates"] <= b["n_pairs"]
+
+
+def test_bloom_prefilter_dedup_exact(spark):
+    """Bloom prefilter routes work but never changes the answer:
+    result == plain exact anti-join on every corpus shape, including
+    adversarially tiny filters (high fpp -> everything verifies) and
+    null keys (never duplicates)."""
+    from pydi_spark.llmdata import bloom_bitmap, bloom_prefilter_dedup
+
+    store = spark.createDataFrame(
+        [(i, f"doc number {i} content") for i in range(40)]
+        + [(100, None)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(200 + i, f"doc number {i} content") for i in range(0, 20)]  # dups
+        + [(300 + i, f"fresh text {i}") for i in range(25)]           # new
+        + [(400, None)],                                              # null
+        "doc_id long, text string",
+    )
+    expect = {300 + i for i in range(25)} | {400}
+    for m_bits in (64, 1 << 16):  # saturated tiny filter AND a real one
+        out = bloom_prefilter_dedup(batch, store, m_bits=m_bits, n_hashes=5)
+        assert {r["doc_id"] for r in out.collect()} == expect
+        assert out.columns == batch.columns
+    # no false negatives on the bitmap itself: every store key probes hit
+    arr = bloom_bitmap(store.select("text"), "text", 1 << 16, 5)
+    from pydi_spark.llmdata.bloom import _bloom_positions_py
+
+    for i in range(40):
+        for p in _bloom_positions_py(f"doc number {i} content", 1 << 16, 5):
+            assert (int(arr[p >> 6]) >> (p & 63)) & 1, "false negative"
+
+
+def test_bloom_prefilter_prunes_and_is_total(spark):
+    """Disjoint batch vs a reasonable filter: (almost) every row takes
+    the map-side definitely-new path; and both empty-input edges hold."""
+    import pyspark.sql.functions as F
+
+    from pydi_spark.llmdata import bloom_prefilter_dedup
+    from pydi_spark.llmdata.bloom import bloom_bitmap, _bloom_positions_py
+
+    store = spark.createDataFrame(
+        [(i, f"stored {i}") for i in range(50)], "doc_id long, text string"
+    )
+    m_bits, k = 1 << 16, 5
+    arr = bloom_bitmap(store.select("text"), "text", m_bits, k)
+    fresh = [f"brand new {i}" for i in range(200)]
+    fp = sum(
+        all((int(arr[p >> 6]) >> (p & 63)) & 1
+            for p in _bloom_positions_py(t, m_bits, k))
+        for t in fresh
+    )
+    # 250 set bits max in a 65536-bit filter -> fp rate ~(k*n/m)^k ~ 0
+    assert fp <= 2, f"false-positive rate implausibly high: {fp}/200"
+    # totality: empty store (all definitely-new) and empty batch
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "stored 3")], "doc_id long, text string"
+    )
+    assert bloom_prefilter_dedup(batch, empty).count() == 2
+    assert bloom_prefilter_dedup(empty, store).count() == 0
