@@ -3357,6 +3357,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two bucketed lineitem
+    dimensions (io.zorder, round 6 — the Delta/Iceberg OPTIMIZE ZORDER
+    layout primitive built from plain integer expressions). The key is
+    pure shifts/masks/adds, whole-stage-codegen'd; the oracle replays
+    the literally identical term sum via zorder_key_sql (one generator
+    emits both). Output: ints only — hash-safe."""
+    from pydi_spark.io import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        (F.col("l_partkey") % 1024).cast("long").alias("x"),
+        (F.col("l_suppkey") % 1024).cast("long").alias("y"),
+    )
+    return li.select(
+        "okey", "lnum", zorder_key(["x", "y"], bits=10).alias("zkey")
+    )
+
+
 def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental EXACT dedup (llmdata.bloom, round
     6): the batch (doc_id % 5 == 0) deduped against the other 80% on a
@@ -4724,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_corpus_echo": q_probe_corpus_echo,
         # -- window 17-50: r6 new queries + continuity reps
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
+        "io_zorder_key": q_io_zorder_key,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "blocking_standard": q_blocking_standard,
@@ -7777,6 +7798,16 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     # factor literals are the UNITS_TABLE values verbatim; expression
     # order matches convert_units (value * factor_from / factor_to,
     # affine pivot for temperature) so the doubles are bit-identical
+    from pydi_spark.io import zorder_key_sql
+
+    out["io_zorder_key"] = f"""
+SELECT l_orderkey AS okey,
+       CAST(l_linenumber AS INT) AS lnum,
+       CAST({zorder_key_sql(['x', 'y'], bits=10)} AS BIGINT) AS zkey
+FROM (SELECT l_orderkey, l_linenumber,
+             l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+      FROM lineitem)
+"""
     out["dedup_bloom_incremental"] = """
 SELECT CAST(doc_id AS VARCHAR) AS id
 FROM documents b

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_span_remove",
     # round-6 additions
     "dedup_bloom_incremental",
+    "io_zorder_key",
 ]
 
 

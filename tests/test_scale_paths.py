@@ -189,3 +189,97 @@ def test_operators_total_on_empty_inputs(spark):
         m.train_pq_codebooks(emb, n_subspaces=2, n_centroids=2)
     with pytest.raises(ValueError, match="empty"):
         m.train_quality_classifier(docs, docs)
+
+
+def test_zorder_key_matches_reference(spark):
+    """zorder_key == the textbook Morton interleave, and zorder_key_sql
+    is the same function (one generator emits both engines' terms)."""
+    import duckdb
+
+    from pydi_spark.io import zorder_key, zorder_key_sql
+
+    def morton(x, y, bits=10):
+        k = 0
+        for j in range(bits):
+            k |= ((x >> j) & 1) << (2 * j)
+            k |= ((y >> j) & 1) << (2 * j + 1)
+        return k
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 511, 1023) for y in (0, 1, 513, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["k"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], 10).alias("k")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y), (x, y)
+    sql = zorder_key_sql(["x", "y"], 10)
+    for x, y in rows:
+        v = duckdb.sql(f"SELECT {sql} AS k FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0]
+        assert v == morton(x, y)
+    with pytest.raises(ValueError):
+        zorder_key(["a"] * 7, bits=10)  # 70 bits > signed long
+
+
+def test_zorder_layout_prunes_nonsorted_dimension(spark, tmp_path):
+    """The point of the layout: a single-column x-sort leaves y
+    unconstrained — EVERY row group's y min/max spans the domain, so a
+    filter on y alone reads everything. Z-order interleaves both, so
+    each row group bounds BOTH dimensions and a y-window overlaps only
+    a fraction of groups. Asserted from real parquet footer statistics
+    (min/max pruning is exactly what the reader does with them)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+    from pydi_spark.io import write_zordered
+
+    n, dom = 60_000, 1 << 10
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 2654435761 % dom).alias("x"),
+            (F.col("id") * 40503 % dom).alias("y"),
+        )
+    )
+
+    def rowgroup_boxes(path):
+        boxes = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg)
+                sx = st.column(idx["x"]).statistics
+                sy = st.column(idx["y"]).statistics
+                boxes.append((sx.min, sx.max, sy.min, sy.max))
+        assert boxes
+        return boxes
+
+    z_path = str(tmp_path / "z")
+    s_path = str(tmp_path / "xsorted")
+    write_zordered(df, z_path, ["x", "y"], bits=10, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(s_path)
+    )
+    lo, hi = 256, 319  # a 1/16-of-domain window on y ONLY
+    zb, sb = rowgroup_boxes(z_path), rowgroup_boxes(s_path)
+
+    def overlapping(boxes):
+        return sum(1 for _, _, ymin, ymax in boxes if ymin <= hi and ymax >= lo)
+
+    z_frac = overlapping(zb) / len(zb)
+    s_frac = overlapping(sb) / len(sb)
+    # x-sorted: y unconstrained everywhere -> ~every group overlaps.
+    # Z-order: the key's top bits pin y quadrants -> most groups skip.
+    assert s_frac > 0.9, (s_frac, len(sb))
+    assert z_frac <= s_frac / 2, (z_frac, s_frac)
+    # and the layout never changes answers
+    expect = df.where(F.col("y").between(lo, hi)).count()
+    assert spark.read.parquet(z_path).where(
+        F.col("y").between(lo, hi)
+    ).count() == expect
+    assert spark.read.parquet(z_path).count() == n
