@@ -11,6 +11,8 @@ from pydi_spark.normalization.units import (
     UNITS_TABLE,
     convert_units,
     convert_units_expr,
+    normalize_header_units,
+    normalize_units,
     normalize_units_expr,
     parse_quantity_expr,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "convert_units_expr",
     "detect_column_types",
     "duplicate_stats",
+    "normalize_header_units",
+    "normalize_units",
     "normalize_units_expr",
     "null_standardize_expr",
     "outlier_bounds",

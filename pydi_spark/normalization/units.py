@@ -201,13 +201,28 @@ def _build_units_table() -> list[tuple[str, str, float, str]]:
 UNITS_TABLE: list[tuple[str, str, float, str]] = _build_units_table()
 
 QUANTITY_MODIFIERS: dict[str, float] = {
-    "hundred": 1e2, "thousand": 1e3, "k": 1e3, "million": 1e6, "m": 1e6,
-    "mio": 1e6, "billion": 1e9, "bn": 1e9, "b": 1e9, "trillion": 1e12,
-    "quadrillion": 1e15,
+    "hundred": 1e2, "hundreds": 1e2,
+    "thousand": 1e3, "thousands": 1e3, "k": 1e3,
+    "million": 1e6, "millions": 1e6, "m": 1e6, "mio": 1e6,
+    "billion": 1e9, "billions": 1e9, "bn": 1e9, "b": 1e9,
+    "trillion": 1e12, "trillions": 1e12,
+    "quadrillion": 1e15, "quadrillions": 1e15,
 }
 
 _NUM = r"([+-]?[0-9]+(?:[.,][0-9]+)?)"
-_MOD = r"\s*(hundred|thousand|million|billion|trillion|quadrillion|k|mio|bn)?"
+# plurals BEFORE singulars: alternation is first-match, and matching
+# 'thousand' inside 'thousands' would push the stray 's' into the unit
+# group. 'mil'/'bil'/'tril' shorthands are deliberately absent — they
+# collide with unit aliases ('mil' is a length unit). The trailing \b
+# (RE2-safe) stops 'k' from biting into a unit token: without it
+# "5 km/h" parsed as modifier k + unit "m/h" -> 5000 dimensionless
+# (masked for 'km'/'kWh' only because k*meter == kilometer arithmetic
+# coincides — round-6 regression test pins the fix).
+_MOD = (
+    r"(?:\s*(hundreds|hundred|thousands|thousand|millions|million"
+    r"|billions|billion|trillions|trillion|quadrillions|quadrillion"
+    r"|k|mio|bn)\b)?"
+)
 # unit token: one leading symbol char (letters, °, %, ‰, currency
 # glyphs, micro signs), a symbol body, and optionally ONE more
 # space-separated word ("fl oz", "sq mi", "nautical mile"). RE2-safe:
@@ -248,9 +263,17 @@ def _temperature_to_c(value: Column, unit: Column) -> Column:
 
 
 def normalize_units(
-    df: DataFrame, column: str, out_prefix: str | None = None
+    df: DataFrame,
+    column: str,
+    out_prefix: str | None = None,
+    target_units: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Adds {col}_value (base units), {col}_unit (base unit), {col}_category.
+    """Adds {col}_value, {col}_unit, {col}_category.
+
+    Values land in BASE units by default; ``target_units`` maps a
+    category to a different target alias (the reference UnitNormalizer
+    contract, units.py:527-650 — e.g. ``{"length": "km"}`` renders
+    every length in km; categories without a target stay in base).
 
     Plan: regexp parse -> broadcast join units dim on alias -> multiply
     (affine for temperature). Unknown units keep the raw value with null
@@ -268,12 +291,55 @@ def normalize_units(
     base_value = F.when(
         F.col("category") == "temperature", _temperature_to_c(val, unit)
     ).otherwise(val * F.coalesce(F.col("factor"), F.lit(1.0)))
+    out_value = base_value
+    out_unit = F.coalesce(F.col("base_unit"), unit)
+    if target_units:
+        lut = {a: (c, f) for a, c, f, _b in UNITS_TABLE}
+        for cat, alias in target_units.items():
+            a = alias.lower()
+            if a not in lut or lut[a][0] != cat:
+                raise ValueError(f"target {alias!r} is not a {cat!r} unit")
+            if cat == "temperature":
+                conv = _temperature_from_c(base_value, F.lit(a))
+            else:
+                conv = base_value / F.lit(lut[a][1])
+            hit = F.col("category") == cat
+            out_value = F.when(hit, conv).otherwise(out_value)
+            out_unit = F.when(hit, F.lit(a)).otherwise(out_unit)
     return (
-        joined.withColumn(f"{p}_value", base_value)
-        .withColumn(f"{p}_unit", F.coalesce(F.col("base_unit"), unit))
+        joined.withColumn(f"{p}_value", out_value)
+        .withColumn(f"{p}_unit", out_unit)
         .withColumn(f"{p}_category", F.col("category"))
         .drop("__q", "alias", "category", "factor", "base_unit")
     )
+
+
+def normalize_header_units(
+    df: DataFrame, target_units: dict[str, str] | None = None
+) -> DataFrame:
+    """Columns whose header declares a unit — "Speed (km/h)",
+    "weight [kg]" — hold bare numbers in that unit (reference:
+    extract_units_from_headers, units.py:653-726). For each such
+    column this adds {col}_value / {col}_unit / {col}_category by
+    treating the values as quantities in the header's unit (base units,
+    or per-category ``target_units`` like :func:`normalize_units`).
+    Driver-side work is header parsing only; the data path is the same
+    broadcast-join plan."""
+    out = df
+    for c in df.columns:
+        u = parse_unit_from_header(c)
+        if u is None:
+            continue
+        # render "value unit" and reuse the quantity path so affine
+        # temperature and target conversion take one code path
+        out = out.withColumn(
+            f"__hq_{c}",
+            F.concat_ws(" ", F.col(c).cast("string"), F.lit(u)),
+        )
+        out = normalize_units(
+            out, f"__hq_{c}", out_prefix=c, target_units=target_units
+        ).drop(f"__hq_{c}")
+    return out
 
 
 def _alias_maps() -> tuple[Column, Column, Column]:

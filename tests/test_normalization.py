@@ -275,3 +275,48 @@ def test_translate_per_column_provenance(spark):
     assert e["source_dataset"] == "movies_a"
     assert e["score"] == 0.9
     assert out.column_provenance("mid") == []
+
+
+def test_units_targets_and_headers(spark):
+    """Per-category target units (reference UnitNormalizer contract,
+    units.py:527-650) and header-declared units (extract_units_from_
+    headers, :653-726): targets redirect only their category, headers
+    make bare numeric columns quantity columns, and plural modifiers
+    ('2 thousands m') parse."""
+    from pydi_spark.normalization import normalize_header_units
+    from pydi_spark.normalization.units import normalize_units
+
+    df = spark.createDataFrame(
+        [("3 km", "50 °F"), ("2 thousands m", "10 K")],
+        "dist string, temp string",
+    )
+    out = normalize_units(
+        normalize_units(df, "dist", target_units={"length": "km"}),
+        "temp",
+        target_units={"temperature": "°f"},
+    )
+    got = {r["dist"]: r for r in out.collect()}
+    assert got["3 km"]["dist_value"] == pytest.approx(3.0)
+    assert got["3 km"]["dist_unit"] == "km"
+    assert got["2 thousands m"]["dist_value"] == pytest.approx(2.0)
+    assert got["3 km"]["temp_value"] == pytest.approx(50.0)  # °F -> °F
+    assert got["3 km"]["temp_unit"] == "°f"
+    assert got["2 thousands m"]["temp_value"] == pytest.approx(
+        (10 - 273.15) * 9.0 / 5.0 + 32.0
+    )
+    with pytest.raises(ValueError):
+        normalize_units(df, "dist", target_units={"length": "kg"})
+
+    hdr = spark.createDataFrame(
+        [(5.0, 212.0), (1.5, 32.0)],
+        "`Speed (km/h)` double, `Temp (°F)` double",
+    )
+    hout = normalize_header_units(hdr)
+    rows = {r["Speed (km/h)"]: r for r in hout.collect()}
+    assert rows[5.0]["Speed (km/h)_value"] == pytest.approx(5.0 / 3.6)
+    assert rows[5.0]["Speed (km/h)_category"] == "speed"
+    assert rows[5.0]["Temp (°F)_value"] == pytest.approx(100.0)
+    assert rows[1.5]["Temp (°F)_value"] == pytest.approx(0.0)
+    # headers without units pass through untouched
+    plain = spark.createDataFrame([(1,)], "n int")
+    assert normalize_header_units(plain).columns == ["n"]
