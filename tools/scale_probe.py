@@ -72,9 +72,12 @@ def main() -> None:
     from pydi_spark.clustering.connected_components import (
         connected_components,
     )
+    from pydi_spark.llmdata.bloom import bloom_prefilter_dedup
     from pydi_spark.llmdata.dedup import (
         exact_duplicates,
+        incremental_minhash_dedup,
         minhash_near_duplicates,
+        minhash_signature_table,
         ngram_jaccard_duplicates,
         simhash_near_duplicates,
     )
@@ -142,6 +145,31 @@ def main() -> None:
         q = df.limit(200).localCheckpoint(eager=True)
         return ivf_topk(df, q, k=10, nprobe=3)
 
+    # fixed-size batch (from the 1x corpus, present verbatim in copy 0
+    # of the 10x corpus) probed against a 1x vs 10x STORE: the
+    # incremental shapes' claim is that cost tracks the store pass, so
+    # the time ratio should sit at/below the store's 10x (output is
+    # batch-sized and constant — read the time ratio only)
+    fixed_batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 5 = 0")
+        .localCheckpoint(eager=True)
+    )
+
+    def incr(df):
+        store = minhash_signature_table(
+            df.where("doc_id % 5 != 0"), num_hashes=8
+        ).localCheckpoint(eager=True)
+        return incremental_minhash_dedup(
+            fixed_batch, store, num_hashes=8, bands=4, jaccard_threshold=0.7
+        )
+
+    def bloom(df):
+        return bloom_prefilter_dedup(
+            fixed_batch, df.where("doc_id % 5 != 0"),
+            key_col="text", id_col="doc_id",
+        )
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -150,6 +178,8 @@ def main() -> None:
         "blocking_token": tok_block,
         "cluster_cc": cc_over_simhash,
         "ann_ivf": ivf,
+        "dedup_incremental": incr,
+        "dedup_bloom": bloom,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
