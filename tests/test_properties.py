@@ -211,6 +211,9 @@ def test_xlsx_codec_roundtrip(rows, tmp_path_factory):
     pair=st.sampled_from([
         ("km", "mi"), ("kg", "lb"), ("h", "min"), ("m/s", "mph"),
         ("gb", "mb"), ("c", "f"), ("f", "k"), ("k", "c"),
+        # round-6 categories
+        ("kwh", "j"), ("bar", "psi"), ("n", "lbf"), ("deg", "rad"),
+        ("g/cm3", "kg/m3"), ("€", "usd"), ("%", "bps"), ("dozen", "pair"),
     ]),
 )
 def test_convert_units_expr_invertible_pure(v, pair):
@@ -267,3 +270,46 @@ def test_html_table_roundtrip(cols, nrows):
     got_cols, got_rows = parsed[0]
     assert got_cols == [c.strip() for c in cols] or got_cols == cols
     assert got_rows == rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=st.text(max_size=24))
+def test_quantity_regex_total_pure(s):
+    """The quantity regex never throws and never mis-attributes: any
+    match's captured number is a parsable numeric literal and the
+    modifier, when captured, is a known keyword (pure-python replay of
+    the same RE2-safe pattern both engines run)."""
+    import re
+
+    from pydi_spark.normalization.units import QUANTITY_MODIFIERS, QUANTITY_RE
+
+    m = re.match(QUANTITY_RE, s)
+    if m is None:
+        return
+    num, mod, _unit = m.group(1), m.group(2), m.group(3)
+    float(num.replace(",", "."))
+    if mod:
+        assert mod.lower() in QUANTITY_MODIFIERS
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    v=st.integers(min_value=0, max_value=10_000),
+    alias=st.sampled_from([
+        "km", "kg", "kwh", "bar", "deg", "g/cm3", "n", "%", "dozen",
+        "fl oz", "nautical mile", "°f", "kilowatt hours", "newtons",
+    ]),
+)
+def test_quantity_parse_roundtrip_pure(v, alias):
+    """'<v> <alias>' parses to value v and resolves alias's category —
+    for symbols, multi-word names, and generated plurals alike."""
+    import re
+
+    from pydi_spark.normalization.units import QUANTITY_RE, UNITS_TABLE
+
+    table = {a: c for a, c, _f, _b in UNITS_TABLE}
+    m = re.match(QUANTITY_RE, f"{v} {alias}")
+    assert m is not None
+    assert float(m.group(1)) == v and not m.group(2)
+    assert m.group(3).lower() == alias
+    assert m.group(3).lower() in table
