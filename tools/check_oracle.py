@@ -135,6 +135,11 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
+    if "WINDOW" in only:
+        # shorthand for the driver's 50-query correctness window
+        only.discard("WINDOW")
+        only |= set(list(entry.queries())[:50])
+
     if os.environ.get("VANILLA"):
         # driver-like session: no engine configs at all
         from pyspark.sql import SparkSession
