@@ -67,14 +67,14 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int, n_hashes: int):
 
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 64")
-    pos = (
-        keys.where(F.col(key_col).isNotNull())
-        .select(
-            F.explode(
-                F.array(*_bloom_hash_cols(F.col(key_col), m_bits, n_hashes))
-            ).alias("pos")
-        )
-        .distinct()
+    # no distinct() before the groupBy: bit_or is idempotent, and the
+    # map-side partial aggregate already collapses each partition to
+    # <= m/64 word rows — a distinct would add a full n*k-row exchange
+    # for nothing
+    pos = keys.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(*_bloom_hash_cols(F.col(key_col), m_bits, n_hashes))
+        ).alias("pos")
     )
     words = (
         pos.select(

@@ -189,7 +189,9 @@ def _build_units_table() -> list[tuple[str, str, float, str]]:
             add(symbol, cat, factor, base)
             if name:
                 add(name, cat, factor, base)
-                if not name.endswith("s") and len(name) > 3:
+                # >= 3: 'day'/'ton' must pluralize like 'week'/'gram'
+                # (the reference's > 3 guard silently skips them)
+                if not name.endswith("s") and len(name) >= 3:
                     tail = "es" if name[-1] in "xz" or name.endswith(("ch", "sh")) else "s"
                     add(name + tail, cat, factor, base)
             for extra in (rest[0] if rest else ()):
@@ -323,22 +325,39 @@ def normalize_header_units(
     column this adds {col}_value / {col}_unit / {col}_category by
     treating the values as quantities in the header's unit (base units,
     or per-category ``target_units`` like :func:`normalize_units`).
-    Driver-side work is header parsing only; the data path is the same
-    broadcast-join plan."""
+    The header's unit is known driver-side, so the conversion is a
+    direct arithmetic expression on the numeric column — no string
+    round-trip (casting doubles to strings renders >=1e7 / <1e-3 in
+    scientific notation, which no quantity grammar should have to
+    parse) and no join."""
+    lut = {a: (c, f, b) for a, c, f, b in UNITS_TABLE}
     out = df
     for c in df.columns:
         u = parse_unit_from_header(c)
         if u is None:
             continue
-        # render "value unit" and reuse the quantity path so affine
-        # temperature and target conversion take one code path
-        out = out.withColumn(
-            f"__hq_{c}",
-            F.concat_ws(" ", F.col(c).cast("string"), F.lit(u)),
+        cat, factor, base = lut[u]
+        v = F.col(c).cast("double")
+        if cat == "temperature":
+            value = _temperature_to_c(v, F.lit(u))
+        else:
+            value = v * F.lit(factor)
+        unit = base
+        target = (target_units or {}).get(cat)
+        if target:
+            a = target.lower()
+            if a not in lut or lut[a][0] != cat:
+                raise ValueError(f"target {target!r} is not a {cat!r} unit")
+            if cat == "temperature":
+                value = _temperature_from_c(value, F.lit(a))
+            else:
+                value = value / F.lit(lut[a][1])
+            unit = a
+        out = (
+            out.withColumn(f"{c}_value", value)
+            .withColumn(f"{c}_unit", F.lit(unit))
+            .withColumn(f"{c}_category", F.lit(cat))
         )
-        out = normalize_units(
-            out, f"__hq_{c}", out_prefix=c, target_units=target_units
-        ).drop(f"__hq_{c}")
     return out
 
 

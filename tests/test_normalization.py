@@ -125,6 +125,8 @@ def test_units_catalog_breadth(spark):
     assert d["inches"] == d["in"]
     # first-wins homonyms: 'pound' is mass (listed first), not currency
     assert d["pound"][0] == "mass"
+    # 3-letter names pluralize like longer ones (days/tons hole, r6)
+    assert d["days"] == d["day"] and d["tons"] == d["ton"]
     df = spark.createDataFrame(
         [("2 kWh",), ("3 bar",), ("90 deg",), ("1.5 g/cm3",), ("7 N",),
          ("16 fl oz",), ("45 %",), ("2 dozen",), ("3 nautical miles",)],
@@ -314,6 +316,15 @@ def test_units_targets_and_headers(spark):
     hout = normalize_header_units(hdr)
     rows = {r["Speed (km/h)"]: r for r in hout.collect()}
     assert rows[5.0]["Speed (km/h)_value"] == pytest.approx(5.0 / 3.6)
+    # large/small magnitudes must convert too (the string-round-trip
+    # implementation nulled anything a double renders scientifically)
+    big = spark.createDataFrame(
+        [(15_000_000.0,), (0.0001,)], "`Dist (km)` double"
+    )
+    bg = {r["Dist (km)"]: r["Dist (km)_value"]
+          for r in normalize_header_units(big).collect()}
+    assert bg[15_000_000.0] == pytest.approx(1.5e10)
+    assert bg[0.0001] == pytest.approx(0.1)
     assert rows[5.0]["Speed (km/h)_category"] == "speed"
     assert rows[5.0]["Temp (°F)_value"] == pytest.approx(100.0)
     assert rows[1.5]["Temp (°F)_value"] == pytest.approx(0.0)

@@ -128,16 +128,23 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # WINDOW may appear anywhere (incl. as the first arg with sf_dir
+    # omitted) — pull it out BEFORE positional assignment, and only
+    # treat the first remaining arg as sf_dir when it IS a directory
+    # (otherwise it's a query name and the default sf_dir applies)
+    args = [a for a in sys.argv[1:] if a != "WINDOW"]
+    want_window = len(args) != len(sys.argv) - 1
+    if args and (os.sep in args[0] or os.path.isdir(args[0])):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.001", set(args)
 
     import duckdb
 
     import __spark_entry__ as entry
 
-    if "WINDOW" in only:
+    if want_window:
         # shorthand for the driver's 50-query correctness window
-        only.discard("WINDOW")
         only |= set(list(entry.queries())[:50])
 
     if os.environ.get("VANILLA"):
