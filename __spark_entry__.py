@@ -3377,6 +3377,39 @@ def q_io_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (profiling.
+    sketches, round 6 — Cormode & Muthukrishnan 2005): a depth-3 x
+    width-256 sketch deliberately undersized for the vocabulary so
+    collisions are visible, probed with the top-20 true-count tokens.
+    Output [token_md5, true_cnt, cms_est, overcount]: the sketch's
+    one-sided guarantee (est >= true) makes overcount non-negative —
+    checked exactly by the oracle's literal replay of the md5
+    bucketing. The sketch's ONE groupBy runs on a depth*width-bounded
+    key domain: the token stream never shuffles by its own keys."""
+    from pydi_spark.functions.tokenize import word_tokens
+    from pydi_spark.profiling import cms_estimate, count_min_sketch
+
+    W, D = 256, 3
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+    sketch = count_min_sketch(toks, "token", width=W, depth=D).localCheckpoint(
+        eager=True
+    )
+    true = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (
+        true.orderBy(F.desc("true_cnt"), "token").limit(20)
+        .localCheckpoint(eager=True)  # feeds the probe AND the output join
+    )
+    est = cms_estimate(sketch, top, "token", width=W, depth=D)
+    return top.join(est, top["token"] == est["key"]).select(
+        F.md5(top["token"]).alias("token_md5"),
+        "true_cnt",
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
 def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental EXACT dedup (llmdata.bloom, round
     6): the batch (doc_id % 5 == 0) deduped against the other 80% on a
@@ -4745,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window 17-50: r6 new queries + continuity reps
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
         "io_zorder_key": q_io_zorder_key,
+        "profile_cms_words": q_profile_cms_words,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "blocking_standard": q_blocking_standard,
@@ -7798,6 +7832,44 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
     # factor literals are the UNITS_TABLE values verbatim; expression
     # order matches convert_units (value * factor_from / factor_to,
     # affine pivot for temperature) so the doubles are bit-identical
+    _cms_hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    out["profile_cms_words"] = f"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}#'']+'),
+                     x -> x != '') tok
+  FROM documents
+),
+w AS (SELECT unnest(tok) AS token FROM t),
+b AS (
+  SELECT token, d, ({_cms_hex2int}) % 256 AS wcol
+  FROM (SELECT token, d,
+               substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 15) AS md5h
+        FROM w, (SELECT unnest(range(3)) AS d))
+),
+sk AS (SELECT d, wcol, count(*) AS cnt FROM b GROUP BY d, wcol),
+tc AS (SELECT token, count(*) AS true_cnt FROM w GROUP BY token),
+top AS (SELECT token, true_cnt FROM tc ORDER BY true_cnt DESC, token LIMIT 20),
+pe AS (
+  SELECT top.token, top.true_cnt, min(sk.cnt) AS cms_est
+  FROM top
+  JOIN (SELECT token, d, ({_cms_hex2int}) % 256 AS wcol
+        FROM (SELECT token, d,
+                     substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 15) AS md5h
+              FROM (SELECT DISTINCT token FROM w),
+                   (SELECT unnest(range(3)) AS d))) pbk
+    ON pbk.token = top.token
+  JOIN sk ON sk.d = pbk.d AND sk.wcol = pbk.wcol
+  GROUP BY top.token, top.true_cnt
+)
+SELECT md5(token) AS token_md5,
+       CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_cnt AS BIGINT) AS overcount
+FROM pe
+"""
     from pydi_spark.io import zorder_key_sql
 
     out["io_zorder_key"] = f"""

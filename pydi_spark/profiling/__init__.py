@@ -1,3 +1,22 @@
 from pydi_spark.profiling.profiler import DataProfiler, key_skew_report
+from pydi_spark.profiling.sketches import (
+    cms_estimate,
+    count_min_sketch,
+    heavy_hitters_sketch,
+    hll_distinct,
+    kll_quantiles,
+    merge_cms_sketches,
+    merge_hll_sketches,
+)
 
-__all__ = ["DataProfiler", "key_skew_report"]
+__all__ = [
+    "DataProfiler",
+    "key_skew_report",
+    "cms_estimate",
+    "count_min_sketch",
+    "heavy_hitters_sketch",
+    "hll_distinct",
+    "kll_quantiles",
+    "merge_cms_sketches",
+    "merge_hll_sketches",
+]

@@ -151,3 +151,86 @@ def heavy_hitters_sketch(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("key", "est_count", "max_undercount", "rank")
     )
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for ``key``: 60-bit md5 prefix of
+    '<row>:<key>' mod width — engine-portable (the oracle replays the
+    identical arithmetic via the hex2int idiom)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    return h % width
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """[d, w, cnt] — a count-min sketch (Cormode & Muthukrishnan 2005)
+    over ``key_col``: ``depth`` hash rows of ``width`` counters.
+
+    One explode + ONE map-side-combinable groupBy on a key domain
+    bounded by depth*width — the corpus never shuffles by its own keys,
+    so open-vocabulary columns (tokens, URLs) cost the same as narrow
+    ones. Mergeable: sum ``cnt`` on (d, w) across sketches (days,
+    partitions, sources) — ``merge_cms_sketches``. Guarantee:
+    ``true <= estimate <= true + eps*N`` w.h.p. with eps ~ e/width.
+    Unlike the HLL/KLL natives this sketch is exactly SQL-replayable
+    (md5 bucketing), so it sits under the DuckDB oracle gate."""
+    rows = df.select(F.col(key_col).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
+    buckets = rows.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    _cms_bucket(F.col("__k"), i, width).alias("w"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("b")
+    ).select("b.d", "b.w")
+    return buckets.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_cms_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union per-slice CMS tables (same width/depth) into one."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """[key, est] — min over the ``depth`` rows' counters (0 for a
+    never-seen bucket). The sketch table is <= depth*width rows, so it
+    broadcast-joins; the probe side never shuffles."""
+    probes = (
+        keys.select(F.col(key_col).cast("string").alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+    )
+    pb = probes.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    _cms_bucket(F.col("key"), i, width).alias("w"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("b"),
+    ).select("key", "b.d", "b.w")
+    joined = pb.join(F.broadcast(sketch), ["d", "w"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c")
+    )
+    return joined.groupBy("key").agg(F.min("c").alias("est"))

@@ -539,3 +539,48 @@ def test_compact_signature_store_recovers_interrupted_swap(spark, tmp_path):
     assert not os.path.exists(store + "_old")
     assert not os.path.exists(store + "_compacting")
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS one-sided error (est >= true for EVERY key), exactness at
+    collision-free width, and the merge law (sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)))."""
+    import pyspark.sql.functions as F
+
+    from pydi_spark.profiling import (
+        cms_estimate,
+        count_min_sketch,
+        merge_cms_sketches,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(500)] + [("hot",)] * 91
+    df = spark.createDataFrame(rows, "k string")
+    truth = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    # tight width forces collisions -> still never undercounts
+    sk = count_min_sketch(df, "k", width=16, depth=3)
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(sk, df, "k", width=16, depth=3).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    # generous width: no collisions among 38 keys -> exact
+    skw = count_min_sketch(df, "k", width=1 << 14, depth=4)
+    estw = {r["key"]: r["est"]
+            for r in cms_estimate(skw, df, "k", width=1 << 14, depth=4).collect()}
+    assert estw == truth
+    # merge law: per-half sketches sum to the whole corpus's sketch
+    h1 = df.where(F.substring(F.md5("k"), 1, 1).isin(*"01234567"))
+    h2 = df.where(~F.substring(F.md5("k"), 1, 1).isin(*"01234567"))
+    merged = merge_cms_sketches(
+        count_min_sketch(h1, "k", width=64, depth=3),
+        count_min_sketch(h2, "k", width=64, depth=3),
+    )
+    whole = count_min_sketch(df, "k", width=64, depth=3)
+    a = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
+    b = {(r["d"], r["w"]): r["cnt"] for r in whole.collect()}
+    assert a == b
+    # totality on empty input
+    empty = spark.createDataFrame([], "k string")
+    assert count_min_sketch(empty, "k").count() == 0
+    assert cms_estimate(whole, empty, "k").count() == 0
