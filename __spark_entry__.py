@@ -4730,6 +4730,128 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_probe(docs, sample_k=100, num_hashes=16, bands=4)
 
 
+# ---------------------------------------------------------------- round-6
+# session-2 additions (rotation queue for the r7 window)
+
+# shared FS configuration: the micro log2 weights are derived ONCE here
+# and inlined as literals in the oracle (the ann_lsh injected-artifact
+# pattern) — scoring is an exact integer aggregate on both engines
+def _fs_weights():
+    from pydi_spark.matching import fs_weights_from_mu
+
+    return fs_weights_from_mu([0.9, 0.85, 0.8], [0.1, 0.2, 0.3])
+
+
+def q_match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage over the nation-blocked
+    supplier x customer pairs: three binary gammas (name levenshtein,
+    acctbal within-range, phone levenshtein) weighted by injected
+    integer-micro log2 m/u weights — score_micro is an exact integer
+    sum (matching/fellegi_sunter.py; EM training is pytest-only like
+    the k-means trainers)."""
+    from pydi_spark.blocking import StandardBlocker
+    from pydi_spark.functions.comparators import (
+        NumericComparator,
+        StringComparator,
+    )
+    from pydi_spark.matching import FellegiSunterMatcher
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"), F.col("s_nationkey").alias("k"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"), F.col("c_nationkey").alias("k"),
+    )
+    pairs = StandardBlocker(on=["k"]).block(supp, cust, id_column="rid")
+    matcher = FellegiSunterMatcher(
+        features=[
+            (StringComparator("name", "levenshtein"), 0.3),
+            (NumericComparator("bal", method="within_range",
+                               max_difference=1000.0), 0.5),
+            # second comparator on the same attribute exercises the
+            # gamma-name dedup (-> gamma_bal_2)
+            (NumericComparator("bal", method="relative_difference"), 0.9),
+        ],
+        weights=_fs_weights(),
+    )
+    return matcher.match(supp, cust, pairs, id_column="rid")
+
+
+def q_blocking_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhoneticBlocker: part self-join on the Soundex of the first
+    p_name token (functions/phonetic.py — the expression-chain Soundex
+    whose SQL text is shared verbatim with the oracle builder)."""
+    from pydi_spark.functions import PhoneticBlocker
+
+    part = _t(spark, sf_dir, "part")
+    return PhoneticBlocker(column="p_name", first_token_only=True).block(
+        part, id_column="p_partkey"
+    )
+
+
+def q_join_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed euclidean radius join (functions/joins.py
+    grid_distance_join): integer micro-coordinates derived
+    deterministically from md5 so the exact-integer dist2 replays in
+    SQL; the oracle is the brute-force pair definition — an independent
+    characterization, not a replay."""
+    from pydi_spark.functions import grid_distance_join
+
+    def pts(df, key, tag):
+        kid = F.col(key).cast("string")
+        def coord(axis):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{tag}{axis}:"), kid).cast("binary")),
+                    1, 6,
+                ), 16, 10,
+            ).cast("long")
+            return (h % 1000000).alias(axis)
+        return df.select(kid.alias("id"), coord("x"), coord("y"))
+
+    cust = pts(_t(spark, sf_dir, "customer"), "c_custkey", "c")
+    supp = pts(_t(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    return grid_distance_join(cust, supp, "x", "y", 50000, id_column="id")
+
+
+def q_io_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (io/diff.py table_diff): new = orders with keys
+    %13==0 removed, o_orderstatus overwritten for %7==0, and %11==0
+    rows re-added under shifted keys — statuses added/removed/changed
+    out of a keyed full-outer digest compare."""
+    from pydi_spark.io import table_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    key = F.col("o_orderkey")
+    base = orders.where(key % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(key % 7 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    added = orders.where(key % 11 == 0).select(
+        (key + 100000000).alias("o_orderkey"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    new = base.unionByName(added)
+    return table_diff(orders, new, "o_orderkey")
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B| / min(|A|,|B|)
+    (llmdata/dedup.py ngram_containment_duplicates) — catches
+    subset/wrapper duplication that Jaccard misses."""
+    from pydi_spark.llmdata import ngram_containment_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_containment_duplicates(
+        docs, shingle_size=3, containment_threshold=0.6,
+        max_shingle_frequency=None,
+    )
+    return out.select("id1", "id2", F.round("containment", 6).alias("containment"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -4940,6 +5062,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_consistency": q_cluster_consistency,
         "cluster_size_dist": q_cluster_size_dist,
         "schema_instance_based": q_schema_instance_based,
+        # -- round-6 session-2 additions (rotation queue -> r7 window)
+        "match_fellegi_sunter": q_match_fellegi_sunter,
+        "blocking_phonetic": q_blocking_phonetic,
+        "join_grid_radius": q_join_grid_radius,
+        "io_table_diff": q_io_table_diff,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -5068,6 +5196,52 @@ verified AS (
   JOIN sh sb ON CAST(sb.doc_id AS VARCHAR) = id2
 )
 SELECT id1, id2, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def _ngram_containment_sql(n: int, threshold: float) -> str:
+    """Containment variant of _ngram_jaccard_sql: same shingle-block
+    candidates, verification = |A∩B| / min(|A|,|B|) (llmdata/dedup.py
+    ngram_containment_duplicates)."""
+    toks = _TOK_SQL.format(col="text")
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5h,{i},1))-1)*{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tok FROM documents
+),
+sh_str AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) < {n} THEN [array_to_string(tok, ' ')]
+    ELSE list_distinct([array_to_string(tok[i:i+{n - 1}], ' ')
+                        for i in range(1, len(tok) - {n - 2})])
+    END AS sh_set_str
+  FROM toks
+),
+sh_rows AS (
+  SELECT doc_id, ({hex2int}) AS shingle
+  FROM (SELECT doc_id, md5(unnest(sh_set_str)) AS md5h FROM sh_str)
+),
+sh AS (
+  SELECT doc_id, list_distinct(list(shingle)) AS sh_set FROM sh_rows GROUP BY doc_id
+),
+cands AS (
+  SELECT DISTINCT CAST(a.doc_id AS VARCHAR) id1, CAST(b.doc_id AS VARCHAR) id2
+  FROM sh_rows a JOIN sh_rows b USING (shingle)
+  WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+),
+verified AS (
+  SELECT id1, id2,
+    len(list_intersect(sa.sh_set, sb.sh_set))::DOUBLE
+      / least(len(sa.sh_set), len(sb.sh_set)) AS containment
+  FROM cands
+  JOIN sh sa ON CAST(sa.doc_id AS VARCHAR) = id1
+  JOIN sh sb ON CAST(sb.doc_id AS VARCHAR) = id2
+)
+SELECT id1, id2, round(containment, 6) AS containment
+FROM verified WHERE containment >= {threshold}
 """
 
 
@@ -8314,4 +8488,93 @@ SELECT CAST(k AS INT) AS k,
             ELSE CAST(k AS DOUBLE) END AS r_negzero
 FROM range(3) t(k)
 """
+
+    # -- round-6 session-2 additions
+    w = _fs_weights()
+    aw, dw = w.agree_micro, w.disagree_micro
+    out["match_fellegi_sunter"] = f"""
+WITH s AS (SELECT CAST(s_suppkey AS VARCHAR) id1, s_name n1, s_acctbal b1,
+                  s_nationkey k FROM supplier),
+     c AS (SELECT CAST(c_custkey AS VARCHAR) id2, c_name n2, c_acctbal b2,
+                  c_nationkey k FROM customer),
+     g AS (SELECT id1, id2,
+        CASE WHEN (1.0 - levenshtein(n1, n2)::DOUBLE
+                   / greatest(length(n1), length(n2))) >= 0.3
+             THEN 1 ELSE 0 END AS gamma_name,
+        CASE WHEN abs(b1 - b2) <= 1000.0 THEN 1 ELSE 0 END AS gamma_bal,
+        CASE WHEN (CASE WHEN greatest(abs(b1), abs(b2)) = 0 THEN 1.0
+                   ELSE greatest(0.0, 1.0 - abs(b1 - b2)
+                                 / greatest(abs(b1), abs(b2))) END) >= 0.9
+             THEN 1 ELSE 0 END AS gamma_bal_2
+      FROM s JOIN c USING (k))
+SELECT id1, id2, gamma_name, gamma_bal, gamma_bal_2,
+  CAST(CASE WHEN gamma_name = 1 THEN {aw[0]} ELSE {dw[0]} END
+     + CASE WHEN gamma_bal = 1 THEN {aw[1]} ELSE {dw[1]} END
+     + CASE WHEN gamma_bal_2 = 1 THEN {aw[2]} ELSE {dw[2]} END
+     AS BIGINT) AS score_micro
+FROM g
+"""
+
+    from pydi_spark.functions.phonetic import soundex_sql
+
+    first_tok = "list_extract(regexp_split_to_array(trim(p_name), '\\s+'), 1)"
+    out["blocking_phonetic"] = f"""
+WITH p AS (
+  SELECT p_partkey, lower({soundex_sql(first_tok, 'duckdb')}) AS block_key
+  FROM part
+)
+SELECT CAST(a.p_partkey AS VARCHAR) id1, CAST(b.p_partkey AS VARCHAR) id2,
+       a.block_key
+FROM p a JOIN p b USING (block_key)
+WHERE CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+"""
+
+    def hex6(inner: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({inner}),{i},1))-1)"
+            f"*{16 ** (6 - i)}"
+            for i in range(1, 7)
+        ) + ")"
+
+    cx = hex6("'cx:' || CAST(c_custkey AS VARCHAR)")
+    cy = hex6("'cy:' || CAST(c_custkey AS VARCHAR)")
+    sx = hex6("'sx:' || CAST(s_suppkey AS VARCHAR)")
+    sy = hex6("'sy:' || CAST(s_suppkey AS VARCHAR)")
+    # brute-force radius definition — independent characterization of
+    # the grid join (every in-radius pair, exact integer arithmetic)
+    out["join_grid_radius"] = f"""
+WITH c AS (SELECT CAST(c_custkey AS VARCHAR) id1,
+                  {cx} % 1000000 AS x, {cy} % 1000000 AS y FROM customer),
+     s AS (SELECT CAST(s_suppkey AS VARCHAR) id2,
+                  {sx} % 1000000 AS x, {sy} % 1000000 AS y FROM supplier)
+SELECT id1, id2,
+       (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+FROM c, s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= {50000 * 50000}
+"""
+
+    out["io_table_diff"] = """
+WITH o AS (SELECT o_orderkey k, o_orderstatus st, o_orderpriority pr FROM orders),
+n AS (
+  SELECT o_orderkey k,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END st,
+         o_orderpriority pr
+  FROM orders WHERE o_orderkey % 13 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+j AS (
+  SELECT coalesce(o.k, n.k) AS o_orderkey,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.st != n.st OR o.pr != n.pr THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM o FULL OUTER JOIN n ON o.k = n.k
+)
+SELECT o_orderkey, diff_status FROM j WHERE diff_status != 'unchanged'
+"""
+
+    out["dedup_containment"] = _ngram_containment_sql(3, 0.6)
     return out

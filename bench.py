@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     # round-6 additions
     "dedup_bloom_incremental",
     "io_zorder_key",
+    # round-6 session-2 additions
+    "match_fellegi_sunter",
+    "blocking_phonetic",
+    "join_grid_radius",
+    "io_table_diff",
+    "dedup_containment",
 ]
 
 

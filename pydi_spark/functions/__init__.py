@@ -1,4 +1,10 @@
-from pydi_spark.functions.joins import asof_join, range_join, salted_join
+from pydi_spark.functions.joins import (
+    asof_join,
+    grid_distance_join,
+    range_join,
+    salted_join,
+)
+from pydi_spark.functions.phonetic import PhoneticBlocker, soundex_key, soundex_sql
 from pydi_spark.functions.similarity import (
     NATIVE_METRICS,
     PY_METRICS,
@@ -12,6 +18,10 @@ __all__ = [
     "NATIVE_METRICS",
     "PY_METRICS",
     "asof_join",
+    "grid_distance_join",
+    "PhoneticBlocker",
+    "soundex_key",
+    "soundex_sql",
     "char_ngrams",
     "list_metrics",
     "salted_join",

@@ -494,6 +494,112 @@ def simhash_near_duplicates(
 
 # ----------------------------------------------------------- ngram jaccard
 
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, shingle-h60) rows for word ``n``-shingles;
+    checkpointed (the rows feed several consumers downstream).
+
+    Shingle generation is posexplode + window leads: whole-stage
+    codegen'd, ~3x faster than the per-row transform/slice higher-order
+    functions (interpreted — see NOTES.md) a literal translation would
+    use. Shingles carry as 60-bit md5-prefix ints (the portable SimHash
+    construction, mirrored in the oracles): the quadratic candidate
+    join shuffles 8-byte keys instead of n-word strings, and set
+    verification intersects longs. Collisions could only ADD candidates
+    (a true near-dup pair always shares a real shingle) and exact
+    verification filters those — output-identical. Short documents
+    (< n tokens) contribute their whole text as the single shingle
+    (reference edge case, mirrored in the oracles)."""
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    tok_rows = df.where(F.size(toks) >= n).select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    wpos = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    with_leads = tok_rows.select("id", "tok", *lead_cols)
+    sh_long = (
+        with_leads.where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "id",
+            _token_hash60(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+            ).alias("shingle"),
+        )
+    )
+    short = df.where(F.size(toks) < n).select(
+        F.col(id_col).cast("string").alias("id"),
+        _token_hash60(F.array_join(toks, " ")).alias("shingle"),
+    )
+    exploded = sh_long.unionByName(short).dropDuplicates(["id", "shingle"])
+    return exploded.localCheckpoint(eager=True)
+
+
+def ngram_containment_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    containment_threshold: float = 0.8,
+    max_shingle_frequency: int | None = 100,
+    broadcast_verify: bool | str = "auto",
+) -> DataFrame:
+    """[id1, id2, containment] — asymmetric near-dup detection:
+    ``containment = |A ∩ B| / min(|A|, |B|)`` over word-shingle sets
+    (Broder containment, symmetrized by the smaller set).
+
+    Jaccard misses subset duplication: a document quoted whole inside a
+    10x-longer page scores ``|A|/|B| ≈ 0.1`` Jaccard but containment
+    1.0. Training-data pipelines need this to catch wrapper pages,
+    quote farms, and partial mirrors that survive Jaccard dedup.
+
+    Same scale shape as :func:`ngram_jaccard_duplicates` (shingle-block
+    candidates, ids-only quadratic join with explicit width, exact set
+    verification behind a size-gated broadcast). The PPJoin prefix
+    bound does not transfer to containment (its length bound assumes
+    symmetric Jaccard), so ``max_shingle_frequency`` is the only
+    candidate-pruning knob here.
+    """
+    broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
+    exploded = _shingle_rows(df, text_col, id_col, shingle_size)
+    base = exploded.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
+    if max_shingle_frequency:
+        freq_keep = (
+            exploded.groupBy("shingle").count()
+            .where(F.col("count") <= max_shingle_frequency)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(freq_keep), "shingle", "left_semi")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = exploded.select(F.col("id").alias("id1"), "shingle").repartition(
+        parallelism, "shingle", "id1"
+    )
+    r = exploded.select(F.col("id").alias("id2"), "shingle")
+    cands = (
+        l.join(r, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .repartition(parallelism, "id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    if broadcast_verify:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    containment = inter / F.least(F.size("sh1"), F.size("sh2"))
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= F.lit(float(containment_threshold)))
+        .select("id1", "id2", "containment")
+    )
+
+
 def ngram_jaccard_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -518,46 +624,10 @@ def ngram_jaccard_duplicates(
     entirely). ``broadcast_verify`` as in
     :func:`minhash_near_duplicates`."""
     broadcast_verify = _resolve_broadcast_verify(df, broadcast_verify)
-    from pyspark.sql import Window
-
-    toks = word_tokens(F.col(text_col))
-    n = shingle_size
-    # shingle rows via posexplode + window leads: whole-stage codegen'd,
-    # ~3x faster than the per-row transform/slice higher-order functions
-    # (interpreted — see NOTES.md) that a literal translation would use
-    tok_rows = df.where(F.size(toks) >= n).select(
-        F.col(id_col).cast("string").alias("id"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
-    wpos = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
-    with_leads = tok_rows.select("id", "tok", *lead_cols)
-    # shingles carry through the pipeline as 60-bit md5-prefix ints (the
-    # portable SimHash construction, mirrored in the oracle): the
-    # quadratic candidate join shuffles 8-byte keys instead of n-word
-    # strings, and set verification intersects longs. Collisions could
-    # only ADD candidates (a true near-dup pair always shares a real
-    # shingle), and exact verification filters those — output-identical.
-    sh_long = (
-        with_leads.where(F.col(f"t{n - 1}").isNotNull())
-        .select(
-            "id",
-            _token_hash60(
-                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
-            ).alias("shingle"),
-        )
-    )
-    # short documents (< n tokens) contribute their whole text as the
-    # single shingle (reference edge case, mirrored in the oracle)
-    short = df.where(F.size(toks) < n).select(
-        F.col(id_col).cast("string").alias("id"),
-        _token_hash60(F.array_join(toks, " ")).alias("shingle"),
-    )
-    exploded = sh_long.unionByName(short).dropDuplicates(["id", "shingle"])
-    # the shingle rows feed up to FOUR consumers (set re-attach, hot-
-    # shingle count, its semi-join, candidate generation); checkpoint so
-    # the posexplode + window-lead shingle generation runs once
-    exploded = exploded.localCheckpoint(eager=True)
+    # shared shingle generation (_shingle_rows): checkpointed because
+    # the rows feed up to FOUR consumers here (set re-attach, hot-
+    # shingle count, its semi-join, candidate generation)
+    exploded = _shingle_rows(df, text_col, id_col, shingle_size)
     base = exploded.groupBy("id").agg(F.collect_list("shingle").alias("sh"))
     if max_shingle_frequency:
         freq_keep = (

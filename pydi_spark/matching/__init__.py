@@ -1,4 +1,10 @@
 from pydi_spark.matching.active import uncertainty_band
+from pydi_spark.matching.fellegi_sunter import (
+    FellegiSunterMatcher,
+    FSWeights,
+    fs_weights_from_mu,
+    train_fs_em,
+)
 from pydi_spark.matching.feature_extraction import (
     FeatureExtractor,
     VectorFeatureExtractor,
@@ -16,6 +22,10 @@ from pydi_spark.matching.text_formatting import TextFormatter
 __all__ = [
     "uncertainty_band",
     "FeatureExtractor",
+    "FellegiSunterMatcher",
+    "FSWeights",
+    "fs_weights_from_mu",
+    "train_fs_em",
     "LLMBasedMatcher",
     "MLBasedMatcher",
     "PLMBasedMatcher",

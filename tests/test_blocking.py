@@ -346,3 +346,133 @@ def test_progressive_pairs_prefix_stable(spark):
     p6 = progressive_pairs(assignments, budget=6).collect()
     assert [tuple(r) for r in p6[:3]] == [tuple(r) for r in p3]
     assert len(p6) == min(6, len(p6))
+
+
+# ------------------------------------------------------------ phonetic
+
+def test_soundex_known_values(spark):
+    from pydi_spark.functions.phonetic import soundex_key_from, soundex_sql
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Washington": "W252",
+        "Lee": "L000", "Wu": "W000", "Aubrey": "A160",
+        "O'Brien": "O165", "": None, "123": None,
+    }
+    df = spark.createDataFrame([(n,) for n in cases], ["n"])
+    got_expr = {
+        r["n"]: r["s"]
+        for r in df.selectExpr("n", f"{soundex_sql('n', 'spark')} AS s").collect()
+    }
+    got_col = {
+        r["n"]: r["s"]
+        for r in df.select("n", soundex_key_from(F.col("n")).alias("s")).collect()
+    }
+    assert got_expr == cases
+    assert got_col == cases  # Column path stays in lockstep with the SQL builder
+
+
+def test_soundex_spark_duckdb_parity(spark):
+    """The SAME builder feeds both engines — parity on adversarial text."""
+    import duckdb
+
+    from pydi_spark.functions.phonetic import soundex_sql
+
+    texts = [
+        "Müller", "  spaced  out  ", "hhhh", "wwww", "aeiou", "BFPV",
+        "x" * 50, "Mc'Donald-Smith", "ŁódźKraków", "a1b2c3", "Y", "H",
+        "W", "pf", "PPPP", "tttttttttttttttttttttttttttttttttttt",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["n"])
+    got_spark = [
+        r["s"] for r in
+        df.selectExpr("n", f"{soundex_sql('n', 'spark')} AS s")
+        .orderBy("n").collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {soundex_sql('n', 'duckdb')} FROM (SELECT ? AS n)", [t]
+        ).fetchone()[0]
+        for t in sorted(texts)
+    ]
+    assert got_spark == got_duck
+
+
+def test_phonetic_blocker(spark):
+    from pydi_spark.functions import PhoneticBlocker
+
+    L = spark.createDataFrame(
+        [("1", "Lee Armstrong"), ("2", "Rupert"), ("3", "Ashcraft")],
+        ["rid", "name"],
+    )
+    R = spark.createDataFrame(
+        [("a", "Lee"), ("b", "Ashcroft"), ("c", "Robert")],
+        ["rid", "name"],
+    )
+    # full-string soundex: 'Lee Armstrong' (L652) != 'Lee' (L000);
+    # Rupert ~ Robert (both R163), Ashcraft ~ Ashcroft (A261)
+    pairs_full = PhoneticBlocker(column="name").block(L, R, id_column="rid")
+    assert {(r["id1"], r["id2"]) for r in pairs_full.collect()} == {
+        ("2", "c"), ("3", "b"),
+    }
+    # first-token soundex additionally pairs Lee* ~ Lee
+    pairs_tok = PhoneticBlocker(column="name", first_token_only=True).block(
+        L, R, id_column="rid"
+    )
+    assert {(r["id1"], r["id2"]) for r in pairs_tok.collect()} == {
+        ("1", "a"), ("2", "c"), ("3", "b"),
+    }
+
+
+# ----------------------------------------------------- grid distance join
+
+def test_grid_distance_join_matches_brute_force(spark):
+    import itertools
+
+    from pydi_spark.functions import grid_distance_join
+
+    # negative coordinates exercise floor-division cell snapping
+    rows = [
+        (str(i), ((i * 37) % 400) - 200, ((i * 91) % 400) - 200)
+        for i in range(250)
+    ]
+    pts = spark.createDataFrame(rows, ["id", "x", "y"])
+    for radius, cell in [(30, None), (30, 45)]:
+        got = {
+            (r["id1"], r["id2"])
+            for r in grid_distance_join(
+                pts, None, "x", "y", radius, id_column="id", cell_size=cell
+            ).collect()
+        }
+        brute = {
+            (a if a < b else b, b if a < b else a)
+            for (a, xa, ya), (b, xb, yb) in itertools.combinations(rows, 2)
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius
+        }
+        assert got == brute and got
+
+
+def test_grid_distance_join_two_sided(spark):
+    from pydi_spark.functions import grid_distance_join
+
+    L = spark.createDataFrame([("l1", 0, 0), ("l2", 100, 100)], ["id", "x", "y"])
+    R = spark.createDataFrame(
+        [("r1", 3, 4), ("r2", 100, 110), ("r3", 500, 500)], ["id", "x", "y"]
+    )
+    got = {
+        (r["id1"], r["id2"], r["dist2"])
+        for r in grid_distance_join(L, R, "x", "y", 10, id_column="id").collect()
+    }
+    assert got == {("l1", "r1", 25), ("l2", "r2", 100)}
+
+
+def test_grid_distance_join_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.functions import grid_distance_join
+
+    pts = spark.createDataFrame([("1", 0, 0)], ["id", "x", "y"])
+    with _pytest.raises(ValueError):
+        grid_distance_join(pts, None, "x", "y", 10, cell_size=5)

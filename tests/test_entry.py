@@ -57,7 +57,10 @@ def test_driver_window_arithmetic():
     # round-6 rotation queue: queries added past position 50 because
     # the window is full — rotate into the NEXT round's window; keep
     # in sync when adding queries.
-    rotation_queue = set()
+    rotation_queue = {
+        "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
+        "io_table_diff", "dedup_containment",
+    }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"
@@ -76,7 +79,10 @@ def test_every_query_has_driver_row_or_awaits_one():
 
     names = list(entry.queries())
     window = set(names[:50])
-    rotation_queue = set()  # keep in sync with the window test
+    rotation_queue = {
+        "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
+        "io_table_diff", "dedup_containment",
+    }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):

@@ -313,3 +313,52 @@ def test_html_parser_misnested_markup_does_not_crash():
     assert tables == [(["c0"], [["y"]])]
     # stray close tags with no open row at all
     assert read_html_tables("</td></tr></table>x") == []
+
+
+# ------------------------------------------------------------ table diff
+
+def test_table_diff_statuses(spark):
+    from pydi_spark.io import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, v string, w int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "now-set", 40), (5, "e", 50)],
+        "k int, v string, w int",
+    )
+    got = {r["k"]: r["diff_status"] for r in table_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # include_unchanged surfaces key 2
+    full = {
+        r["k"]: r["diff_status"]
+        for r in table_diff(old, new, "k", include_unchanged=True).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 5
+    counts = {
+        r["diff_status"]: r["n"]
+        for r in diff_summary(table_diff(old, new, "k")).collect()
+    }
+    assert counts == {"removed": 1, "changed": 2, "added": 1}
+
+
+def test_table_diff_compare_cols_subset(spark):
+    from pydi_spark.io import table_diff
+
+    old = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "k int, v string, ts int")
+    new = spark.createDataFrame([(1, "a", 99), (2, "X", 2)], "k int, v string, ts int")
+    # ignoring the ts column, only key 2 changed
+    got = {r["k"]: r["diff_status"]
+           for r in table_diff(old, new, "k", compare_cols=["v"]).collect()}
+    assert got == {2: "changed"}
+
+
+def test_table_diff_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.io import table_diff
+
+    a = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError):
+        table_diff(a, a, "k")

@@ -1687,3 +1687,33 @@ def test_bloom_prefilter_prunes_and_is_total(spark):
     )
     assert bloom_prefilter_dedup(batch, empty).count() == 2
     assert bloom_prefilter_dedup(empty, store).count() == 0
+
+
+def test_ngram_containment_subset_doc(spark):
+    """A document fully quoted inside a longer one: low Jaccard, full
+    containment — the wrapper-page case Jaccard dedup misses."""
+    from pydi_spark.llmdata import (
+        ngram_containment_duplicates,
+        ngram_jaccard_duplicates,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = ("wrapper header junk words " + inner
+             + " footer trailing boilerplate lines here extra padding tokens")
+    docs = spark.createDataFrame(
+        [("a", inner), ("b", outer), ("c", "unrelated content entirely")],
+        ["doc_id", "text"],
+    )
+    cont = ngram_containment_duplicates(docs, containment_threshold=0.9).collect()
+    assert [(r["id1"], r["id2"], r["containment"]) for r in cont] == [
+        ("a", "b", 1.0)
+    ]
+    jac = ngram_jaccard_duplicates(docs, jaccard_threshold=0.5).collect()
+    assert jac == []  # jaccard misses the subset pair
+
+
+def test_ngram_containment_empty_input(spark):
+    from pydi_spark.llmdata import ngram_containment_duplicates
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert ngram_containment_duplicates(empty).count() == 0

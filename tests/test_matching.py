@@ -190,3 +190,87 @@ def test_uncertainty_band(spark):
         ("a", "b"), ("c", "d"), ("g", "h")}
     top = uncertainty_band(df, threshold=0.5, band=0.05, max_pairs=2).collect()
     assert [r["id1"] for r in sorted(top, key=lambda r: r["rank"])] == ["c", "a"]
+
+
+# ----------------------------------------------------- Fellegi–Sunter
+
+def test_fellegi_sunter_scoring_exact(spark):
+    """score_micro is the exact integer sum of the per-gamma weights."""
+    from pydi_spark.functions.comparators import (
+        NumericComparator,
+        StringComparator,
+    )
+    from pydi_spark.matching import FellegiSunterMatcher, fs_weights_from_mu
+
+    L = spark.createDataFrame(
+        [("1", "alpha", 10.0), ("2", "beta", 20.0), ("3", None, 30.0)],
+        ["rid", "name", "bal"],
+    )
+    R = spark.createDataFrame(
+        [("a", "alpha", 11.0), ("b", "betax", 500.0), ("c", "gamma", 30.0)],
+        ["rid", "name", "bal"],
+    )
+    P = spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], ["id1", "id2"]
+    )
+    w = fs_weights_from_mu([0.9, 0.8], [0.1, 0.2])
+    m = FellegiSunterMatcher(
+        features=[
+            (StringComparator("name", "levenshtein"), 0.9),
+            (NumericComparator("bal", max_difference=10.0), 0.5),
+        ],
+        weights=w,
+    )
+    rows = {r["id1"]: r for r in m.match(L, R, P, id_column="rid").collect()}
+    aw, dw = w.agree_micro, w.disagree_micro
+    # pair 1-a: names equal (sim 1.0), |10-11|=1 -> bal sim 0.9 >= 0.5
+    assert (rows["1"]["gamma_name"], rows["1"]["gamma_bal"]) == (1, 1)
+    assert rows["1"]["score_micro"] == aw[0] + aw[1]
+    # pair 2-b: 'beta'/'betax' sim 0.8 < 0.9 disagree; bal far apart
+    assert (rows["2"]["gamma_name"], rows["2"]["gamma_bal"]) == (0, 0)
+    assert rows["2"]["score_micro"] == dw[0] + dw[1]
+    # pair 3-c: null name -> gamma 0 (null disagrees); bal exact agree
+    assert (rows["3"]["gamma_name"], rows["3"]["gamma_bal"]) == (0, 1)
+    assert rows["3"]["score_micro"] == dw[0] + aw[1]
+    # threshold filter keeps only the full-agreement pair
+    m2 = FellegiSunterMatcher(
+        features=m.features, weights=w, threshold_micro=aw[0]
+    )
+    kept = m2.match(L, R, P, id_column="rid").collect()
+    assert [r["id1"] for r in kept] == ["1"]
+
+
+def test_fellegi_sunter_em_recovers_mixture(spark):
+    """EM on a two-class synthetic histogram recovers m/u/lambda.
+
+    Three features minimum: with k=2 the model is under-identified
+    (2^2 - 1 = 3 degrees of freedom < 5 parameters)."""
+    import random
+
+    from pydi_spark.matching import train_fs_em
+
+    rng = random.Random(7)
+    m_true, u_true = [0.92, 0.85, 0.7], [0.08, 0.2, 0.3]
+    rows = []
+    for _ in range(6000):
+        p = m_true if rng.random() < 0.3 else u_true
+        rows.append(tuple(1 if rng.random() < pi else 0 for pi in p))
+    df = spark.createDataFrame(rows, "g1 int, g2 int, g3 int")
+    w = train_fs_em(df, ["g1", "g2", "g3"], iters=60)
+    assert abs(w.lam - 0.3) < 0.08
+    assert all(abs(mi - ti) < 0.1 for mi, ti in zip(w.m, m_true))
+    assert all(abs(ui - ti) < 0.1 for ui, ti in zip(w.u, u_true))
+    # agreement weights positive, disagreement negative
+    assert all(a > 0 for a in w.agree_micro)
+    assert all(d < 0 for d in w.disagree_micro)
+
+
+def test_fellegi_sunter_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.matching import fs_weights_from_mu
+
+    with _pytest.raises(ValueError):
+        fs_weights_from_mu([0.9], [0.1, 0.2])
+    with _pytest.raises(ValueError):
+        fs_weights_from_mu([1.0], [0.1])
