@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "join_grid_radius",
     "io_table_diff",
     "dedup_containment",
+    "profile_fds",
+    "profile_inds",
 ]
 
 

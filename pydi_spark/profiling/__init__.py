@@ -1,3 +1,4 @@
+from pydi_spark.profiling.dependencies import discover_fds, discover_inds
 from pydi_spark.profiling.profiler import DataProfiler, key_skew_report
 from pydi_spark.profiling.sketches import (
     cms_estimate,
@@ -11,6 +12,8 @@ from pydi_spark.profiling.sketches import (
 
 __all__ = [
     "DataProfiler",
+    "discover_fds",
+    "discover_inds",
     "key_skew_report",
     "cms_estimate",
     "count_min_sketch",

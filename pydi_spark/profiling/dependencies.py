@@ -1,0 +1,116 @@
+"""Dependency discovery: functional and inclusion dependencies.
+
+Schema-discovery profiling in the Metanome family (TANE / SPIDER): the
+reference's profiler reports per-column stats
+(PyDI/profiling/profiler.py); dependency discovery is the
+cross-column complement a data-integration pipeline needs before schema
+matching — FDs expose candidate keys and denormalization, INDs expose
+joinable / foreign-key column pairs across sources.
+
+Scale shapes:
+
+- :func:`discover_fds` checks ``A -> B`` for every ordered pair of the
+  given columns via the textbook characterization
+  ``count(distinct A) == count(distinct (A, B))``. All counts compute
+  in ONE aggregate pass (map-side partial aggregation; no joins, no
+  per-pair jobs). Exact distinct over k columns costs k + k(k-1)
+  distinct aggregates in one shuffle — keep ``cols`` to the candidate
+  set (typical profiling practice), not the whole wide table.
+- :func:`discover_inds` checks ``A ⊆ B`` per candidate pair with a
+  distinct-project + left-anti count per side pair. Distinct projection
+  first means the anti-join runs on the value DOMAINS (bounded by
+  cardinality, not row count).
+
+Nulls are ignored on both sides (SQL semantics: a NULL determinant
+row can't violate an FD; NULL values don't participate in INDs) —
+mirrored in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact single-determinant FD check over every ordered column pair.
+
+    Output: ``[determinant, dependent, n_det, n_pair, holds]`` — the FD
+    ``determinant -> dependent`` holds iff each determinant value maps
+    to exactly one dependent value, i.e. ``n_det == n_pair`` where
+    ``n_det = count(distinct det)`` and ``n_pair = count(distinct
+    (det, dep))`` over rows where both are non-null. ``holds`` is int
+    (hash-safe). One aggregation pass for ALL pairs.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    for a in cols:
+        aggs.append(F.count_distinct(F.col(a)).alias(f"__d_{a}"))
+    for a in cols:
+        for b in cols:
+            if a != b:
+                # pairwise distinct over rows where BOTH are non-null:
+                # count_distinct(a, b) ignores rows with any null —
+                # matching count(DISTINCT (a, b)) FILTER (both NOT NULL)
+                aggs.append(
+                    F.count_distinct(F.col(a), F.col(b)).alias(f"__p_{a}_{b}")
+                )
+                aggs.append(
+                    F.count_distinct(
+                        F.when(F.col(b).isNotNull(), F.col(a))
+                    ).alias(f"__dn_{a}_{b}")
+                )
+    stats = df.agg(*aggs).collect()[0]
+    rows = []
+    for a in cols:
+        for b in cols:
+            if a != b:
+                n_det = int(stats[f"__dn_{a}_{b}"])
+                n_pair = int(stats[f"__p_{a}_{b}"])
+                rows.append((a, b, n_det, n_pair, int(n_det == n_pair)))
+    return df.sparkSession.createDataFrame(
+        rows, "determinant string, dependent string, n_det bigint, "
+              "n_pair bigint, holds int",
+    )
+
+
+def discover_inds(
+    pairs: list[tuple[DataFrame, str, DataFrame, str]],
+    names: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Inclusion-dependency check per candidate ``(left_df, left_col,
+    right_df, right_col)``: does every non-null left value occur in the
+    right column?
+
+    Output: ``[lhs, rhs, n_lhs_values, n_missing, holds]`` —
+    ``n_missing`` = distinct left values absent from the right column;
+    the IND holds iff 0. Values compare as strings (cross-type INDs are
+    the common schema-matching case). ``names`` labels each pair
+    (defaults to the column names).
+    """
+    if not pairs:
+        raise ValueError("no candidate pairs")
+    spark = pairs[0][0].sparkSession
+    out_rows = []
+    for i, (ldf, lcol, rdf, rcol) in enumerate(pairs):
+        lhs, rhs = (
+            names[i] if names is not None else (lcol, rcol)
+        )
+        lv = (
+            ldf.select(F.col(lcol).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+        )
+        rv = (
+            rdf.select(F.col(rcol).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+        )
+        n_lhs = lv.count()
+        n_missing = lv.join(rv, "__v", "left_anti").count()
+        out_rows.append((lhs, rhs, n_lhs, n_missing, int(n_missing == 0)))
+    return spark.createDataFrame(
+        out_rows, "lhs string, rhs string, n_lhs_values bigint, "
+                  "n_missing bigint, holds int",
+    )

@@ -59,7 +59,8 @@ def test_driver_window_arithmetic():
     # in sync when adding queries.
     rotation_queue = {
         "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
-        "io_table_diff", "dedup_containment",
+        "io_table_diff", "dedup_containment", "profile_fds",
+        "profile_inds",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -81,7 +82,8 @@ def test_every_query_has_driver_row_or_awaits_one():
     window = set(names[:50])
     rotation_queue = {
         "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
-        "io_table_diff", "dedup_containment",
+        "io_table_diff", "dedup_containment", "profile_fds",
+        "profile_inds",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()

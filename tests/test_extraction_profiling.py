@@ -584,3 +584,57 @@ def test_count_min_sketch_properties(spark):
     empty = spark.createDataFrame([], "k string")
     assert count_min_sketch(empty, "k").count() == 0
     assert cms_estimate(whole, empty, "k").count() == 0
+
+
+# --------------------------------------------------- dependency discovery
+
+def test_discover_fds(spark):
+    from pydi_spark.profiling import discover_fds
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (2, "a", "x"), (3, "b", "y"),
+            (4, "b", "z"),          # b maps to two cities -> dept !-> city
+            (5, None, "x"),         # null determinant rows are ignored
+            (6, "c", None),         # null dependent rows are ignored
+        ],
+        "id int, dept string, city string",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): (r["n_det"], r["n_pair"], r["holds"])
+        for r in discover_fds(df, ["id", "dept", "city"]).collect()
+    }
+    assert got[("id", "dept")][2] == 1       # key determines everything
+    assert got[("id", "city")][2] == 1
+    assert got[("dept", "city")] == (2, 3, 0)  # b -> {y, z}
+    # pairs reversed -> (x,a),(y,b),(z,b): city -> dept HOLDS
+    assert got[("city", "dept")] == (3, 3, 1)
+
+
+def test_discover_inds(spark):
+    from pydi_spark.profiling import discover_inds
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (None,)], "v int")
+    b = spark.createDataFrame([("1",), ("2",), ("3",), ("4",)], "w string")
+    got = {
+        (r["lhs"], r["rhs"]): (r["n_lhs_values"], r["n_missing"], r["holds"])
+        for r in discover_inds(
+            [(a, "v", b, "w"), (b, "w", a, "v")],
+            names=[("a.v", "b.w"), ("b.w", "a.v")],
+        ).collect()
+    }
+    # ints compare as strings; nulls ignored
+    assert got[("a.v", "b.w")] == (3, 0, 1)
+    assert got[("b.w", "a.v")] == (4, 1, 0)
+
+
+def test_dependencies_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.profiling import discover_fds, discover_inds
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with _pytest.raises(ValueError):
+        discover_fds(df, ["a"])
+    with _pytest.raises(ValueError):
+        discover_inds([])
