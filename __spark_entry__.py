@@ -4893,6 +4893,67 @@ def q_profile_inds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD-violation repair by majority vote (normalization/repair.py):
+    enforce o_custkey -> o_orderpriority on orders; the winner is
+    (count DESC, value ASC) — a total order, so the repair is
+    deterministic and SQL-replayable."""
+    from pydi_spark.normalization import repair_fd_violations
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    out = repair_fd_violations(orders, "o_custkey", "o_orderpriority")
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("__repaired").alias("repaired"),
+    )
+
+
+def q_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key (unique column combination) discovery over orders
+    column combos up to size 2 (profiling/dependencies.py
+    discover_keys — one aggregation pass; nulls compare equal)."""
+    from pydi_spark.profiling import discover_keys
+
+    return discover_keys(_t(spark, sf_dir, "orders"), _FD_COLS, max_size=2)
+
+
+def q_io_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from a change stream (io/cdc.py
+    scd2_history): orders as per-customer status changes versioned by
+    o_orderkey; %19 keys are deletes and close their interval."""
+    from pydi_spark.io import scd2_history
+
+    changes = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    return scd2_history(changes, "o_custkey")
+
+
+def q_io_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union of drifted sources (io/schema_align.py):
+    supplier/customer projections with disjoint columns union on the
+    merged schema with null fill + lineage column."""
+    from pydi_spark.io import align_and_union
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return align_and_union(
+        [supp, cust], source_col="src",
+        source_names=["supplier", "customer"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
@@ -5111,6 +5172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "profile_fds": q_profile_fds,
         "profile_inds": q_profile_inds,
+        "normalize_fd_repair": q_normalize_fd_repair,
+        "profile_keys": q_profile_keys,
+        "io_scd2": q_io_scd2,
+        "io_schema_union": q_io_schema_union,
     }
 
 
@@ -8660,4 +8725,66 @@ SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
   ({miss}) AS n_missing,
   CAST(({miss}) = 0 AS INT) AS holds""")
     out["profile_inds"] = "\nUNION ALL\n".join(ind_selects)
+
+    out["normalize_fd_repair"] = """
+WITH votes AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+canon AS (
+  SELECT o_custkey, o_orderpriority AS canon FROM (
+    SELECT o_custkey, o_orderpriority,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY n DESC, o_orderpriority ASC) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT o_orderkey, o_custkey, canon AS o_orderpriority,
+       CAST(orders.o_orderpriority != canon AS INT) AS repaired
+FROM orders JOIN canon USING (o_custkey)
+"""
+
+    from itertools import combinations as _combos
+
+    key_selects = []
+    for size in (1, 2):
+        for combo in _combos(_FD_COLS, size):
+            cols_sql = ", ".join(combo)
+            label = ",".join(combo)
+            key_selects.append(f"""
+SELECT '{label}' AS columns,
+  (SELECT count(*) FROM (SELECT DISTINCT {cols_sql} FROM orders))
+    AS n_distinct,
+  (SELECT count(*) FROM orders) AS n_rows,
+  CAST((SELECT count(*) FROM (SELECT DISTINCT {cols_sql} FROM orders))
+     = (SELECT count(*) FROM orders) AS INT) AS is_key""")
+    out["profile_keys"] = "\nUNION ALL\n".join(key_selects)
+
+    # versions (o_orderkey) are unique per key, so the engine's md5
+    # tiebreak never fires and ORDER BY v alone replays it exactly
+    out["io_scd2"] = """
+WITH ch AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderkey AS BIGINT) v,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END op
+  FROM orders
+),
+led AS (
+  SELECT o_custkey, o_orderstatus, v AS valid_from, op,
+         lead(v) OVER (PARTITION BY o_custkey ORDER BY v ASC) AS valid_to
+  FROM ch
+)
+SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM led WHERE op != 'D'
+"""
+
+    out["io_schema_union"] = """
+SELECT CAST(s_suppkey AS BIGINT) rid, s_name AS name, s_acctbal AS bal,
+       CAST(NULL AS VARCHAR) AS segment, 'supplier' AS src
+FROM supplier
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), c_name, CAST(NULL AS DOUBLE),
+       c_mktsegment, 'customer'
+FROM customer
+"""
     return out

@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "dedup_containment",
     "profile_fds",
     "profile_inds",
+    "normalize_fd_repair",
+    "profile_keys",
+    "io_scd2",
+    "io_schema_union",
 ]
 
 

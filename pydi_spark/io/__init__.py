@@ -14,7 +14,9 @@ from pydi_spark.io.readers import (
     load_xml,
 )
 from pydi_spark.io.cdc import apply_changes
+from pydi_spark.io.cdc import scd2_history
 from pydi_spark.io.diff import diff_summary, table_diff
+from pydi_spark.io.schema_align import align_and_union
 from pydi_spark.io.zorder import write_zordered, zorder_key, zorder_key_sql
 from pydi_spark.io.writers import (
     write_csv,
@@ -30,7 +32,9 @@ __all__ = [
     "explode_delimited",
     "list_to_string",
     "apply_changes",
+    "align_and_union",
     "diff_summary",
+    "scd2_history",
     "table_diff",
     "load_csv",
     "load_orc",

@@ -61,3 +61,43 @@ def apply_changes(
         ranked.where((F.col("__rk") == 1) & (F.col("__op") != "D"))
         .select(*data_cols)
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: one validity interval per non-delete change.
+
+    ``changes`` carries the data columns plus ``version_col`` (monotone
+    ordering) and ``op_col`` ('I'/'U' upsert, 'D' delete). Output: the
+    data columns plus ``valid_from`` (the change's version),
+    ``valid_to`` (the NEXT change's version for the key — null while
+    open), and ``is_current`` (int 1 when the interval is open, i.e.
+    the key's latest change and not superseded; a trailing 'D' closes
+    the last interval, so deleted keys have no current row).
+
+    Scale shape: ONE shuffle on the key; the lead window's state per
+    task is a key's change chain (bounded by change volume per key).
+    Version ties are a feed bug but stay deterministic — same total
+    order as :func:`apply_changes` (version, op, row md5).
+    """
+    data_cols = [
+        c for c in changes.columns if c not in (version_col, op_col)
+    ]
+    row_hash = F.md5(F.to_json(F.struct(*[F.col(x) for x in data_cols])))
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(version_col), F.asc(op_col), row_hash.asc()
+    )
+    with_next = changes.withColumn(
+        "valid_to", F.lead(F.col(version_col).cast("long")).over(w)
+    )
+    return with_next.where(F.col(op_col) != "D").select(
+        *data_cols,
+        F.col(version_col).cast("long").alias("valid_from"),
+        "valid_to",
+        (F.col("valid_to").isNull()).cast("int").alias("is_current"),
+    )

@@ -5,6 +5,7 @@ from pydi_spark.normalization.detectors import (
     null_standardize_expr,
     outlier_bounds,
 )
+from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
 from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
 from pydi_spark.normalization.units import (
@@ -34,6 +35,8 @@ __all__ = [
     "normalize_units_expr",
     "null_standardize_expr",
     "outlier_bounds",
+    "fd_repair_report",
+    "repair_fd_violations",
     "parse_quantity_expr",
     "transform_expr",
     "type_match_rates",

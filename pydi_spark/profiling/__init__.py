@@ -1,4 +1,8 @@
-from pydi_spark.profiling.dependencies import discover_fds, discover_inds
+from pydi_spark.profiling.dependencies import (
+    discover_fds,
+    discover_inds,
+    discover_keys,
+)
 from pydi_spark.profiling.profiler import DataProfiler, key_skew_report
 from pydi_spark.profiling.sketches import (
     cms_estimate,
@@ -14,6 +18,7 @@ __all__ = [
     "DataProfiler",
     "discover_fds",
     "discover_inds",
+    "discover_keys",
     "key_skew_report",
     "cms_estimate",
     "count_min_sketch",

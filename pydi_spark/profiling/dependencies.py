@@ -114,3 +114,50 @@ def discover_inds(
         out_rows, "lhs string, rhs string, n_lhs_values bigint, "
                   "n_missing bigint, holds int",
     )
+
+
+def discover_keys(
+    df: DataFrame, cols: list[str], max_size: int = 2
+) -> DataFrame:
+    """Unique-column-combination (candidate key) discovery over all
+    combinations of ``cols`` up to ``max_size`` columns.
+
+    Output: ``[columns, n_distinct, n_rows, is_key]`` — ``columns`` is
+    the comma-joined combination; it is a key iff every row carries a
+    distinct combination. Nulls compare EQUAL here (the UCC convention:
+    two rows that are both null in every combo column are duplicates) —
+    implemented by counting distinct structs (struct equality treats
+    null fields as equal), which mirrors SQL ``SELECT DISTINCT``.
+
+    Like :func:`discover_fds`: ONE aggregation pass computes every
+    combination's distinct count (map-side partial aggregation); the
+    number of combinations C(k, <=max_size) bounds the aggregate list,
+    so keep ``cols`` to the candidate set.
+    """
+    from itertools import combinations
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+    combos = [
+        c for size in range(1, min(max_size, len(cols)) + 1)
+        for c in combinations(cols, size)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, combo in enumerate(combos):
+        aggs.append(
+            F.count_distinct(
+                F.struct(*[F.col(c) for c in combo])
+            ).alias(f"__u_{i}")
+        )
+    stats = df.agg(*aggs).collect()[0]
+    total = int(stats["__total"])
+    rows = [
+        (",".join(combo), int(stats[f"__u_{i}"]), total,
+         int(stats[f"__u_{i}"] == total))
+        for i, combo in enumerate(combos)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "columns string, n_distinct bigint, n_rows bigint, is_key int"
+    )

@@ -60,7 +60,8 @@ def test_driver_window_arithmetic():
     rotation_queue = {
         "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
         "io_table_diff", "dedup_containment", "profile_fds",
-        "profile_inds",
+        "profile_inds", "normalize_fd_repair", "profile_keys",
+        "io_scd2", "io_schema_union",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -83,7 +84,8 @@ def test_every_query_has_driver_row_or_awaits_one():
     rotation_queue = {
         "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
         "io_table_diff", "dedup_containment", "profile_fds",
-        "profile_inds",
+        "profile_inds", "normalize_fd_repair", "profile_keys",
+        "io_scd2", "io_schema_union",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()

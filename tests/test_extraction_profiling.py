@@ -638,3 +638,22 @@ def test_dependencies_validation(spark):
         discover_fds(df, ["a"])
     with _pytest.raises(ValueError):
         discover_inds([])
+
+
+def test_discover_keys(spark):
+    from pydi_spark.profiling import discover_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "x")],
+        "id int, g string, h string",
+    )
+    got = {r["columns"]: (r["n_distinct"], r["is_key"])
+           for r in discover_keys(df, ["id", "g", "h"], max_size=2).collect()}
+    assert got["id"] == (4, 1)
+    assert got["g"] == (2, 0)
+    assert got["g,h"] == (3, 0)        # (b,x) repeats
+    assert got["id,g"] == (4, 1)
+    # nulls compare equal (UCC convention): two all-null rows collide
+    df2 = spark.createDataFrame([(None,), (None,)], "v string")
+    got2 = discover_keys(df2, ["v"], max_size=1).collect()[0]
+    assert (got2["n_distinct"], got2["n_rows"], got2["is_key"]) == (1, 2, 0)

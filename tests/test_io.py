@@ -362,3 +362,63 @@ def test_table_diff_validation(spark):
     a = spark.createDataFrame([(1,)], "k int")
     with _pytest.raises(ValueError):
         table_diff(a, a, "k")
+
+
+# ------------------------------------------------------- SCD2 history
+
+def test_scd2_history(spark):
+    from pydi_spark.io import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            ("k1", "v1", 1, "I"), ("k1", "v2", 3, "U"), ("k1", "v3", 7, "U"),
+            ("k2", "w1", 2, "I"), ("k2", "w1", 5, "D"),
+            ("k3", "z1", 4, "I"),
+        ],
+        "k string, val string, version int, op string",
+    )
+    rows = {
+        (r["k"], r["valid_from"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, "k").collect()
+    }
+    assert rows[("k1", 1)] == ("v1", 3, 0)
+    assert rows[("k1", 3)] == ("v2", 7, 0)
+    assert rows[("k1", 7)] == ("v3", None, 1)
+    # the delete closes k2's interval and emits no current row
+    assert rows[("k2", 2)] == ("w1", 5, 0)
+    assert rows[("k3", 4)] == ("z1", None, 1)
+    assert len(rows) == 5
+
+
+# ---------------------------------------------------- schema-align union
+
+def test_align_and_union(spark):
+    from pydi_spark.io import align_and_union
+
+    a = spark.createDataFrame([(1, "x", 10)], "k int, name string, n int")
+    b = spark.createDataFrame([(2.5, "y", True)], "k double, name string, flag boolean")
+    out = align_and_union([a, b], source_col="src", source_names=["A", "B"])
+    assert [f.name for f in out.schema.fields] == ["k", "name", "n", "flag", "src"]
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["k"] == "double"      # int + double -> double
+    assert types["n"] == "int"         # only in A, unchanged
+    rows = {r["src"]: r for r in out.collect()}
+    assert rows["A"]["k"] == 1.0 and rows["A"]["flag"] is None
+    assert rows["B"]["n"] is None and rows["B"]["flag"] is True
+
+
+def test_align_and_union_widening_rules(spark):
+    import pytest as _pytest
+
+    from pydi_spark.io import align_and_union
+
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([(2,)], "v bigint")
+    assert align_and_union([a, b]).schema["v"].dataType.simpleString() == "bigint"
+    c = spark.createDataFrame([("s",)], "v string")
+    assert align_and_union([a, c]).schema["v"].dataType.simpleString() == "string"
+    d = spark.createDataFrame([([1],)], "v array<int>")
+    with _pytest.raises(ValueError):
+        align_and_union([a, d])
+    with _pytest.raises(ValueError):
+        align_and_union([])

@@ -331,3 +331,29 @@ def test_units_targets_and_headers(spark):
     # headers without units pass through untouched
     plain = spark.createDataFrame([(1,)], "n int")
     assert normalize_header_units(plain).columns == ["n"]
+
+
+# ------------------------------------------------------------ FD repair
+
+def test_repair_fd_violations(spark):
+    from pydi_spark.normalization import fd_repair_report, repair_fd_violations
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),   # majority x
+            (4, "b", None), (5, "b", None),                # all-null group
+            (6, "c", "p"), (7, "c", "q"),                  # tie -> min 'p'
+            (8, None, "z"),                                # null det untouched
+        ],
+        "id int, det string, dep string",
+    )
+    out = {r["id"]: (r["dep"], r["__repaired"])
+           for r in repair_fd_violations(df, "det", "dep").collect()}
+    assert out[1] == ("x", 0) and out[2] == ("x", 0)
+    assert out[3] == ("x", 1)                  # y -> majority x
+    assert out[4] == (None, 0) and out[5] == (None, 0)
+    assert out[6] == ("p", 0) and out[7] == ("p", 1)  # tie breaks to 'p'
+    assert out[8] == ("z", 0)
+    rep = fd_repair_report(df, "det", "dep").collect()[0]
+    assert (rep["n_groups"], rep["n_violating_groups"],
+            rep["n_rows_changed"]) == (2, 2, 2)

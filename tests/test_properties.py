@@ -313,3 +313,36 @@ def test_quantity_parse_roundtrip_pure(v, alias):
     assert float(m.group(1)) == v and not m.group(2)
     assert m.group(3).lower() == alias
     assert m.group(3).lower() in table
+
+
+def test_soundex_fuzz_spark_duckdb_parity(spark):
+    """Random-text fuzz of the Soundex builder across engines — one
+    batched collect per engine (the adversarial fixed list lives in
+    test_blocking; this sweeps the long tail)."""
+    import random
+    import string
+
+    import duckdb
+
+    from pydi_spark.functions.phonetic import soundex_sql
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + " '-éüßŁ"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["n"])
+    got_spark = [
+        (r["n"], r["s"]) for r in
+        df.selectExpr("n", f"{soundex_sql('n', 'spark')} AS s").collect()
+    ]
+    con = duckdb.connect()
+    got_duck = {
+        t: con.execute(
+            f"SELECT {soundex_sql('n', 'duckdb')} FROM (SELECT ? AS n)", [t]
+        ).fetchone()[0]
+        for t in texts
+    }
+    for t, s in got_spark:
+        assert s == got_duck[t], (t, s, got_duck[t])
