@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "profile_keys",
     "io_scd2",
     "io_schema_union",
+    # round-6 session-3 additions (join_edit_distance stays out: its
+    # tiny-gram-vocabulary candidate volume on Customer#-style names is
+    # the blocking_token cost class — measured ~13 s at sf0.1)
+    "profile_corr",
+    "profile_dispersion",
+    "embed_kmeans",
 ]
 
 

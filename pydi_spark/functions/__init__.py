@@ -1,5 +1,6 @@
 from pydi_spark.functions.joins import (
     asof_join,
+    edit_distance_join,
     grid_distance_join,
     range_join,
     salted_join,
@@ -18,6 +19,7 @@ __all__ = [
     "NATIVE_METRICS",
     "PY_METRICS",
     "asof_join",
+    "edit_distance_join",
     "grid_distance_join",
     "PhoneticBlocker",
     "soundex_key",

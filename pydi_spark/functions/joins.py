@@ -13,7 +13,7 @@ results are reproducible and retries are safe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -347,3 +347,133 @@ def grid_distance_join(
     if self_join:
         out = out.where(F.col("id1") < F.col("id2"))
     return out
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    column: str,
+    max_distance: int = 1,
+    id_column: str = "id",
+    q: int = 2,
+) -> DataFrame:
+    """All pairs whose ``column`` values are within Levenshtein distance
+    ``max_distance``: ``[id1, id2, distance]``.
+
+    Scale design (ED-Join family, Xiao et al. 2008): a naive similarity
+    join is a cartesian product with a string-distance predicate —
+    undistributable. This prunes with positional ``q``-gram filtering:
+    an edit operation destroys at most ``q`` of a string's distinct
+    q-grams, so for ed(a,b) <= k at most ``k*q`` distinct grams of `a`
+    are absent from `b`. Each record therefore only probes with its
+    ``k*q + 1`` globally RAREST grams (prefix filtering under a total
+    order by ascending corpus frequency — rare grams join small
+    posting lists): any true pair must collide on at least one prefix
+    gram of either side. Candidates are an EQUI-join of prefix grams
+    against the full distinct-gram table, deduped ids-only, then
+    verified with the codegen'd ``levenshtein`` after a length filter
+    (|len(a)-len(b)| <= k). Pairs where BOTH strings are shorter than
+    ``k*q + q`` can share zero grams yet still match ("ab"/"cd" at
+    k=2), so the short-string subset falls back to a within-subset
+    pair scan — bounded by the short-string count, and empty for any
+    corpus of real names/titles.
+
+    The candidate table is explicitly repartitioned on (id1, id2)
+    before dedup and verification (NOTES.md width lesson). ``right=None``
+    = self-join: pairs oriented ``id1 < id2`` in the id column's native
+    ordering, self-pairs excluded. Null/short-than-``q`` strings never
+    error; they simply only pair via the fallback path.
+
+    No reference counterpart (PyDI compares pre-blocked pairs via
+    comparators, it has no standalone similarity join) — north-star op.
+    """
+    k = int(max_distance)
+    if k < 0:
+        raise ValueError(f"max_distance must be >= 0: {k}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1: {q}")
+    self_join = right is None
+    if self_join:
+        right = left
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    short_len = k * q + q - 1  # bound max(la,lb) <= this => 0-gram pairs
+
+    def base(df, side):
+        return df.where(F.col(column).isNotNull()).select(
+            F.col(id_column).alias(f"id{side}"),
+            F.col(column).alias(f"__s{side}"),
+            F.length(column).alias(f"__l{side}"),
+        )
+
+    lbase, rbase = base(left, 1), base(right, 2)
+
+    def grams(b, side):
+        # distinct positional q-grams, position dropped (set semantics)
+        n = F.col(f"__l{side}") - q + 1
+        g = b.where(F.col(f"__l{side}") >= q).select(
+            f"id{side}",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, __l{side} - {q} + 1), "
+                    f"p -> substring(__s{side}, p, {q}))"
+                )
+            ).alias("__gram"),
+        )
+        return g.groupBy(f"id{side}", "__gram").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        ).drop("__cnt")
+
+    lg = grams(lbase, 1)
+    rg = lg.withColumnRenamed("id1", "id2") if self_join else grams(rbase, 2)
+
+    # global gram frequencies over both sides define the prefix order
+    freq = (
+        lg.select("__gram") if self_join
+        else lg.select("__gram").unionAll(rg.select("__gram"))
+    ).groupBy("__gram").agg(F.count(F.lit(1)).alias("__freq"))
+
+    prefix_w = Window.partitionBy("id1").orderBy(
+        F.asc("__freq"), F.asc("__gram")
+    )
+    lpref = (
+        lg.join(freq, "__gram")
+        .withColumn("__rk", F.row_number().over(prefix_w))
+        .where(F.col("__rk") <= k * q + 1)
+        .select("id1", "__gram")
+    )
+    main = lpref.join(rg, "__gram").select("id1", "id2")
+    if self_join:
+        # probe prefixes vs ALL grams: (a,b) surfaces as (a,b) or (b,a);
+        # canonicalize before dedup
+        main = main.where(F.col("id1") != F.col("id2")).select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+
+    lshort = lbase.where(F.col("__l1") <= short_len).select("id1")
+    rshort = (
+        lshort.withColumnRenamed("id1", "id2") if self_join
+        else rbase.where(F.col("__l2") <= short_len).select("id2")
+    )
+    fallback = lshort.crossJoin(rshort)
+    if self_join:
+        fallback = fallback.where(F.col("id1") < F.col("id2"))
+
+    cand = (
+        main.unionAll(fallback)
+        .repartition(parallelism, "id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    verified = (
+        cand.join(
+            lbase.withColumnRenamed("id1", "id2")
+            .withColumnRenamed("__s1", "__s2")
+            .withColumnRenamed("__l1", "__l2") if self_join else rbase,
+            "id2",
+        )
+        .join(lbase, "id1")
+        .where(F.abs(F.col("__l1") - F.col("__l2")) <= k)
+        .withColumn("distance", F.levenshtein("__s1", "__s2"))
+        .where(F.col("distance") <= k)
+    )
+    return verified.select("id1", "id2", "distance")

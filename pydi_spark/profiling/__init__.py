@@ -3,7 +3,12 @@ from pydi_spark.profiling.dependencies import (
     discover_inds,
     discover_keys,
 )
-from pydi_spark.profiling.profiler import DataProfiler, key_skew_report
+from pydi_spark.profiling.profiler import (
+    DataProfiler,
+    categorical_dispersion,
+    correlation_matrix,
+    key_skew_report,
+)
 from pydi_spark.profiling.sketches import (
     cms_estimate,
     count_min_sketch,
@@ -16,6 +21,8 @@ from pydi_spark.profiling.sketches import (
 
 __all__ = [
     "DataProfiler",
+    "categorical_dispersion",
+    "correlation_matrix",
     "discover_fds",
     "discover_inds",
     "discover_keys",

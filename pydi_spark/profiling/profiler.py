@@ -303,3 +303,125 @@ def key_skew_report(
         F.expr("cnt * CAST(1000000 AS BIGINT) div total").alias("share_ppm"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """[col_a, col_b, n, corr_micro] — Pearson correlation for every
+    unordered column pair (col_a < col_b), as exact-arithmetic micro
+    ints (floor(1e6 * r)).
+
+    Determinism contract (NOTES.md float policy): ``F.corr`` streams a
+    float co-moment whose value depends on partition order — useless
+    under a cross-engine hash gate. Instead every input quantizes to
+    ``decimal(18, scale)`` — NOT 38: a product of two decimal(18,s)
+    is decimal(37, 2s), still inside the exact 38-digit envelope in
+    BOTH Spark and DuckDB, where 38-wide inputs would trip the two
+    engines' *different* overflow rules — and the sufficient
+    statistics (n, Sx, Sy, Sxx, Syy, Sxy) are EXACT decimal sums
+    (map-side combinable, order-free); r is then ONE left-to-right
+    double expression over those exact sums — bit-identical in any
+    engine with IEEE doubles. Pairs with zero variance on either side
+    yield null corr_micro.
+
+    Scale: ONE aggregation pass computes all C(k,2) pairs' statistics;
+    the shuffle carries a single row. Rows where ANY profiled column is
+    null are excluded (listwise deletion, the textbook convention —
+    per-pair deletion would need k^2 null masks in the same pass; the
+    docstring is the contract).
+
+    Beyond the reference (PyDI's profiler has no cross-column stats).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    dec = f"decimal(18,{int(scale)})"
+    clean = df
+    for c in cols:
+        clean = clean.where(F.col(c).isNotNull())
+    q = {c: F.col(c).cast(dec) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"__s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"__ss_{c}"))
+    pairs = sorted(
+        {tuple(sorted((a, b))) for a in cols for b in cols if a != b}
+    )
+    for a, b in pairs:
+        aggs.append(F.sum(q[a] * q[b]).alias(f"__sp_{a}_{b}"))
+    # one corpus pass; the 1-row result is pinned so the per-pair
+    # selects below don't re-run the aggregation per union branch
+    stats = clean.agg(*aggs).localCheckpoint(eager=True)
+    out = None
+    for a, b in pairs:
+        n = F.col("__n").cast("double")
+        sx, sy = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+        sxx, syy = F.col(f"__ss_{a}").cast("double"), F.col(f"__ss_{b}").cast("double")
+        sxy = F.col(f"__sp_{a}_{b}").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy),
+        )
+        row = stats.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("__n").alias("n"),
+            F.floor(r * F.lit(1_000_000)).cast("bigint").alias("corr_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def categorical_dispersion(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """[column, n_rows, n_distinct, gini_micro] — Gini impurity
+    (1 - sum((n_i/n)^2)) per column in exact-arithmetic micro ints:
+    0 = constant column, -> 1e6 = every value unique. The standard
+    spread diagnostic for categorical columns (split quality /
+    blocking-key selectivity) that the null-count + distinct-count
+    profile can't see.
+
+    Determinism: counts are exact ints; gini_micro =
+    floor(1e6 * (n^2 - sum(n_i^2)) / n^2) where both operands of the
+    single division are exact bigints exactly representable as doubles
+    for any n below ~94M rows per slice; above that, quantization of
+    the 6th decimal may differ by 1ulp across engines — profile slices,
+    not planets. Nulls count as a regular value (a 90%-null column IS
+    concentrated). One groupBy per column, unioned — each is map-side
+    combinable and bounded by that column's cardinality.
+
+    Beyond the reference.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    out = None
+    for c in cols:
+        counts = (
+            df.groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        row = counts.agg(
+            F.sum("__n").alias("__total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+        ).select(
+            F.lit(c).alias("column"),
+            F.col("__total").alias("n_rows"),
+            F.col("n_distinct"),
+            F.floor(
+                F.lit(1_000_000)
+                * (
+                    (F.col("__total") * F.col("__total") - F.col("__sq"))
+                    .cast("double")
+                )
+                / (F.col("__total") * F.col("__total")).cast("double")
+            ).cast("bigint").alias("gini_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

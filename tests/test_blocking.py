@@ -476,3 +476,98 @@ def test_grid_distance_join_validation(spark):
     pts = spark.createDataFrame([("1", 0, 0)], ["id", "x", "y"])
     with _pytest.raises(ValueError):
         grid_distance_join(pts, None, "x", "y", 10, cell_size=5)
+
+
+# ----------------------------------------------------- edit distance join
+
+def _ed_brute(rows, k):
+    import itertools
+
+    from pydi_spark.functions.metrics_py import levenshtein_dist
+
+    return {
+        (a, b, levenshtein_dist(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if levenshtein_dist(sa, sb) <= k
+    }
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    from pydi_spark.functions import edit_distance_join
+
+    # real-ish names plus adversarial shorts: "aba"/"aca" share zero
+    # 2-grams at distance 1 (substitution kills both grams) — only the
+    # short-string fallback can find them
+    rows = [
+        ("01", "jonathan smith"), ("02", "jonathan smyth"),
+        ("03", "jonatan smith"), ("04", "maria garcia"),
+        ("05", "mario garcia"), ("06", "aba"), ("07", "aca"),
+        ("08", "ab"), ("09", "axb"), ("10", "aaaa"), ("11", "aaba"),
+        ("12", ""), ("13", "a"), ("14", "totally unrelated str"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    for k in (1, 2):
+        got = {
+            (r["id1"], r["id2"], r["distance"])
+            for r in edit_distance_join(
+                df, None, "name", max_distance=k, id_column="id"
+            ).collect()
+        }
+        assert got == _ed_brute(rows, k), f"k={k}"
+
+
+def test_edit_distance_join_random_corpus(spark):
+    import random
+
+    from pydi_spark.functions import edit_distance_join
+
+    rng = random.Random(7)
+    rows = [
+        (f"{i:03d}", "".join(rng.choice("abc") for _ in range(rng.randint(0, 8))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r["id1"], r["id2"], r["distance"])
+        for r in edit_distance_join(
+            df, None, "s", max_distance=2, id_column="id", q=2
+        ).collect()
+    }
+    assert got == _ed_brute(rows, 2)
+
+
+def test_edit_distance_join_two_sided(spark):
+    from pydi_spark.functions import edit_distance_join
+    from pydi_spark.functions.metrics_py import levenshtein_dist
+
+    L = [("l1", "spark"), ("l2", "sparkk"), ("l3", "zz")]
+    R = [("r1", "spark"), ("r2", "stark"), ("r3", "z"), ("r4", "unrelated")]
+    got = {
+        (r["id1"], r["id2"], r["distance"])
+        for r in edit_distance_join(
+            spark.createDataFrame(L, ["id", "s"]),
+            spark.createDataFrame(R, ["id", "s"]),
+            "s", max_distance=1, id_column="id",
+        ).collect()
+    }
+    brute = {
+        (a, b, levenshtein_dist(sa, sb))
+        for a, sa in L for b, sb in R if levenshtein_dist(sa, sb) <= 1
+    }
+    assert got == brute
+    assert ("l3", "r3", 1) in got  # cross-join short fallback
+
+
+def test_edit_distance_join_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.functions import edit_distance_join
+
+    df = spark.createDataFrame([("1", "x")], ["id", "s"])
+    with _pytest.raises(ValueError):
+        edit_distance_join(df, None, "s", max_distance=-1)
+    with _pytest.raises(ValueError):
+        edit_distance_join(df, None, "s", q=0)
+    # nulls and empty inputs never error
+    df2 = spark.createDataFrame([("1", None), ("2", "ab")], ["id", "s"])
+    assert edit_distance_join(df2, None, "s").collect() == []

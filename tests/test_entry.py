@@ -62,6 +62,8 @@ def test_driver_window_arithmetic():
         "io_table_diff", "dedup_containment", "profile_fds",
         "profile_inds", "normalize_fd_repair", "profile_keys",
         "io_scd2", "io_schema_union",
+        "join_edit_distance", "profile_corr", "profile_dispersion",
+        "embed_kmeans",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -86,6 +88,8 @@ def test_every_query_has_driver_row_or_awaits_one():
         "io_table_diff", "dedup_containment", "profile_fds",
         "profile_inds", "normalize_fd_repair", "profile_keys",
         "io_scd2", "io_schema_union",
+        "join_edit_distance", "profile_corr", "profile_dispersion",
+        "embed_kmeans",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()

@@ -657,3 +657,76 @@ def test_discover_keys(spark):
     df2 = spark.createDataFrame([(None,), (None,)], "v string")
     got2 = discover_keys(df2, ["v"], max_size=1).collect()[0]
     assert (got2["n_distinct"], got2["n_rows"], got2["is_key"]) == (1, 2, 0)
+
+
+# ----------------------------------------------------- cross-column stats
+
+def test_correlation_matrix_known_values(spark):
+    from pydi_spark.profiling import correlation_matrix
+
+    rows = [(float(i), 2.0 * i, 10.0 - i, 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "c"])
+    out = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr_micro"])
+        for r in correlation_matrix(df, ["x", "y", "z", "c"], scale=2).collect()
+    }
+    assert len(out) == 6
+    assert out[("x", "y")][0] == 20
+    assert abs(out[("x", "y")][1] - 1_000_000) <= 1   # perfectly correlated
+    assert abs(out[("x", "z")][1] + 1_000_000) <= 1   # anti-correlated
+    # zero-variance side -> null
+    assert out[("c", "x")][1] is None
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from pydi_spark.profiling import correlation_matrix
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(50, 10, 300), 2)
+    b = np.round(a * 0.5 + rng.normal(0, 5, 300), 2)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], ["a", "b"]
+    )
+    got = correlation_matrix(df, ["a", "b"], scale=2).collect()[0]
+    want = np.corrcoef(a, b)[0, 1]
+    assert abs(got["corr_micro"] / 1e6 - want) < 1e-4
+
+
+def test_correlation_matrix_listwise_deletion_and_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.profiling import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, None), (None, 4.0)], ["a", "b"]
+    )
+    got = correlation_matrix(df, ["a", "b"], scale=2).collect()[0]
+    assert got["n"] == 2
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+
+
+def test_categorical_dispersion(spark):
+    from pydi_spark.profiling import categorical_dispersion
+
+    df = spark.createDataFrame(
+        [("a", "k", None), ("a", "l", None), ("a", "m", None), ("a", "n", "x")],
+        ["const", "uniq", "mostly_null"],
+    )
+    out = {
+        r["column"]: (r["n_rows"], r["n_distinct"], r["gini_micro"])
+        for r in categorical_dispersion(
+            df, ["const", "uniq", "mostly_null"]
+        ).collect()
+    }
+    assert out["const"] == (4, 1, 0)
+    # 4 unique of 4: 1 - 4*(1/16) = 0.75
+    assert out["uniq"] == (4, 4, 750_000)
+    # null is a value: counts {None:3, x:1} -> 1 - (9+1)/16 = 0.375
+    assert out["mostly_null"] == (4, 2, 375_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        categorical_dispersion(df, [])

@@ -1717,3 +1717,68 @@ def test_ngram_containment_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id string, text string")
     assert ngram_containment_duplicates(empty).count() == 0
+
+
+# ----------------------------------------------------- distributed k-means
+
+def test_kmeans_separates_blobs(spark):
+    from pydi_spark.llmdata import kmeans_cluster
+
+    rows = [(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(0, 30)]
+    rows += [(i, [-10.0, -10.0 - (i % 3) * 0.01]) for i in range(30, 60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_cluster(df, k=2, n_iter=3).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+    assert len(got) == 60
+    assert set(by_cluster) == {0, 1}
+    blobs = [set(range(0, 30)), set(range(30, 60))]
+    assert sorted(by_cluster.values(), key=min) == blobs
+
+
+def test_kmeans_fit_deterministic_across_partitioning(spark):
+    from pydi_spark.llmdata import kmeans_fit
+
+    rows = [
+        (i, [((i * 37) % 101) / 50.0 - 1.0, ((i * 91) % 97) / 50.0 - 1.0,
+             ((i * 13) % 89) / 50.0 - 1.0])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_fit(df.repartition(1), k=4, n_iter=2)
+    c8 = kmeans_fit(df.repartition(8), k=4, n_iter=2)
+    assert c1 == c8
+    assert all(isinstance(v, int) for row in c1 for v in row)
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_cluster(spark):
+    from pydi_spark.llmdata import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    cents = [[0, 0], [1_000_000, 1_000_000], [0, 0]]
+    r = kmeans_assign(df, cents).collect()[0]
+    assert (r["cluster"], r["dist2"]) == (0, 2 * 500_000 ** 2)
+
+
+def test_kmeans_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import kmeans_assign, kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kmeans_fit(empty, k=2)
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, k=2)   # k exceeds corpus
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, [])
+    # assignment (a query op, not a trainer) is total on empty input
+    assert kmeans_assign(empty, [[0, 0]]).collect() == []

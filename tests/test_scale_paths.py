@@ -173,6 +173,7 @@ def test_operators_total_on_empty_inputs(spark):
         m.bpe_fertility(docs, [("a", "b")]),
         m.piece_stats(seg.select("word", "freq", "pieces")),
         m.pair_counts(seg.select("word", "freq", "sym")),
+        m.kmeans_assign(emb, [[0, 0]]),
         m.pq_encode(emb, cb),
         m.pq_adc_topk(m.pq_encode(emb, cb), cb, [1.0, 0.0], k=2),
         m.ivfpq_topk(emb, [[0.0, 0.0]], cb, [1.0, 0.0], k=2),

@@ -66,6 +66,10 @@ ALLOWED = {
     # ONE-row total-count aggregate broadcast onto the top-n key list:
     # O(top_n)
     "profile_key_skew": {"nested_loop"},
+    # short-string fallback pair scan (strings too short for the q-gram
+    # guarantee, len <= k*q+q-1): bounded by the short-string count and
+    # EMPTY for name corpora — the gram path never nested-loops
+    "join_edit_distance": {"nested_loop"},
 }
 
 
