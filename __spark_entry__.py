@@ -4994,6 +4994,44 @@ def q_profile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (percentile_disc semantics) per
+    lineitem measure (profiling/profiler.py exact_quantiles):
+    value-histogram cumsum, all-integer rank arithmetic, answers are
+    COLUMN ELEMENTS so doubles pass through bit-identical."""
+    from pydi_spark.profiling import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount", "l_tax"],
+        ps=(0.25, 0.5, 0.75, 0.95),
+    )
+
+
+def q_normalize_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group missing-value imputation (normalization/impute.py):
+    deterministic synthesized nulls, then mean (exact decimal sums,
+    one IEEE division) / median (histogram cumsum) / mode (count DESC,
+    value ASC) fills within l_linestatus groups."""
+    from pydi_spark.normalization import impute_missing
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus",
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_quantity")).alias("qty"),
+        F.when(F.col("l_orderkey") % 11 == 0, None)
+        .otherwise(F.col("l_discount")).alias("disc"),
+        F.when(F.col("l_orderkey") % 13 == 0, None)
+        .otherwise(F.col("l_returnflag")).alias("flag"),
+    )
+    return impute_missing(
+        base,
+        {"qty": "mean", "disc": "median", "flag": "mode"},
+        group_by=["l_linestatus"],
+        scale=2,
+    )
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table
     (llmdata/kmeans.py kmeans_cluster, k=4, ONE iteration): micro-int
@@ -5237,6 +5275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr": q_profile_corr,
         "profile_dispersion": q_profile_dispersion,
         "embed_kmeans": q_embed_kmeans,
+        "profile_quantiles": q_profile_quantiles,
+        "normalize_impute": q_normalize_impute,
     }
 
 
@@ -8907,6 +8947,78 @@ FROM (
   FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY {c})
 )""")
     out["profile_dispersion"] = "\nUNION ALL".join(disp_selects)
+
+    # exact discrete quantiles: rank arithmetic is all-integer, the
+    # answer is an element of the column (no interpolation)
+    quant_selects = []
+    quant_ppms = [250000, 500000, 750000, 950000]
+    for c in ["l_quantity", "l_discount", "l_tax"]:
+        picks = ",\n       ".join(
+            f"MIN(CASE WHEN cum >= ({q} * n + 999999) // 1000000 "
+            f"THEN val END) AS p_{q}"
+            for q in quant_ppms
+        )
+        quant_selects.append(f"""
+SELECT '{c}' AS "column", CAST(MAX(n) AS BIGINT) AS n,
+       {picks}
+FROM (
+  SELECT val,
+         SUM(c) OVER (ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM (SELECT {c} AS val, COUNT(*) AS c FROM lineitem
+        WHERE {c} IS NOT NULL GROUP BY 1)
+)""")
+    out["profile_quantiles"] = "\nUNION ALL".join(quant_selects)
+
+    # per-group impute replay: mean = exact decimal sum / count in ONE
+    # double division; median = histogram cumsum at rank (n+1) div 2;
+    # mode = (count DESC, value ASC) winner
+    out["normalize_impute"] = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_linestatus,
+         CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty,
+         CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_discount END AS disc,
+         CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_returnflag END AS flag
+  FROM lineitem
+),
+mean_s AS (
+  SELECT l_linestatus,
+         CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(COUNT(qty) AS DOUBLE) AS fill_qty
+  FROM base GROUP BY l_linestatus
+),
+med_cum AS (
+  SELECT l_linestatus, val,
+         SUM(c) OVER (PARTITION BY l_linestatus ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY l_linestatus) AS n
+  FROM (SELECT l_linestatus, disc AS val, COUNT(*) AS c FROM base
+        WHERE disc IS NOT NULL GROUP BY 1, 2)
+),
+med_s AS (
+  SELECT l_linestatus,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END) AS fill_disc
+  FROM med_cum GROUP BY l_linestatus
+),
+mode_s AS (
+  SELECT l_linestatus, val AS fill_flag FROM (
+    SELECT l_linestatus, val,
+           row_number() OVER (PARTITION BY l_linestatus
+                              ORDER BY c DESC, val ASC) AS rk
+    FROM (SELECT l_linestatus, flag AS val, COUNT(*) AS c FROM base
+          WHERE flag IS NOT NULL GROUP BY 1, 2)
+  ) WHERE rk = 1
+)
+SELECT b.l_orderkey, b.l_linenumber, b.l_linestatus,
+       COALESCE(b.qty, m.fill_qty) AS qty,
+       COALESCE(b.disc, d.fill_disc) AS disc,
+       COALESCE(b.flag, f.fill_flag) AS flag
+FROM base b
+LEFT JOIN mean_s m USING (l_linestatus)
+LEFT JOIN med_s d USING (l_linestatus)
+LEFT JOIN mode_s f USING (l_linestatus)
+"""
 
     # full Lloyd replay (init = 4 lowest-id vectors, ONE iteration):
     # micro-int quantization makes every stage exact — dist2 is an

@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "profile_corr",
     "profile_dispersion",
     "embed_kmeans",
+    "profile_quantiles",
+    "normalize_impute",
 ]
 
 

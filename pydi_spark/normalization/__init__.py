@@ -5,6 +5,7 @@ from pydi_spark.normalization.detectors import (
     null_standardize_expr,
     outlier_bounds,
 )
+from pydi_spark.normalization.impute import impute_missing
 from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
 from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
@@ -36,6 +37,7 @@ __all__ = [
     "null_standardize_expr",
     "outlier_bounds",
     "fd_repair_report",
+    "impute_missing",
     "repair_fd_violations",
     "parse_quantity_expr",
     "transform_expr",

@@ -7,6 +7,7 @@ from pydi_spark.profiling.profiler import (
     DataProfiler,
     categorical_dispersion,
     correlation_matrix,
+    exact_quantiles,
     key_skew_report,
 )
 from pydi_spark.profiling.sketches import (
@@ -24,6 +25,7 @@ __all__ = [
     "categorical_dispersion",
     "correlation_matrix",
     "discover_fds",
+    "exact_quantiles",
     "discover_inds",
     "discover_keys",
     "key_skew_report",

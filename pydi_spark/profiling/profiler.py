@@ -425,3 +425,73 @@ def categorical_dispersion(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def exact_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """[column, n, p_{ppm}...] — EXACT discrete quantiles per column:
+    for each probability p, the smallest value whose cumulative
+    non-null count reaches ceil(p*n) (``percentile_disc`` semantics —
+    always an element of the column, never an interpolation, so doubles
+    pass through bit-identical and ints stay ints).
+
+    Determinism: p quantizes to parts-per-million; the target rank is
+    pure integer arithmetic (``(p_ppm*n + 999999) div 1e6`` = exact
+    ceiling), the cumulative counts are exact bigints, and the answer
+    is a conditional ``min`` — no float op anywhere.
+
+    Scale: one groupBy per column builds its value histogram (map-side
+    combined, shuffle bounded by the column's CARDINALITY, not its row
+    count); the cumsum window then runs over the distinct-value table.
+    For near-unique columns (timestamps, ids) that table is row-sized
+    and the single-ordered-window becomes the bottleneck — use the KLL
+    sketch (profiling/sketches.py) there; this operator is for the
+    bounded-domain measures a profiler actually quantiles.
+
+    Beyond the reference (PyDI's profiler has min/max/nulls only).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    ppms = [int(round(p * 1_000_000)) for p in ps]
+    if not ppms or any(not 0 < q <= 1_000_000 for q in ppms):
+        raise ValueError(f"ps must be in (0, 1]: {ps}")
+    from pyspark.sql import Window
+
+    out = None
+    for c in cols:
+        cnt = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.orderBy("__val").rowsBetween(Window.unboundedPreceding, 0)
+        cum = cnt.select(
+            "__val",
+            F.sum("__c").over(w).alias("__cum"),
+            F.sum("__c").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__n"),
+        )
+        row = cum.agg(
+            F.max("__n").alias("n"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cum")
+                        >= F.expr(
+                            f"(CAST({q} AS BIGINT) * __n + 999999) "
+                            "div 1000000"
+                        ),
+                        F.col("__val"),
+                    )
+                ).alias(f"p_{q}")
+                for q in ppms
+            ],
+        ).select(F.lit(c).alias("column"), "*")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -63,7 +63,7 @@ def test_driver_window_arithmetic():
         "profile_inds", "normalize_fd_repair", "profile_keys",
         "io_scd2", "io_schema_union",
         "join_edit_distance", "profile_corr", "profile_dispersion",
-        "embed_kmeans",
+        "embed_kmeans", "profile_quantiles", "normalize_impute",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -89,7 +89,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "profile_inds", "normalize_fd_repair", "profile_keys",
         "io_scd2", "io_schema_union",
         "join_edit_distance", "profile_corr", "profile_dispersion",
-        "embed_kmeans",
+        "embed_kmeans", "profile_quantiles", "normalize_impute",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()

@@ -730,3 +730,36 @@ def test_categorical_dispersion(spark):
 
     with _pytest.raises(ValueError):
         categorical_dispersion(df, [])
+
+
+def test_exact_quantiles_known_values(spark):
+    from pydi_spark.profiling import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v), v) for v in range(1, 11)] + [(None, 99)], ["x", "y"]
+    )
+    out = {r["column"]: r for r in exact_quantiles(df, ["x", "y"]).collect()}
+    # x: 10 non-null values 1..10 -> p25 = ceil(2.5)=3rd, p50 = 5th,
+    # p75 = ceil(7.5)=8th (percentile_disc picks elements, no interp)
+    assert out["x"]["n"] == 10
+    assert (out["x"]["p_250000"], out["x"]["p_500000"],
+            out["x"]["p_750000"]) == (3.0, 5.0, 8.0)
+    assert out["y"]["n"] == 11
+    assert out["y"]["p_500000"] == 6  # 6th of 11 sorted (1..10, 99)
+
+
+def test_exact_quantiles_duplicates_and_extremes(spark):
+    from pydi_spark.profiling import exact_quantiles
+
+    df = spark.createDataFrame([(1,)] * 7 + [(9,)] * 3, ["v"])
+    out = exact_quantiles(df, ["v"], ps=(0.5, 0.7, 0.71, 1.0)).collect()[0]
+    assert out["p_500000"] == 1
+    assert out["p_700000"] == 1      # rank 7 is still the last 1
+    assert out["p_710000"] == 9      # rank ceil(7.1)=8 crosses into 9s
+    assert out["p_1000000"] == 9     # max
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, [])
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, ["v"], ps=(0.0,))

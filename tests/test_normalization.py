@@ -357,3 +357,66 @@ def test_repair_fd_violations(spark):
     rep = fd_repair_report(df, "det", "dep").collect()[0]
     assert (rep["n_groups"], rep["n_violating_groups"],
             rep["n_rows_changed"]) == (2, 2, 2)
+
+
+# ----------------------------------------------------- imputation
+
+def test_impute_missing_strategies(spark):
+    from pydi_spark.normalization import impute_missing
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1.0, 10, "a"), ("g1", 3.0, 20, "a"),
+            ("g1", None, 30, "b"), ("g1", 2.0, None, None),
+            ("g2", None, 5, "z"), ("g2", 8.0, None, None),
+        ],
+        ["g", "mean_col", "med_col", "mode_col"],
+    )
+    got = impute_missing(
+        df,
+        {"mean_col": "mean", "med_col": "median", "mode_col": "mode"},
+        group_by=["g"],
+    )
+    rows = {
+        (r["g"], r["med_col"] or -1, r["mode_col"] or ""): r
+        for r in got.collect()
+    }
+    assert got.count() == 6
+    # g1 mean of (1,3,2) = 2.0 fills the null
+    assert rows[("g1", 30, "b")]["mean_col"] == 2.0
+    # g1 median of (10,20,30) = 20 fills row 4's med_col
+    g1_null_med = [r for r in got.collect() if r["g"] == "g1" and r["med_col"] == 20]
+    assert len(g1_null_med) == 2  # original 20 + imputed
+    # g1 mode: 'a' (2 of 3)
+    assert [r["mode_col"] for r in got.collect() if r["g"] == "g1"].count("a") == 3
+    # g2 mean fills with its only value
+    assert all(r["mean_col"] == 8.0 for r in got.collect() if r["g"] == "g2")
+
+
+def test_impute_missing_global_constant_and_validation(spark):
+    import pytest as _pytest
+
+    from pydi_spark.normalization import impute_missing
+
+    df = spark.createDataFrame(
+        [(1.0, None), (None, "x"), (3.0, None)], ["v", "s"]
+    )
+    got = impute_missing(df, {"v": "median", "s": ("constant", "?")})
+    vals = sorted((r["v"], r["s"]) for r in got.collect())
+    assert vals == [(1.0, "?"), (1.0, "x"), (3.0, "?")]
+    with _pytest.raises(ValueError):
+        impute_missing(df, {"v": "average"})
+    with _pytest.raises(ValueError):
+        impute_missing(df, {"nope": "mean"})
+
+
+def test_impute_missing_all_null_group_stays_null(spark):
+    from pydi_spark.normalization import impute_missing
+
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g1", None), ("g2", None)], ["g", "v"]
+    )
+    got = {(r["g"], r["v"]) for r in impute_missing(
+        df, {"v": "mean"}, group_by=["g"]
+    ).collect()}
+    assert got == {("g1", 1.0), ("g2", None)}
