@@ -5032,6 +5032,43 @@ def q_normalize_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-flight join diagnostics orders x lineitem on orderkey
+    (profiling/profiler.py join_cardinality_report): key-cardinality-
+    bounded groupBys + one key join, never materializes the join."""
+    from pydi_spark.profiling import join_cardinality_report
+
+    return join_cardinality_report(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey",
+    )
+
+
+def q_normalize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize lineitem measures to their exact [p5, p95] discrete
+    quantiles (normalization/robust.py clip_outliers): bounds are
+    column elements collected as scalars and re-inlined as literals —
+    the clip pass is a pure map-side when-chain."""
+    from pydi_spark.normalization import clip_outliers
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    return clip_outliers(
+        base, ["l_quantity", "l_discount"], lower=0.05, upper=0.95
+    )
+
+
+def q_normalize_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse customer keys rarer than 0.1% of orders into __other__
+    (normalization/robust.py collapse_rare_categories): exact integer
+    cross-multiplied share threshold, broadcast KEEP-set join."""
+    from pydi_spark.normalization import collapse_rare_categories
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return collapse_rare_categories(base, "o_custkey", min_share_ppm=1000)
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table
     (llmdata/kmeans.py kmeans_cluster, k=4, ONE iteration): micro-int
@@ -5277,6 +5314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "profile_quantiles": q_profile_quantiles,
         "normalize_impute": q_normalize_impute,
+        "profile_join_fanout": q_profile_join_fanout,
+        "normalize_clip": q_normalize_clip,
+        "normalize_rare_collapse": q_normalize_rare_collapse,
     }
 
 
@@ -9018,6 +9058,71 @@ FROM base b
 LEFT JOIN mean_s m USING (l_linestatus)
 LEFT JOIN med_s d USING (l_linestatus)
 LEFT JOIN mode_s f USING (l_linestatus)
+"""
+
+    out["profile_join_fanout"] = """
+WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem
+       WHERE l_orderkey IS NOT NULL GROUP BY 1),
+b AS (SELECT cl, cr FROM lc FULL OUTER JOIN rc USING (k))
+SELECT CAST(SUM(cl) AS BIGINT) AS n_left,
+       CAST(SUM(cr) AS BIGINT) AS n_right,
+       CAST(COUNT(cl) AS BIGINT) AS n_left_keys,
+       CAST(COUNT(cr) AS BIGINT) AS n_right_keys,
+       CAST(COUNT(cl * cr) AS BIGINT) AS n_matching_keys,
+       CAST(SUM(cl * cr) AS BIGINT) AS join_rows,
+       CAST(MAX(cl * cr) AS BIGINT) AS max_key_fanout,
+       CAST(SUM(CASE WHEN cr IS NULL THEN cl END) AS BIGINT)
+         AS left_rows_unmatched,
+       CAST(SUM(CASE WHEN cl IS NULL THEN cr END) AS BIGINT)
+         AS right_rows_unmatched
+FROM b
+"""
+
+    # winsorization: bounds replayed with the exact-quantile CTE, the
+    # clip itself is the same CASE chain as the when-chain
+    def _qbounds(col: str, lo_ppm: int, hi_ppm: int) -> str:
+        return f"""(
+  SELECT MIN(CASE WHEN cum >= ({lo_ppm} * n + 999999) // 1000000
+             THEN val END) AS lo,
+         MIN(CASE WHEN cum >= ({hi_ppm} * n + 999999) // 1000000
+             THEN val END) AS hi
+  FROM (
+    SELECT val,
+           SUM(c) OVER (ORDER BY val ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+           SUM(c) OVER () AS n
+    FROM (SELECT {col} AS val, COUNT(*) AS c FROM lineitem
+          WHERE {col} IS NOT NULL GROUP BY 1)
+  )
+)"""
+
+    out["normalize_clip"] = f"""
+WITH bq AS {_qbounds("l_quantity", 50000, 950000)},
+bd AS {_qbounds("l_discount", 50000, 950000)}
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < bq.lo THEN bq.lo
+            WHEN l_quantity > bq.hi THEN bq.hi
+            ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_discount < bd.lo THEN bd.lo
+            WHEN l_discount > bd.hi THEN bd.hi
+            ELSE l_discount END AS l_discount
+FROM lineitem, bq, bd
+"""
+
+    out["normalize_rare_collapse"] = """
+WITH cnt AS (SELECT CAST(o_custkey AS VARCHAR) AS val, COUNT(*) AS c
+             FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+tot AS (SELECT SUM(c) AS t FROM cnt),
+keep AS (SELECT val FROM cnt, tot WHERE c * 1000000 >= 1000 * t)
+SELECT o_orderkey,
+       CASE WHEN o_custkey IS NULL THEN CAST(NULL AS VARCHAR)
+            WHEN CAST(o_custkey AS VARCHAR) IN (SELECT val FROM keep)
+              THEN CAST(o_custkey AS VARCHAR)
+            ELSE '__other__' END AS o_custkey
+FROM orders
 """
 
     # full Lloyd replay (init = 4 lowest-id vectors, ONE iteration):

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "embed_kmeans",
     "profile_quantiles",
     "normalize_impute",
+    "profile_join_fanout",
+    "normalize_clip",
+    "normalize_rare_collapse",
 ]
 
 

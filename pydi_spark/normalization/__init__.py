@@ -6,6 +6,7 @@ from pydi_spark.normalization.detectors import (
     outlier_bounds,
 )
 from pydi_spark.normalization.impute import impute_missing
+from pydi_spark.normalization.robust import clip_outliers, collapse_rare_categories
 from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
 from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
@@ -37,6 +38,8 @@ __all__ = [
     "null_standardize_expr",
     "outlier_bounds",
     "fd_repair_report",
+    "clip_outliers",
+    "collapse_rare_categories",
     "impute_missing",
     "repair_fd_violations",
     "parse_quantity_expr",

@@ -1,0 +1,114 @@
+"""Robust-statistics normalizers: quantile clipping (winsorization)
+and rare-category collapse.
+
+Reference scope: PyDI's outlier detector (normalization/detectors.py
+counterpart) only FLAGS IQR outliers; these are the corresponding
+TRANSFORMS a feature/training pipeline applies. Beyond the reference.
+
+Determinism contract: clip bounds are exact discrete quantiles
+(elements of the column — the exact_quantiles machinery), collected
+driver-side (a scalar-bounds aggregate, the allowed collect class) and
+re-inlined as literals, so the clip itself is a pure when-chain with
+NO join; rare-category thresholds compare exact integer counts
+(share thresholds as cnt*1e6 >= ppm*total cross-multiplication — no
+float division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clip_outliers(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorize each column to its exact [lower, upper] discrete
+    quantiles: values below the lower bound become the bound, above
+    the upper bound become that bound; nulls stay null. Bounds are
+    COLUMN ELEMENTS (percentile_disc), so no new values are invented
+    and doubles stay bit-exact.
+
+    Scale: one quantile histogram per column (shuffle bounded by the
+    column's cardinality — the exact_quantiles caveat: for near-unique
+    columns prefer a sketch-based bound); the clip pass itself is
+    map-side only, bounds ride along as literals.
+    """
+    if not 0 < lower <= upper <= 1:
+        raise ValueError(f"need 0 < lower <= upper <= 1: {lower}, {upper}")
+    from pydi_spark.profiling import exact_quantiles
+
+    lo_ppm = int(round(lower * 1_000_000))
+    hi_ppm = int(round(upper * 1_000_000))
+    bounds = {
+        r["column"]: (r[f"p_{lo_ppm}"], r[f"p_{hi_ppm}"])
+        for r in exact_quantiles(df, cols, ps=(lower, upper)).collect()
+    }
+    out = df
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None:  # all-null column: nothing to clip
+            continue
+        out = out.withColumn(
+            c,
+            F.when(F.col(c) < F.lit(lo), F.lit(lo))
+            .when(F.col(c) > F.lit(hi), F.lit(hi))
+            .otherwise(F.col(c)),
+        )
+    return out
+
+
+def collapse_rare_categories(
+    df: DataFrame,
+    col: str,
+    min_count: int | None = None,
+    min_share_ppm: int | None = None,
+    other: str = "__other__",
+) -> DataFrame:
+    """Replace category values rarer than the threshold with ``other``
+    (string column result; nulls stay null — a null is missing, not
+    rare). Threshold: absolute ``min_count``, or ``min_share_ppm``
+    parts-per-million of the non-null rows (exact integer
+    cross-multiply, no division) — exactly one must be given.
+
+    Scale: ONE map-side-combined groupBy builds the frequency table;
+    the KEEP set (frequent values) joins back broadcast-eligible — the
+    frequent side is the small side by construction (<= 1e6 /
+    min_share_ppm values for share thresholds).
+    """
+    if (min_count is None) == (min_share_ppm is None):
+        raise ValueError("give exactly one of min_count / min_share_ppm")
+    s = F.col(col).cast("string")
+    counts = (
+        df.where(s.isNotNull())
+        .groupBy(s.alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if min_count is not None:
+        keep = counts.where(F.col("__c") >= int(min_count))
+    else:
+        counts = counts.localCheckpoint(eager=True)  # feeds total + filter
+        total = counts.agg(F.sum("__c").alias("__total"))
+        keep = (
+            counts.crossJoin(F.broadcast(total))
+            .where(
+                F.col("__c") * F.lit(1_000_000)
+                >= F.lit(int(min_share_ppm)) * F.col("__total")
+            )
+        )
+    keep = keep.select("__val", F.lit(1).alias("__keep"))
+    out = (
+        df.withColumn("__val", s)
+        .join(F.broadcast(keep), "__val", "left")
+        .withColumn(
+            col,
+            F.when(s.isNull(), F.lit(None).cast("string"))
+            .when(F.col("__keep").isNotNull(), s)
+            .otherwise(F.lit(other)),
+        )
+        .drop("__val", "__keep")
+    )
+    return out

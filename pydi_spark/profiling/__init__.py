@@ -8,6 +8,7 @@ from pydi_spark.profiling.profiler import (
     categorical_dispersion,
     correlation_matrix,
     exact_quantiles,
+    join_cardinality_report,
     key_skew_report,
 )
 from pydi_spark.profiling.sketches import (
@@ -26,6 +27,7 @@ __all__ = [
     "correlation_matrix",
     "discover_fds",
     "exact_quantiles",
+    "join_cardinality_report",
     "discover_inds",
     "discover_keys",
     "key_skew_report",

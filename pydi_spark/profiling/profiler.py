@@ -495,3 +495,53 @@ def exact_quantiles(
         ).select(F.lit(c).alias("column"), "*")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+) -> DataFrame:
+    """ONE row of exact pre-flight join diagnostics: [n_left, n_right,
+    n_left_keys, n_right_keys, n_matching_keys, join_rows,
+    max_key_fanout, left_rows_unmatched, right_rows_unmatched].
+
+    ``join_rows`` is the exact inner-join output size (sum of
+    cnt_l*cnt_r over matching keys) and ``max_key_fanout`` its largest
+    per-key term — the two numbers that decide whether a planned join
+    explodes, needs salting, or can broadcast, WITHOUT running it.
+    Null keys never match (SQL semantics) and are excluded.
+
+    Scale: two map-side-combined groupBys bounded by key CARDINALITY,
+    one key-table equi-join, one scalar aggregate — never touches the
+    payload columns and never materializes the join. All-integer
+    arithmetic. Beyond the reference (PyDI has no join planner).
+    """
+    lc = (
+        left.where(F.col(left_on).isNotNull())
+        .groupBy(F.col(left_on).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cl"))
+    )
+    rc = (
+        right.where(F.col(right_on).isNotNull())
+        .groupBy(F.col(right_on).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    both = lc.join(rc, "__k", "full_outer")
+    prod = F.col("__cl") * F.col("__cr")
+    return both.agg(
+        F.sum("__cl").alias("n_left"),
+        F.sum("__cr").alias("n_right"),
+        F.count("__cl").alias("n_left_keys"),
+        F.count("__cr").alias("n_right_keys"),
+        F.count(prod).alias("n_matching_keys"),
+        F.sum(prod).alias("join_rows"),
+        F.max(prod).alias("max_key_fanout"),
+        F.sum(F.when(F.col("__cr").isNull(), F.col("__cl"))).alias(
+            "left_rows_unmatched"
+        ),
+        F.sum(F.when(F.col("__cl").isNull(), F.col("__cr"))).alias(
+            "right_rows_unmatched"
+        ),
+    )

@@ -64,6 +64,7 @@ def test_driver_window_arithmetic():
         "io_scd2", "io_schema_union",
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
+        "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -90,6 +91,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "io_scd2", "io_schema_union",
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
+        "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()

@@ -763,3 +763,24 @@ def test_exact_quantiles_duplicates_and_extremes(spark):
         exact_quantiles(df, [])
     with _pytest.raises(ValueError):
         exact_quantiles(df, ["v"], ps=(0.0,))
+
+
+def test_join_cardinality_report(spark):
+    from pydi_spark.profiling import join_cardinality_report
+
+    L = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], ["k"]
+    )
+    R = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("d",), (None,)], ["j"]
+    )
+    r = join_cardinality_report(L, R, "k", "j").collect()[0]
+    assert r["n_left"] == 4 and r["n_right"] == 5         # null keys out
+    assert r["n_left_keys"] == 3 and r["n_right_keys"] == 3
+    assert r["n_matching_keys"] == 2
+    assert r["join_rows"] == 2 * 3 + 1 * 1                # exact inner size
+    assert r["max_key_fanout"] == 6
+    assert r["left_rows_unmatched"] == 1                  # c
+    assert r["right_rows_unmatched"] == 1                 # d
+    # cross-check against the actual join
+    assert L.join(R, L.k == R.j).count() == r["join_rows"]

@@ -420,3 +420,51 @@ def test_impute_missing_all_null_group_stays_null(spark):
         df, {"v": "mean"}, group_by=["g"]
     ).collect()}
     assert got == {("g1", 1.0), ("g2", None)}
+
+
+# ----------------------------------------------------- robust transforms
+
+def test_clip_outliers(spark):
+    from pydi_spark.normalization import clip_outliers
+
+    rows = [(float(v),) for v in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, ["v"])
+    got = clip_outliers(df, ["v"], lower=0.05, upper=0.95)
+    vals = [r["v"] for r in got.collect()]
+    assert vals.count(None) == 1
+    nn = [v for v in vals if v is not None]
+    assert min(nn) == 5.0 and max(nn) == 95.0
+    assert vals.count(5.0) == 5 and vals.count(95.0) == 6
+    assert sorted(nn)[10] == 11.0  # interior untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        clip_outliers(df, ["v"], lower=0.9, upper=0.1)
+
+
+def test_collapse_rare_categories(spark):
+    import pytest as _pytest
+
+    from pydi_spark.normalization import collapse_rare_categories
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)], ["cat"]
+    )
+    by_count = [
+        r["cat"]
+        for r in collapse_rare_categories(df, "cat", min_count=3).collect()
+    ]
+    assert by_count.count("a") == 5 and by_count.count("b") == 3
+    assert by_count.count("__other__") == 1 and by_count.count(None) == 1
+    # share: >= 40% of the 9 non-null rows -> only 'a' (5/9)
+    by_share = [
+        r["cat"]
+        for r in collapse_rare_categories(
+            df, "cat", min_share_ppm=400_000
+        ).collect()
+    ]
+    assert by_share.count("a") == 5 and by_share.count("__other__") == 4
+    with _pytest.raises(ValueError):
+        collapse_rare_categories(df, "cat")
+    with _pytest.raises(ValueError):
+        collapse_rare_categories(df, "cat", min_count=1, min_share_ppm=1)
