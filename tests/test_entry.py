@@ -126,6 +126,10 @@ def test_partition_independence_of_new_queries(spark):
         "normalize_locale",
         # round-6 additions
         "dedup_bloom_incremental", "units_normalize",
+        # round-6 session-3 additions
+        "join_edit_distance", "profile_corr", "embed_kmeans",
+        "profile_quantiles", "normalize_impute", "profile_join_fanout",
+        "normalize_clip", "normalize_rare_collapse",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
