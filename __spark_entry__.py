@@ -1332,43 +1332,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     three map-side-combined aggregates and two narrow joins, no window
     over the raw event stream. Interval arithmetic on micros timestamps
     is exact on both engines."""
+    from pydi_spark.events import funnel_stages
+
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    staged = (
-        v.join(c.select("user_id", "t_click"), "user_id", "left")
-        .join(p.select("user_id", "t_purchase"), "user_id", "left")
-        .select(
-            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
-            .when(F.col("t_click").isNotNull(), F.lit(2))
-            .otherwise(F.lit(1))
-            .alias("stage")
-        )
-    )
-    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+    return funnel_stages(ev, ["view", "click", "purchase"], within_hours=24)
 
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,51 +1344,20 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-difference div 7 between Monday-truncated timestamps — exact
     integers on both engines (datediff('week', ...) boundary semantics
     would not be portable)."""
+    from pydi_spark.events import retention_cohorts
+
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    su = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
-    )
-    act = (
-        ev.join(su, "user_id")
-        .where(F.col("ts") >= F.col("cw"))
-        .select(
-            "user_id",
-            "cw",
-            F.expr("datediff(date_trunc('week', ts), cw) div 7")
-            .cast("int")
-            .alias("wk_off"),
-        )
-        .distinct()
-    )
-    return act.groupBy(
-        F.col("cw").cast("date").cast("string").alias("cohort_week"), "wk_off"
-    ).agg(F.count("*").alias("n_users"))
+    return retention_cohorts(ev, signup_type="signup")
 
 
 def q_events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (the batch twin of streaming_sessionize):
     per-user sessions split on >30 min gaps via lag + running sum —
     one exchange by user, gap math on exact micros integers."""
+    from pydi_spark.events import session_stats
+
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "new_s",
-        F.when(gap_us.isNull() | (gap_us > F.lit(1800000000)), 1).otherwise(0),
-    )
-    sid = (
-        F.sum("new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int")
-    )
-    sess = flagged.withColumn("session_id", sid)
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-        .alias("duration_us"),
-    )
+    return session_stats(ev, gap_minutes=30)
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,6 +1375,19 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common 3-step event paths within sessions (events/ops.py
+    event_path_ngrams): sessionize (30-min gap) -> lead windows on the
+    same (user, session) exchange -> path counts + user reach; output
+    bounded by |event types|^3."""
+    from pydi_spark.events import event_path_ngrams
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return event_path_ngrams(ev, n=3, gap_minutes=30)
 
 
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5317,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_join_fanout": q_profile_join_fanout,
         "normalize_clip": q_normalize_clip,
         "normalize_rare_collapse": q_normalize_rare_collapse,
+        "events_paths": q_events_paths,
     }
 
 
@@ -9123,6 +9073,37 @@ SELECT o_orderkey,
               THEN CAST(o_custkey AS VARCHAR)
             ELSE '__other__' END AS o_custkey
 FROM orders
+"""
+
+    out["events_paths"] = """
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM flagged
+),
+led AS (
+  SELECT user_id, event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e0 || '>' || e1 || '>' || e2 AS path,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS n_users
+FROM led WHERE e2 IS NOT NULL
+GROUP BY 1
 """
 
     # full Lloyd replay (init = 4 lowest-id vectors, ONE iteration):

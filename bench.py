@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "profile_join_fanout",
     "normalize_clip",
     "normalize_rare_collapse",
+    "events_paths",
 ]
 
 

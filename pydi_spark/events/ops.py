@@ -1,0 +1,202 @@
+"""Behavioral / event-stream analytics over (user, timestamp, type)
+logs: sessionization, funnels, retention cohorts, and path n-grams.
+
+Reference scope: PyDI has no event analytics — these are north-star
+additions for the product-analytics half of the engine (the streaming
+module holds their incremental twins: streaming/dedup.py sessionize).
+
+Determinism contract: every per-user order is the TOTAL order
+(ts, order_col) — equal timestamps cannot reorder across partitions;
+all gap/duration arithmetic runs on exact micros integers
+(``unix_micros``, never float seconds); week math is day-difference
+div 7 between Monday truncations (``datediff('week')`` boundary
+semantics are not portable across engines — NOTES.md).
+
+Scale: sessionization and path n-grams are ONE exchange by user (all
+windows share the (user[, session]) partitioning); funnels are
+per-stage min-ts aggregates and narrow user-keyed joins — no window
+over the raw stream; retention is two aggregates and a user join.
+Skew concentrates in bot-grade hot users — cap upstream with
+key_skew_report + a per-user event limit if a corpus needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Input + ``session_id``: per-user 0/1-flag running sum, new
+    session when the gap to the previous event exceeds ``gap_minutes``
+    (exact micros comparison). First event per user opens session 1."""
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0: {gap_minutes}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    gap_lim = F.lit(int(gap_minutes) * 60_000_000)
+    flagged = df.withColumn(
+        "__new_s",
+        F.when(gap_us.isNull() | (gap_us > gap_lim), 1).otherwise(0),
+    )
+    sid = (
+        F.sum("__new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+    )
+    return flagged.withColumn("session_id", sid).drop("__new_s")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """[user, session_id, n_events, duration_us] per session."""
+    sess = assign_sessions(df, user_col, ts_col, order_col, gap_minutes)
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("duration_us"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    within_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[stage, n_users] — how many users' deepest funnel stage is each
+    1-based stage index: a user reaches stage i+1 with an event of
+    type ``stages[i+1]`` strictly after their stage-i time and within
+    ``within_hours`` of it (classic strict-sequence funnel; stage time
+    = FIRST qualifying event). Users who never emit ``stages[0]`` are
+    outside the funnel."""
+    if len(stages) < 2:
+        raise ValueError("need at least two funnel stages")
+    if within_hours <= 0:
+        raise ValueError(f"within_hours must be > 0: {within_hours}")
+    base = df.select(user_col, type_col, ts_col)
+    prev = (
+        base.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    frames = [prev]
+    for i, st in enumerate(stages[1:], start=1):
+        t_prev = f"t_{i - 1}"
+        prev = (
+            base.where(F.col(type_col) == st)
+            .join(frames[-1].select(user_col, t_prev), user_col)
+            .where(
+                (F.col(ts_col) > F.col(t_prev))
+                & (
+                    F.col(ts_col)
+                    <= F.col(t_prev)
+                    + F.expr(f"INTERVAL {int(within_hours)} HOURS")
+                )
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        frames.append(prev)
+    staged = frames[0]
+    for i, f in enumerate(frames[1:], start=1):
+        staged = staged.join(
+            f.select(user_col, f"t_{i}"), user_col, "left"
+        )
+    stage = F.lit(1)
+    expr = None
+    for i in range(len(stages) - 1, 0, -1):
+        cond = F.col(f"t_{i}").isNotNull()
+        expr = (
+            F.when(cond, F.lit(i + 1))
+            if expr is None
+            else expr.when(cond, F.lit(i + 1))
+        )
+    staged = staged.select(expr.otherwise(stage).alias("stage"))
+    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    signup_type: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[cohort_week, wk_off, n_users] — weekly retention: users grouped
+    by Monday-truncated week of their first ``signup_type`` event;
+    distinct active users per whole-week offset from it."""
+    base = df.select(user_col, type_col, ts_col)
+    su = (
+        base.where(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cw"))
+    )
+    act = (
+        base.join(su, user_col)
+        .where(F.col(ts_col) >= F.col("cw"))
+        .select(
+            user_col,
+            "cw",
+            F.expr(f"datediff(date_trunc('week', {ts_col}), cw) div 7")
+            .cast("int")
+            .alias("wk_off"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cw").cast("date").cast("string").alias("cohort_week"),
+        "wk_off",
+    ).agg(F.count("*").alias("n_users"))
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    event_col: str = "event_type",
+    gap_minutes: int = 30,
+    sep: str = ">",
+) -> DataFrame:
+    """[path, cnt, n_users] — every length-``n`` consecutive event-type
+    sequence WITHIN a session (sessions never bridge the gap split),
+    with occurrence count and distinct-user reach. The product-analytics
+    "common paths" table; output is bounded by |event types|^n, not by
+    rows.
+
+    Lead windows share the sessionization's (user) exchange — the path
+    pass adds per-partition sorting only."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+    sess = assign_sessions(df, user_col, ts_col, order_col, gap_minutes)
+    w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, order_col)
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)
+    ]
+    led = sess.select(
+        user_col, *[s.alias(f"__e{i}") for i, s in enumerate(steps)]
+    ).where(F.col(f"__e{n - 1}").isNotNull())
+    return led.groupBy(
+        F.concat_ws(sep, *[f"__e{i}" for i in range(n)]).alias("path")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct(user_col).alias("n_users"),
+    )

@@ -65,6 +65,7 @@ def test_driver_window_arithmetic():
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
+        "events_paths",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -92,6 +93,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
+        "events_paths",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -129,7 +131,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-6 session-3 additions
         "join_edit_distance", "profile_corr", "embed_kmeans",
         "profile_quantiles", "normalize_impute", "profile_join_fanout",
-        "normalize_clip", "normalize_rare_collapse",
+        "normalize_clip", "normalize_rare_collapse", "events_paths",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -68,3 +68,114 @@ def test_cluster_reports(spark):
         connected_components(corr.select("id1", "id2"))
     ).collect()
     assert [(r["cluster_size"], r["n_clusters"]) for r in dist] == [(3, 1)]
+
+
+# ----------------------------------------------------- events analytics
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_assign_sessions_and_stats(spark):
+    from pydi_spark.events import assign_sessions, session_stats
+
+    rows = [
+        (1, 10, _ts("2026-01-01 10:00:00"), "view"),
+        (1, 11, _ts("2026-01-01 10:10:00"), "click"),
+        (1, 12, _ts("2026-01-01 11:30:00"), "view"),     # 80 min gap
+        (2, 20, _ts("2026-01-01 09:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in assign_sessions(df).collect()
+    }
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 2, (2, 20): 1}
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(df).collect()
+    }
+    assert stats[(1, 1)] == (2, 600_000_000)
+    assert stats[(1, 2)] == (1, 0)
+    assert stats[(2, 1)] == (1, 0)
+
+
+def test_funnel_stages_strict_sequence(spark):
+    from pydi_spark.events import funnel_stages
+
+    rows = [
+        # u1 full funnel
+        (1, _ts("2026-01-01 10:00:00"), "view"),
+        (1, _ts("2026-01-01 11:00:00"), "click"),
+        (1, _ts("2026-01-01 12:00:00"), "purchase"),
+        # u2 click BEFORE view -> stays at stage 1
+        (2, _ts("2026-01-01 10:00:00"), "click"),
+        (2, _ts("2026-01-01 11:00:00"), "view"),
+        # u3 click too late (>24h)
+        (3, _ts("2026-01-01 10:00:00"), "view"),
+        (3, _ts("2026-01-03 10:00:00"), "click"),
+        # u4 never views -> outside funnel
+        (4, _ts("2026-01-01 10:00:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_stages(df, ["view"])
+
+
+def test_retention_cohorts(spark):
+    from pydi_spark.events import retention_cohorts
+
+    rows = [
+        (1, _ts("2026-01-05 10:00:00"), "signup"),   # Monday
+        (1, _ts("2026-01-06 10:00:00"), "view"),     # wk 0
+        (1, _ts("2026-01-14 10:00:00"), "view"),     # wk 1
+        (2, _ts("2026-01-07 10:00:00"), "signup"),   # same cohort week
+        (2, _ts("2026-01-20 10:00:00"), "view"),     # wk 2
+        (3, _ts("2026-01-01 10:00:00"), "view"),     # never signs up
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        (r["cohort_week"], r["wk_off"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): 2,   # both signups active in week 0
+        ("2026-01-05", 1): 1,
+        ("2026-01-05", 2): 1,
+    }
+
+
+def test_event_path_ngrams(spark):
+    from pydi_spark.events import event_path_ngrams
+
+    rows = [
+        (1, 10, _ts("2026-01-01 10:00:00"), "a"),
+        (1, 11, _ts("2026-01-01 10:01:00"), "b"),
+        (1, 12, _ts("2026-01-01 10:02:00"), "c"),
+        (1, 13, _ts("2026-01-01 12:00:00"), "a"),   # new session
+        (1, 14, _ts("2026-01-01 12:01:00"), "b"),
+        (2, 20, _ts("2026-01-01 10:00:00"), "a"),
+        (2, 21, _ts("2026-01-01 10:01:00"), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    bi = {
+        r["path"]: (r["cnt"], r["n_users"])
+        for r in event_path_ngrams(df, n=2).collect()
+    }
+    # a>b occurs 3x (u1 twice across two sessions, u2 once), 2 users;
+    # sessions never bridge: no c>a bigram
+    assert bi == {"a>b": (3, 2), "b>c": (1, 1)}
+    tri = {
+        r["path"]: (r["cnt"], r["n_users"])
+        for r in event_path_ngrams(df, n=3).collect()
+    }
+    assert tri == {"a>b>c": (1, 1)}
