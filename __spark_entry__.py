@@ -1390,6 +1390,31 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_ngrams(ev, n=3, gap_minutes=30)
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval (6h) downsampling per event type with gap filling
+    (events/ops.py resample_timeseries): exact integer bucket division,
+    per-key sequence explode for empty buckets, micro-int value sums."""
+    from pydi_spark.events import resample_timeseries
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    return resample_timeseries(
+        ev, key_col="event_type", interval_minutes=360, value_col="value"
+    )
+
+
+def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-run detection in a surrogate-key sequence
+    (profiling/profiler.py find_sequence_gaps): deterministic holes
+    punched at o_orderkey % 97 in (3,5,11), gaps recovered via one
+    lead window over the distinct-value table."""
+    from pydi_spark.profiling import find_sequence_gaps
+
+    keys = _t(spark, sf_dir, "orders").where(
+        ~(F.col("o_orderkey") % 97).isin(3, 5, 11)
+    ).select("o_orderkey")
+    return find_sequence_gaps(keys, "o_orderkey")
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5267,6 +5292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_clip": q_normalize_clip,
         "normalize_rare_collapse": q_normalize_rare_collapse,
         "events_paths": q_events_paths,
+        "events_resample": q_events_resample,
+        "profile_sequence_gaps": q_profile_sequence_gaps,
     }
 
 
@@ -9104,6 +9131,32 @@ SELECT e0 || '>' || e1 || '>' || e2 AS path,
        count(DISTINCT user_id) AS n_users
 FROM led WHERE e2 IS NOT NULL
 GROUP BY 1
+"""
+
+    out["events_resample"] = """
+WITH agg AS (
+  SELECT event_type, epoch_us(ts) // 21600000000 AS b,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+              AS BIGINT) AS value_micro
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM span)
+SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.value_micro, 0) AS value_micro
+FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+"""
+
+    out["profile_sequence_gaps"] = """
+WITH vals AS (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 NOT IN (3, 5, 11)
+),
+led AS (SELECT v, lead(v) OVER (ORDER BY v ASC) AS n FROM vals)
+SELECT v + 1 AS gap_start, n - 1 AS gap_end, n - v - 1 AS n_missing
+FROM led WHERE n > v + 1
 """
 
     # full Lloyd replay (init = 4 lowest-id vectors, ONE iteration):

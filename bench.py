@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "normalize_clip",
     "normalize_rare_collapse",
     "events_paths",
+    "events_resample",
+    "profile_sequence_gaps",
 ]
 
 

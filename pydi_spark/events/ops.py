@@ -200,3 +200,73 @@ def event_path_ngrams(
         F.count("*").alias("cnt"),
         F.countDistinct(user_col).alias("n_users"),
     )
+
+
+def resample_timeseries(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    interval_minutes: int = 60,
+    value_col: str | None = None,
+    fill: bool = True,
+) -> DataFrame:
+    """[key?, bucket_start_us, n_events, value_micro?] — fixed-interval
+    downsampling with gap filling: events bucket by exact integer
+    division of micros, and (with ``fill``) every key emits EVERY
+    bucket between its first and last event — empty buckets appear
+    with n_events=0 (the row downstream charting/anomaly logic needs
+    and a bare groupBy silently omits).
+
+    Determinism: bucket = ``unix_micros div interval_us`` (exact);
+    ``value_col`` sums as floor(value*1e6) micro bigints — floor of an
+    identical IEEE product is engine-portable where a raw double sum
+    is not. Empty buckets carry value_micro 0 (an empty SUM of micros).
+
+    Scale: one groupBy on (key, bucket); the fill explodes
+    ``sequence(min_bucket, max_bucket)`` PER KEY — bounded by each
+    key's active time range over the interval, never by global span
+    times key count. A key idle for years at 1-minute intervals is the
+    blow-up case: pick the interval for the retention window you chart.
+    """
+    if interval_minutes <= 0:
+        raise ValueError(f"interval_minutes must be > 0: {interval_minutes}")
+    interval_us = int(interval_minutes) * 60_000_000
+    keys = [key_col] if key_col else []
+    bucket = F.expr(f"unix_micros({ts_col}) div {interval_us}")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col).cast("double") * 1_000_000)
+                .cast("long")
+            ).alias("value_micro")
+        )
+    agg = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*keys, bucket.alias("__b"))
+        .agg(*aggs)
+    )
+    if fill:
+        span = agg.groupBy(*keys).agg(
+            F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+        )
+        grid = span.select(
+            *keys,
+            F.explode(F.expr("sequence(__b0, __b1)")).alias("__b"),
+        )
+        agg = grid.join(agg, [*keys, "__b"], "left").select(
+            *keys,
+            "__b",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            *(
+                [F.coalesce("value_micro", F.lit(0)).alias("value_micro")]
+                if value_col
+                else []
+            ),
+        )
+    return agg.select(
+        *keys,
+        (F.col("__b") * F.lit(interval_us)).alias("bucket_start_us"),
+        "n_events",
+        *(["value_micro"] if value_col else []),
+    )

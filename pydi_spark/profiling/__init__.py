@@ -8,6 +8,7 @@ from pydi_spark.profiling.profiler import (
     categorical_dispersion,
     correlation_matrix,
     exact_quantiles,
+    find_sequence_gaps,
     join_cardinality_report,
     key_skew_report,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "correlation_matrix",
     "discover_fds",
     "exact_quantiles",
+    "find_sequence_gaps",
     "join_cardinality_report",
     "discover_inds",
     "discover_keys",

@@ -545,3 +545,36 @@ def join_cardinality_report(
             "right_rows_unmatched"
         ),
     )
+
+
+def find_sequence_gaps(df: DataFrame, col: str) -> DataFrame:
+    """[gap_start, gap_end, n_missing] — the maximal runs of missing
+    values in an integer sequence column (surrogate keys, version
+    counters, shard indices): the audit that distinguishes "rows were
+    deleted" from "the generator skipped". Nulls are ignored; an empty
+    or gap-free column yields no rows.
+
+    Scale: runs over the DISTINCT value table (cardinality-bounded,
+    like exact_quantiles) with one ordered lead window — for key-like
+    columns that table is row-sized; this is a diagnostic you run on a
+    slice or a partition's key range, not a planet, and the output is
+    bounded by the number of gaps.
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("long").alias("__v"))
+        .distinct()
+    )
+    w = Window.orderBy("__v")
+    nxt = F.lead("__v").over(w)
+    return (
+        vals.select("__v", nxt.alias("__n"))
+        .where(F.col("__n") > F.col("__v") + 1)
+        .select(
+            (F.col("__v") + 1).alias("gap_start"),
+            (F.col("__n") - 1).alias("gap_end"),
+            (F.col("__n") - F.col("__v") - 1).alias("n_missing"),
+        )
+    )

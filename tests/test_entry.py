@@ -65,7 +65,7 @@ def test_driver_window_arithmetic():
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
-        "events_paths",
+        "events_paths", "events_resample", "profile_sequence_gaps",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -93,7 +93,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "join_edit_distance", "profile_corr", "profile_dispersion",
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
-        "events_paths",
+        "events_paths", "events_resample", "profile_sequence_gaps",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -132,6 +132,7 @@ def test_partition_independence_of_new_queries(spark):
         "join_edit_distance", "profile_corr", "embed_kmeans",
         "profile_quantiles", "normalize_impute", "profile_join_fanout",
         "normalize_clip", "normalize_rare_collapse", "events_paths",
+        "events_resample", "profile_sequence_gaps",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -179,3 +179,56 @@ def test_event_path_ngrams(spark):
         for r in event_path_ngrams(df, n=3).collect()
     }
     assert tri == {"a>b>c": (1, 1)}
+
+
+def test_resample_timeseries_fills_gaps(spark):
+    from pydi_spark.events import resample_timeseries
+
+    rows = [
+        ("a", 10, _ts("2026-01-01 10:05:00"), 1.25),
+        ("a", 11, _ts("2026-01-01 10:30:00"), 2.0),
+        ("a", 12, _ts("2026-01-01 13:10:00"), 4.0),   # 2 empty hours
+        ("b", 20, _ts("2026-01-01 00:00:00"), 0.5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "event_id", "ts", "value"])
+    got = {
+        (r["k"], r["bucket_start_us"]): (r["n_events"], r["value_micro"])
+        for r in resample_timeseries(
+            df, key_col="k", interval_minutes=60, value_col="value"
+        ).collect()
+    }
+    h = 3_600_000_000
+    base = int(_ts("2026-01-01 10:00:00").replace(
+        tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
+    # NOTE: createDataFrame treats naive datetimes in session tz (UTC in
+    # tests) so the arithmetic below is exact
+    assert got[("a", base)] == (2, 3_250_000)
+    assert got[("a", base + h)] == (0, 0)
+    assert got[("a", base + 2 * h)] == (0, 0)
+    assert got[("a", base + 3 * h)] == (1, 4_000_000)
+    assert len([k for k in got if k[0] == "a"]) == 4
+    assert len([k for k in got if k[0] == "b"]) == 1
+    # no fill -> empty buckets absent
+    sparse = resample_timeseries(
+        df, key_col="k", interval_minutes=60, fill=False
+    )
+    assert sparse.count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_timeseries(df, interval_minutes=0)
+
+
+def test_find_sequence_gaps(spark):
+    from pydi_spark.profiling import find_sequence_gaps
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (7,), (8,), (12,), (None,), (12,)], "v int"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in find_sequence_gaps(df, "v").collect()
+    )
+    assert got == [(4, 6, 3), (9, 11, 3)]
+    assert find_sequence_gaps(df.where("v < 4"), "v").count() == 0
+    assert find_sequence_gaps(df.where("v IS NULL"), "v").count() == 0
