@@ -1415,6 +1415,21 @@ def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_sequence_gaps(keys, "o_orderkey")
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier flags over the 6h resampled event-rate
+    series (profiling/profiler.py detect_anomalies on
+    events/ops.py resample_timeseries): two exact grouped-median
+    passes, all-integer deviation threshold |v-med|*den > num*mad."""
+    from pydi_spark.events import resample_timeseries
+    from pydi_spark.profiling import detect_anomalies
+
+    ev = _events(spark, sf_dir).select("event_type", "ts")
+    series = resample_timeseries(
+        ev, key_col="event_type", interval_minutes=360
+    )
+    return detect_anomalies(series, ["event_type"], "n_events", k_num=2)
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5294,6 +5309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": q_events_paths,
         "events_resample": q_events_resample,
         "profile_sequence_gaps": q_profile_sequence_gaps,
+        "events_anomalies": q_events_anomalies,
     }
 
 
@@ -9147,6 +9163,57 @@ SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
        COALESCE(a.n_events, 0) AS n_events,
        COALESCE(a.value_micro, 0) AS value_micro
 FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+"""
+
+    # the median CTE shape (histogram + (n+1) div 2 rank) appears twice:
+    # once for the series median, once for the MAD
+    out["events_anomalies"] = """
+WITH agg AS (
+  SELECT event_type, epoch_us(ts) // 21600000000 AS b, COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM span),
+series AS (
+  SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
+         COALESCE(a.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+),
+medcum AS (
+  SELECT event_type, val,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM (SELECT event_type, n_events AS val, COUNT(*) AS c
+        FROM series GROUP BY 1, 2)
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END) AS median
+  FROM medcum GROUP BY 1
+),
+dev AS (
+  SELECT s.event_type, s.bucket_start_us, s.n_events, m.median,
+         abs(s.n_events - m.median) AS d
+  FROM series s JOIN med m USING (event_type)
+),
+madcum AS (
+  SELECT event_type, val,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM (SELECT event_type, d AS val, COUNT(*) AS c FROM dev GROUP BY 1, 2)
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN val END) AS mad
+  FROM madcum GROUP BY 1
+)
+SELECT dev.event_type, dev.bucket_start_us, dev.n_events, dev.median,
+       mad.mad,
+       CAST(CASE WHEN dev.d * 1 > 2 * mad.mad THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM dev JOIN mad USING (event_type)
 """
 
     out["profile_sequence_gaps"] = """

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "events_paths",
     "events_resample",
     "profile_sequence_gaps",
+    "events_anomalies",
 ]
 
 

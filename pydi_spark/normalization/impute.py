@@ -44,12 +44,12 @@ def _fill_frame(
                 / F.count(col).cast("double")
             ).alias("__fill")
         )
-    counts = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(*[F.col(g) for g in group_by], F.col(col).alias("__val"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
     if strategy == "mode":
+        counts = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*[F.col(g) for g in group_by], F.col(col).alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
         w = Window.partitionBy(*group_by).orderBy(
             F.desc("__c"), F.asc("__val")
         )
@@ -58,27 +58,11 @@ def _fill_frame(
             .where(F.col("__rk") == 1)
             .select(*group_by, F.col("__val").alias("__fill"))
         )
-    # median: lower median = smallest value whose cumulative count
-    # reaches ceil(n/2) = (n+1) div 2 in exact ints
-    wc = Window.partitionBy(*group_by).orderBy("__val").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wn = Window.partitionBy(*group_by).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = counts.select(
-        *group_by,
-        "__val",
-        F.sum("__c").over(wc).alias("__cum"),
-        F.sum("__c").over(wn).alias("__n"),
-    )
-    return cum.groupBy(*[F.col(g) for g in group_by]).agg(
-        F.min(
-            F.when(
-                F.expr("__cum >= (__n + 1) div 2"), F.col("__val")
-            )
-        ).alias("__fill")
-    )
+    # median: the shared exact lower-median primitive
+    # (profiling.grouped_lower_median — same histogram rank math)
+    from pydi_spark.profiling import grouped_lower_median
+
+    return grouped_lower_median(df, group_by, col, "__fill")
 
 
 def impute_missing(

@@ -7,8 +7,10 @@ from pydi_spark.profiling.profiler import (
     DataProfiler,
     categorical_dispersion,
     correlation_matrix,
+    detect_anomalies,
     exact_quantiles,
     find_sequence_gaps,
+    grouped_lower_median,
     join_cardinality_report,
     key_skew_report,
 )
@@ -27,7 +29,9 @@ __all__ = [
     "categorical_dispersion",
     "correlation_matrix",
     "discover_fds",
+    "detect_anomalies",
     "exact_quantiles",
+    "grouped_lower_median",
     "find_sequence_gaps",
     "join_cardinality_report",
     "discover_inds",

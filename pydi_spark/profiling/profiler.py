@@ -578,3 +578,86 @@ def find_sequence_gaps(df: DataFrame, col: str) -> DataFrame:
             (F.col("__n") - F.col("__v") - 1).alias("n_missing"),
         )
     )
+
+
+def grouped_lower_median(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """[*group_cols, out_col] — exact lower median per group
+    (percentile_disc(0.5): the smallest value whose cumulative non-null
+    count reaches ceil(n/2) = (n+1) div 2 — all-integer rank math over
+    the per-group value histogram; cardinality-bounded like
+    exact_quantiles). Empty/all-null groups are absent from the output.
+    The shared primitive behind median imputation and MAD anomaly
+    detection."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*[F.col(g) for g in group_cols], F.col(col).alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wc = Window.partitionBy(*group_cols).orderBy("__val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        *group_cols,
+        "__val",
+        F.sum("__c").over(wc).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    return cum.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.min(
+            F.when(F.expr("__cum >= (__n + 1) div 2"), F.col("__val"))
+        ).alias(out_col)
+    )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Input + [median, mad, is_anomaly] — robust per-key outlier flag:
+    a row is anomalous when |value - median| * k_den > k_num * mad
+    (median absolute deviation; k defaults to 3). Medians are exact
+    lower medians, deviations exact integers — mean/stddev z-scores
+    would be float-order-dependent AND corrupted by the very outliers
+    they hunt; median/MAD is the robust-statistics textbook answer and
+    happens to be the cross-engine-deterministic one. ``value_col``
+    must be integral (micro-quantize upstream — resample_timeseries
+    already emits micro sums). A constant series has mad=0, so any
+    deviation flags; null values never flag.
+
+    Scale: two grouped-median passes (cardinality-bounded histograms)
+    + one |keys|-sized broadcast-eligible join back.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError(f"k must be positive: {k_num}/{k_den}")
+    med = grouped_lower_median(df, key_cols, value_col, "median")
+    dev = df.join(med, key_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = grouped_lower_median(dev, key_cols, "__dev", "mad")
+    return (
+        dev.join(mad, key_cols)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("__dev") * F.lit(int(k_den))
+                > F.lit(int(k_num)) * F.col("mad"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .drop("__dev")
+    )

@@ -784,3 +784,35 @@ def test_join_cardinality_report(spark):
     assert r["right_rows_unmatched"] == 1                 # d
     # cross-check against the actual join
     assert L.join(R, L.k == R.j).count() == r["join_rows"]
+
+
+def test_detect_anomalies_mad(spark):
+    from pydi_spark.profiling import detect_anomalies
+
+    rows = [("a", i, 100) for i in range(9)] + [
+        ("a", 9, 100_000),            # the outlier
+        ("b", 0, 5), ("b", 1, 7), ("b", 2, 9),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {(r["k"], r["t"]): (r["median"], r["mad"], r["is_anomaly"])
+           for r in detect_anomalies(df, ["k"], "v").collect()}
+    # a: median 100, MAD 0 -> only the spike deviates
+    assert got[("a", 9)] == (100, 0, 1)
+    assert got[("a", 0)] == (100, 0, 0)
+    # b: median 7, MAD 2, |5-7|=2 <= 3*2 -> clean
+    assert got[("b", 0)] == (7, 2, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        detect_anomalies(df, ["k"], "v", k_num=0)
+
+
+def test_grouped_lower_median_matches_impute(spark):
+    from pydi_spark.profiling import grouped_lower_median
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (5, 1, 3, 9)] + [("h", 2)], ["k", "v"]
+    )
+    got = {r["k"]: r["median"]
+           for r in grouped_lower_median(df, ["k"], "v").collect()}
+    assert got == {"g": 3, "h": 2}   # lower median of 4 values
