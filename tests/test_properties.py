@@ -346,3 +346,55 @@ def test_soundex_fuzz_spark_duckdb_parity(spark):
     }
     for t, s in got_spark:
         assert s == got_duck[t], (t, s, got_duck[t])
+
+
+def test_median_and_quantiles_match_python_statistics(spark):
+    """Batched random-multiset sweep: exact lower medians and discrete
+    quantiles match the stdlib/numpy reference definitions — one Spark
+    job covers 40 random groups (per-example Spark jobs would be 100x
+    slower than this single batched collect)."""
+    import random
+    import statistics
+
+    from pydi_spark.profiling import exact_quantiles, grouped_lower_median
+
+    rng = random.Random(7)
+    groups = {
+        f"g{i:02d}": [
+            rng.randrange(-50, 50) for _ in range(rng.randrange(1, 40))
+        ]
+        for i in range(40)
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: r["median"]
+        for r in grouped_lower_median(df, ["g"], "v").collect()
+    }
+    for g, vals in groups.items():
+        assert got[g] == statistics.median_low(vals), g
+    # discrete quantile = element at rank ceil(p*n) of the sorted list
+    one = sorted(groups["g00"])
+    q = exact_quantiles(
+        df.where(df.g == "g00"), ["v"], ps=(0.1, 0.5, 0.9)
+    ).collect()[0]
+    import math
+
+    for p, col in ((0.1, "p_100000"), (0.5, "p_500000"), (0.9, "p_900000")):
+        assert q[col] == one[math.ceil(p * len(one)) - 1]
+
+
+def test_detect_anomalies_partition_independence(spark):
+    from pydi_spark.profiling import detect_anomalies
+
+    rows = [("k", i, (i * 37) % 23) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    a = sorted(
+        tuple(r)
+        for r in detect_anomalies(df.repartition(1), ["k"], "v").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in detect_anomalies(df.repartition(16), ["k"], "v").collect()
+    )
+    assert a == b and a
