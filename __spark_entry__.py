@@ -1430,6 +1430,25 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_anomalies(series, ["event_type"], "n_events", k_num=2)
 
 
+def q_io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic small-file bin packing (io/compaction.py
+    plan_compaction): synthetic file list derived from supplier keys,
+    order-preserving exclusive-cumsum binning, >= target files left
+    alone (NULL bin)."""
+    from pydi_spark.io import plan_compaction
+
+    files = _t(spark, sf_dir, "supplier").select(
+        F.concat(
+            F.lit("part-"),
+            F.lpad(F.col("s_suppkey").cast("string"), 6, "0"),
+        ).alias("path"),
+        ((F.col("s_suppkey") * 7919) % 100000).cast("long").alias(
+            "size_bytes"
+        ),
+    )
+    return plan_compaction(files, 60000)
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5310,6 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "profile_sequence_gaps": q_profile_sequence_gaps,
         "events_anomalies": q_events_anomalies,
+        "io_compaction_plan": q_io_compaction_plan,
     }
 
 
@@ -9214,6 +9234,24 @@ SELECT dev.event_type, dev.bucket_start_us, dev.n_events, dev.median,
        CAST(CASE WHEN dev.d * 1 > 2 * mad.mad THEN 1 ELSE 0 END AS INT)
          AS is_anomaly
 FROM dev JOIN mad USING (event_type)
+"""
+
+    out["io_compaction_plan"] = """
+WITH files AS (
+  SELECT 'part-' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS path,
+         CAST((s_suppkey * 7919) % 100000 AS BIGINT) AS size_bytes
+  FROM supplier
+),
+small AS (
+  SELECT path, size_bytes,
+         COALESCE(SUM(size_bytes) OVER (ORDER BY path ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM files WHERE size_bytes < 60000
+)
+SELECT path, size_bytes, CAST(cum // 60000 AS INT) AS bin FROM small
+UNION ALL
+SELECT path, size_bytes, CAST(NULL AS INT) AS bin
+FROM files WHERE size_bytes >= 60000
 """
 
     out["profile_sequence_gaps"] = """

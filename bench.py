@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "events_resample",
     "profile_sequence_gaps",
     "events_anomalies",
+    "io_compaction_plan",
 ]
 
 

@@ -13,6 +13,11 @@ from pydi_spark.io.readers import (
     load_table,
     load_xml,
 )
+from pydi_spark.io.compaction import (
+    compaction_summary,
+    list_data_files,
+    plan_compaction,
+)
 from pydi_spark.io.cdc import apply_changes
 from pydi_spark.io.cdc import scd2_history
 from pydi_spark.io.diff import diff_summary, table_diff
@@ -32,6 +37,9 @@ __all__ = [
     "explode_delimited",
     "list_to_string",
     "apply_changes",
+    "compaction_summary",
+    "list_data_files",
+    "plan_compaction",
     "align_and_union",
     "diff_summary",
     "scd2_history",

@@ -66,7 +66,7 @@ def test_driver_window_arithmetic():
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
         "events_paths", "events_resample", "profile_sequence_gaps",
-        "events_anomalies",
+        "events_anomalies", "io_compaction_plan",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -95,7 +95,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "embed_kmeans", "profile_quantiles", "normalize_impute",
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
         "events_paths", "events_resample", "profile_sequence_gaps",
-        "events_anomalies",
+        "events_anomalies", "io_compaction_plan",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -135,6 +135,7 @@ def test_partition_independence_of_new_queries(spark):
         "profile_quantiles", "normalize_impute", "profile_join_fanout",
         "normalize_clip", "normalize_rare_collapse", "events_paths",
         "events_resample", "profile_sequence_gaps", "events_anomalies",
+        "io_compaction_plan",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -422,3 +422,49 @@ def test_align_and_union_widening_rules(spark):
         align_and_union([a, d])
     with _pytest.raises(ValueError):
         align_and_union([])
+
+
+# ----------------------------------------------------- compaction planning
+
+def test_plan_compaction_bins(spark):
+    from pydi_spark.io import compaction_summary, plan_compaction
+
+    files = spark.createDataFrame(
+        [(f"f{i:02d}", s) for i, s in enumerate([40, 40, 40, 40, 250, 10, 90])],
+        ["path", "size_bytes"],
+    )
+    plan = {r["path"]: r["bin"] for r in plan_compaction(files, 100).collect()}
+    # f04 (250 >= target) untouched; small files walk in path order:
+    # cum_excl 0,40,80,120,160,170 -> bins 0,0,0,1,1,1
+    assert plan == {
+        "f00": 0, "f01": 0, "f02": 0, "f03": 1, "f05": 1, "f06": 1,
+        "f04": None,
+    }
+    summary = {
+        r["bin"]: (r["n_files"], r["bin_bytes"])
+        for r in compaction_summary(plan_compaction(files, 100)).collect()
+    }
+    assert summary[0] == (3, 120) and summary[None] == (1, 250)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan_compaction(files, 0)
+
+
+def test_plan_compaction_idempotent_and_list_files(spark, tmp_path):
+    from pydi_spark.io import list_data_files, plan_compaction
+
+    d = tmp_path / "data"
+    d.mkdir()
+    for i in range(5):
+        (d / f"part-{i}.bin").write_bytes(b"x" * (100 + i))
+    files = list_data_files(spark, str(d))
+    got = {(r["path"].rsplit("/", 1)[-1], r["size_bytes"])
+           for r in files.collect()}
+    assert got == {(f"part-{i}.bin", 100 + i) for i in range(5)}
+    a = sorted(tuple(r) for r in plan_compaction(files, 250).collect())
+    b = sorted(
+        tuple(r)
+        for r in plan_compaction(files.repartition(4), 250).collect()
+    )
+    assert a == b  # plan is a pure function of the file list
