@@ -1449,6 +1449,36 @@ def q_io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction(files, 60000)
 
 
+def q_sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe planning (llmdata/sampling.py plan_data_mixture):
+    char-budget quotas and repeat factors per source, all-integer
+    (quota = budget*w div 1e6; epochs_milli = quota*1000 div
+    available)."""
+    from pydi_spark.llmdata import plan_data_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return plan_data_mixture(
+        docs,
+        {"src0": 400_000, "src1": 300_000, "src2": 200_000,
+         "src3": 100_000},
+        budget=50_000,
+        count_col="n_chars",
+    )
+
+
+def q_sample_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization (llmdata/sampling.py epoch_expand):
+    full copies via sequence explode + md5-fraction fractional epoch —
+    the temperature_mix keep rule, so the oracle replays the exact row
+    set."""
+    from pydi_spark.llmdata import epoch_expand
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_expand(
+        docs, {"src0": 2500, "src1": 1000, "src2": 300}
+    )
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5330,6 +5360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_sequence_gaps": q_profile_sequence_gaps,
         "events_anomalies": q_events_anomalies,
         "io_compaction_plan": q_io_compaction_plan,
+        "sample_mixture_plan": q_sample_mixture_plan,
+        "sample_epoch_expand": q_sample_epoch_expand,
     }
 
 
@@ -9252,6 +9284,51 @@ SELECT path, size_bytes, CAST(cum // 60000 AS INT) AS bin FROM small
 UNION ALL
 SELECT path, size_bytes, CAST(NULL AS INT) AS bin
 FROM files WHERE size_bytes >= 60000
+"""
+
+    out["sample_mixture_plan"] = """
+WITH avail AS (
+  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS available
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, available,
+         CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 300000
+                     WHEN 'src2' THEN 200000 WHEN 'src3' THEN 100000
+                     ELSE 0 END AS weight_ppm
+  FROM avail
+),
+q AS (
+  SELECT source, available, weight_ppm,
+         CAST(CAST(50000 AS BIGINT) * weight_ppm // 1000000 AS BIGINT)
+           AS quota
+  FROM w
+)
+SELECT source, available, weight_ppm, quota,
+       CAST(CASE WHEN available > 0
+                 THEN quota * CAST(1000 AS BIGINT) // available
+                 ELSE 0 END AS BIGINT) AS epochs_milli
+FROM q
+"""
+
+    # the md5-fraction keep rule replays exactly like temperature_mix's
+    out["sample_epoch_expand"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+                     WHEN 'src2' THEN 300 ELSE 0 END AS em,
+         list_sum([(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                   * 16.0 ** (8 - i) for i in range(1, 9)])
+         / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, em // 1000)) AS INT) AS epoch
+FROM d WHERE em // 1000 >= 1
+UNION ALL
+SELECT doc_id, source, CAST(em // 1000 + 1 AS INT) AS epoch
+FROM d WHERE em % 1000 > 0 AND frac < CAST(em % 1000 AS DOUBLE) / 1000.0
 """
 
     out["profile_sequence_gaps"] = """

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "profile_sequence_gaps",
     "events_anomalies",
     "io_compaction_plan",
+    "sample_mixture_plan",
+    "sample_epoch_expand",
 ]
 
 

@@ -381,3 +381,105 @@ def contrastive_pairs(
         )
     )
     return pos_only.unionByName(negatives)
+
+
+def plan_data_mixture(
+    df: DataFrame,
+    weights_ppm: dict[str, int],
+    budget: int,
+    source_col: str = "source",
+    count_col: str = "n_chars",
+) -> DataFrame:
+    """[source, available, weight_ppm, quota, epochs_milli] — the data
+    RECIPE table: given target mixture weights (ppm) and a total token
+    budget, how much each source must contribute (``quota = budget *
+    w div 1e6``) and how many passes over it that takes
+    (``epochs_milli = quota*1000 div available``; 1000 = exactly one
+    epoch, 2500 = repeat 2.5x, 0 for an unlisted/empty source). The
+    planning half of temperature_mix/epoch_expand — all-integer
+    arithmetic, ONE map-side-combined aggregate over the corpus.
+
+    ``count_col`` is whatever budget unit the recipe is written in
+    (token counts from textstats.token_counts, chars, bytes).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0: {budget}")
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(count_col).cast("long")).alias("available")
+    )
+    wmap = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights_ppm.items())
+            for x in (F.lit(s), F.lit(int(w)))
+        ]
+    )
+    return avail.select(
+        "source",
+        "available",
+        F.coalesce(wmap[F.col("source")], F.lit(0)).alias("weight_ppm"),
+    ).select(
+        "source",
+        "available",
+        "weight_ppm",
+        F.expr(f"CAST({int(budget)} AS BIGINT) * weight_ppm div 1000000")
+        .alias("quota"),
+        F.when(
+            F.col("available") > 0,
+            F.expr("quota * CAST(1000 AS BIGINT) div available"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("epochs_milli"),
+    )
+
+
+def epoch_expand(
+    df: DataFrame,
+    epochs_milli: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a mixture plan: repeat each source's documents
+    ``epochs_milli/1000`` times — ``epochs_milli div 1000`` full copies
+    (epoch = 1..full) plus one fractional epoch where a document
+    survives iff its md5 fraction < the fractional part (the
+    deterministic per-row keep rule temperature_mix uses, so reruns and
+    the SQL oracle reproduce the exact row set). Sources missing from
+    the plan contribute nothing; epochs_milli=1000 is an identity pass
+    with epoch=1.
+
+    Scale: the explode multiplies rows by at most ceil(max epochs) —
+    the up-sampling itself, not overhead; no shuffle (map-side explode,
+    the keep decision is row-local).
+    """
+    if any(v < 0 for v in epochs_milli.values()):
+        raise ValueError(f"epochs_milli must be >= 0: {epochs_milli}")
+    emap = F.create_map(
+        *[
+            x
+            for s, e in sorted(epochs_milli.items())
+            for x in (F.lit(s), F.lit(int(e)))
+        ]
+    )
+    base = df.withColumn(
+        "__em", F.coalesce(emap[F.col(source_col)], F.lit(0))
+    )
+    full = base.where(F.expr("__em div 1000") >= 1).select(
+        *df.columns,
+        F.explode(F.expr("sequence(1, __em div 1000)")).alias("epoch"),
+    )
+    frac = (
+        base.where(F.expr("__em % 1000") > 0)
+        .where(
+            hash_fraction(F.col(id_col))
+            < F.expr("(__em % 1000)").cast("double") / F.lit(1000.0)
+        )
+        .select(
+            *df.columns,
+            (F.expr("__em div 1000") + 1).cast("int").alias("epoch"),
+        )
+    )
+    return full.unionAll(frac)

@@ -67,6 +67,7 @@ def test_driver_window_arithmetic():
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
         "events_paths", "events_resample", "profile_sequence_gaps",
         "events_anomalies", "io_compaction_plan",
+        "sample_mixture_plan", "sample_epoch_expand",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -96,6 +97,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
         "events_paths", "events_resample", "profile_sequence_gaps",
         "events_anomalies", "io_compaction_plan",
+        "sample_mixture_plan", "sample_epoch_expand",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -135,7 +137,7 @@ def test_partition_independence_of_new_queries(spark):
         "profile_quantiles", "normalize_impute", "profile_join_fanout",
         "normalize_clip", "normalize_rare_collapse", "events_paths",
         "events_resample", "profile_sequence_gaps", "events_anomalies",
-        "io_compaction_plan",
+        "io_compaction_plan", "sample_mixture_plan", "sample_epoch_expand",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -1782,3 +1782,62 @@ def test_kmeans_validation(spark):
         kmeans_assign(df, [])
     # assignment (a query op, not a trainer) is total on empty input
     assert kmeans_assign(empty, [[0, 0]]).collect() == []
+
+
+# ----------------------------------------------------- mixture planning
+
+def test_plan_data_mixture(spark):
+    from pydi_spark.llmdata import plan_data_mixture
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 300), ("code", 200), ("books", 50)],
+        ["source", "n"],
+    )
+    got = {
+        r["source"]: (r["available"], r["weight_ppm"], r["quota"],
+                      r["epochs_milli"])
+        for r in plan_data_mixture(
+            df, {"web": 500_000, "code": 500_000}, budget=1000,
+            count_col="n",
+        ).collect()
+    }
+    assert got["web"] == (400, 500_000, 500, 1250)    # 1.25 epochs
+    assert got["code"] == (200, 500_000, 500, 2500)   # repeat 2.5x
+    assert got["books"] == (50, 0, 0, 0)              # not in the recipe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan_data_mixture(df, {}, budget=10)
+    with _pytest.raises(ValueError):
+        plan_data_mixture(df, {"web": 1}, budget=0)
+
+
+def test_epoch_expand_deterministic(spark):
+    from pydi_spark.llmdata import epoch_expand
+
+    rows = [(i, "web") for i in range(200)] + [(i, "code") for i in range(200, 260)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = epoch_expand(df, {"web": 2500, "code": 1000})
+    by_src = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    # code: identity pass
+    assert by_src["code"] == 60
+    # web: 2 full copies + ~50% fractional (md5-deterministic)
+    assert 400 < by_src["web"] < 500
+    # epochs labeled 1..3 for web, fractional keeps carry epoch 3
+    assert {r["epoch"] for r in out.where("source = 'web'").select(
+        "epoch").distinct().collect()} == {1, 2, 3}
+    # deterministic under repartitioning
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in epoch_expand(
+            df.repartition(7), {"web": 2500, "code": 1000}
+        ).collect()
+    )
+    assert a == b
+    # absent source contributes nothing; zero plan is empty
+    assert epoch_expand(df, {"none": 5000}).count() == 0
