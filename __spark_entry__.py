@@ -9171,7 +9171,8 @@ FROM orders
 """
 
     out["events_paths"] = """
-WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+            WHERE event_type IS NOT NULL),
 flagged AS (
   SELECT user_id, event_id, ts, event_type,
          CASE WHEN lag(ts) OVER w IS NULL

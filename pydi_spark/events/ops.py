@@ -182,11 +182,18 @@ def event_path_ngrams(
     "common paths" table; output is bounded by |event types|^n, not by
     rows.
 
+    Rows with a NULL ``event_col`` are dropped BEFORE sessionization
+    (a typeless event is noise, not a path step — and concat_ws would
+    otherwise silently splice its neighbours into a fake path).
+
     Lead windows share the sessionization's (user) exchange — the path
     pass adds per-partition sorting only."""
     if n < 2:
         raise ValueError(f"n must be >= 2: {n}")
-    sess = assign_sessions(df, user_col, ts_col, order_col, gap_minutes)
+    sess = assign_sessions(
+        df.where(F.col(event_col).isNotNull()),
+        user_col, ts_col, order_col, gap_minutes,
+    )
     w = Window.partitionBy(user_col, "session_id").orderBy(ts_col, order_col)
     steps = [F.col(event_col)] + [
         F.lead(event_col, i).over(w) for i in range(1, n)
@@ -235,10 +242,15 @@ def resample_timeseries(
     bucket = F.expr(f"unix_micros({ts_col}) div {interval_us}")
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
+        # coalesce at agg time: a non-empty bucket whose values are
+        # ALL null must report 0 on the fill and no-fill paths alike
         aggs.append(
-            F.sum(
-                F.floor(F.col(value_col).cast("double") * 1_000_000)
-                .cast("long")
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col(value_col).cast("double") * 1_000_000)
+                    .cast("long")
+                ),
+                F.lit(0).cast("long"),
             ).alias("value_micro")
         )
     agg = (

@@ -409,7 +409,6 @@ def edit_distance_join(
 
     def grams(b, side):
         # distinct positional q-grams, position dropped (set semantics)
-        n = F.col(f"__l{side}") - q + 1
         g = b.where(F.col(f"__l{side}") >= q).select(
             f"id{side}",
             F.explode(
@@ -419,9 +418,7 @@ def edit_distance_join(
                 )
             ).alias("__gram"),
         )
-        return g.groupBy(f"id{side}", "__gram").agg(
-            F.count(F.lit(1)).alias("__cnt")
-        ).drop("__cnt")
+        return g.dropDuplicates([f"id{side}", "__gram"])
 
     lg = grams(lbase, 1)
     rg = lg.withColumnRenamed("id1", "id2") if self_join else grams(rbase, 2)

@@ -85,9 +85,14 @@ def kmeans_fit(
         raise ValueError(f"k must be >= 1: {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    # null vectors are ignored for fitting (kmeans_assign leaves them
+    # with NULL cluster/dist2 — null arithmetic propagates naturally)
+    df = df.where(F.col(vec_col).isNotNull())
     first = df.select(F.size(F.col(vec_col)).alias("n")).first()
     if first is None:
-        raise ValueError("cannot fit k-means on an empty input")
+        raise ValueError(
+            "cannot fit k-means on an empty input (or all-null vectors)"
+        )
     dim = int(first["n"])
     base = _micro_cols(df, id_col, vec_col, dim)
     seeds = base.orderBy("id").limit(k).collect()

@@ -406,8 +406,18 @@ def plan_data_mixture(
         raise ValueError(f"budget must be > 0: {budget}")
     if not weights_ppm:
         raise ValueError("weights_ppm must be non-empty")
+    spark = df.sparkSession
     avail = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(F.col(count_col).cast("long")).alias("available")
+    )
+    # a recipe source absent from the corpus must still appear (with
+    # available=0) — an unsatisfiable quota is exactly what the caller
+    # needs to SEE, not silently lose
+    recipe = spark.createDataFrame(
+        [(s,) for s in sorted(weights_ppm)], "source string"
+    )
+    avail = avail.join(F.broadcast(recipe), "source", "full_outer").select(
+        "source", F.coalesce("available", F.lit(0)).alias("available")
     )
     wmap = F.create_map(
         *[

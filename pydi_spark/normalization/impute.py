@@ -75,7 +75,9 @@ def impute_missing(
     ``"mean" | "median" | "mode"`` or ``("constant", value)``.
     ``group_by`` computes the statistic within each group (a group
     whose column is entirely null keeps its nulls — no cross-group
-    leakage); without it the fill is one global value.
+    leakage); without it the fill is one global value. A NULL group
+    KEY is a group like any other (the join back is null-safe — a
+    plain equi-join would strand every null-key row unfilled).
 
     Statistics are computed from the INPUT frame, so imputed columns
     never contaminate each other's fills regardless of dict order.
@@ -103,7 +105,15 @@ def impute_missing(
         fill = _fill_frame(df, col, strat, keys, scale)
         fill = fill.withColumnRenamed("__fill", f"__fill_{col}")
         if keys:
-            out = out.join(fill, keys, "left")
+            for g in keys:
+                fill = fill.withColumnRenamed(g, f"__g_{g}")
+            cond = None
+            for g in keys:
+                c = out[g].eqNullSafe(fill[f"__g_{g}"])
+                cond = c if cond is None else cond & c
+            out = out.join(fill, cond, "left").drop(
+                *[f"__g_{g}" for g in keys]
+            )
         else:
             out = out.crossJoin(F.broadcast(fill))
         out = out.withColumn(

@@ -643,12 +643,15 @@ def detect_anomalies(
     if k_num <= 0 or k_den <= 0:
         raise ValueError(f"k must be positive: {k_num}/{k_den}")
     med = grouped_lower_median(df, key_cols, value_col, "median")
-    dev = df.join(med, key_cols).withColumn(
+    # left joins: a key group with no non-null values has no median
+    # row, but its INPUT rows must survive (with is_anomaly=0, nulls
+    # never flag) — an inner join would silently delete whole series
+    dev = df.join(med, key_cols, "left").withColumn(
         "__dev", F.abs(F.col(value_col) - F.col("median"))
     )
     mad = grouped_lower_median(dev, key_cols, "__dev", "mad")
     return (
-        dev.join(mad, key_cols)
+        dev.join(mad, key_cols, "left")
         .withColumn(
             "is_anomaly",
             F.when(

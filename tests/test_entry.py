@@ -133,7 +133,8 @@ def test_partition_independence_of_new_queries(spark):
         # round-6 additions
         "dedup_bloom_incremental", "units_normalize",
         # round-6 session-3 additions
-        "join_edit_distance", "profile_corr", "embed_kmeans",
+        "join_edit_distance", "profile_corr", "profile_dispersion",
+        "embed_kmeans",
         "profile_quantiles", "normalize_impute", "profile_join_fanout",
         "normalize_clip", "normalize_rare_collapse", "events_paths",
         "events_resample", "profile_sequence_gaps", "events_anomalies",

@@ -232,3 +232,32 @@ def test_find_sequence_gaps(spark):
     assert got == [(4, 6, 3), (9, 11, 3)]
     assert find_sequence_gaps(df.where("v < 4"), "v").count() == 0
     assert find_sequence_gaps(df.where("v IS NULL"), "v").count() == 0
+
+
+def test_event_path_ngrams_null_event_types(spark):
+    """Review fix: a NULL event type must not splice its neighbours
+    into a fake path (concat_ws skips nulls silently)."""
+    from pydi_spark.events import event_path_ngrams
+
+    rows = [
+        (1, 10, _ts("2026-01-01 10:00:00"), "a"),
+        (1, 11, _ts("2026-01-01 10:01:00"), None),
+        (1, 12, _ts("2026-01-01 10:02:00"), "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {r["path"] for r in event_path_ngrams(df, n=2).collect()}
+    assert got == {"a>c"}  # null row dropped BEFORE sequencing, documented
+
+
+def test_resample_all_null_values_bucket_is_zero(spark):
+    from pydi_spark.events import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("k", _ts("2026-01-01 10:05:00"), None)],
+        "k string, ts timestamp, value double",
+    )
+    for fill in (True, False):
+        r = resample_timeseries(
+            df, key_col="k", value_col="value", fill=fill
+        ).collect()[0]
+        assert (r["n_events"], r["value_micro"]) == (1, 0), fill

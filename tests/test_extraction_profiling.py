@@ -816,3 +816,17 @@ def test_grouped_lower_median_matches_impute(spark):
     got = {r["k"]: r["median"]
            for r in grouped_lower_median(df, ["k"], "v").collect()}
     assert got == {"g": 3, "h": 2}   # lower median of 4 values
+
+
+def test_detect_anomalies_keeps_all_null_groups(spark):
+    """Review fix: a key group whose values are entirely null has no
+    median, but its rows must survive with is_anomaly=0."""
+    from pydi_spark.profiling import detect_anomalies
+
+    df = spark.createDataFrame(
+        [("k1", 0, None), ("k1", 1, None), ("k2", 0, 5)],
+        "k string, t int, v int",
+    )
+    got = detect_anomalies(df, ["k"], "v").collect()
+    assert len(got) == 3
+    assert all(r["is_anomaly"] == 0 for r in got)

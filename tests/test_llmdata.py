@@ -1841,3 +1841,41 @@ def test_epoch_expand_deterministic(spark):
     assert a == b
     # absent source contributes nothing; zero plan is empty
     assert epoch_expand(df, {"none": 5000}).count() == 0
+
+
+def test_plan_data_mixture_absent_source_still_planned(spark):
+    """Review fix: a recipe source with zero corpus rows must appear
+    with available=0 (an unsatisfiable quota the caller needs to SEE)."""
+    from pydi_spark.llmdata import plan_data_mixture
+
+    df = spark.createDataFrame([("web", 100)], ["source", "n"])
+    got = {
+        r["source"]: (r["available"], r["quota"], r["epochs_milli"])
+        for r in plan_data_mixture(
+            df, {"web": 500_000, "books": 500_000}, budget=1000,
+            count_col="n",
+        ).collect()
+    }
+    assert got["books"] == (0, 500, 0)
+    assert got["web"] == (100, 500, 5000)
+
+
+def test_kmeans_ignores_null_vectors(spark):
+    from pydi_spark.llmdata import kmeans_assign, kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [1.0, 1.0]), (4, None)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=2, n_iter=1)
+    assert len(cents) == 2
+    got = {r["id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    assert got[1] is None and got[4] is None
+    assert got[2] is not None and got[3] is not None
+    import pytest as _pytest
+
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        kmeans_fit(all_null, k=1)

@@ -468,3 +468,17 @@ def test_collapse_rare_categories(spark):
         collapse_rare_categories(df, "cat")
     with _pytest.raises(ValueError):
         collapse_rare_categories(df, "cat", min_count=1, min_share_ppm=1)
+
+
+def test_impute_missing_null_group_key(spark):
+    """Review fix: a NULL group key is a group — the null-safe join
+    must deliver its fill."""
+    from pydi_spark.normalization import impute_missing
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, None), ("g", 4.0)], ["g", "v"]
+    )
+    got = {(r["g"], r["v"]) for r in impute_missing(
+        df, {"v": "mean"}, group_by=["g"]
+    ).collect()}
+    assert got == {(None, 1.0), ("g", 4.0)}
