@@ -1479,6 +1479,37 @@ def q_sample_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy value canonicalization (normalization/canonicalize.py):
+    deterministic typo-variants (md5-prefix bases x 5 suffix variants,
+    bases >= 2 edits apart) collapse onto the lexicographic-minimum
+    spelling via edit join + connected components. The oracle is an
+    independent characterization: brute-force levenshtein pairs +
+    recursive transitive closure."""
+    from pydi_spark.normalization import canonicalize_values
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        "cast(cast(c_custkey div 5 as string) as binary)"
+                    )
+                ),
+                1, 8,
+            ),
+            F.element_at(
+                F.array(
+                    F.lit(""), F.lit("a"), F.lit("b"), F.lit("z"),
+                    F.lit("aa"),
+                ),
+                (F.col("c_custkey") % 5 + 1).cast("int"),
+            ),
+        ).alias("city")
+    )
+    return canonicalize_values(base, "city", max_distance=1)
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5362,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_compaction_plan": q_io_compaction_plan,
         "sample_mixture_plan": q_sample_mixture_plan,
         "sample_epoch_expand": q_sample_epoch_expand,
+        "normalize_canonicalize": q_normalize_canonicalize,
     }
 
 
@@ -9330,6 +9362,32 @@ FROM d WHERE em // 1000 >= 1
 UNION ALL
 SELECT doc_id, source, CAST(em // 1000 + 1 AS INT) AS epoch
 FROM d WHERE em % 1000 > 0 AND frac < CAST(em % 1000 AS DOUBLE) / 1000.0
+"""
+
+    out["normalize_canonicalize"] = """
+WITH RECURSIVE vals AS (
+  SELECT DISTINCT
+    substr(md5(CAST(c_custkey // 5 AS VARCHAR)), 1, 8)
+      || ['', 'a', 'b', 'z', 'aa'][CAST(c_custkey % 5 + 1 AS INT)] AS value
+  FROM customer
+),
+pairs AS (
+  SELECT a.value AS v1, b.value AS v2
+  FROM vals a, vals b
+  WHERE a.value < b.value AND levenshtein(a.value, b.value) <= 1
+),
+sym AS (SELECT v1 AS a, v2 AS b FROM pairs
+        UNION ALL SELECT v2, v1 FROM pairs),
+walk(id, lbl) AS (
+  SELECT value, value FROM vals
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id AS value, min(lbl) AS canonical FROM walk GROUP BY id),
+sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1)
+SELECT c.value, c.canonical, s.cluster_size
+FROM comp c JOIN sizes s USING (canonical)
 """
 
     out["profile_sequence_gaps"] = """

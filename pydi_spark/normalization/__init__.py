@@ -5,6 +5,10 @@ from pydi_spark.normalization.detectors import (
     null_standardize_expr,
     outlier_bounds,
 )
+from pydi_spark.normalization.canonicalize import (
+    apply_canonicalization,
+    canonicalize_values,
+)
 from pydi_spark.normalization.impute import impute_missing
 from pydi_spark.normalization.robust import clip_outliers, collapse_rare_categories
 from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
@@ -38,6 +42,8 @@ __all__ = [
     "null_standardize_expr",
     "outlier_bounds",
     "fd_repair_report",
+    "apply_canonicalization",
+    "canonicalize_values",
     "clip_outliers",
     "collapse_rare_categories",
     "impute_missing",

@@ -482,3 +482,29 @@ def test_impute_missing_null_group_key(spark):
         df, {"v": "mean"}, group_by=["g"]
     ).collect()}
     assert got == {(None, 1.0), ("g", 4.0)}
+
+
+def test_canonicalize_values_known_clusters(spark):
+    from pydi_spark.normalization import (
+        apply_canonicalization,
+        canonicalize_values,
+    )
+
+    rows = [("munchen",), ("muenchen",), ("munchenn",), ("berlin",),
+            ("berlim",), ("tokyo",), (None,), ("munchen",)]
+    df = spark.createDataFrame(rows, ["city"])
+    got = {
+        r["value"]: (r["canonical"], r["cluster_size"])
+        for r in canonicalize_values(df, "city", max_distance=2).collect()
+    }
+    # munchen/muenchen/munchenn all within ed<=2 of each other or chained
+    assert got["munchen"] == ("muenchen", 3)
+    assert got["muenchen"][0] == "muenchen"
+    assert got["berlin"] == ("berlim", 2)
+    assert got["tokyo"] == ("tokyo", 1)     # singleton
+    fixed = [
+        r["city"]
+        for r in apply_canonicalization(df, "city", max_distance=2).collect()
+    ]
+    assert fixed.count("muenchen") == 4 and fixed.count(None) == 1
+    assert "munchen" not in fixed
