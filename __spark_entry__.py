@@ -1510,6 +1510,48 @@ def q_normalize_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_values(base, "city", max_distance=1)
 
 
+def q_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the customer grouping of orders and
+    a perturbed gold grouping (every 7th order absorbed into a noise
+    cluster) — pure integer pair-counting combinatorics
+    (evaluation/matching_eval.py adjusted_rand_index)."""
+    from pydi_spark.evaluation import adjusted_rand_index
+
+    orders = _t(spark, sf_dir, "orders")
+    pred = orders.select(
+        F.col("o_orderkey").alias("record_id"),
+        F.col("o_custkey").alias("cluster_id"),
+    )
+    gold = orders.select(
+        F.col("o_orderkey").alias("record_id"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(-1))
+        .otherwise(F.col("o_custkey"))
+        .alias("cluster_id"),
+    )
+    return adjusted_rand_index(pred, gold)
+
+
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the rule matcher's scores vs the
+    account-balance gold (evaluation/matching_eval.py
+    calibration_table): decile buckets, exact integer precision."""
+    from pydi_spark.evaluation import calibration_table
+
+    corr = _rule_corr(spark, sf_dir).select(
+        "id1", "id2", F.round("score", 6).alias("score")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    gold = supp.join(cust, supp["s_nationkey"] == cust["c_nationkey"]).select(
+        F.col("s_suppkey").cast("string").alias("id1"),
+        F.col("c_custkey").cast("string").alias("id2"),
+        (F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 2000)
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_table(corr, gold, n_buckets=10)
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5394,6 +5436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_plan": q_sample_mixture_plan,
         "sample_epoch_expand": q_sample_epoch_expand,
         "normalize_canonicalize": q_normalize_canonicalize,
+        "eval_ari": q_eval_ari,
+        "eval_calibration": q_eval_calibration,
     }
 
 
@@ -9362,6 +9406,55 @@ FROM d WHERE em // 1000 >= 1
 UNION ALL
 SELECT doc_id, source, CAST(em // 1000 + 1 AS INT) AS epoch
 FROM d WHERE em % 1000 > 0 AND frac < CAST(em % 1000 AS DOUBLE) / 1000.0
+"""
+
+    out["eval_ari"] = """
+WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                  CAST(o_custkey AS VARCHAR) AS pc FROM orders),
+g AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CASE WHEN o_orderkey % 7 = 0 THEN -1
+                       ELSE o_custkey END AS VARCHAR) AS gc FROM orders),
+cont AS (SELECT pc, gc, COUNT(*) AS n FROM p JOIN g USING (id)
+         GROUP BY 1, 2),
+sij AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS s_ij,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT pc) AS BIGINT) AS kp,
+               CAST(COUNT(DISTINCT gc) AS BIGINT) AS kg
+        FROM cont),
+sa AS (SELECT CAST(SUM(a * (a - 1)) AS BIGINT) AS s_a
+       FROM (SELECT SUM(n) AS a FROM cont GROUP BY pc)),
+sb AS (SELECT CAST(SUM(b * (b - 1)) AS BIGINT) AS s_b
+       FROM (SELECT SUM(n) AS b FROM cont GROUP BY gc)),
+j AS (SELECT n, kp, kg,
+             2 * ((n * (n - 1)) * s_ij - s_a * s_b) AS num,
+             (n * (n - 1)) * (s_a + s_b) - 2 * s_a * s_b AS den
+      FROM sij, sa, sb)
+SELECT n, kp AS n_pred_clusters, kg AS n_gold_clusters,
+       CAST(floor((CASE WHEN den != 0
+                        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   END) * 1000000) AS BIGINT) AS ari_micro
+FROM j
+"""
+
+    out["eval_calibration"] = f"""
+WITH corr AS (SELECT id1, id2, round(score, 6) AS score
+              FROM ({_RULE_CORR_SQL})),
+gold AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS id1, CAST(c_custkey AS VARCHAR) AS id2,
+         CASE WHEN abs(s_acctbal - c_acctbal) < 2000 THEN 1 ELSE 0 END AS lbl
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bucket,
+         CAST(COALESCE(g.lbl, 0) AS BIGINT) AS lab
+  FROM corr c LEFT JOIN gold g USING (id1, id2)
+)
+SELECT bucket, COUNT(*) AS n, CAST(SUM(lab) AS BIGINT) AS n_pos,
+       CAST(SUM(lab) * CAST(1000000 AS BIGINT) // COUNT(*) AS BIGINT)
+         AS precision_ppm,
+       CAST(bucket * CAST(1000000 AS BIGINT) // 10 AS BIGINT)
+         AS bucket_lo_ppm
+FROM b GROUP BY bucket
 """
 
     out["normalize_canonicalize"] = """

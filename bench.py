@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "io_compaction_plan",
     "sample_mixture_plan",
     "sample_epoch_expand",
+    "eval_ari",
+    "eval_calibration",
 ]
 
 

@@ -1,4 +1,6 @@
 from pydi_spark.evaluation.matching_eval import (
+    adjusted_rand_index,
+    calibration_table,
     cluster_consistency_report,
     cluster_size_distribution,
     evaluate_blocking,
@@ -8,6 +10,8 @@ from pydi_spark.evaluation.matching_eval import (
 )
 
 __all__ = [
+    "adjusted_rand_index",
+    "calibration_table",
     "cluster_consistency_report",
     "cluster_size_distribution",
     "evaluate_blocking",

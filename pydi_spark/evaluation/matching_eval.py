@@ -280,3 +280,126 @@ def cluster_size_distribution(clusters: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def adjusted_rand_index(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "record_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "cluster_id",
+) -> DataFrame:
+    """ONE row [n, n_pred_clusters, n_gold_clusters, ari_micro] — the
+    Adjusted Rand Index between a predicted clustering and a gold
+    clustering (chance-corrected pair agreement; 1e6 = perfect,
+    ~0 = random, negative = worse than chance), over the ids present
+    in BOTH frames.
+
+    Determinism: the pair-counting form is pure integer combinatorics
+    — contingency counts, 2*C(x,2) = x*(x-1) everywhere (so no /2
+    rationals), num = 2*(C2*S_ij - S_a*S_b), den = C2*(S_a+S_b) -
+    2*S_a*S_b, all exact bigints; the single num/den division runs on
+    correctly-rounded double casts of those exact ints, then
+    floor(1e6*r). A degenerate den (one cluster each side, or every
+    record its own cluster in both) yields null ari_micro.
+
+    Scale: one id join, one contingency groupBy (bounded by
+    |pred clusters| x |gold clusters| INTERSECTIONS actually present),
+    two marginal groupBys, one scalar aggregate.
+
+    Beyond the reference (PyDI's cluster evaluation reports
+    consistency, not chance-corrected agreement).
+    """
+    p = pred.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(pred_col).cast("string").alias("__pc"),
+    )
+    g = gold.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(gold_col).cast("string").alias("__gc"),
+    )
+    cont = (
+        p.join(g, "__id")
+        .groupBy("__pc", "__gc")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)  # feeds 3 aggregates below
+    )
+    two = F.lit(2).cast("long")
+    pair = lambda c: (F.col(c) * (F.col(c) - 1))  # noqa: E731  2*C(x,2)
+    sij = cont.agg(
+        F.sum(pair("__n")).alias("s_ij"), F.sum("__n").alias("n"),
+        F.countDistinct("__pc").alias("kp"),
+        F.countDistinct("__gc").alias("kg"),
+    )
+    sa = cont.groupBy("__pc").agg(F.sum("__n").alias("__a")).agg(
+        F.sum(pair("__a")).alias("s_a")
+    )
+    sb = cont.groupBy("__gc").agg(F.sum("__n").alias("__b")).agg(
+        F.sum(pair("__b")).alias("s_b")
+    )
+    joined = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    c2 = pair("n")  # 2*C(n,2)
+    num = two * (c2 * F.col("s_ij") - F.col("s_a") * F.col("s_b"))
+    den = c2 * (F.col("s_a") + F.col("s_b")) - two * F.col("s_a") * F.col(
+        "s_b"
+    )
+    return joined.select(
+        F.col("n"),
+        F.col("kp").alias("n_pred_clusters"),
+        F.col("kg").alias("n_gold_clusters"),
+        F.floor(
+            F.when(den != 0, num.cast("double") / den.cast("double"))
+            * F.lit(1_000_000)
+        ).cast("bigint").alias("ari_micro"),
+    )
+
+
+def calibration_table(
+    scored: DataFrame,
+    gold: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """[bucket, n, n_pos, precision_ppm, bucket_lo_ppm] — reliability
+    diagram data for matcher scores: pairs bucketed by score decile
+    (bucket = floor(score * n_buckets), score 1.0 clamped into the top
+    bucket), per-bucket pair count, positive count, and exact integer
+    precision. A calibrated matcher's precision_ppm tracks the bucket
+    midpoint; the table is what threshold pickers and reliability
+    plots consume.
+
+    ``scored``: [id1, id2, score in [0,1]]; ``gold``: [id1, id2,
+    label] (0/1). Pairs missing from gold count as negatives (the
+    evaluate_matching convention). One join + one groupBy on
+    <= n_buckets keys.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    nb = F.lit(int(n_buckets))
+    lab = gold.select(
+        "id1", "id2", F.col("label").cast("long").alias("__lab")
+    )
+    b = (
+        scored.join(lab, ["id1", "id2"], "left")
+        .select(
+            F.least(
+                F.floor(F.col("score") * nb).cast("int"),
+                F.lit(int(n_buckets) - 1),
+            ).alias("bucket"),
+            F.coalesce("__lab", F.lit(0)).alias("__lab"),
+        )
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__lab").alias("n_pos"),
+        F.expr(
+            "CAST(sum(__lab) * CAST(1000000 AS BIGINT) div count(1) "
+            "AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
+    return agg.withColumn(
+        "bucket_lo_ppm",
+        F.expr(
+            f"CAST(bucket * CAST(1000000 AS BIGINT) div {int(n_buckets)} "
+            "AS BIGINT)"
+        ),
+    )

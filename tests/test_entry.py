@@ -68,7 +68,7 @@ def test_driver_window_arithmetic():
         "events_paths", "events_resample", "profile_sequence_gaps",
         "events_anomalies", "io_compaction_plan",
         "sample_mixture_plan", "sample_epoch_expand",
-        "normalize_canonicalize",
+        "normalize_canonicalize", "eval_ari", "eval_calibration",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -99,7 +99,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "events_paths", "events_resample", "profile_sequence_gaps",
         "events_anomalies", "io_compaction_plan",
         "sample_mixture_plan", "sample_epoch_expand",
-        "normalize_canonicalize",
+        "normalize_canonicalize", "eval_ari", "eval_calibration",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -141,7 +141,7 @@ def test_partition_independence_of_new_queries(spark):
         "normalize_clip", "normalize_rare_collapse", "events_paths",
         "events_resample", "profile_sequence_gaps", "events_anomalies",
         "io_compaction_plan", "sample_mixture_plan", "sample_epoch_expand",
-        "normalize_canonicalize",
+        "normalize_canonicalize", "eval_ari", "eval_calibration",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -261,3 +261,55 @@ def test_resample_all_null_values_bucket_is_zero(spark):
             df, key_col="k", value_col="value", fill=fill
         ).collect()[0]
         assert (r["n_events"], r["value_micro"]) == (1, 0), fill
+
+
+def test_adjusted_rand_index_known_values(spark):
+    from pydi_spark.evaluation import adjusted_rand_index
+
+    def frames(pred_labels, gold_labels):
+        p = spark.createDataFrame(
+            [(str(i), str(c)) for i, c in enumerate(pred_labels)],
+            ["record_id", "cluster_id"],
+        )
+        g = spark.createDataFrame(
+            [(str(i), str(c)) for i, c in enumerate(gold_labels)],
+            ["record_id", "cluster_id"],
+        )
+        return p, g
+
+    # identical clusterings -> ARI = 1
+    p, g = frames([0, 0, 1, 1, 2, 2], [5, 5, 6, 6, 7, 7])
+    r = adjusted_rand_index(p, g).collect()[0]
+    assert r["ari_micro"] == 1_000_000
+    assert (r["n"], r["n_pred_clusters"], r["n_gold_clusters"]) == (6, 3, 3)
+    # sklearn-documented example: ARI([0,0,1,1],[0,0,1,2]) ~ 0.5714
+    p, g = frames([0, 0, 1, 1], [0, 0, 1, 2])
+    r = adjusted_rand_index(p, g).collect()[0]
+    assert r["ari_micro"] == 571_428
+    # independent-ish split -> degenerate den (every record alone both
+    # sides) yields null
+    p, g = frames([0, 1, 2], [3, 4, 5])
+    assert adjusted_rand_index(p, g).collect()[0]["ari_micro"] is None
+
+
+def test_calibration_table(spark):
+    from pydi_spark.evaluation import calibration_table
+
+    scored = spark.createDataFrame(
+        [("a", "1", 0.05), ("b", "2", 0.08), ("c", "3", 0.95),
+         ("d", "4", 0.97), ("e", "5", 1.0)],
+        ["id1", "id2", "score"],
+    )
+    gold = spark.createDataFrame(
+        [("c", "3", 1), ("d", "4", 1), ("a", "1", 0)],
+        ["id1", "id2", "label"],
+    )
+    got = {r["bucket"]: (r["n"], r["n_pos"], r["precision_ppm"],
+                         r["bucket_lo_ppm"])
+           for r in calibration_table(scored, gold).collect()}
+    assert got[0] == (2, 0, 0, 0)             # unlabeled counts negative
+    assert got[9] == (3, 2, 666_666, 900_000)  # score 1.0 clamped to 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calibration_table(scored, gold, n_buckets=1)

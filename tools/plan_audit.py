@@ -73,6 +73,9 @@ ALLOWED = {
     # ONE-row non-null-total broadcast onto the category-count table
     # (share-threshold cross-multiply): O(cardinality)
     "normalize_rare_collapse": {"nested_loop"},
+    # three ONE-row statistic frames (contingency totals, row marginal,
+    # column marginal) cross-joined into the single ARI output row
+    "eval_ari": {"nested_loop"},
 }
 
 
