@@ -1552,6 +1552,23 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_table(corr, gold, n_buckets=10)
 
 
+def q_profile_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern distribution over deterministically punched
+    nulls (profiling/profiler.py null_pattern_report): exact bitmask
+    counts, one groupBy bounded by patterns present."""
+    from pydi_spark.profiling import null_pattern_report
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_quantity")).alias("qty"),
+        F.when(F.col("l_orderkey") % 11 == 0, None)
+        .otherwise(F.col("l_discount")).alias("disc"),
+        F.when(F.col("l_orderkey") % 13 == 0, None)
+        .otherwise(F.col("l_returnflag")).alias("flag"),
+    )
+    return null_pattern_report(base, ["qty", "disc", "flag"])
+
+
 def q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide conditional aggregation): order counts and
     exact decimal price sums per priority, pivoted on order status.
@@ -5438,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_canonicalize": q_normalize_canonicalize,
         "eval_ari": q_eval_ari,
         "eval_calibration": q_eval_calibration,
+        "profile_null_patterns": q_profile_null_patterns,
     }
 
 
@@ -9455,6 +9473,32 @@ SELECT bucket, COUNT(*) AS n, CAST(SUM(lab) AS BIGINT) AS n_pos,
        CAST(bucket * CAST(1000000 AS BIGINT) // 10 AS BIGINT)
          AS bucket_lo_ppm
 FROM b GROUP BY bucket
+"""
+
+    out["profile_null_patterns"] = """
+WITH base AS (
+  SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty,
+         CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_discount END AS disc,
+         CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_returnflag END AS flag
+  FROM lineitem
+),
+counts AS (
+  SELECT CAST((CASE WHEN qty IS NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN disc IS NULL THEN 2 ELSE 0 END)
+            + (CASE WHEN flag IS NULL THEN 4 ELSE 0 END) AS BIGINT)
+           AS pattern,
+         COUNT(*) AS n
+  FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT pattern,
+       concat_ws(',',
+         CASE WHEN pattern & 1 != 0 THEN 'qty' END,
+         CASE WHEN pattern & 2 != 0 THEN 'disc' END,
+         CASE WHEN pattern & 4 != 0 THEN 'flag' END) AS null_cols,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * CAST(1000000 AS BIGINT) // t AS BIGINT) AS share_ppm
+FROM counts, tot
 """
 
     out["normalize_canonicalize"] = """

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "sample_epoch_expand",
     "eval_ari",
     "eval_calibration",
+    "profile_null_patterns",
 ]
 
 

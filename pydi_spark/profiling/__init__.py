@@ -13,6 +13,7 @@ from pydi_spark.profiling.profiler import (
     grouped_lower_median,
     join_cardinality_report,
     key_skew_report,
+    null_pattern_report,
 )
 from pydi_spark.profiling.sketches import (
     cms_estimate,
@@ -34,6 +35,7 @@ __all__ = [
     "grouped_lower_median",
     "find_sequence_gaps",
     "join_cardinality_report",
+    "null_pattern_report",
     "discover_inds",
     "discover_keys",
     "key_skew_report",

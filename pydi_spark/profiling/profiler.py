@@ -664,3 +664,52 @@ def detect_anomalies(
         )
         .drop("__dev")
     )
+
+
+def null_pattern_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """[pattern, null_cols, n, share_ppm] — the distribution of
+    MISSINGNESS PATTERNS across ``cols``: each row's nulls form a
+    bitmask (bit i = cols[i] is null), counted exactly. Co-occurring
+    nulls ("phone and email are always missing together") decide
+    whether imputation is safe or the rows need a different source —
+    per-column null counts can't see the joint structure.
+
+    ``null_cols`` is the human-readable comma-joined column list for
+    the pattern ('' = fully populated row). One map-side-combined
+    groupBy bounded by 2^len(cols) patterns ACTUALLY PRESENT; share is
+    exact integer ppm. Caps at 62 columns (bigint bits).
+
+    Beyond the reference (PyDI profiles nulls per column only).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(cols) > 62:
+        raise ValueError(f"at most 62 columns: {len(cols)}")
+    bits = None
+    for i, c in enumerate(cols):
+        b = F.when(F.col(c).isNull(), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits = b if bits is None else bits + b
+    counts = (
+        df.select(bits.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = counts.localCheckpoint(eager=True)  # feeds total + rows
+    total = counts.agg(F.sum("n").alias("__total"))
+    name_expr = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                (F.col("pattern").bitwiseAND(F.lit(1 << i))) != 0, F.lit(c)
+            )
+            for i, c in enumerate(cols)
+        ],
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "pattern",
+        name_expr.alias("null_cols"),
+        "n",
+        F.expr("n * CAST(1000000 AS BIGINT) div __total").alias("share_ppm"),
+    )

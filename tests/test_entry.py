@@ -69,6 +69,7 @@ def test_driver_window_arithmetic():
         "events_anomalies", "io_compaction_plan",
         "sample_mixture_plan", "sample_epoch_expand",
         "normalize_canonicalize", "eval_ari", "eval_calibration",
+        "profile_null_patterns",
     }
     past_window = set(names[50:])
     missing = rotation_queue - past_window - set(window)
@@ -100,6 +101,7 @@ def test_every_query_has_driver_row_or_awaits_one():
         "events_anomalies", "io_compaction_plan",
         "sample_mixture_plan", "sample_epoch_expand",
         "normalize_canonicalize", "eval_ari", "eval_calibration",
+        "profile_null_patterns",
     }  # keep in sync with the window test
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
@@ -142,6 +144,7 @@ def test_partition_independence_of_new_queries(spark):
         "events_resample", "profile_sequence_gaps", "events_anomalies",
         "io_compaction_plan", "sample_mixture_plan", "sample_epoch_expand",
         "normalize_canonicalize", "eval_ari", "eval_calibration",
+        "profile_null_patterns",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

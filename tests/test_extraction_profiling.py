@@ -830,3 +830,22 @@ def test_detect_anomalies_keeps_all_null_groups(spark):
     got = detect_anomalies(df, ["k"], "v").collect()
     assert len(got) == 3
     assert all(r["is_anomaly"] == 0 for r in got)
+
+
+def test_null_pattern_report(spark):
+    from pydi_spark.profiling import null_pattern_report
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (None, None, 6.0), (None, None, None), (2, "y", None)],
+        "a int, b string, c double",
+    )
+    got = {r["pattern"]: (r["null_cols"], r["n"], r["share_ppm"])
+           for r in null_pattern_report(df, ["a", "b", "c"]).collect()}
+    assert got[0] == ("", 1, 250_000)
+    assert got[3] == ("a,b", 1, 250_000)      # a+b null together
+    assert got[7] == ("a,b,c", 1, 250_000)
+    assert got[4] == ("c", 1, 250_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        null_pattern_report(df, [])

@@ -76,6 +76,8 @@ ALLOWED = {
     # three ONE-row statistic frames (contingency totals, row marginal,
     # column marginal) cross-joined into the single ARI output row
     "eval_ari": {"nested_loop"},
+    # ONE-row total broadcast onto the <= 2^k pattern-count table
+    "profile_null_patterns": {"nested_loop"},
 }
 
 
