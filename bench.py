@@ -163,12 +163,12 @@ def main() -> None:
     # bench vs 4.0 s warm-isolated on identical code+data). Default 3
     # passes: a third temporally-spread sample costs ~40 s and halves
     # the chance an ambient spike survives into the minimum.
-    # default passes adapt to list size: 3 under 80 queries, else 2 —
-    # keeps total driver wall time near the 67-query/3-pass era as the
-    # list grows (two INTERLEAVED passes still sit minutes apart, the
-    # property the ambient-spike decorrelation needs)
-    default_runs = "3" if len(BENCH_QUERIES) < 80 else "2"
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs)))
+    # 3 interleaved passes: a same-day A/B at 98 queries measured
+    # 2-pass 160 s vs 3-pass 126 s recorded totals (identical code) —
+    # the third temporally-spread sample is what keeps ambient spikes
+    # out of the minima, and it costs ~1.5 min because the sf0.001
+    # warmup dominates wall time either way
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(runs):
