@@ -9444,13 +9444,20 @@ sa AS (SELECT CAST(SUM(a * (a - 1)) AS BIGINT) AS s_a
 sb AS (SELECT CAST(SUM(b * (b - 1)) AS BIGINT) AS s_b
        FROM (SELECT SUM(n) AS b FROM cont GROUP BY gc)),
 j AS (SELECT n, kp, kg,
-             2 * ((n * (n - 1)) * s_ij - s_a * s_b) AS num,
-             (n * (n - 1)) * (s_a + s_b) - 2 * s_a * s_b AS den
+             -- num/den formed in DOUBLE space over the exact bigint
+             -- statistics: C2*S_a alone overflows int64 at sf0.1
+             CAST(2 AS DOUBLE) * (CAST(n * (n - 1) AS DOUBLE)
+                                    * CAST(s_ij AS DOUBLE)
+                                  - CAST(s_a AS DOUBLE)
+                                    * CAST(s_b AS DOUBLE)) AS num,
+             CAST(n * (n - 1) AS DOUBLE)
+               * (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+             - CAST(2 AS DOUBLE) * CAST(s_a AS DOUBLE)
+               * CAST(s_b AS DOUBLE) AS den
       FROM sij, sa, sb)
 SELECT n, kp AS n_pred_clusters, kg AS n_gold_clusters,
-       CAST(floor((CASE WHEN den != 0
-                        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                   END) * 1000000) AS BIGINT) AS ari_micro
+       CAST(floor((CASE WHEN den != 0 THEN num / den END) * 1000000)
+            AS BIGINT) AS ari_micro
 FROM j
 """
 

@@ -161,13 +161,10 @@ def main() -> None:
     # land inside the same ambient spike and the minimum learns
     # nothing (round-5: blocking_token recorded 11.9 s in a driver
     # bench vs 4.0 s warm-isolated on identical code+data). Default 3
-    # passes: a third temporally-spread sample costs ~40 s and halves
-    # the chance an ambient spike survives into the minimum.
-    # 3 interleaved passes: a same-day A/B at 98 queries measured
-    # 2-pass 160 s vs 3-pass 126 s recorded totals (identical code) —
-    # the third temporally-spread sample is what keeps ambient spikes
-    # out of the minima, and it costs ~1.5 min because the sf0.001
-    # warmup dominates wall time either way
+    # passes: the third temporally-spread sample keeps ambient spikes
+    # out of the minima (a same-day A/B at 98 queries recorded 160 s
+    # with 2 passes vs 126 s with 3 on identical code) and costs
+    # ~1.5 min because the sf0.001 warmup dominates wall time.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -295,13 +295,18 @@ def adjusted_rand_index(
     ~0 = random, negative = worse than chance), over the ids present
     in BOTH frames.
 
-    Determinism: the pair-counting form is pure integer combinatorics
-    — contingency counts, 2*C(x,2) = x*(x-1) everywhere (so no /2
-    rationals), num = 2*(C2*S_ij - S_a*S_b), den = C2*(S_a+S_b) -
-    2*S_a*S_b, all exact bigints; the single num/den division runs on
-    correctly-rounded double casts of those exact ints, then
-    floor(1e6*r). A degenerate den (one cluster each side, or every
-    record its own cluster in both) yields null ari_micro.
+    Determinism: the sufficient statistics (S_ij, S_a, S_b, n as
+    2*C(x,2) = x*(x-1) — no /2 rationals) are EXACT bigint aggregates;
+    num = 2*(C2*S_ij - S_a*S_b) and den = C2*(S_a+S_b) - 2*S_a*S_b are
+    then formed in DOUBLE space over correctly-rounded casts of those
+    exact ints — C2*S_a alone overflows int64 beyond ~40k records with
+    big clusters (measured at sf0.1: den ~1e19), so bigint products
+    here are a crash (ANSI) or silent garbage (legacy). Identical
+    expression trees over identical operands keep the cross-engine
+    bit-equality; the value itself is exact up to the doubles' 2^53
+    mantissa — far inside 1e-6 for any real clustering. A degenerate
+    den (one cluster each side, or every record its own cluster in
+    both) yields null ari_micro.
 
     Scale: one id join, one contingency groupBy (bounded by
     |pred clusters| x |gold clusters| INTERSECTIONS actually present),
@@ -324,7 +329,6 @@ def adjusted_rand_index(
         .agg(F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)  # feeds 3 aggregates below
     )
-    two = F.lit(2).cast("long")
     pair = lambda c: (F.col(c) * (F.col(c) - 1))  # noqa: E731  2*C(x,2)
     sij = cont.agg(
         F.sum(pair("__n")).alias("s_ij"), F.sum("__n").alias("n"),
@@ -338,18 +342,18 @@ def adjusted_rand_index(
         F.sum(pair("__b")).alias("s_b")
     )
     joined = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
-    c2 = pair("n")  # 2*C(n,2)
-    num = two * (c2 * F.col("s_ij") - F.col("s_a") * F.col("s_b"))
-    den = c2 * (F.col("s_a") + F.col("s_b")) - two * F.col("s_a") * F.col(
-        "s_b"
-    )
+    c2 = pair("n").cast("double")  # 2*C(n,2)
+    two_d = F.lit(2).cast("double")
+    s_ij = F.col("s_ij").cast("double")
+    s_a, s_b = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    num = two_d * (c2 * s_ij - s_a * s_b)
+    den = c2 * (s_a + s_b) - two_d * s_a * s_b
     return joined.select(
         F.col("n"),
         F.col("kp").alias("n_pred_clusters"),
         F.col("kg").alias("n_gold_clusters"),
         F.floor(
-            F.when(den != 0, num.cast("double") / den.cast("double"))
-            * F.lit(1_000_000)
+            F.when(den != 0, num / den) * F.lit(1_000_000)
         ).cast("bigint").alias("ari_micro"),
     )
 

@@ -26,15 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def canonicalize_values(
-    df: DataFrame,
-    col: str,
-    max_distance: int = 1,
-    q: int = 2,
+def _canonical_mapping(
+    df: DataFrame, col: str, max_distance: int, q: int
 ) -> DataFrame:
-    """[value, canonical, cluster_size] — one row per DISTINCT non-null
-    value; ``canonical`` is the lexicographic minimum of its
-    edit-distance component (self for singletons)."""
+    """[value, canonical] — the shared core: distinct values -> edit
+    join -> CC -> min-value label; singletons map to themselves.
+    Checkpointed (it feeds multiple consumers: the sizes aggregate in
+    canonicalize_values, or the rewrite join in apply_canonicalization
+    — without it each action re-runs the distinct scan + CC join)."""
     from pydi_spark.clustering.connected_components import (
         connected_components,
     )
@@ -50,12 +49,24 @@ def canonicalize_values(
         id_column="value", q=q,
     ).select("id1", "id2")
     comp = connected_components(pairs)
-    mapped = vals.join(
+    return vals.join(
         comp, vals["value"] == comp["record_id"], "left"
     ).select(
         "value",
         F.coalesce(F.col("cluster_id"), F.col("value")).alias("canonical"),
-    )
+    ).localCheckpoint(eager=True)
+
+
+def canonicalize_values(
+    df: DataFrame,
+    col: str,
+    max_distance: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """[value, canonical, cluster_size] — one row per DISTINCT non-null
+    value; ``canonical`` is the lexicographic minimum of its
+    edit-distance component (self for singletons)."""
+    mapped = _canonical_mapping(df, col, max_distance, q)
     sizes = mapped.groupBy("canonical").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -72,9 +83,9 @@ def apply_canonicalization(
 ) -> DataFrame:
     """Rewrite ``col`` in place to each value's canonical form (nulls
     stay null). The mapping join is on the distinct-value table —
-    broadcast-eligible for real categorical columns."""
-    mapping = canonicalize_values(df, col, max_distance=max_distance, q=q)
-    mapping = mapping.select(
+    broadcast-eligible for real categorical columns; the sizes
+    aggregate canonicalize_values adds is never computed here."""
+    mapping = _canonical_mapping(df, col, max_distance, q).select(
         F.col("value").alias("__v"), F.col("canonical").alias("__canon")
     )
     return (
