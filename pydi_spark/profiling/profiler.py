@@ -387,12 +387,14 @@ def categorical_dispersion(
     blocking-key selectivity) that the null-count + distinct-count
     profile can't see.
 
-    Determinism: counts are exact ints; gini_micro =
-    floor(1e6 * (n^2 - sum(n_i^2)) / n^2) where both operands of the
-    single division are exact bigints exactly representable as doubles
-    for any n below ~94M rows per slice; above that, quantization of
-    the 6th decimal may differ by 1ulp across engines — profile slices,
-    not planets. Nulls count as a regular value (a 90%-null column IS
+    Determinism AND overflow safety: counts are exact ints; the
+    squares n^2 and sum(n_i^2) are formed as decimal(38,0) products
+    (a bigint n_i^2 overflows int64 beyond ~3e9 rows in one category —
+    the eval_ari overflow class), cast to double for the single
+    division. Both operands are exactly double-representable for any
+    n below ~94M rows per slice; above that, quantization of the 6th
+    decimal may differ by 1ulp across engines — profile slices, not
+    planets. Nulls count as a regular value (a 90%-null column IS
     concentrated). One groupBy per column, unioned — each is map-side
     combinable and bounded by that column's cardinality.
 
@@ -400,16 +402,18 @@ def categorical_dispersion(
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    dec = "decimal(19,0)"
     out = None
     for c in cols:
         counts = (
             df.groupBy(F.col(c).cast("string").alias("__v"))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
+        nd = F.col("__n").cast(dec)
         row = counts.agg(
             F.sum("__n").alias("__total"),
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+            F.sum(nd * nd).alias("__sq"),
         ).select(
             F.lit(c).alias("column"),
             F.col("__total").alias("n_rows"),
@@ -417,10 +421,15 @@ def categorical_dispersion(
             F.floor(
                 F.lit(1_000_000)
                 * (
-                    (F.col("__total") * F.col("__total") - F.col("__sq"))
-                    .cast("double")
+                    (
+                        F.col("__total").cast(dec)
+                        * F.col("__total").cast(dec)
+                        - F.col("__sq")
+                    ).cast("double")
                 )
-                / (F.col("__total") * F.col("__total")).cast("double")
+                / (
+                    F.col("__total").cast(dec) * F.col("__total").cast(dec)
+                ).cast("double")
             ).cast("bigint").alias("gini_micro"),
         )
         out = row if out is None else out.unionAll(row)
@@ -515,8 +524,13 @@ def join_cardinality_report(
 
     Scale: two map-side-combined groupBys bounded by key CARDINALITY,
     one key-table equi-join, one scalar aggregate — never touches the
-    payload columns and never materializes the join. All-integer
-    arithmetic. Beyond the reference (PyDI has no join planner).
+    payload columns and never materializes the join. The per-key
+    products and their sum run in decimal(38,0) (exact): a join whose
+    true output size exceeds int64 is exactly what this report exists
+    to catch, so it must not itself overflow computing it —
+    join_rows/max_key_fanout come back as try_cast BIGINTs, NULL
+    meaning "beyond 9.2e18 rows: do not run this join".
+    Beyond the reference (PyDI has no join planner).
     """
     lc = (
         left.where(F.col(left_on).isNotNull())
@@ -529,21 +543,28 @@ def join_cardinality_report(
         .agg(F.count(F.lit(1)).alias("__cr"))
     )
     both = lc.join(rc, "__k", "full_outer")
-    prod = F.col("__cl") * F.col("__cr")
+    dec = "decimal(19,0)"
+    prod = F.col("__cl").cast(dec) * F.col("__cr").cast(dec)
     return both.agg(
         F.sum("__cl").alias("n_left"),
         F.sum("__cr").alias("n_right"),
         F.count("__cl").alias("n_left_keys"),
         F.count("__cr").alias("n_right_keys"),
         F.count(prod).alias("n_matching_keys"),
-        F.sum(prod).alias("join_rows"),
-        F.max(prod).alias("max_key_fanout"),
+        F.sum(prod).alias("__join_rows"),
+        F.max(prod).alias("__max_fanout"),
         F.sum(F.when(F.col("__cr").isNull(), F.col("__cl"))).alias(
             "left_rows_unmatched"
         ),
         F.sum(F.when(F.col("__cl").isNull(), F.col("__cr"))).alias(
             "right_rows_unmatched"
         ),
+    ).select(
+        "n_left", "n_right", "n_left_keys", "n_right_keys",
+        "n_matching_keys",
+        F.expr("try_cast(__join_rows AS BIGINT)").alias("join_rows"),
+        F.expr("try_cast(__max_fanout AS BIGINT)").alias("max_key_fanout"),
+        "left_rows_unmatched", "right_rows_unmatched",
     )
 
 
