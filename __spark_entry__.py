@@ -9309,7 +9309,7 @@ grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM span)
 SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
        COALESCE(a.n_events, 0) AS n_events,
        COALESCE(a.value_micro, 0) AS value_micro
-FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+FROM grid g LEFT JOIN agg a ON a.event_type IS NOT DISTINCT FROM g.event_type AND a.b = g.b
 """
 
     # the median CTE shape (histogram + (n+1) div 2 rank) appears twice:
@@ -9324,7 +9324,7 @@ grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM span),
 series AS (
   SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
          COALESCE(a.n_events, 0) AS n_events
-  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+  FROM grid g LEFT JOIN agg a ON a.event_type IS NOT DISTINCT FROM g.event_type AND a.b = g.b
 ),
 medcum AS (
   SELECT event_type, val,

@@ -181,17 +181,40 @@ def main() -> None:
               f"best of {runs} interleaved)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map first (own line, for humans / log scrapers)...
     print(
         json.dumps(
             {
-                "metric": "pydi_spark_headline_queries",
+                "metric": "pydi_spark_headline_queries_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    # ...then a compact FINAL line. The driver keeps only the last
+    # ~2,000 chars of output and parses the final JSON line; at 98
+    # queries the full map is >2,000 chars and r6's official record
+    # came back "parsed": null (VERDICT r6 #2). The final line carries
+    # the headline total plus the 20 slowest per-query timings (the
+    # set the perf history tracks) and stays well under the cap.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
+    line = json.dumps(
+        {
+            "metric": "pydi_spark_headline_queries",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": slowest,
+        }
+    )
+    assert len(line) < 1900, f"final bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

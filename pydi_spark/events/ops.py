@@ -266,12 +266,23 @@ def resample_timeseries(
             *keys,
             F.explode(F.expr("sequence(__b0, __b1)")).alias("__b"),
         )
-        agg = grid.join(agg, [*keys, "__b"], "left").select(
-            *keys,
-            "__b",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        # eqNullSafe on the key: groupBy makes NULL a real group, and a
+        # plain equi-join would orphan that group's grid rows, silently
+        # zero-filling over its actual aggregates (ADVICE r6).
+        g, a = grid.alias("__g"), agg.alias("__a")
+        cond = F.col("__g.__b") == F.col("__a.__b")
+        for k in keys:
+            cond = cond & F.col(f"__g.`{k}`").eqNullSafe(F.col(f"__a.`{k}`"))
+        agg = g.join(a, cond, "left").select(
+            *[F.col(f"__g.`{k}`").alias(k) for k in keys],
+            F.col("__g.__b").alias("__b"),
+            F.coalesce(F.col("__a.n_events"), F.lit(0)).alias("n_events"),
             *(
-                [F.coalesce("value_micro", F.lit(0)).alias("value_micro")]
+                [
+                    F.coalesce(
+                        F.col("__a.value_micro"), F.lit(0)
+                    ).alias("value_micro")
+                ]
                 if value_col
                 else []
             ),

@@ -219,6 +219,34 @@ def test_resample_timeseries_fills_gaps(spark):
         resample_timeseries(df, interval_minutes=0)
 
 
+def test_resample_timeseries_null_key_fill(spark):
+    """ADVICE r6: the fill path's grid-to-agg join must be null-safe —
+    a NULL-key group's real aggregates were silently replaced with
+    zeros when fill=True."""
+    from pydi_spark.events import resample_timeseries
+
+    rows = [
+        (None, _ts("2026-01-01 10:05:00"), 1.0),
+        (None, _ts("2026-01-01 12:30:00"), 2.0),  # 1 empty hour between
+        ("a", _ts("2026-01-01 10:10:00"), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = {
+        (r["k"], r["bucket_start_us"]): (r["n_events"], r["value_micro"])
+        for r in resample_timeseries(
+            df, key_col="k", interval_minutes=60, value_col="value"
+        ).collect()
+    }
+    h = 3_600_000_000
+    base = int(_ts("2026-01-01 10:00:00").replace(
+        tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
+    assert got[(None, base)] == (1, 1_000_000)
+    assert got[(None, base + h)] == (0, 0)
+    assert got[(None, base + 2 * h)] == (1, 2_000_000)
+    assert got[("a", base)] == (1, 3_000_000)
+    assert len(got) == 4
+
+
 def test_find_sequence_gaps(spark):
     from pydi_spark.profiling import find_sequence_gaps
 
