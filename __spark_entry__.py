@@ -374,6 +374,41 @@ def q_fusion_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fusion_custom_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-callable resolver tier (fusion/engine.py:194 GROUPED_AGG
+    pandas-UDF path — the reference's pluggable-callable contract,
+    PyDI fusion/strategy.py:70-74), previously pytest-only (VERDICT r6
+    #5). The callable is ORDER-INSENSITIVE (second-largest DISTINCT
+    value, confidence 1/n_distinct — one IEEE division on identical
+    operands, bit-portable) so the collected-list order the UDF sees
+    cannot leak into the output; defined as a closure so cloudpickle
+    ships it by value (workers never import __spark_entry__)."""
+    from pydi_spark.fusion import DataFusionEngine, DataFusionStrategy
+
+    def second_largest(values, sources=None, trust_map=None):
+        uniq = sorted(set(values), reverse=True)
+        if not uniq:
+            return (None, 0.0)
+        value = uniq[1] if len(uniq) > 1 else uniq[0]
+        return (value, 1.0 / len(uniq))
+
+    datasets, edges = _orders_datasets(spark, sf_dir)
+    ds = datasets[0]
+    ds = ds.with_df(
+        ds.df.select("rid", F.col("o_orderpriority").alias("pri_second"))
+    )
+    strat = DataFusionStrategy().add_attribute_fuser(
+        "pri_second", second_largest
+    )
+    fused = DataFusionEngine(strat).run([ds], edges, debug=True)
+    return fused.select(
+        F.col("_fusion_group_id").alias("group_id"),
+        "pri_second",
+        F.col("_conf_pri_second").alias("conf"),
+        F.col("_fusion_group_size").alias("group_size"),
+    )
+
+
 def q_fusion_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debug-mode fusion trace (fusion_debug_long — the reference's
     per-group per-attribute JSONL debug log, engine.py:257-354): melt
@@ -5095,6 +5130,23 @@ def q_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_edit_distance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edit_distance_join with the hot-gram skew cap (VERDICT r6 #4):
+    grams with global frequency > 100 are deterministically dropped
+    from the gram universe before prefix ranking (functions/joins.py
+    max_gram_frequency — TokenBlocker's max_token_frequency analogue
+    for digit-heavy/tiny-vocabulary corpora). Unlike the uncapped
+    query's brute-force characterization oracle, this oracle REPLAYS
+    the pruning (grams -> capped freq -> rank-3 prefix -> candidate
+    equi-join -> verify), because the cap intentionally trades recall."""
+    from pydi_spark.functions import edit_distance_join
+
+    return edit_distance_join(
+        _t(spark, sf_dir, "customer"), None, "c_name",
+        max_distance=1, id_column="c_custkey", max_gram_frequency=100,
+    )
+
+
 def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over lineitem numerics
     (profiling/profiler.py correlation_matrix): exact decimal(18,2)
@@ -5216,30 +5268,85 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
-    # arithmetic). Round-6 window:
-    #   1-9   the NINE queries with no driver row anywhere in r01-r05:
-    #         the round-5 rotation queue (text_span_remove,
-    #         blocking_progressive, io_pickle_roundtrip,
-    #         text_corpus_cleanup, dedup_lsh_recall) plus the four that
-    #         fell through every rotation (fusion_debug,
-    #         profile_compare, tpch_cube, tpch_pivot — VERDICT r5 #1).
-    #   10-12 re-checks for queries whose code changes this round:
-    #         units_convert/units_normalize (unit table broadened to
-    #         the reference's 18 categories) and dedup_incremental
-    #         (perf work, VERDICT r5 #3).
-    #   13-16 canaries + probes at their pinned positions:
-    #         canary_hash_safe/risky (both green r04-r05 — driver
-    #         tolerates those classes; kept for drift detection),
-    #         canary_hugeint (expected RED by design — r5 confirmed
-    #         the HUGEINT->float64 driver-hasher mechanism; decision:
-    #         one more confirming round here, demote in r7 — NOTES),
-    #         probe_corpus_echo (RED means testdata regenerated).
-    #   17-50 round-6 NEW queries as they land, padded with
-    #         twice-green continuity representatives.
-    # Everything past 50 has >= 1 green driver row in r01-r05 and
+    # arithmetic). Round-7 window (the pinned r6 rotation plan):
+    #   1-12  rotation-queue first checks (round-6 session-2/3 ops,
+    #         never driver-checked; all local-green)
+    #   13-15 canaries + probes at pinned positions: canary_hash_safe
+    #         (green expected), canary_hash_risky (driver tolerates the
+    #         class; drift detector), probe_corpus_echo (RED means the
+    #         driver regenerated documents.parquet). canary_hugeint is
+    #         DEMOTED past 50 after two consecutive confirming reds
+    #         (r5 decision; FORBIDDEN_ORACLE_TYPES guards the class
+    #         locally now).
+    #   16-34 rotation-queue first checks, continued
+    #   35-38 re-checks: events_funnel/retention/sessionize_batch
+    #         (driver-green rows predate the r6 refactor onto
+    #         pydi_spark.events) and streaming_sessionize (routed
+    #         through the events package this round; last green r2)
+    #   39-40 round-7 new queries (join_edit_distance_capped,
+    #         fusion_custom_resolver)
+    #   41-50 stalest greens (last driver row r02), re-pinned
+    # Everything past 50 has >= 1 green driver row in r01-r06 and
     # stays under the local gate (tools/check_oracle.py).
     return {
-        # -- window 1-9: first driver check (never checked r01-r05)
+        # -- window 1-12: rotation-queue first checks
+        "match_fellegi_sunter": q_match_fellegi_sunter,
+        "blocking_phonetic": q_blocking_phonetic,
+        "join_grid_radius": q_join_grid_radius,
+        "io_table_diff": q_io_table_diff,
+        "dedup_containment": q_dedup_containment,
+        "profile_fds": q_profile_fds,
+        "profile_inds": q_profile_inds,
+        "normalize_fd_repair": q_normalize_fd_repair,
+        "profile_keys": q_profile_keys,
+        "io_scd2": q_io_scd2,
+        "io_schema_union": q_io_schema_union,
+        "join_edit_distance": q_join_edit_distance,
+        # -- window 13-15: canaries + probes (pinned positions)
+        "canary_hash_safe": q_canary_hash_safe,
+        "canary_hash_risky": q_canary_hash_risky,
+        "probe_corpus_echo": q_probe_corpus_echo,
+        # -- window 16-34: rotation-queue first checks (cont.)
+        "profile_corr": q_profile_corr,
+        "profile_dispersion": q_profile_dispersion,
+        "embed_kmeans": q_embed_kmeans,
+        "profile_quantiles": q_profile_quantiles,
+        "normalize_impute": q_normalize_impute,
+        "profile_join_fanout": q_profile_join_fanout,
+        "normalize_clip": q_normalize_clip,
+        "normalize_rare_collapse": q_normalize_rare_collapse,
+        "events_paths": q_events_paths,
+        "events_resample": q_events_resample,
+        "profile_sequence_gaps": q_profile_sequence_gaps,
+        "events_anomalies": q_events_anomalies,
+        "io_compaction_plan": q_io_compaction_plan,
+        "sample_mixture_plan": q_sample_mixture_plan,
+        "sample_epoch_expand": q_sample_epoch_expand,
+        "normalize_canonicalize": q_normalize_canonicalize,
+        "eval_ari": q_eval_ari,
+        "eval_calibration": q_eval_calibration,
+        "profile_null_patterns": q_profile_null_patterns,
+        # -- window 35-38: re-checks (code refactored r6/r7)
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_sessionize_batch": q_events_sessionize_batch,
+        "streaming_sessionize": q_streaming_sessionize,
+        # -- window 39-40: round-7 new queries
+        "join_edit_distance_capped": q_join_edit_distance_capped,
+        "fusion_custom_resolver": q_fusion_custom_resolver,
+        # -- window 41-50: stalest greens (last driver row r02)
+        "blocking_cross": q_blocking_cross,
+        "blocking_stats": q_blocking_stats,
+        "cluster_centre": q_cluster_centre,
+        "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
+        "cluster_stable_matching": q_cluster_stable_matching,
+        "dedup_canonical": q_dedup_canonical,
+        "eval_blocking": q_eval_blocking,
+        "fusion_lists": q_fusion_lists,
+        "match_date_numeric": q_match_date_numeric,
+        "validators_quality": q_validators_quality,
+        # -- past the 50-entry window: all with >= 1 green driver
+        # -- row r01-r06 (canary_hugeint deliberately demoted)
         "text_span_remove": q_text_span_remove,
         "blocking_progressive": q_blocking_progressive,
         "io_pickle_roundtrip": q_io_pickle_roundtrip,
@@ -5249,16 +5356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_compare": q_profile_compare,
         "tpch_cube": q_tpch_cube,
         "tpch_pivot": q_tpch_pivot,
-        # -- window 10-12: re-checks (code changed this round)
         "units_convert": q_units_convert,
         "units_normalize": q_units_normalize,
         "dedup_incremental": q_dedup_incremental,
-        # -- window 13-16: canaries + probes (pinned positions)
-        "canary_hash_safe": q_canary_hash_safe,
-        "canary_hash_risky": q_canary_hash_risky,
         "canary_hugeint": q_canary_hugeint,
-        "probe_corpus_echo": q_probe_corpus_echo,
-        # -- window 17-50: r6 new queries + continuity reps
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
         "io_zorder_key": q_io_zorder_key,
         "profile_cms_words": q_profile_cms_words,
@@ -5295,8 +5396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_bm25": q_text_search_bm25,
         "sample_dsir": q_sample_dsir,
         "text_decontaminate": q_text_decontaminate,
-        "events_funnel": q_events_funnel,
-        # -- past the 50-entry window: all driver-green in r01-r05
         "text_clean_multiline": q_text_clean_multiline,
         "text_budget_select": q_text_budget_select,
         "text_inverted_index": q_text_inverted_index,
@@ -5311,9 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "text_vocab_coverage": q_text_vocab_coverage,
         "tpch_grouping_sets": q_tpch_grouping_sets,
-        "events_retention": q_events_retention,
         "events_json": q_events_json,
-        "events_sessionize_batch": q_events_sessionize_batch,
         "graph_pagerank": q_graph_pagerank,
         "io_cdc_upsert": q_io_cdc_upsert,
         "text_bpe_fertility": q_text_bpe_fertility,
@@ -5399,63 +5496,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "match_plm_fake": q_match_plm_fake,
         "blocking_sorted_neighbourhood": q_blocking_snb,
-        "blocking_cross": q_blocking_cross,
-        "cluster_stable_matching": q_cluster_stable_matching,
         "fusion_trust": q_fusion_trust,
-        "fusion_lists": q_fusion_lists,
-        "eval_blocking": q_eval_blocking,
         "text_fingerprint": q_text_fingerprint,
-        "match_date_numeric": q_match_date_numeric,
-        "dedup_canonical": q_dedup_canonical,
         "normalize_transforms": q_normalize_transforms,
-        "validators_quality": q_validators_quality,
         "schema_duplicate_based": q_schema_duplicate_based,
-        "blocking_stats": q_blocking_stats,
         "fusion_most_complete": q_fusion_most_complete,
-        "streaming_sessionize": q_streaming_sessionize,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "eval_threshold_sweep": q_eval_threshold_sweep,
         "tpch_rollup": q_tpch_rollup,
-        "cluster_greedy_one_to_one": q_cluster_greedy_one_to_one,
-        "cluster_centre": q_cluster_centre,
         "cluster_hierarchical": q_cluster_hierarchical,
         "cluster_consistency": q_cluster_consistency,
         "cluster_size_dist": q_cluster_size_dist,
         "schema_instance_based": q_schema_instance_based,
-        # -- round-6 session-2 additions (rotation queue -> r7 window)
-        "match_fellegi_sunter": q_match_fellegi_sunter,
-        "blocking_phonetic": q_blocking_phonetic,
-        "join_grid_radius": q_join_grid_radius,
-        "io_table_diff": q_io_table_diff,
-        "dedup_containment": q_dedup_containment,
-        "profile_fds": q_profile_fds,
-        "profile_inds": q_profile_inds,
-        "normalize_fd_repair": q_normalize_fd_repair,
-        "profile_keys": q_profile_keys,
-        "io_scd2": q_io_scd2,
-        "io_schema_union": q_io_schema_union,
-        # -- round-6 session-3 additions (rotation queue -> r7 window)
-        "join_edit_distance": q_join_edit_distance,
-        "profile_corr": q_profile_corr,
-        "profile_dispersion": q_profile_dispersion,
-        "embed_kmeans": q_embed_kmeans,
-        "profile_quantiles": q_profile_quantiles,
-        "normalize_impute": q_normalize_impute,
-        "profile_join_fanout": q_profile_join_fanout,
-        "normalize_clip": q_normalize_clip,
-        "normalize_rare_collapse": q_normalize_rare_collapse,
-        "events_paths": q_events_paths,
-        "events_resample": q_events_resample,
-        "profile_sequence_gaps": q_profile_sequence_gaps,
-        "events_anomalies": q_events_anomalies,
-        "io_compaction_plan": q_io_compaction_plan,
-        "sample_mixture_plan": q_sample_mixture_plan,
-        "sample_epoch_expand": q_sample_epoch_expand,
-        "normalize_canonicalize": q_normalize_canonicalize,
-        "eval_ari": q_eval_ari,
-        "eval_calibration": q_eval_calibration,
-        "profile_null_patterns": q_profile_null_patterns,
     }
 
 
@@ -6082,6 +6135,23 @@ dts AS (
 SELECT vote.group_id, pri_vote, pri_long, pri_short, st_first, dt_recent, dt_early
 FROM vote JOIN lng USING (group_id) JOIN shrt USING (group_id)
 JOIN fst USING (group_id) JOIN dts USING (group_id)
+""",
+        "fusion_custom_resolver": """
+WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id,
+                  count(*) AS group_size
+           FROM orders GROUP BY o_custkey),
+d AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+r AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderpriority DESC) AS rk,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM d
+)
+SELECT g.group_id, r.o_orderpriority AS pri_second,
+       CAST(1.0 AS DOUBLE) / n AS conf, g.group_size
+FROM r JOIN g USING (o_custkey)
+WHERE rk = CASE WHEN n > 1 THEN 2 ELSE 1 END
 """,
         "fusion_trust": """
 WITH g AS (SELECT o_custkey, min(CAST(o_orderkey AS VARCHAR)) AS group_id FROM orders GROUP BY o_custkey),
@@ -9076,6 +9146,51 @@ SELECT a.c_custkey AS id1, b.c_custkey AS id2,
 FROM customer a, customer b
 WHERE a.c_custkey < b.c_custkey
   AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+    # capped variant REPLAYS the deterministic pruning (the cap trades
+    # recall, so a brute-force characterization would not match):
+    # distinct q-grams -> global freq capped at 100 -> per-record 3
+    # rarest surviving grams (freq ASC, gram ASC) -> prefix equi-join
+    # vs ALL grams -> canonicalize -> short fallback -> verify
+    out["join_edit_distance_capped"] = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS s, length(c_name) AS l
+  FROM customer WHERE c_name IS NOT NULL
+),
+grams_raw AS (
+  SELECT id, unnest(list_transform(generate_series(1, l - 1),
+                                   p -> substring(s, p, 2))) AS gram
+  FROM base WHERE l >= 2
+),
+grams AS (SELECT DISTINCT id, gram FROM grams_raw),
+freq AS (
+  SELECT gram, COUNT(*) AS f FROM grams GROUP BY 1 HAVING COUNT(*) <= 100
+),
+pref AS (
+  SELECT id, gram FROM (
+    SELECT g.id, g.gram,
+           row_number() OVER (PARTITION BY g.id
+                              ORDER BY k.f ASC, g.gram ASC) AS rk
+    FROM grams g JOIN freq k USING (gram)
+  ) WHERE rk <= 3
+),
+main AS (
+  SELECT LEAST(p.id, g.id) AS id1, GREATEST(p.id, g.id) AS id2
+  FROM pref p JOIN grams g USING (gram)
+  WHERE p.id <> g.id
+),
+short AS (SELECT id FROM base WHERE l <= 3),
+fallback AS (
+  SELECT a.id AS id1, b.id AS id2 FROM short a, short b WHERE a.id < b.id
+),
+cand AS (
+  SELECT DISTINCT id1, id2
+  FROM (SELECT * FROM main UNION ALL SELECT * FROM fallback)
+)
+SELECT c.id1, c.id2, CAST(levenshtein(a.s, b.s) AS INT) AS distance
+FROM cand c JOIN base a ON a.id = c.id1 JOIN base b ON b.id = c.id2
+WHERE abs(a.l - b.l) <= 1 AND levenshtein(a.s, b.s) <= 1
 """
 
     # correlation: exact decimal(18,2) sufficient statistics (stored

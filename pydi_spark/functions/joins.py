@@ -356,6 +356,7 @@ def edit_distance_join(
     max_distance: int = 1,
     id_column: str = "id",
     q: int = 2,
+    max_gram_frequency: int | None = None,
 ) -> DataFrame:
     """All pairs whose ``column`` values are within Levenshtein distance
     ``max_distance``: ``[id1, id2, distance]``.
@@ -383,6 +384,19 @@ def edit_distance_join(
     = self-join: pairs oriented ``id1 < id2`` in the id column's native
     ordering, self-pairs excluded. Null/short-than-``q`` strings never
     error; they simply only pair via the fallback path.
+
+    ``max_gram_frequency`` is the skew cap for tiny-vocabulary /
+    digit-heavy corpora (the ``Customer#000000042`` case: ~150 distinct
+    grams over 150k rows makes every posting list huge and the
+    candidate join quadratic — SCALE.md names this as the
+    TokenBlocker-``max_token_frequency`` analogue). Grams whose GLOBAL
+    frequency exceeds the cap are deterministically removed from the
+    gram universe before prefix ranking, so neither side probes or
+    publishes them; records whose surviving grams were all hot can no
+    longer meet in the main path (a documented recall trade, exactly
+    TokenBlocker's). The drop is a pure function of the corpus — the
+    capped join replays exactly in SQL (join_edit_distance_capped).
+    The short-string fallback is unaffected.
 
     No reference counterpart (PyDI compares pre-blocked pairs via
     comparators, it has no standalone similarity join) — north-star op.
@@ -428,6 +442,16 @@ def edit_distance_join(
         lg.select("__gram") if self_join
         else lg.select("__gram").unionAll(rg.select("__gram"))
     ).groupBy("__gram").agg(F.count(F.lit(1)).alias("__freq"))
+    if max_gram_frequency is not None:
+        if int(max_gram_frequency) < 1:
+            raise ValueError(
+                f"max_gram_frequency must be >= 1: {max_gram_frequency}"
+            )
+        # dropping a gram from `freq` removes it from BOTH sides of the
+        # candidate join: lpref inner-joins freq below, and `main` is an
+        # equi-join keyed on lpref's surviving grams, so posting-list
+        # entries for hot grams can never match.
+        freq = freq.where(F.col("__freq") <= int(max_gram_frequency))
 
     prefix_w = Window.partitionBy("id1").orderBy(
         F.asc("__freq"), F.asc("__gram")

@@ -558,6 +558,61 @@ def test_edit_distance_join_two_sided(spark):
     assert ("l3", "r3", 1) in got  # cross-join short fallback
 
 
+def test_edit_distance_join_gram_cap(spark):
+    """max_gram_frequency (VERDICT r6 #4): a deterministic hot-gram
+    drop — capped output is a subset of uncapped; with the cap above
+    every gram frequency it is the identity; a cap that kills the only
+    shared gram loses exactly the pairs whose prefixes were all hot."""
+    import pytest as _pytest
+
+    from pydi_spark.functions import edit_distance_join
+
+    # 'ZZ' is the hot gram: every record shares it; the distinguishing
+    # digit grams are rare
+    rows = [(f"{i:02d}", f"ZZZZZZ{i % 4}{i // 4}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    uncapped = {
+        (r["id1"], r["id2"], r["distance"])
+        for r in edit_distance_join(
+            df, None, "s", max_distance=1, id_column="id"
+        ).collect()
+    }
+    assert uncapped == _ed_brute(rows, 1)
+    # cap above max freq (12) -> identity
+    same = {
+        (r["id1"], r["id2"], r["distance"])
+        for r in edit_distance_join(
+            df, None, "s", max_distance=1, id_column="id",
+            max_gram_frequency=12,
+        ).collect()
+    }
+    assert same == uncapped
+    # cap below the hot gram's freq: kept grams per record are
+    # Z{d1} and {d1}{d2}, so true pairs sharing d1 survive (they meet
+    # on Z{d1}) while pairs differing in d1 lose their only shared
+    # gram (the hot ZZ) — the documented deterministic recall trade
+    capped = {
+        (r["id1"], r["id2"], r["distance"])
+        for r in edit_distance_join(
+            df, None, "s", max_distance=1, id_column="id",
+            max_gram_frequency=6,
+        ).collect()
+    }
+    by_id = dict(rows)
+    expected = {t for t in uncapped if by_id[t[0]][6] == by_id[t[1]][6]}
+    assert capped == expected
+    assert capped < uncapped
+    # cap at 1: every shared gram is dropped -> main path yields nothing
+    starved = edit_distance_join(
+        df, None, "s", max_distance=1, id_column="id", max_gram_frequency=1
+    ).collect()
+    assert starved == []
+    with _pytest.raises(ValueError):
+        edit_distance_join(
+            df, None, "s", id_column="id", max_gram_frequency=0
+        )
+
+
 def test_edit_distance_join_validation(spark):
     import pytest as _pytest
 

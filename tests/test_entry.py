@@ -29,6 +29,15 @@ def test_two_sample_queries_run(spark, sf_dir):
     assert out.columns == ["id1", "id2", "block_key"]
 
 
+# Round-7 rotation queue: queries added past position 50 because the
+# window is already claimed by this round's first-checks — rotate into
+# the NEXT round's window. Keep in sync when adding queries; the two
+# tests below enforce the accounting. EMPTY after the r7 rotation
+# (all 31 round-6 additions are in-window; round-7 new queries took
+# free window slots directly).
+ROTATION_QUEUE: set[str] = set()
+
+
 def test_driver_window_arithmetic():
     """The driver records correctness for EXACTLY the first 50
     queries() entries (r03 shipped 51 in the 'first 50' group and
@@ -38,26 +47,15 @@ def test_driver_window_arithmetic():
     names = list(entry.queries())
     window = names[:50]
     assert len(set(window)) == 50
-    # canaries at positions 13-14, probes at 15-16 (pinned since r4/r5)
+    # canaries/probes at positions 13-15 (r7: canary_hugeint DEMOTED
+    # past 50 after two consecutive confirming reds — the r5 decision)
     assert window[12] == "canary_hash_safe"
     assert window[13] == "canary_hash_risky"
-    assert window[14] == "canary_hugeint"
-    assert window[15] == "probe_corpus_echo"
-    # the NINE queries with no driver row anywhere in r01-r05 (VERDICT
-    # r5 #1: the round-5 rotation queue plus the four that fell through
-    # every earlier rotation) lead the r6 window
-    assert window[:9] == [
-        "text_span_remove", "blocking_progressive", "io_pickle_roundtrip",
-        "text_corpus_cleanup", "dedup_lsh_recall", "fusion_debug",
-        "profile_compare", "tpch_cube", "tpch_pivot",
-    ]
-    # re-checks for code changed this round sit in-window too
-    assert {"units_convert", "units_normalize",
-            "dedup_incremental"} <= set(window[:12])
-    # round-6 rotation queue: queries added past position 50 because
-    # the window is full — rotate into the NEXT round's window; keep
-    # in sync when adding queries.
-    rotation_queue = {
+    assert window[14] == "probe_corpus_echo"
+    assert names.index("canary_hugeint") >= 50
+    # the 31 round-6 rotation-queue queries (never driver-checked
+    # r01-r06) all sit in the r7 window
+    r6_queue = {
         "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
         "io_table_diff", "dedup_containment", "profile_fds",
         "profile_inds", "normalize_fd_repair", "profile_keys",
@@ -71,8 +69,15 @@ def test_driver_window_arithmetic():
         "normalize_canonicalize", "eval_ari", "eval_calibration",
         "profile_null_patterns",
     }
+    assert r6_queue <= set(window), f"fell out: {r6_queue - set(window)}"
+    # re-checks for code refactored in r6/r7 (events package migration)
+    assert {"events_funnel", "events_retention", "events_sessionize_batch",
+            "streaming_sessionize"} <= set(window)
+    # round-7 new queries took free window slots directly
+    assert {"join_edit_distance_capped",
+            "fusion_custom_resolver"} <= set(window)
     past_window = set(names[50:])
-    missing = rotation_queue - past_window - set(window)
+    missing = ROTATION_QUEUE - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"
 
 
@@ -89,20 +94,7 @@ def test_every_query_has_driver_row_or_awaits_one():
 
     names = list(entry.queries())
     window = set(names[:50])
-    rotation_queue = {
-        "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
-        "io_table_diff", "dedup_containment", "profile_fds",
-        "profile_inds", "normalize_fd_repair", "profile_keys",
-        "io_scd2", "io_schema_union",
-        "join_edit_distance", "profile_corr", "profile_dispersion",
-        "embed_kmeans", "profile_quantiles", "normalize_impute",
-        "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
-        "events_paths", "events_resample", "profile_sequence_gaps",
-        "events_anomalies", "io_compaction_plan",
-        "sample_mixture_plan", "sample_epoch_expand",
-        "normalize_canonicalize", "eval_ari", "eval_calibration",
-        "profile_null_patterns",
-    }  # keep in sync with the window test
+    rotation_queue = ROTATION_QUEUE
     repo = os.path.dirname(os.path.abspath(entry.__file__))
     checked = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
@@ -145,6 +137,8 @@ def test_partition_independence_of_new_queries(spark):
         "io_compaction_plan", "sample_mixture_plan", "sample_epoch_expand",
         "normalize_canonicalize", "eval_ari", "eval_calibration",
         "profile_null_patterns",
+        # round-7 additions
+        "join_edit_distance_capped", "fusion_custom_resolver",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

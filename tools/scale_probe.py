@@ -93,10 +93,13 @@ def main() -> None:
     docs10 = os.path.join(scratch, "documents10.parquet")
     part10 = os.path.join(scratch, "part10.parquet")
     emb10 = os.path.join(scratch, "embeddings10.parquet")
+    cust10 = os.path.join(scratch, "customer10.parquet")
     synthesize(spark, f"{sf_dir}/documents.parquet", docs10,
                "doc_id", "text", ["source"])
     synthesize(spark, f"{sf_dir}/part.parquet", part10,
                "p_partkey", "p_name", [])
+    synthesize(spark, f"{sf_dir}/customer.parquet", cust10,
+               "c_custkey", "c_name", [])
     if not os.path.exists(os.path.join(emb10, "_SUCCESS")):
         # 10x embeddings: ids offset, vectors shifted by a copy-dependent
         # per-element nudge so copies are distinct but identically
@@ -170,6 +173,21 @@ def main() -> None:
             key_col="text", id_col="doc_id",
         )
 
+    def edit_capped(df):
+        # hot-gram cap (VERDICT r6 #4): a FIXED absolute cap bounds
+        # every posting list by a constant, so candidate volume is
+        # <= (kq+1) * n * cap — LINEAR in corpus size where the
+        # uncapped join on digit-heavy Customer# names grows with the
+        # posting-list squares (~76M candidates at sf0.1 1x already).
+        # Recall at 10x drops (hotter grams get dropped) — the same
+        # documented trade as TokenBlocker's max_token_frequency.
+        from pydi_spark.functions.joins import edit_distance_join
+
+        return edit_distance_join(
+            df, None, "c_name", max_distance=1, id_column="c_custkey",
+            max_gram_frequency=100,
+        )
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -180,10 +198,15 @@ def main() -> None:
         "ann_ivf": ivf,
         "dedup_incremental": incr,
         "dedup_bloom": bloom,
+        "join_edit_capped": edit_capped,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
         "ann_ivf": (emb1, emb10_df),
+        "join_edit_capped": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
     }
 
     results = {}
