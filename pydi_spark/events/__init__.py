@@ -7,6 +7,16 @@ from pydi_spark.events.ops import (
     session_stats,
 )
 
+# The streaming twin of assign_sessions/session_stats: gap-based
+# session windows via F.session_window, runnable unchanged as a batch
+# plan (how the oracle checks it) or a Structured Streaming query.
+# Re-exported here so batch AND stream sessionization are discoverable
+# from the one events package; boundary semantics agree except at an
+# exact gap==limit tie (session_window splits at >=, the lag path at
+# >), pinned by tests/test_extraction_profiling.py
+# test_batch_stream_sessionize_parity.
+from pydi_spark.streaming.dedup import sessionize as sessionize_stream
+
 __all__ = [
     "assign_sessions",
     "event_path_ngrams",
@@ -14,4 +24,5 @@ __all__ = [
     "resample_timeseries",
     "retention_cohorts",
     "session_stats",
+    "sessionize_stream",
 ]
