@@ -1031,7 +1031,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "canonical_id",
-        "is_canonical",
+        # int-cast: booleans are hash-unsafe in the driver window
+        # (r7 re-pins this query in-window after its r2 green)
+        F.col("is_canonical").cast("int").alias("is_canonical"),
     )
 
 
@@ -1434,6 +1436,32 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("event_type", "ts", "value")
     return resample_timeseries(
         ev, key_col="event_type", interval_minutes=360, value_col="value"
+    )
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (events/ops.py
+    attribute_conversions): each purchase distributes exactly 1e6 ppm
+    over the user's click/view touches in a 24h lookback — integer
+    div/mod split, remainder ppm to the earliest touches under the
+    (ts, event_id) total order; unattributed conversions carry the
+    full credit on touch_id -1 (NULL coalesced: a nullable bigint
+    becomes float64 in pandas on BOTH engines — dodge the dtype class
+    entirely)."""
+    from pydi_spark.events import attribute_conversions
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    out = attribute_conversions(
+        ev, touch_types=["click", "view"], conversion_type="purchase",
+        model="linear", lookback_hours=24,
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("touch_id", F.lit(-1)).alias("touch_id"),
+        "conversion_id",
+        "credit_ppm",
     )
 
 
@@ -5509,6 +5537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_consistency": q_cluster_consistency,
         "cluster_size_dist": q_cluster_size_dist,
         "schema_instance_based": q_schema_instance_based,
+        # -- round-7 additions past the window (r8 rotation queue)
+        "events_attribution": q_events_attribution,
     }
 
 
@@ -6482,8 +6512,8 @@ walk(id, lbl) AS (
 comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
 SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
        coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS canonical_id,
-       coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR))
-         = CAST(d.doc_id AS VARCHAR) AS is_canonical
+       CAST(coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR))
+         = CAST(d.doc_id AS VARCHAR) AS INT) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
 """,
         "type_detection": _type_detection_sql(),
@@ -9409,6 +9439,35 @@ SELECT e0 || '>' || e1 || '>' || e2 AS path,
        count(DISTINCT user_id) AS n_users
 FROM led WHERE e2 IS NOT NULL
 GROUP BY 1
+"""
+
+    out["events_attribution"] = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS conversion_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS u, event_id AS touch_id, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT c.u, c.conversion_id, t.touch_id, t.tts
+  FROM conv c LEFT JOIN touch t
+    ON t.u = c.u AND t.tts <= c.cts AND t.tts > c.cts - INTERVAL 24 HOURS
+),
+ranked AS (
+  SELECT u, conversion_id, touch_id,
+         row_number() OVER (PARTITION BY u, conversion_id
+                            ORDER BY tts ASC, touch_id ASC) AS rk,
+         count(touch_id) OVER (PARTITION BY u, conversion_id) AS n
+  FROM pairs
+)
+SELECT u AS user_id, COALESCE(touch_id, -1) AS touch_id, conversion_id,
+       CAST(CASE WHEN n = 0 THEN 1000000
+                 ELSE 1000000 // n
+                      + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END
+            END AS BIGINT) AS credit_ppm
+FROM ranked
 """
 
     out["events_resample"] = """

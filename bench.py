@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "eval_ari",
     "eval_calibration",
     "profile_null_patterns",
+    # round-7 additions (join_edit_distance_capped stays out like its
+    # uncapped sibling: same candidate-volume class on customer names)
+    "fusion_custom_resolver",
+    "events_attribution",
 ]
 
 

@@ -1,5 +1,6 @@
 from pydi_spark.events.ops import (
     assign_sessions,
+    attribute_conversions,
     event_path_ngrams,
     funnel_stages,
     resample_timeseries,
@@ -19,6 +20,7 @@ from pydi_spark.streaming.dedup import sessionize as sessionize_stream
 
 __all__ = [
     "assign_sessions",
+    "attribute_conversions",
     "event_path_ngrams",
     "funnel_stages",
     "resample_timeseries",

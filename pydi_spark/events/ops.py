@@ -293,3 +293,102 @@ def resample_timeseries(
         "n_events",
         *(["value_micro"] if value_col else []),
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    model: str = "linear",
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution: [user, touch_id, conversion_id,
+    credit_ppm] — each conversion event distributes exactly 1,000,000
+    ppm of credit over the user's touch events in the lookback window
+    (touch.ts <= conv.ts, touch.ts > conv.ts - lookback).
+
+    Models: ``first`` / ``last`` give full credit to the earliest /
+    latest eligible touch; ``linear`` splits evenly in EXACT integer
+    arithmetic — every touch gets ``1e6 div n`` and the first
+    ``1e6 mod n`` touches (by ``(ts, id)`` total order) get one extra
+    ppm, so credit always sums to exactly 1,000,000 per conversion
+    (floats would drift and a ppm remainder must land
+    deterministically).
+
+    Scale: the touch-conversion pairing is a per-user interval join —
+    an equi-join on ``user_col`` with the window predicate as a
+    post-filter, so it shuffles once on user and volume is bounded by
+    per-user touches x conversions inside the window, never global
+    row products. Bot-grade hot users are the skew case (same story
+    as sessionize) — cap per-user events upstream if a corpus needs
+    it. Conversions with ZERO eligible touches emit one row with NULL
+    touch_id and the full 1e6 credit (unattributed bucket), so credit
+    conservation holds corpus-wide.
+
+    No reference counterpart (PyDI has no event analytics) —
+    north-star addition; the product-analytics twin of funnel_stages.
+    """
+    if model not in ("first", "last", "linear"):
+        raise ValueError(f"model must be first|last|linear: {model}")
+    if lookback_hours <= 0:
+        raise ValueError(f"lookback_hours must be > 0: {lookback_hours}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__tu"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("__tts"),
+    )
+    lb = F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+    # the window predicate must be part of the JOIN condition: as a
+    # post-filter, a conversion whose touches are all out-of-window
+    # would lose every row instead of emitting its unattributed row
+    cond = (
+        (F.col("__u") == F.col("__tu"))
+        & (F.col("__tts") <= F.col("__cts"))
+        & (F.col("__tts") > F.col("__cts") - lb)
+    )
+    pairs = conv.join(touch, cond, "left").drop("__tu")
+    w = Window.partitionBy("__u", "conversion_id").orderBy(
+        F.col("__tts").asc(), F.col("touch_id").asc()
+    )
+    ranked = pairs.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n",
+        F.count("touch_id").over(
+            Window.partitionBy("__u", "conversion_id")
+        ),
+    )
+    if model == "linear":
+        credit = F.when(F.col("__n") == 0, F.lit(1_000_000)).otherwise(
+            F.expr("1000000 div __n")
+            + F.when(
+                F.col("__rk") <= F.lit(1_000_000) % F.col("__n"), 1
+            ).otherwise(0)
+        )
+        keep = F.lit(True)
+    elif model == "first":
+        credit = F.lit(1_000_000)
+        keep = (F.col("__rk") == 1) | (F.col("__n") == 0)
+    else:  # last
+        credit = F.lit(1_000_000)
+        keep = (F.col("__rk") == F.col("__n")) | (F.col("__n") == 0)
+    # a left join puts exactly one NULL-touch row per unmatched
+    # conversion; matched conversions never carry a NULL touch row
+    return (
+        ranked.where(keep)
+        .select(
+            F.col("__u").alias(user_col),
+            "touch_id",
+            "conversion_id",
+            credit.cast("long").alias("credit_ppm"),
+        )
+    )

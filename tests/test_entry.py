@@ -32,10 +32,13 @@ def test_two_sample_queries_run(spark, sf_dir):
 # Round-7 rotation queue: queries added past position 50 because the
 # window is already claimed by this round's first-checks — rotate into
 # the NEXT round's window. Keep in sync when adding queries; the two
-# tests below enforce the accounting. EMPTY after the r7 rotation
-# (all 31 round-6 additions are in-window; round-7 new queries took
-# free window slots directly).
-ROTATION_QUEUE: set[str] = set()
+# tests below enforce the accounting. The r7 rotation emptied the
+# round-6 queue (all 31 additions in-window; the first two round-7 new
+# queries took free window slots directly); later round-7 additions
+# queue here for r8.
+ROTATION_QUEUE: set[str] = {
+    "events_attribution",
+}
 
 
 def test_driver_window_arithmetic():
@@ -139,6 +142,7 @@ def test_partition_independence_of_new_queries(spark):
         "profile_null_patterns",
         # round-7 additions
         "join_edit_distance_capped", "fusion_custom_resolver",
+        "events_attribution",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -341,3 +341,63 @@ def test_calibration_table(spark):
 
     with _pytest.raises(ValueError):
         calibration_table(scored, gold, n_buckets=1)
+
+
+def test_attribute_conversions_models(spark):
+    from pydi_spark.events import attribute_conversions
+
+    rows = [
+        # user 1: three touches inside the 24h window, one outside
+        (1, 1, _ts("2026-01-01 09:00:00"), "click"),
+        (1, 2, _ts("2026-01-01 10:00:00"), "view"),
+        (1, 3, _ts("2026-01-01 11:00:00"), "click"),
+        (1, 4, _ts("2025-12-30 11:00:00"), "click"),  # outside lookback
+        (1, 9, _ts("2026-01-01 12:00:00"), "purchase"),
+        # user 2: no touches at all -> unattributed
+        (2, 19, _ts("2026-01-01 12:00:00"), "purchase"),
+        # user 3: only an out-of-window touch -> unattributed too
+        (3, 20, _ts("2025-12-01 00:00:00"), "click"),
+        (3, 29, _ts("2026-01-01 12:00:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+
+    def run(model):
+        return {
+            (r["user_id"], r["touch_id"], r["conversion_id"]): r["credit_ppm"]
+            for r in attribute_conversions(
+                df, ["click", "view"], "purchase", model=model,
+                lookback_hours=24,
+            ).collect()
+        }
+
+    linear = run("linear")
+    # 1e6 div 3 = 333333 rem 1 -> earliest touch gets the extra ppm
+    assert linear[(1, 1, 9)] == 333334
+    assert linear[(1, 2, 9)] == 333333
+    assert linear[(1, 3, 9)] == 333333
+    assert linear[(2, None, 19)] == 1_000_000
+    assert linear[(3, None, 29)] == 1_000_000
+    assert (1, 4, 9) not in linear  # outside the lookback
+    # conservation: exactly 1e6 per conversion
+    per_conv = {}
+    for (u, t, c), ppm in linear.items():
+        per_conv[c] = per_conv.get(c, 0) + ppm
+    assert set(per_conv.values()) == {1_000_000}
+
+    first = run("first")
+    assert first == {(1, 1, 9): 1_000_000, (2, None, 19): 1_000_000,
+                     (3, None, 29): 1_000_000}
+    last = run("last")
+    assert last == {(1, 3, 9): 1_000_000, (2, None, 19): 1_000_000,
+                    (3, None, 29): 1_000_000}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attribute_conversions(df, ["click"], "purchase", model="nope")
+    with _pytest.raises(ValueError):
+        attribute_conversions(df, [], "purchase")
+    with _pytest.raises(ValueError):
+        attribute_conversions(df, ["click"], "purchase", lookback_hours=0)
