@@ -1465,6 +1465,31 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram over o_totalprice
+    (profiling/profiler.py equi_width_histogram): 16 buckets, auto
+    min/max bounds, empty buckets zero-filled. The bucket expression is
+    one left-to-right IEEE chain — the oracle computes the SAME min/max
+    (exact) and spells the SAME expression, so floor is
+    divergence-free."""
+    from pydi_spark.profiling import equi_width_histogram
+
+    return equi_width_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", n_buckets=16
+    )
+
+
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users (events/ops.py active_users —
+    WAU): dedup to the (user, epoch-day) grain, fan each user-day to
+    the <= 7 report days it supports (clamped to the corpus span),
+    count distinct per day, zero-fill the day grid. All-integer."""
+    from pydi_spark.events import active_users
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return active_users(ev, window_days=7)
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5539,6 +5564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_instance_based": q_schema_instance_based,
         # -- round-7 additions past the window (r8 rotation queue)
         "events_attribution": q_events_attribution,
+        "profile_histogram": q_profile_histogram,
+        "events_active_users": q_events_active_users,
     }
 
 
@@ -9439,6 +9466,40 @@ SELECT e0 || '>' || e1 || '>' || e2 AS path,
        count(DISTINCT user_id) AS n_users
 FROM led WHERE e2 IS NOT NULL
 GROUP BY 1
+"""
+
+    out["profile_histogram"] = """
+WITH b AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                  MAX(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+assigned AS (
+  SELECT CASE WHEN x IS NULL THEN -1
+              WHEN x < lo THEN -2
+              WHEN x > hi THEN 16
+              WHEN x = hi THEN 15
+              ELSE CAST(floor((x - lo) * CAST(16 AS DOUBLE) / (hi - lo))
+                        AS INT)
+         END AS bucket
+  FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders), b
+),
+counts AS (SELECT bucket, COUNT(*) AS n FROM assigned GROUP BY 1),
+grid AS (SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS bucket)
+SELECT g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c USING (bucket)
+UNION ALL
+SELECT bucket, CAST(n AS BIGINT) FROM counts
+WHERE bucket < 0 OR bucket >= 16
+"""
+
+    out["events_active_users"] = """
+WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+            FROM events WHERE ts IS NOT NULL),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+fanned AS (SELECT u, unnest(generate_series(d, least(d + 6, d1))) AS day
+           FROM ud, span),
+counts AS (SELECT day, COUNT(DISTINCT u) AS n_active FROM fanned GROUP BY 1),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span)
+SELECT g.day, CAST(COALESCE(c.n_active, 0) AS BIGINT) AS n_active
+FROM grid g LEFT JOIN counts c USING (day)
 """
 
     out["events_attribution"] = """

@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # uncapped sibling: same candidate-volume class on customer names)
     "fusion_custom_resolver",
     "events_attribution",
+    "profile_histogram",
+    "events_active_users",
 ]
 
 

@@ -1,4 +1,5 @@
 from pydi_spark.events.ops import (
+    active_users,
     assign_sessions,
     attribute_conversions,
     event_path_ngrams,
@@ -19,6 +20,7 @@ from pydi_spark.events.ops import (
 from pydi_spark.streaming.dedup import sessionize as sessionize_stream
 
 __all__ = [
+    "active_users",
     "assign_sessions",
     "attribute_conversions",
     "event_path_ngrams",

@@ -392,3 +392,62 @@ def attribute_conversions(
             credit.cast("long").alias("credit_ppm"),
         )
     )
+
+
+def active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[day, n_active] — EXACT rolling distinct active users: for every
+    calendar day in the corpus span, the number of distinct users with
+    >= 1 event in the trailing ``window_days`` window (day - w, day].
+    window_days=1 is DAU, 7 WAU, 30 MAU. Days with zero active users
+    still appear (n_active = 0) so the series is chartable.
+
+    Determinism/portability: days are exact integer epoch-days
+    (``unix_micros div 86400e6`` of the UTC timestamp — micros are
+    never fractional); no floats anywhere.
+
+    Scale: the classic exact algorithm — dedup to the (user, day)
+    grain first (one shuffle, output bounded by users x active days),
+    then fan each user-day out to the <= ``window_days`` report days
+    it supports and count distinct per day. Cost is
+    |user-days| x window_days rows, NOT events x window — and never a
+    90-day self-join of the raw stream. For very large windows over
+    huge user bases, swap the distinct count for the HLL sketch
+    (approx_distinct in sketches.py); this exact form is the oracle-
+    checkable baseline. No reference counterpart — north-star
+    product-analytics addition.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    user_days = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .distinct()
+    )
+    span = user_days.agg(
+        F.min("__d").alias("__d0"), F.max("__d").alias("__d1")
+    )
+    # each (user, active day) supports report days d .. d+w-1, clamped
+    # to the corpus span (no phantom days past the last event)
+    fanned = user_days.crossJoin(F.broadcast(span)).select(
+        "__u",
+        F.explode(
+            F.expr(
+                f"sequence(__d, least(__d + {int(window_days)} - 1, __d1))"
+            )
+        ).alias("day"),
+    )
+    counts = fanned.groupBy("day").agg(
+        F.countDistinct("__u").alias("n_active")
+    )
+    grid = span.select(
+        F.explode(F.expr("sequence(__d0, __d1)")).alias("day")
+    )
+    return grid.join(counts, "day", "left").select(
+        "day", F.coalesce("n_active", F.lit(0)).alias("n_active")
+    )

@@ -734,3 +734,82 @@ def null_pattern_report(df: DataFrame, cols: list[str]) -> DataFrame:
         "n",
         F.expr("n * CAST(1000000 AS BIGINT) div __total").alias("share_ppm"),
     )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    column: str,
+    n_buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """[bucket, n] — exact equi-width histogram: bucket =
+    ``floor((x - lo) * n_buckets / (hi - lo))``, x == hi clamped into
+    the last bucket, NULLs reported as bucket -1, out-of-range values
+    as -2 (below) / ``n_buckets`` (above) so totals always reconcile
+    with the row count. Empty buckets are emitted with n = 0 (the
+    histogram consumer's contract; a bare groupBy silently omits them).
+
+    Determinism: the bucket expression is ONE left-to-right IEEE
+    chain on doubles — identical operand order on any engine gives
+    bit-identical products, so floor is divergence-free (the
+    resample/clip rule). ``lo``/``hi`` default to the column's exact
+    min/max (one aggregate; min/max of doubles are exact).
+
+    Scale: one groupBy bounded by ``n_buckets`` + a bucket-range
+    sequence explode for the zero-fill — both independent of row
+    count. Reference: DataProfiler.profile reports min/max/mean only
+    (PyDI profiling/profiler.py) — distribution shape is a north-star
+    addition.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(column).cast("double")).alias("lo"),
+            F.max(F.col(column).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+    if lo is None:  # all-null column
+        return df.sparkSession.createDataFrame(
+            [(-1, df.where(F.col(column).isNull()).count())],
+            "bucket int, n long",
+        )
+    lo_f, hi_f = float(lo), float(hi)
+    if not (hi_f >= lo_f):
+        raise ValueError(f"hi must be >= lo: {lo_f}..{hi_f}")
+    x = F.col(column).cast("double")
+    if hi_f == lo_f:
+        body = F.when(x == lo_f, F.lit(0)).when(x < lo_f, -2).otherwise(
+            n_buckets
+        )
+    else:
+        # the SQL oracle must spell the SAME left-to-right expression
+        body = (
+            F.when(x < lo_f, -2)
+            .when(x > hi_f, n_buckets)
+            .when(x == hi_f, n_buckets - 1)
+            .otherwise(
+                F.floor(
+                    (x - F.lit(lo_f))
+                    * F.lit(float(n_buckets))
+                    / F.lit(hi_f - lo_f)
+                ).cast("int")
+            )
+        )
+    bucket = F.when(x.isNull(), -1).otherwise(body)
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        grid.join(counts, "bucket", "left")
+        .unionByName(counts.where(F.col("bucket") < 0))
+        .unionByName(counts.where(F.col("bucket") >= n_buckets))
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+    )

@@ -38,6 +38,8 @@ def test_two_sample_queries_run(spark, sf_dir):
 # queue here for r8.
 ROTATION_QUEUE: set[str] = {
     "events_attribution",
+    "profile_histogram",
+    "events_active_users",
 }
 
 
@@ -142,7 +144,7 @@ def test_partition_independence_of_new_queries(spark):
         "profile_null_patterns",
         # round-7 additions
         "join_edit_distance_capped", "fusion_custom_resolver",
-        "events_attribution",
+        "events_attribution", "profile_histogram", "events_active_users",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

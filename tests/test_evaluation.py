@@ -401,3 +401,65 @@ def test_attribute_conversions_models(spark):
         attribute_conversions(df, [], "purchase")
     with _pytest.raises(ValueError):
         attribute_conversions(df, ["click"], "purchase", lookback_hours=0)
+
+
+def test_active_users_rolling_windows(spark):
+    from pydi_spark.events import active_users
+
+    d0 = _ts("2026-01-01 12:00:00")
+    day = 86400
+    import datetime
+
+    def at(day_off, u):
+        return (u, d0 + datetime.timedelta(seconds=day * day_off))
+
+    rows = [at(0, 1), at(0, 2), at(1, 1), at(4, 3), at(4, 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base_day = 20454  # 2026-01-01 epoch-day
+    dau = {r["day"] - base_day: r["n_active"]
+           for r in active_users(df, window_days=1).collect()}
+    assert dau == {0: 2, 1: 1, 2: 0, 3: 0, 4: 1}
+    wau = {r["day"] - base_day: r["n_active"]
+           for r in active_users(df, window_days=7).collect()}
+    # day 4 sees users {1,2,3} (days 0,1,4 all within trailing 7)
+    assert wau == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        active_users(df, window_days=0)
+
+
+def test_equi_width_histogram(spark):
+    from pydi_spark.profiling import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+        + [(None,)],
+        "x double",
+    )
+    # auto bounds: lo=0 hi=10, 5 buckets of width 2; x=10 lands in the
+    # last bucket; the null lands in -1
+    got = {r["bucket"]: r["n"]
+           for r in equi_width_histogram(df, "x", n_buckets=5).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3, -1: 1}
+    # explicit narrow bounds: out-of-range buckets -2 / n_buckets
+    got = {r["bucket"]: r["n"]
+           for r in equi_width_histogram(
+               df, "x", n_buckets=2, lo=2.0, hi=6.0).collect()}
+    assert got == {0: 2, 1: 3, -2: 2, 2: 4, -1: 1}
+    # degenerate hi == lo
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    got = {r["bucket"]: r["n"]
+           for r in equi_width_histogram(one, "x", n_buckets=3).collect()}
+    assert got == {0: 2, 1: 0, 2: 0}
+    # all-null column
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    got = {r["bucket"]: r["n"]
+           for r in equi_width_histogram(nulls, "x").collect()}
+    assert got == {-1: 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        equi_width_histogram(df, "x", n_buckets=0)
+    with _pytest.raises(ValueError):
+        equi_width_histogram(df, "x", lo=5.0, hi=1.0)

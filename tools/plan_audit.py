@@ -70,6 +70,8 @@ ALLOWED = {
     # guarantee, len <= k*q+q-1): bounded by the short-string count and
     # EMPTY for name corpora — the gram path never nested-loops
     "join_edit_distance": {"nested_loop"},
+    # same fallback; the gram cap does not touch the short-string path
+    "join_edit_distance_capped": {"nested_loop"},
     # ONE-row non-null-total broadcast onto the category-count table
     # (share-threshold cross-multiply): O(cardinality)
     "normalize_rare_collapse": {"nested_loop"},
