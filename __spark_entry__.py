@@ -9506,10 +9506,12 @@ FROM grid g LEFT JOIN counts c USING (day)
 WITH conv AS (
   SELECT user_id AS u, event_id AS conversion_id, ts AS cts
   FROM events WHERE event_type = 'purchase'
+    AND event_id IS NOT NULL AND ts IS NOT NULL
 ),
 touch AS (
   SELECT user_id AS u, event_id AS touch_id, ts AS tts
   FROM events WHERE event_type IN ('click', 'view')
+    AND event_id IS NOT NULL AND ts IS NOT NULL
 ),
 pairs AS (
   SELECT c.u, c.conversion_id, t.touch_id, t.tts

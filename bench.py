@@ -206,20 +206,23 @@ def main() -> None:
     # came back "parsed": null (VERDICT r6 #2). The final line carries
     # the headline total plus the 20 slowest per-query timings (the
     # set the perf history tracks) and stays well under the cap.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-    )
-    line = json.dumps(
-        {
-            "metric": "pydi_spark_headline_queries",
-            "value": total,
-            "unit": "sec",
-            "sf": sf_val,
-            "n_queries": len(timings),
-            "queries": slowest,
-        }
-    )
-    assert len(line) < 1900, f"final bench line too long: {len(line)}"
+    # degrade gracefully: if 20 entries ever overflow the cap, shrink
+    # the list rather than letting the final line blow the tail parse
+    # (an assert here would reproduce the exact failure it guards)
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    for top_n in range(20, 0, -1):
+        line = json.dumps(
+            {
+                "metric": "pydi_spark_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": dict(ranked[:top_n]),
+            }
+        )
+        if len(line) < 1900:
+            break
     print(line)
 
 

@@ -338,12 +338,24 @@ def attribute_conversions(
         raise ValueError(f"lookback_hours must be > 0: {lookback_hours}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
-    conv = df.where(F.col(type_col) == conversion_type).select(
+    # NULL-id / NULL-ts rows are dropped up front: a touch without an
+    # id cannot receive credit (and would desync __rk/__n from the
+    # count of creditable rows, breaking the exact-1e6 conservation);
+    # an id-less or time-less conversion cannot be keyed/windowed
+    conv = df.where(
+        (F.col(type_col) == conversion_type)
+        & F.col(id_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("__u"),
         F.col(id_col).alias("conversion_id"),
         F.col(ts_col).alias("__cts"),
     )
-    touch = df.where(F.col(type_col).isin(list(touch_types))).select(
+    touch = df.where(
+        F.col(type_col).isin(list(touch_types))
+        & F.col(id_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("__tu"),
         F.col(id_col).alias("touch_id"),
         F.col(ts_col).alias("__tts"),

@@ -771,7 +771,9 @@ def equi_width_histogram(
         ).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-    if lo is None:  # all-null column
+    if lo is None or hi is None:
+        # all-null column: the data-derived bound stayed None whichever
+        # side the caller supplied — every row lands in the null bucket
         return df.sparkSession.createDataFrame(
             [(-1, df.where(F.col(column).isNull()).count())],
             "bucket int, n long",
@@ -799,17 +801,25 @@ def equi_width_histogram(
             )
         )
     bucket = F.when(x.isNull(), -1).otherwise(body)
+    # counts feeds two consumers (grid join + sentinel-bucket union);
+    # it is <= n_buckets + 3 rows, so the eager checkpoint is cheap and
+    # saves re-running the corpus scan per consumer (NOTES width/reuse
+    # lesson)
     counts = (
         df.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     grid = df.sparkSession.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
     return (
         grid.join(counts, "bucket", "left")
-        .unionByName(counts.where(F.col("bucket") < 0))
-        .unionByName(counts.where(F.col("bucket") >= n_buckets))
+        .unionByName(
+            counts.where(
+                (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
+            )
+        )
         .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
     )

@@ -358,6 +358,11 @@ def test_attribute_conversions_models(spark):
         # user 3: only an out-of-window touch -> unattributed too
         (3, 20, _ts("2025-12-01 00:00:00"), "click"),
         (3, 29, _ts("2026-01-01 12:00:00"), "purchase"),
+        # user 4: a NULL-id in-window touch must NOT desync the split
+        # (dropped up front) — the real touch keeps full credit
+        (4, None, _ts("2026-01-01 11:00:00"), "click"),
+        (4, 41, _ts("2026-01-01 11:30:00"), "click"),
+        (4, 49, _ts("2026-01-01 12:00:00"), "purchase"),
     ]
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts timestamp, event_type string"
@@ -379,6 +384,7 @@ def test_attribute_conversions_models(spark):
     assert linear[(1, 3, 9)] == 333333
     assert linear[(2, None, 19)] == 1_000_000
     assert linear[(3, None, 29)] == 1_000_000
+    assert linear[(4, 41, 49)] == 1_000_000  # NULL-id touch dropped
     assert (1, 4, 9) not in linear  # outside the lookback
     # conservation: exactly 1e6 per conversion
     per_conv = {}
@@ -388,10 +394,10 @@ def test_attribute_conversions_models(spark):
 
     first = run("first")
     assert first == {(1, 1, 9): 1_000_000, (2, None, 19): 1_000_000,
-                     (3, None, 29): 1_000_000}
+                     (3, None, 29): 1_000_000, (4, 41, 49): 1_000_000}
     last = run("last")
     assert last == {(1, 3, 9): 1_000_000, (2, None, 19): 1_000_000,
-                    (3, None, 29): 1_000_000}
+                    (3, None, 29): 1_000_000, (4, 41, 49): 1_000_000}
 
     import pytest as _pytest
 
@@ -456,6 +462,11 @@ def test_equi_width_histogram(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "x double")
     got = {r["bucket"]: r["n"]
            for r in equi_width_histogram(nulls, "x").collect()}
+    assert got == {-1: 2}
+    # one explicit bound + all-null data: same null-bucket answer,
+    # never a TypeError from float(None)
+    got = {r["bucket"]: r["n"]
+           for r in equi_width_histogram(nulls, "x", lo=0.0).collect()}
     assert got == {-1: 2}
     import pytest as _pytest
 
