@@ -1490,6 +1490,26 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users(ev, window_days=7)
 
 
+def q_normalize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic categorical encoding (normalization/robust.py
+    encode_categories): ordinal codes for o_orderpriority under the
+    (count DESC, value ASC) total order + exact frequency encoding of
+    o_orderstatus. The oracle replays both with dense ranks over the
+    SAME total order."""
+    from pydi_spark.normalization import encode_categories
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    out = encode_categories(orders, "o_orderpriority", method="ordinal")
+    out = encode_categories(out, "o_orderstatus", method="frequency")
+    return out.select(
+        "o_orderkey",
+        F.col("o_orderpriority_enc").alias("pri_code"),
+        F.col("o_orderstatus_enc").alias("status_freq"),
+    )
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5566,6 +5586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "profile_histogram": q_profile_histogram,
         "events_active_users": q_events_active_users,
+        "normalize_encode": q_normalize_encode,
     }
 
 
@@ -9466,6 +9487,28 @@ SELECT e0 || '>' || e1 || '>' || e2 AS path,
        count(DISTINCT user_id) AS n_users
 FROM led WHERE e2 IS NOT NULL
 GROUP BY 1
+"""
+
+    out["normalize_encode"] = """
+WITH pri AS (
+  SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders
+  WHERE o_orderpriority IS NOT NULL GROUP BY 1
+),
+pri_code AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY c DESC, v ASC) - 1 AS INT)
+         AS code
+  FROM pri
+),
+st AS (
+  SELECT o_orderstatus AS v, CAST(COUNT(*) AS BIGINT) AS c FROM orders
+  WHERE o_orderstatus IS NOT NULL GROUP BY 1
+)
+SELECT o.o_orderkey,
+       COALESCE(p.code, -1) AS pri_code,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS status_freq
+FROM orders o
+LEFT JOIN pri_code p ON p.v = o.o_orderpriority
+LEFT JOIN st s ON s.v = o.o_orderstatus
 """
 
     out["profile_histogram"] = """

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "events_attribution",
     "profile_histogram",
     "events_active_users",
+    "normalize_encode",
 ]
 
 

@@ -10,7 +10,11 @@ from pydi_spark.normalization.canonicalize import (
     canonicalize_values,
 )
 from pydi_spark.normalization.impute import impute_missing
-from pydi_spark.normalization.robust import clip_outliers, collapse_rare_categories
+from pydi_spark.normalization.robust import (
+    clip_outliers,
+    collapse_rare_categories,
+    encode_categories,
+)
 from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
 from pydi_spark.normalization.typedetect import detect_column_types, type_match_rates
@@ -46,6 +50,7 @@ __all__ = [
     "canonicalize_values",
     "clip_outliers",
     "collapse_rare_categories",
+    "encode_categories",
     "impute_missing",
     "repair_fd_violations",
     "parse_quantity_expr",

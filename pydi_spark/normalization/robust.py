@@ -112,3 +112,57 @@ def collapse_rare_categories(
         .drop("__val", "__keep")
     )
     return out
+
+
+def encode_categories(
+    df: DataFrame,
+    col: str,
+    method: str = "ordinal",
+    order: str = "frequency",
+) -> DataFrame:
+    """Input + ``{col}_enc`` — deterministic categorical encoding, the
+    training-prep staple the reference's normalizers stop short of:
+
+    - method='ordinal': dense integer codes 0..k-1 assigned under a
+      TOTAL order — order='frequency' is (count DESC, value ASC)
+      (most common category = 0; the value tiebreak makes equal-count
+      categories deterministic), order='lexicographic' is plain value
+      ASC. Nulls encode as -1 (missing is not a category).
+    - method='frequency': the category's exact occurrence count
+      (bigint; nulls -> 0) — the leakage-prone-but-popular count
+      encoding, exact by construction.
+
+    Scale: one groupBy bounded by the column's CARDINALITY builds the
+    code table; the re-attach join broadcasts when small (category
+    tables almost always are). The corpus never shuffles by value.
+    SQL-replayable exactly (dense_rank over the same total order).
+    """
+    if method not in ("ordinal", "frequency"):
+        raise ValueError(f"method must be ordinal|frequency: {method}")
+    if order not in ("frequency", "lexicographic"):
+        raise ValueError(
+            f"order must be frequency|lexicographic: {order}"
+        )
+    from pyspark.sql import Window
+
+    out_col = f"{col}_enc"
+    cats = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    if method == "frequency":
+        code = F.col("__cnt")
+    else:
+        w = (
+            Window.orderBy(F.desc("__cnt"), F.asc(col))
+            if order == "frequency"
+            else Window.orderBy(F.asc(col))
+        )
+        # dense codes over the CATEGORY table (cardinality-sized — the
+        # single-partition window is bounded by |categories|, not rows)
+        code = (F.row_number().over(w) - 1).cast("int")
+    table = cats.select(col, code.alias(out_col))
+    joined = df.join(F.broadcast(table), col, "left")
+    fill = F.lit(0).cast("long") if method == "frequency" else F.lit(-1)
+    return joined.withColumn(out_col, F.coalesce(out_col, fill))

@@ -40,6 +40,7 @@ ROTATION_QUEUE: set[str] = {
     "events_attribution",
     "profile_histogram",
     "events_active_users",
+    "normalize_encode",
 }
 
 
@@ -145,6 +146,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-7 additions
         "join_edit_distance_capped", "fusion_custom_resolver",
         "events_attribution", "profile_histogram", "events_active_users",
+        "normalize_encode",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

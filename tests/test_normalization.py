@@ -508,3 +508,36 @@ def test_canonicalize_values_known_clusters(spark):
     ]
     assert fixed.count("muenchen") == 4 and fixed.count(None) == 1
     assert "munchen" not in fixed
+
+
+def test_encode_categories(spark):
+    from pydi_spark.normalization import encode_categories
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "v string"
+    )
+    # frequency order: a and b tie at 2 -> value ASC breaks it (a=0,
+    # b=1), c=2; null -> -1
+    got = {
+        (r["v"], r["v_enc"])
+        for r in encode_categories(df, "v", method="ordinal").collect()
+    }
+    assert got == {("a", 0), ("b", 1), ("c", 2), (None, -1)}
+    lex = {
+        (r["v"], r["v_enc"])
+        for r in encode_categories(
+            df, "v", method="ordinal", order="lexicographic"
+        ).collect()
+    }
+    assert lex == {("a", 0), ("b", 1), ("c", 2), (None, -1)}
+    freq = {
+        (r["v"], r["v_enc"])
+        for r in encode_categories(df, "v", method="frequency").collect()
+    }
+    assert freq == {("a", 2), ("b", 2), ("c", 1), (None, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_categories(df, "v", method="onehot")
+    with _pytest.raises(ValueError):
+        encode_categories(df, "v", order="random")
