@@ -1510,6 +1510,44 @@ def q_normalize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_url_sql(dialect: str) -> str:
+    """Deterministic messy-URL synthesis from c_custkey — identical
+    expression text in both dialects (only the string-type cast name
+    differs), so the canonicalization is the only thing under test."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    k = f"CAST(c_custkey AS {t})"
+    return f"""(CASE c_custkey % 6
+      WHEN 0 THEN concat('HTTP://WWW.Shop.COM:80/item/', {k},
+                         '?utm_source=news&fbclid=abc', {k})
+      WHEN 1 THEN concat('https://Shop.com:443/item/', {k}, '/')
+      WHEN 2 THEN concat('http://shop.com/item/', {k},
+                         '?a=1&utm_b=2&c=3#frag')
+      WHEN 3 THEN concat('shop.com/item/', {k}, '/')
+      WHEN 4 THEN concat('HTTPS://www.shop.com/item/', {k},
+                         '?ref=', {k}, '&x=2')
+      ELSE concat('http://shop.com:80/item/', {k}, '//')
+    END)"""
+
+
+def q_normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py canonical_url_sql — the
+    web-corpus dedup prep step): scheme/host lowercasing, www/default
+    -port stripping, tracking-param removal with separator repair,
+    fragment + trailing-slash cleanup. ONE builder emits both engines'
+    expression text (the Soundex pattern), so operator and oracle
+    cannot drift; the messy input is synthesized deterministically from
+    c_custkey by the same dual-dialect expression."""
+    from pydi_spark.functions.urls import canonical_url
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_messy_url_sql("spark")).alias("url")
+    )
+    out = cust.select(
+        "c_custkey", canonical_url("url").alias("canonical_url")
+    )
+    return out
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5587,6 +5625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": q_profile_histogram,
         "events_active_users": q_events_active_users,
         "normalize_encode": q_normalize_encode,
+        "normalize_urls": q_normalize_urls,
     }
 
 
@@ -9487,6 +9526,13 @@ SELECT e0 || '>' || e1 || '>' || e2 AS path,
        count(DISTINCT user_id) AS n_users
 FROM led WHERE e2 IS NOT NULL
 GROUP BY 1
+"""
+
+    from pydi_spark.functions.urls import canonical_url_sql as _curl
+
+    out["normalize_urls"] = f"""
+SELECT c_custkey, {_curl("url", "duckdb")} AS canonical_url
+FROM (SELECT c_custkey, {_messy_url_sql("duckdb")} AS url FROM customer)
 """
 
     out["normalize_encode"] = """

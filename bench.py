@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "profile_histogram",
     "events_active_users",
     "normalize_encode",
+    "normalize_urls",
 ]
 
 

@@ -41,6 +41,7 @@ ROTATION_QUEUE: set[str] = {
     "profile_histogram",
     "events_active_users",
     "normalize_encode",
+    "normalize_urls",
 }
 
 
@@ -146,7 +147,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-7 additions
         "join_edit_distance_capped", "fusion_custom_resolver",
         "events_attribution", "profile_histogram", "events_active_users",
-        "normalize_encode",
+        "normalize_encode", "normalize_urls",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -541,3 +541,72 @@ def test_encode_categories(spark):
         encode_categories(df, "v", method="onehot")
     with _pytest.raises(ValueError):
         encode_categories(df, "v", order="random")
+
+
+URL_CASES = [
+    ("HTTP://WWW.Example.com:80/a/?utm_source=x&id=3#frag",
+     "http://example.com/a/?id=3"),   # slash before '?' is kept
+    ("https://Shop.com:443/item/7/", "https://shop.com/item/7"),
+    ("http://shop.com/item?a=1&utm_b=2&c=3", "http://shop.com/item?a=1&c=3"),
+    ("http://shop.com/?utm_a=1&utm_b=2", "http://shop.com"),
+    ("https://a.com/p?ref=9", "https://a.com/p"),
+    ("shop.com/item/5/", "shop.com/item/5"),        # no scheme: pass-through-ish
+    ("  http://a.com//  ", "http://a.com"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+    ("ftp://Files.example.com/x", "ftp://files.example.com/x"),
+    ("http://a.com/x?fbclid=abc&gclid=def", "http://a.com/x"),
+    (None, None),
+]
+
+
+def test_canonical_url_values(spark):
+    from pydi_spark.functions.urls import canonicalize_urls
+
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "url string")
+    got = [
+        r["url_canonical"]
+        for r in canonicalize_urls(df, "url").orderBy(F.monotonically_increasing_id()).collect()
+    ]
+    # order-stable small local frame; compare as multiset to be safe
+    assert sorted(x or "" for x in got) == sorted(
+        (e or "") for _, e in URL_CASES
+    )
+
+
+def test_canonical_url_cross_engine_parity(spark):
+    """The SAME builder feeds Spark and DuckDB — assert the two engines
+    agree on a battery of messy URLs (the oracle-parity property the
+    normalize_urls contract query relies on)."""
+    import duckdb
+
+    from pydi_spark.functions.urls import canonical_url_sql
+
+    urls = [u for u, _ in URL_CASES if u is not None] + [
+        "HTTPS://WWW.A.B.C:443/",
+        "http://a.com/x?utm_source=1",
+        "http://a.com/x?utm_source=1&utm_medium=2&keep=3",
+        "http://A.com#only-frag",
+        "https://a.com:443",
+        "http://www.a.com:80//deep/path//",
+        "weird string no url",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        r["c"]
+        for r in df.select(
+            F.expr(canonical_url_sql("url", "spark")).alias("c")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url', 'duckdb')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck, list(
+        zip(urls, got_spark, got_duck)
+    )
