@@ -80,6 +80,9 @@ ALLOWED = {
     "eval_ari": {"nested_loop"},
     # ONE-row total broadcast onto the <= 2^k pattern-count table
     "profile_null_patterns": {"nested_loop"},
+    # ONE-row corpus-span (min/max day) broadcast onto the user-day
+    # grain table for the window clamp: O(user-days)
+    "events_active_users": {"nested_loop"},
 }
 
 
