@@ -1548,6 +1548,26 @@ def q_normalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_blocking_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key preflight (blocking/base.py blocking_key_report):
+    per candidate key, the self-join block shape and exact pair cost
+    WITHOUT generating pairs — decimal(38,0) n*(n-1) div 2 per the
+    int64-overflow rule, emerging as try_cast BIGINT. Nulls are
+    synthesized deterministically (c_custkey % 11 == 0 on the segment
+    key) so n_null is non-trivial."""
+    from pydi_spark.blocking import blocking_key_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_custkey") % 11 != 0, F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return blocking_key_report(
+        cust, ["nation", "segment"], max_pairs_budget=200_000
+    )
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5626,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": q_events_active_users,
         "normalize_encode": q_normalize_encode,
         "normalize_urls": q_normalize_urls,
+        "blocking_key_report": q_blocking_key_report,
     }
 
 
@@ -9533,6 +9554,49 @@ GROUP BY 1
     out["normalize_urls"] = f"""
 SELECT c_custkey, {_curl("url", "duckdb")} AS canonical_url
 FROM (SELECT c_custkey, {_messy_url_sql("duckdb")} AS url FROM customer)
+"""
+
+    out["blocking_key_report"] = """
+WITH src AS (
+  SELECT c_custkey, c_nationkey AS nation,
+         CASE WHEN c_custkey % 11 != 0 THEN c_mktsegment END AS segment
+  FROM customer
+),
+nat AS (
+  SELECT nation AS k, COUNT(*) AS n FROM src
+  WHERE nation IS NOT NULL GROUP BY 1
+),
+seg AS (
+  SELECT segment AS k, COUNT(*) AS n FROM src
+  WHERE segment IS NOT NULL GROUP BY 1
+),
+stats AS (
+  SELECT 'nation' AS key,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+          WHERE nation IS NULL) AS n_null,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_block,
+         CAST(CAST(SUM(CAST(n AS DECIMAL(19,0))
+                        * (CAST(n AS DECIMAL(19,0)) - 1)) AS DECIMAL(38,0))
+              / 2 AS BIGINT) AS self_pairs
+  FROM nat
+  UNION ALL
+  SELECT 'segment',
+         CAST(COALESCE(SUM(n), 0) AS BIGINT),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+          WHERE segment IS NULL),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(MAX(n), 0) AS BIGINT),
+         CAST(CAST(SUM(CAST(n AS DECIMAL(19,0))
+                        * (CAST(n AS DECIMAL(19,0)) - 1)) AS DECIMAL(38,0))
+              / 2 AS BIGINT)
+  FROM seg
+)
+SELECT key, n_rows, n_null, n_blocks, max_block, self_pairs,
+       CAST(self_pairs IS NOT NULL AND self_pairs <= 200000 AS INT)
+         AS within_budget
+FROM stats
 """
 
     out["normalize_encode"] = """

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "events_active_users",
     "normalize_encode",
     "normalize_urls",
+    "blocking_key_report",
 ]
 
 

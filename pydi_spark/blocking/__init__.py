@@ -1,4 +1,8 @@
-from pydi_spark.blocking.base import block_stats, estimate_pairs
+from pydi_spark.blocking.base import (
+    block_stats,
+    blocking_key_report,
+    estimate_pairs,
+)
 from pydi_spark.blocking.embedding import (
     EmbeddingBlocker,
     sentence_transformer_embedder,
@@ -16,6 +20,7 @@ __all__ = [
     "StandardBlocker",
     "TokenBlocker",
     "block_stats",
+    "blocking_key_report",
     "estimate_pairs",
     "meta_blocking",
     "progressive_pairs",

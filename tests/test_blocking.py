@@ -626,3 +626,40 @@ def test_edit_distance_join_validation(spark):
     # nulls and empty inputs never error
     df2 = spark.createDataFrame([("1", None), ("2", "ab")], ["id", "s"])
     assert edit_distance_join(df2, None, "s").collect() == []
+
+
+def test_blocking_key_report(spark):
+    from pydi_spark.blocking import blocking_key_report
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("b", "x"), (None, "y")],
+        "k1 string, k2 string",
+    )
+    got = {
+        r["key"]: (r["n_rows"], r["n_null"], r["n_blocks"],
+                   r["max_block"], r["self_pairs"])
+        for r in blocking_key_report(df, ["k1", "k2"]).collect()
+    }
+    # k1: a=3, b=1 (null dropped) -> pairs 3*2/2 + 0 = 3
+    assert got["k1"] == (4, 1, 2, 3, 3)
+    # k2: x=3, y=1 -> 3 pairs
+    assert got["k2"] == (4, 1, 2, 3, 3)
+    budget = {
+        r["key"]: r["within_budget"]
+        for r in blocking_key_report(df, ["k1"], max_pairs_budget=2).collect()
+    }
+    assert budget["k1"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocking_key_report(df, [])
+
+
+def test_estimate_pairs_overflow_safe(spark):
+    """estimate_pairs multiplies two block counts in decimal, not long
+    (the r6 int64-overflow rule) — same numeric answer on small data."""
+    from pydi_spark.blocking import estimate_pairs
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2, "k string")
+    assert estimate_pairs(df, df, F.col("k")) == 9 + 4

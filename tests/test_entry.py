@@ -42,6 +42,7 @@ ROTATION_QUEUE: set[str] = {
     "events_active_users",
     "normalize_encode",
     "normalize_urls",
+    "blocking_key_report",
 }
 
 
@@ -147,7 +148,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-7 additions
         "join_edit_distance_capped", "fusion_custom_resolver",
         "events_attribution", "profile_histogram", "events_active_users",
-        "normalize_encode", "normalize_urls",
+        "normalize_encode", "normalize_urls", "blocking_key_report",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
