@@ -57,7 +57,11 @@ def evaluate_blocking(
     n_cand = cands.count()
     n_gold = gold.count()
     n_found = gold.join(cands, ["id1", "id2"], "left_semi").count()
+    # Python ints are exact, so the RATIO below is always right — but
+    # the stored long column overflows at ~3e9 x 3e9 total pairs
+    # (the r6/r7 count-product rule); report NULL rather than garbage
     total_possible = left_count * right_count
+    storable = total_possible if total_possible < 2**63 else None
 
     spark = candidate_pairs.sparkSession
     return spark.createDataFrame(
@@ -67,7 +71,7 @@ def evaluate_blocking(
                 float(n_found) / n_cand if n_cand else None,
                 1.0 - float(n_cand) / total_possible if total_possible else None,
                 n_cand,
-                total_possible,
+                storable,
                 n_found,
                 n_gold,
             )
