@@ -398,3 +398,102 @@ def test_detect_anomalies_partition_independence(spark):
         for r in detect_anomalies(df.repartition(16), ["k"], "v").collect()
     )
     assert a == b and a
+
+
+def test_attribution_brute_force_parity(spark):
+    """attribute_conversions (linear) vs a driver-side brute replay on
+    seeded random event logs: same pairs, same ppm credits, exact 1e6
+    conservation per conversion."""
+    import datetime
+    import random
+
+    from pydi_spark.events import attribute_conversions
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = []
+        for eid in range(120):
+            rows.append((
+                rng.randrange(6),
+                eid,
+                t0 + datetime.timedelta(minutes=rng.randrange(0, 5000)),
+                rng.choice(["click", "view", "purchase", "noise"]),
+            ))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r["user_id"], r["touch_id"], r["conversion_id"]): r["credit_ppm"]
+            for r in attribute_conversions(
+                df, ["click", "view"], "purchase", model="linear",
+                lookback_hours=24,
+            ).collect()
+        }
+        # brute replay
+        lb = datetime.timedelta(hours=24)
+        expected = {}
+        for u, cid, cts, typ in rows:
+            if typ != "purchase":
+                continue
+            touches = sorted(
+                (ts, tid) for (tu, tid, ts, tt) in rows
+                if tu == u and tt in ("click", "view")
+                and ts <= cts and ts > cts - lb
+            )
+            if not touches:
+                expected[(u, None, cid)] = 1_000_000
+                continue
+            n = len(touches)
+            for rk, (_, tid) in enumerate(touches, start=1):
+                expected[(u, tid, cid)] = 1_000_000 // n + (
+                    1 if rk <= 1_000_000 % n else 0
+                )
+        assert got == expected, f"seed {seed}"
+        per_conv = {}
+        for (u, t, c), ppm in got.items():
+            per_conv[c] = per_conv.get(c, 0) + ppm
+        assert all(v == 1_000_000 for v in per_conv.values())
+
+
+def test_active_users_brute_force_parity(spark):
+    import datetime
+    import random
+
+    from pydi_spark.events import active_users
+
+    for seed, w in ((5, 1), (5, 7), (9, 30)):
+        rng = random.Random(seed)
+        t0 = datetime.datetime(2026, 3, 1)
+        rows = [
+            (rng.randrange(8),
+             t0 + datetime.timedelta(hours=rng.randrange(0, 24 * 40)))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {r["day"]: r["n_active"]
+               for r in active_users(df, window_days=w).collect()}
+        days = {(u, (ts - datetime.datetime(1970, 1, 1)).days)
+                for u, ts in rows}
+        d0, d1 = (min(d for _, d in days), max(d for _, d in days))
+        expected = {
+            d: len({u for u, ud in days if d - w < ud <= d})
+            for d in range(d0, d1 + 1)
+        }
+        assert got == expected, f"seed {seed} w {w}"
+
+
+def test_histogram_totals_reconcile(spark):
+    import random
+
+    from pydi_spark.profiling import equi_width_histogram
+
+    for seed in (2, 7):
+        rng = random.Random(seed)
+        vals = [rng.uniform(-50, 50) for _ in range(300)] + [None] * 5
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        out = equi_width_histogram(df, "x", n_buckets=13).collect()
+        assert sum(r["n"] for r in out) == len(vals)
+        buckets = [r["bucket"] for r in out]
+        assert len(buckets) == len(set(buckets))
+        assert set(b for b in buckets if 0 <= b < 13) == set(range(13))
