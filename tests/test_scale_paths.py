@@ -183,6 +183,38 @@ def test_operators_total_on_empty_inputs(spark):
     # tuple-returning op: (kept, attrition report with fixed stages)
     kept, report = m.corpus_cleanup(docs, ["bad"])
     assert kept.count() == 0 and report.count() > 0
+    # round-7 widening: the new analytics/prep operators
+    from pydi_spark.blocking import blocking_key_report
+    from pydi_spark.events import active_users, attribute_conversions
+    from pydi_spark.functions import edit_distance_join
+    from pydi_spark.functions.urls import canonicalize_urls
+    from pydi_spark.normalization import encode_categories
+    from pydi_spark.profiling import equi_width_histogram
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    num = spark.createDataFrame([], "x double")
+    cat = spark.createDataFrame([], "v string")
+    s2 = spark.createDataFrame([], "id string, s string")
+    empty_r7 = [
+        attribute_conversions(ev, ["click"], "purchase"),
+        active_users(ev.select("user_id", "ts")),
+        encode_categories(cat, "v"),
+        encode_categories(cat, "v", method="frequency"),
+        canonicalize_urls(s2, "s"),
+        edit_distance_join(s2, None, "s", id_column="id",
+                           max_gram_frequency=5),
+    ]
+    for df in empty_r7:
+        assert df.count() == 0
+    # report-shaped ops return their fixed-shape rows, never crash
+    assert equi_width_histogram(num, "x").collect() == [
+        __import__("pyspark").sql.Row(bucket=-1, n=0)
+    ]
+    assert equi_width_histogram(num, "x", lo=0.0, hi=1.0).count() == 20
+    kr = blocking_key_report(cat, ["v"]).collect()
+    assert len(kr) == 1 and kr[0]["n_rows"] == 0
     # trainers on empty input fail FAST with a clear message — a silent
     # NaN/garbage model is the failure mode these guards close
     assert m.train_bpe_merges(docs, n_merges=3) == []
