@@ -1568,6 +1568,22 @@ def q_blocking_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct users (streaming/dedup.py
+    windowed_distinct_users): the BATCH plan runs the exact
+    countDistinct (what the oracle checks); the same call on a stream
+    switches to watermarked approx_count_distinct (pytest drives that
+    side — Structured Streaming forbids exact distinct aggs)."""
+    from pydi_spark.streaming import windowed_distinct_users
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    out = windowed_distinct_users(ev, "6 hours")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "n_users",
+    )
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5647,6 +5663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_encode": q_normalize_encode,
         "normalize_urls": q_normalize_urls,
         "blocking_key_report": q_blocking_key_report,
+        "streaming_distinct_users": q_streaming_distinct_users,
     }
 
 
@@ -9554,6 +9571,13 @@ GROUP BY 1
     out["normalize_urls"] = f"""
 SELECT c_custkey, {_curl("url", "duckdb")} AS canonical_url
 FROM (SELECT c_custkey, {_messy_url_sql("duckdb")} AS url FROM customer)
+"""
+
+    out["streaming_distinct_users"] = """
+SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS VARCHAR)
+         AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
 
     out["blocking_key_report"] = """

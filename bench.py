@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "normalize_encode",
     "normalize_urls",
     "blocking_key_report",
+    "streaming_distinct_users",
 ]
 
 

@@ -6,6 +6,7 @@ from pydi_spark.streaming.dedup import (
     streaming_dedup,
     compact_signature_store,
     streaming_incremental_dedup,
+    windowed_distinct_users,
     windowed_event_counts,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "compact_signature_store",
     "streaming_health",
     "streaming_incremental_dedup",
+    "windowed_distinct_users",
     "windowed_event_counts",
 ]

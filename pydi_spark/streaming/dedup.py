@@ -426,3 +426,44 @@ def compact_signature_store(spark, store_path: str) -> int:
     os.rename(staging, base)
     shutil.rmtree(backup, ignore_errors=True)
     return n
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    ts_column: str = "ts",
+    user_column: str = "user_id",
+    watermark: str = "30 minutes",
+    exact: bool | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """[window_start, window_end, n_users] — distinct users per
+    tumbling window, the streaming face of events.active_users.
+
+    ``exact=None`` picks by mode: BATCH plans use the exact
+    ``countDistinct`` (and that is what the oracle checks); STREAMING
+    plans use ``approx_count_distinct`` (HLL, ``rsd`` relative error)
+    because Structured Streaming forbids exact distinct aggregations
+    — the watermark bounds HLL state per window. Forcing
+    ``exact=True`` on a stream raises the Spark analysis error
+    deliberately (no silent approximation flip, and no silent exact
+    request dropped).
+    """
+    out = df
+    if out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    use_exact = (not df.isStreaming) if exact is None else exact
+    agg = (
+        F.countDistinct(F.col(user_column))
+        if use_exact
+        else F.approx_count_distinct(F.col(user_column), rsd)
+    ).alias("n_users")
+    return (
+        out.groupBy(F.window(F.col(ts_column), window_duration))
+        .agg(agg)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_users",
+        )
+    )

@@ -43,6 +43,7 @@ ROTATION_QUEUE: set[str] = {
     "normalize_encode",
     "normalize_urls",
     "blocking_key_report",
+    "streaming_distinct_users",
 }
 
 
@@ -149,6 +150,7 @@ def test_partition_independence_of_new_queries(spark):
         "join_edit_distance_capped", "fusion_custom_resolver",
         "events_attribution", "profile_histogram", "events_active_users",
         "normalize_encode", "normalize_urls", "blocking_key_report",
+        "streaming_distinct_users",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

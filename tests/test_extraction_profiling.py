@@ -169,6 +169,44 @@ def test_streaming_ops(spark, sf_dir):
     assert got_counts == expected_counts
 
 
+def test_streaming_distinct_users(spark, sf_dir):
+    """Batch mode = exact countDistinct (the oracle's side); the SAME
+    call on a stream auto-switches to watermarked HLL and stays within
+    its documented relative error; exact=True on a stream raises (no
+    silent approximation flip)."""
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import windowed_distinct_users
+    from pydi_spark.streaming.dedup import run_stream_from_parquet
+
+    path = f"{sf_dir}/events.parquet"
+    batch = nanos_to_timestamp(spark.read.parquet(path))
+    exact = {
+        r["window_start"]: r["n_users"]
+        for r in windowed_distinct_users(batch, "6 hours").collect()
+    }
+    assert exact and max(exact.values()) > 1
+    got = run_stream_from_parquet(
+        spark, path,
+        lambda s: windowed_distinct_users(nanos_to_timestamp(s), "6 hours"),
+        output_mode="complete", query_name="distinct_users_result",
+    )
+    approx = {r["window_start"]: r["n_users"] for r in got.collect()}
+    assert set(approx) == set(exact)
+    for w, n in exact.items():
+        assert abs(approx[w] - n) <= max(2, int(0.15 * n)), (w, n, approx[w])
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_stream_from_parquet(
+            spark, path,
+            lambda s: windowed_distinct_users(
+                nanos_to_timestamp(s), "6 hours", exact=True
+            ),
+            output_mode="complete", query_name="distinct_exact_should_fail",
+        )
+
+
 def test_hll_sketches_merge(spark, sf_dir):
     from pydi_spark.profiling.sketches import hll_distinct, merge_hll_sketches
 
