@@ -1584,6 +1584,29 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (llmdata/graph.py triangle_count —
+    degree-ordered orientation, one wedge join + closure semi-join).
+    Edges: per-nation customer rank chains with rank-diff <= 2, so each
+    nation of n >= 3 members contributes exactly n-2 triangles; the
+    oracle is the brute three-way edge join (independent
+    characterization, not an orientation replay)."""
+    from pydi_spark.llmdata import triangle_count
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = cust.withColumn("rk", F.row_number().over(w))
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rk") - F.col("a.rk")).isin(1, 2),
+    ).select(
+        F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
+    )
+    return triangle_count(edges)
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -5664,6 +5687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_urls": q_normalize_urls,
         "blocking_key_report": q_blocking_key_report,
         "streaming_distinct_users": q_streaming_distinct_users,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -9571,6 +9595,23 @@ GROUP BY 1
     out["normalize_urls"] = f"""
 SELECT c_custkey, {_curl("url", "duckdb")} AS canonical_url
 FROM (SELECT c_custkey, {_messy_url_sql("duckdb")} AS url FROM customer)
+"""
+
+    out["graph_triangles"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk
+  FROM customer
+),
+e AS (
+  SELECT a.id AS x, b.id AS y
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk IN (1, 2)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
 
     out["streaming_distinct_users"] = """

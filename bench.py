@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "normalize_urls",
     "blocking_key_report",
     "streaming_distinct_users",
+    "graph_triangles",
 ]
 
 

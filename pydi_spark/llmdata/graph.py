@@ -77,3 +77,66 @@ def pagerank_micro(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """[n_triangles] — EXACT global triangle count of the undirected
+    graph (self-loops dropped, duplicate/reversed edges collapsed).
+
+    Scale design (the canonical degree-ordered orientation): orient
+    every edge from its lower endpoint to its higher under the
+    (degree, id) TOTAL order. Each triangle then has exactly ONE wedge
+    u->v, u->w with a closing oriented edge v->w, so a single
+    wedge-join + edge semi-join counts it once — no 3-way symmetric
+    join, no /6 correction. The orientation bounds every node's
+    out-degree by O(sqrt(m)) on any graph (arboricity bound), so wedge
+    volume is O(m^1.5) worst case and far less on real degree-skewed
+    graphs — hot hubs become wedge SINKS, not sources. Two shuffles:
+    wedge build (by source) + closure semi-join (by wedge endpoints).
+
+    No reference counterpart (PyDI has no graph analytics) — the
+    community/cohesion diagnostic next to pagerank_micro.
+    """
+    e = (
+        edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # orient low (deg, id) -> high (deg, id)
+    oriented = (
+        e.join(da, "a").join(db, "b").select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("src"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            ).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    l = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    r = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = l.join(r, "src").where(F.col("v") < F.col("w"))
+    # a closing oriented edge may run v->w or w->v depending on degrees
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

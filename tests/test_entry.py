@@ -44,6 +44,7 @@ ROTATION_QUEUE: set[str] = {
     "normalize_urls",
     "blocking_key_report",
     "streaming_distinct_users",
+    "graph_triangles",
 }
 
 
@@ -150,7 +151,7 @@ def test_partition_independence_of_new_queries(spark):
         "join_edit_distance_capped", "fusion_custom_resolver",
         "events_attribution", "profile_histogram", "events_active_users",
         "normalize_encode", "normalize_urls", "blocking_key_report",
-        "streaming_distinct_users",
+        "streaming_distinct_users", "graph_triangles",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -1879,3 +1879,32 @@ def test_kmeans_ignores_null_vectors(spark):
     )
     with _pytest.raises(ValueError):
         kmeans_fit(all_null, k=1)
+
+
+def test_triangle_count_brute_force(spark):
+    import itertools
+    import random
+
+    from pydi_spark.llmdata import triangle_count
+
+    for seed in (1, 8):
+        rng = random.Random(seed)
+        nodes = list(range(14))
+        edges = {
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)
+        }
+        # noise the operator must normalize away: self loop, reversed
+        # duplicate, null endpoint
+        rows = [(a, b) for a, b in edges] + [(3, 3), (None, 1)]
+        rows += [(b, a) for a, b in list(edges)[:5]]
+        df = spark.createDataFrame(rows, "id1 int, id2 int")
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        brute = sum(
+            1
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in edges and (x, z) in edges and (y, z) in edges
+        )
+        assert got == brute, f"seed {seed}: {got} != {brute}"
+    # empty graph
+    empty = spark.createDataFrame([], "id1 int, id2 int")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0
