@@ -5438,9 +5438,10 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
     # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
-    # arithmetic). Round-7 window (the pinned r6 rotation plan):
-    #   1-12  rotation-queue first checks (round-6 session-2/3 ops,
-    #         never driver-checked; all local-green)
+    # arithmetic). Round-8 window (the pinned r7-verdict rotation):
+    #   1-8   r7 rotation-queue first checks (never driver-checked;
+    #         all pre-verified VANILLA-green + hash-safe in r7)
+    #   9-12  stalest greens (last driver row r02)
     #   13-15 canaries + probes at pinned positions: canary_hash_safe
     #         (green expected), canary_hash_risky (driver tolerates the
     #         class; drift detector), probe_corpus_echo (RED means the
@@ -5448,18 +5449,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         DEMOTED past 50 after two consecutive confirming reds
     #         (r5 decision; FORBIDDEN_ORACLE_TYPES guards the class
     #         locally now).
-    #   16-34 rotation-queue first checks, continued
-    #   35-38 re-checks: events_funnel/retention/sessionize_batch
-    #         (driver-green rows predate the r6 refactor onto
-    #         pydi_spark.events) and streaming_sessionize (routed
-    #         through the events package this round; last green r2)
-    #   39-40 round-7 new queries (join_edit_distance_capped,
-    #         fusion_custom_resolver)
-    #   41-50 stalest greens (last driver row r02), re-pinned
-    # Everything past 50 has >= 1 green driver row in r01-r06 and
-    # stays under the local gate (tools/check_oracle.py).
+    #   16-25 stalest greens (last driver row r02), continued
+    #   26-50 stalest greens (last driver row r03)
+    # After this round EVERY one of the 220 contract queries has >= 1
+    # driver row. Everything past 50 has >= 1 green driver row in
+    # r01-r07 and stays under the local gate (tools/check_oracle.py).
     return {
-        # -- window 1-12: rotation-queue first checks
+        # -- window 1-8: r7 rotation-queue first checks (the pinned
+        # -- r8 rotation; all pre-verified VANILLA-green + hash-safe)
+        "events_attribution": q_events_attribution,
+        "profile_histogram": q_profile_histogram,
+        "events_active_users": q_events_active_users,
+        "normalize_encode": q_normalize_encode,
+        "normalize_urls": q_normalize_urls,
+        "blocking_key_report": q_blocking_key_report,
+        "streaming_distinct_users": q_streaming_distinct_users,
+        "graph_triangles": q_graph_triangles,
+        # -- window 9-12: stalest greens (last driver row r02)
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "blocking_sorted_neighbourhood": q_blocking_snb,
+        "cluster_consistency": q_cluster_consistency,
+        # -- window 13-15: canaries + probes (pinned positions)
+        "canary_hash_safe": q_canary_hash_safe,
+        "canary_hash_risky": q_canary_hash_risky,
+        "probe_corpus_echo": q_probe_corpus_echo,
+        # -- window 16-25: stalest greens (last driver row r02, cont.)
+        "cluster_hierarchical": q_cluster_hierarchical,
+        "cluster_size_dist": q_cluster_size_dist,
+        "eval_threshold_sweep": q_eval_threshold_sweep,
+        "fusion_most_complete": q_fusion_most_complete,
+        "fusion_trust": q_fusion_trust,
+        "normalize_transforms": q_normalize_transforms,
+        "schema_duplicate_based": q_schema_duplicate_based,
+        "schema_instance_based": q_schema_instance_based,
+        "text_fingerprint": q_text_fingerprint,
+        "tpch_rollup": q_tpch_rollup,
+        # -- window 26-50: stalest greens (last driver row r03)
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "eval_ie": q_eval_ie,
+        "fusion_accuracy": q_fusion_accuracy,
+        "io_id_injection": q_io_id_injection,
+        "join_asof": q_join_asof,
+        "join_range": q_join_range,
+        "join_skew_salted": q_join_skew_salted,
+        "match_llm_fake": q_match_llm_fake,
+        "match_plm_fake": q_match_plm_fake,
+        "movies_parity": q_movies_parity,
+        "normalize_text": q_normalize_text,
+        "outlier_bounds": q_outlier_bounds,
+        "profile_coverage": q_profile_coverage,
+        "sample_stratified": q_sample_stratified,
+        "streaming_join": q_streaming_join,
+        "text_chunk": q_text_chunk,
+        "text_decontaminate": q_text_decontaminate,
+        "text_pack": q_text_pack,
+        "text_pii": q_text_pii,
+        "text_quality_filter": q_text_quality_filter,
+        "text_repetition": q_text_repetition,
+        "text_span_dedup": q_text_span_dedup,
+        "text_temperature_mix": q_text_temperature_mix,
+        "translate_rename": q_translate_rename,
+        # -- past the 50-entry window: every entry has >= 1 green
+        # -- driver row r01-r07 (canary_hugeint deliberately demoted)
         "match_fellegi_sunter": q_match_fellegi_sunter,
         "blocking_phonetic": q_blocking_phonetic,
         "join_grid_radius": q_join_grid_radius,
@@ -5472,11 +5525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_scd2": q_io_scd2,
         "io_schema_union": q_io_schema_union,
         "join_edit_distance": q_join_edit_distance,
-        # -- window 13-15: canaries + probes (pinned positions)
-        "canary_hash_safe": q_canary_hash_safe,
-        "canary_hash_risky": q_canary_hash_risky,
-        "probe_corpus_echo": q_probe_corpus_echo,
-        # -- window 16-34: rotation-queue first checks (cont.)
         "profile_corr": q_profile_corr,
         "profile_dispersion": q_profile_dispersion,
         "embed_kmeans": q_embed_kmeans,
@@ -5496,15 +5544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ari": q_eval_ari,
         "eval_calibration": q_eval_calibration,
         "profile_null_patterns": q_profile_null_patterns,
-        # -- window 35-38: re-checks (code refactored r6/r7)
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_sessionize_batch": q_events_sessionize_batch,
         "streaming_sessionize": q_streaming_sessionize,
-        # -- window 39-40: round-7 new queries
         "join_edit_distance_capped": q_join_edit_distance_capped,
         "fusion_custom_resolver": q_fusion_custom_resolver,
-        # -- window 41-50: stalest greens (last driver row r02)
         "blocking_cross": q_blocking_cross,
         "blocking_stats": q_blocking_stats,
         "cluster_centre": q_cluster_centre,
@@ -5515,8 +5560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_lists": q_fusion_lists,
         "match_date_numeric": q_match_date_numeric,
         "validators_quality": q_validators_quality,
-        # -- past the 50-entry window: all with >= 1 green driver
-        # -- row r01-r06 (canary_hugeint deliberately demoted)
         "text_span_remove": q_text_span_remove,
         "blocking_progressive": q_blocking_progressive,
         "io_pickle_roundtrip": q_io_pickle_roundtrip,
@@ -5565,7 +5608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_ml_linear": q_match_ml_linear,
         "text_search_bm25": q_text_search_bm25,
         "sample_dsir": q_sample_dsir,
-        "text_decontaminate": q_text_decontaminate,
         "text_clean_multiline": q_text_clean_multiline,
         "text_budget_select": q_text_budget_select,
         "text_inverted_index": q_text_inverted_index,
@@ -5629,32 +5671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_conflicts": q_fusion_conflicts,
         "schema_eval": q_schema_eval,
         "cluster_incremental": q_cluster_incremental,
-        "normalize_text": q_normalize_text,
-        "dedup_ngram_prefix": q_dedup_ngram_prefix,
-        "sample_stratified": q_sample_stratified,
-        "dedup_embedding": q_dedup_embedding,
-        "fusion_accuracy": q_fusion_accuracy,
-        "text_repetition": q_text_repetition,
-        "text_pii": q_text_pii,
         "tpch_q7": q_tpch_q7,
         "tpch_q22": q_tpch_q22,
         "tpch_window": q_tpch_window,
-        "join_asof": q_join_asof,
-        "join_skew_salted": q_join_skew_salted,
-        "streaming_join": q_streaming_join,
-        "text_pack": q_text_pack,
-        "text_temperature_mix": q_text_temperature_mix,
-        "io_id_injection": q_io_id_injection,
-        "movies_parity": q_movies_parity,
-        "text_quality_filter": q_text_quality_filter,
-        "join_range": q_join_range,
-        "profile_coverage": q_profile_coverage,
-        "outlier_bounds": q_outlier_bounds,
-        "eval_ie": q_eval_ie,
-        "translate_rename": q_translate_rename,
-        "text_chunk": q_text_chunk,
-        "text_span_dedup": q_text_span_dedup,
-        "match_llm_fake": q_match_llm_fake,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -5664,30 +5683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
-        "match_plm_fake": q_match_plm_fake,
-        "blocking_sorted_neighbourhood": q_blocking_snb,
-        "fusion_trust": q_fusion_trust,
-        "text_fingerprint": q_text_fingerprint,
-        "normalize_transforms": q_normalize_transforms,
-        "schema_duplicate_based": q_schema_duplicate_based,
-        "fusion_most_complete": q_fusion_most_complete,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "eval_threshold_sweep": q_eval_threshold_sweep,
-        "tpch_rollup": q_tpch_rollup,
-        "cluster_hierarchical": q_cluster_hierarchical,
-        "cluster_consistency": q_cluster_consistency,
-        "cluster_size_dist": q_cluster_size_dist,
-        "schema_instance_based": q_schema_instance_based,
-        # -- round-7 additions past the window (r8 rotation queue)
-        "events_attribution": q_events_attribution,
-        "profile_histogram": q_profile_histogram,
-        "events_active_users": q_events_active_users,
-        "normalize_encode": q_normalize_encode,
-        "normalize_urls": q_normalize_urls,
-        "blocking_key_report": q_blocking_key_report,
-        "streaming_distinct_users": q_streaming_distinct_users,
-        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -9615,7 +9610,7 @@ JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
 
     out["streaming_distinct_users"] = """
-SELECT CAST(CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS VARCHAR)
+SELECT CAST(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS VARCHAR)
          AS window_start,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events WHERE ts IS NOT NULL GROUP BY 1

@@ -68,9 +68,20 @@ def estimate_pairs(
     row = (
         dl.alias("l")
         .join(dr.alias("r"), "bk")
-        .agg(F.sum(prod).cast("decimal(38,0)").alias("n"))
+        .agg(
+            F.sum(prod).cast("decimal(38,0)").alias("n"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
         .collect()[0]
     )
+    # NULL sum over a non-empty join means decimal(38,0) overflow under
+    # non-ANSI arithmetic — never report 0 pairs for it (ADVICE r7;
+    # mirrors blocking_key_report's try_cast-NULL contract).
+    if row["n"] is None and row["n_blocks"] > 0:
+        raise OverflowError(
+            "estimate_pairs: pair count exceeds decimal(38,0) — "
+            "the key under test is unusable as a blocking key"
+        )
     return int(row["n"] or 0)
 
 

@@ -83,12 +83,16 @@ def canonical_url_sql(col: str, dialect: str = "spark") -> str:
     )
 
 
-def canonical_url(col: str | Column) -> Column:
-    """Column form for Spark pipelines."""
-    name = col if isinstance(col, str) else None
-    if name is None:
-        raise ValueError("canonical_url takes a column NAME (expression builder)")
-    return F.expr(canonical_url_sql(name, "spark"))
+def canonical_url(col: str) -> Column:
+    """Column form for Spark pipelines. Takes a column NAME (this is an
+    expression builder — it splices the name into generated SQL), never
+    a Column object."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "canonical_url takes a column NAME (expression builder), "
+            f"not {type(col).__name__}"
+        )
+    return F.expr(canonical_url_sql(col, "spark"))
 
 
 def canonicalize_urls(

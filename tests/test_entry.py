@@ -29,23 +29,13 @@ def test_two_sample_queries_run(spark, sf_dir):
     assert out.columns == ["id1", "id2", "block_key"]
 
 
-# Round-7 rotation queue: queries added past position 50 because the
+# Round-8 rotation queue: queries added past position 50 because the
 # window is already claimed by this round's first-checks — rotate into
 # the NEXT round's window. Keep in sync when adding queries; the two
-# tests below enforce the accounting. The r7 rotation emptied the
-# round-6 queue (all 31 additions in-window; the first two round-7 new
-# queries took free window slots directly); later round-7 additions
-# queue here for r8.
-ROTATION_QUEUE: set[str] = {
-    "events_attribution",
-    "profile_histogram",
-    "events_active_users",
-    "normalize_encode",
-    "normalize_urls",
-    "blocking_key_report",
-    "streaming_distinct_users",
-    "graph_triangles",
-}
+# tests below enforce the accounting. The r8 rotation emptied the
+# round-7 queue (all 8 entries took window positions 1-8); new round-8
+# queries and materially-changed operators queue here for r9.
+ROTATION_QUEUE: set[str] = set()
 
 
 def test_driver_window_arithmetic():
@@ -63,29 +53,32 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 31 round-6 rotation-queue queries (never driver-checked
-    # r01-r06) all sit in the r7 window
-    r6_queue = {
-        "match_fellegi_sunter", "blocking_phonetic", "join_grid_radius",
-        "io_table_diff", "dedup_containment", "profile_fds",
-        "profile_inds", "normalize_fd_repair", "profile_keys",
-        "io_scd2", "io_schema_union",
-        "join_edit_distance", "profile_corr", "profile_dispersion",
-        "embed_kmeans", "profile_quantiles", "normalize_impute",
-        "profile_join_fanout", "normalize_clip", "normalize_rare_collapse",
-        "events_paths", "events_resample", "profile_sequence_gaps",
-        "events_anomalies", "io_compaction_plan",
-        "sample_mixture_plan", "sample_epoch_expand",
-        "normalize_canonicalize", "eval_ari", "eval_calibration",
-        "profile_null_patterns",
+    # the 8 round-7 rotation-queue queries (never driver-checked
+    # r01-r07) hold window positions 1-8 for their first checks
+    r7_queue = [
+        "events_attribution", "profile_histogram", "events_active_users",
+        "normalize_encode", "normalize_urls", "blocking_key_report",
+        "streaming_distinct_users", "graph_triangles",
+    ]
+    assert window[:8] == r7_queue, f"r8 first-checks moved: {window[:8]}"
+    # backfill slots 9-50 carry the stalest greens (last driver row
+    # r02/r03) so staleness keeps rotating down
+    stalest = {
+        "ann_lsh", "ann_ivf", "blocking_sorted_neighbourhood",
+        "cluster_consistency", "cluster_hierarchical", "cluster_size_dist",
+        "eval_threshold_sweep", "fusion_most_complete", "fusion_trust",
+        "normalize_transforms", "schema_duplicate_based",
+        "schema_instance_based", "text_fingerprint", "tpch_rollup",
+        "dedup_embedding", "dedup_ngram_prefix", "eval_ie",
+        "fusion_accuracy", "io_id_injection", "join_asof", "join_range",
+        "join_skew_salted", "match_llm_fake", "match_plm_fake",
+        "movies_parity", "normalize_text", "outlier_bounds",
+        "profile_coverage", "sample_stratified", "streaming_join",
+        "text_chunk", "text_decontaminate", "text_pack", "text_pii",
+        "text_quality_filter", "text_repetition", "text_span_dedup",
+        "text_temperature_mix", "translate_rename",
     }
-    assert r6_queue <= set(window), f"fell out: {r6_queue - set(window)}"
-    # re-checks for code refactored in r6/r7 (events package migration)
-    assert {"events_funnel", "events_retention", "events_sessionize_batch",
-            "streaming_sessionize"} <= set(window)
-    # round-7 new queries took free window slots directly
-    assert {"join_edit_distance_capped",
-            "fusion_custom_resolver"} <= set(window)
+    assert stalest <= set(window), f"fell out: {stalest - set(window)}"
     past_window = set(names[50:])
     missing = ROTATION_QUEUE - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"
@@ -115,6 +108,54 @@ def test_every_query_has_driver_row_or_awaits_one():
         f"queries with no driver row, outside the window and the "
         f"rotation queue: {sorted(unaccounted)}"
     )
+
+
+def test_check_oracle_gates_rotation_queue(spark):
+    """VERDICT r7 #5: the hash-safe output convention must cover the
+    rotation queue, not just the current window — a queue entry IS a
+    future window member. Drive tools/check_oracle.py's per-query check
+    end-to-end on a synthetic boolean-output query registered as a
+    queue member and assert it FAILS on hash safety alone (no oracle
+    needed to trip it)."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    import check_oracle as co
+
+    # the real queue is folded into the gated set
+    assert co.rotation_queue() == ROTATION_QUEUE
+    names = list(entry.queries())
+    gated = co.gated_names(names)
+    assert set(names[:50]) - co.HASH_SAFETY_EXEMPT <= gated
+    assert ROTATION_QUEUE - co.HASH_SAFETY_EXEMPT <= gated
+
+    def bool_query(spark, sf_dir):
+        from pyspark.sql import functions as F
+        return spark.range(3).select(
+            F.col("id"), (F.col("id") % 2 == 0).alias("is_even")
+        )
+
+    con = duckdb.connect()
+    err = co.check_query(
+        spark, con, "fake_queued_bool", bool_query,
+        "SELECT 1", "/root/testdata/sf0.001",
+        gated | {"fake_queued_bool"},
+    )
+    assert err is not None and "hash-unsafe" in err, err
+    # the same query sails through when NOT gated and oracle-less —
+    # proving the failure above came from the queue gating
+    err2 = co.check_query(
+        spark, con, "fake_queued_bool", bool_query,
+        None, "/root/testdata/sf0.001", gated,
+    )
+    assert err2 is None
 
 
 def test_partition_independence_of_new_queries(spark):

@@ -111,6 +111,81 @@ def hash_safety_violations(rows, cols):
     return bad
 
 
+def rotation_queue() -> set[str]:
+    """The pinned rotation queue from tests/test_entry.py (the single
+    roster source of truth). Queue entries are FUTURE window members —
+    gate them with the same hash-safety rules so a hash-unsafe output
+    can never sit waiting in the queue (VERDICT r7 #5: r8's rotation
+    would have been the first time the r7 queue hit the window check)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "test_entry.py",
+    )
+    spec = importlib.util.spec_from_file_location("_test_entry_roster", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return set(mod.ROTATION_QUEUE)
+
+
+def gated_names(query_names) -> set[str]:
+    """Names subject to the hash-safe output convention: the driver's
+    50-entry window plus every rotation-queue entry, minus the
+    deliberately-risky probes."""
+    return (
+        set(list(query_names)[:50]) | rotation_queue()
+    ) - HASH_SAFETY_EXEMPT
+
+
+def check_query(spark, con, name, fn, sql, sf_dir, gated):
+    """Run one query against its oracle the way the driver does.
+    Returns None on PASS or a failure-description string (first line is
+    the category). Extracted from main() so tests can drive the gate
+    end-to-end on a synthetic hash-unsafe query."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        snorm, sorted_cols = normalize(srows, scols)
+    except Exception as e:
+        return f"spark error: {type(e).__name__}: {str(e)[:300]}"
+    if name in gated:
+        bad = hash_safety_violations(srows, scols)
+        if bad:
+            return f"hash-unsafe window/queue output: {bad}"
+    if sql is None:
+        return None  # rows-only op: driver records a weaker check
+    try:
+        res = con.sql(sql)
+        ocols = res.columns
+        if name not in HASH_SAFETY_EXEMPT:
+            tbad = forbidden_type_violations(res.types, ocols)
+            if tbad:
+                return f"driver-unportable oracle dtypes (cast them): {tbad}"
+        orows = res.fetchall()
+        onorm, _ = normalize(orows, ocols)
+    except Exception as e:
+        return f"duckdb error: {type(e).__name__}: {str(e)[:300]}"
+    if sorted(scols) != sorted(ocols):
+        return f"schema mismatch spark={sorted(scols)} duckdb={sorted(ocols)}"
+    if name not in HASH_SAFETY_EXEMPT:
+        dbad = dtype_class_mismatches(srows, scols, res)
+        if dbad:
+            return f"driver-hasher dtype-class mismatch: {dbad}"
+    if snorm == onorm:
+        return None
+    lines = [
+        f"rows spark={len(snorm)} duckdb={len(onorm)}; cols={sorted_cols}"
+    ]
+    sset, oset = set(snorm), set(onorm)
+    for r in list(sset - oset)[:3]:
+        lines.append(f"   spark-only:  {r}")
+    for r in list(oset - sset)[:3]:
+        lines.append(f"   duckdb-only: {r}")
+    return "\n".join(lines)
+
+
 def normalize(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -171,65 +246,21 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    window = set(list(qs)[:50]) - HASH_SAFETY_EXEMPT
+    gated = gated_names(qs)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            snorm, sorted_cols = normalize(srows, scols)
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+        err = check_query(
+            spark, con, name, fn, oracles.get(name), sf_dir, gated
+        )
+        if err is not None:
+            print(f"FAIL {name}: {err}")
             failed.append(name)
-            continue
-        if name in window:
-            bad = hash_safety_violations(srows, scols)
-            if bad:
-                print(f"FAIL {name}: hash-unsafe window output: {bad}")
-                failed.append(name)
-                continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows={len(srows)})")
-            continue
-        try:
-            res = con.sql(oracles[name])
-            ocols = res.columns
-            if name not in HASH_SAFETY_EXEMPT:
-                tbad = forbidden_type_violations(res.types, ocols)
-                if tbad:
-                    print(f"FAIL {name}: driver-unportable oracle dtypes "
-                          f"(cast them): {tbad}")
-                    failed.append(name)
-                    continue
-            orows = res.fetchall()
-            onorm, _ = normalize(orows, ocols)
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            failed.append(name)
-            continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: schema mismatch spark={sorted(scols)} duckdb={sorted(ocols)}")
-            failed.append(name)
-            continue
-        if name not in HASH_SAFETY_EXEMPT:
-            dbad = dtype_class_mismatches(srows, scols, res)
-            if dbad:
-                print(f"FAIL {name}: driver-hasher dtype-class mismatch: {dbad}")
-                failed.append(name)
-                continue
-        if snorm == onorm:
-            print(f"PASS {name} ({len(snorm)} rows)")
+        elif name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only check)")
         else:
-            print(f"FAIL {name}: rows spark={len(snorm)} duckdb={len(onorm)}; cols={sorted_cols}")
-            sset, oset = set(snorm), set(onorm)
-            for r in list(sset - oset)[:3]:
-                print(f"   spark-only:  {r}")
-            for r in list(oset - sset)[:3]:
-                print(f"   duckdb-only: {r}")
-            failed.append(name)
+            print(f"PASS {name}")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
