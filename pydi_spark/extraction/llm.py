@@ -52,37 +52,82 @@ class LLMExtractor:
     prompt_template: str = DEFAULT_EXTRACT_PROMPT
     max_retries: int = 2
 
-    def extract(self, data: Dataset | DataFrame, source_column: str) -> DataFrame:
+    def _extracted(
+        self, data: Dataset | DataFrame, source_column: str, capture: bool
+    ) -> DataFrame:
+        from pydi_spark.core.llmcalls import (
+            CALL_LOG_COLUMN,
+            CALL_LOG_TYPE,
+            CallRecorder,
+            unpack_response,
+        )
+
         df = as_dataframe(data)
         fields = list(self.fields)
         out_schema = StructType(
             [StructField(c, df.schema[c].dataType) for c in df.columns]
             + [StructField(f_, StringType()) for f_ in fields]
+            + ([StructField(CALL_LOG_COLUMN, CALL_LOG_TYPE)] if capture else [])
         )
         factory, template, retries = self.client_factory, self.prompt_template, self.max_retries
 
         def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory()
+            recorder = CallRecorder() if capture else None
             for pdf in batches:
                 cols: dict[str, list] = {f_: [] for f_ in fields}
+                logs = []
                 for v in pdf[source_column]:
                     parsed: dict = {}
                     if v is not None:
                         prompt = template.format(fields=", ".join(fields), value=v)
-                        for _ in range(retries + 1):
+                        for attempt in range(retries + 1):
                             try:
-                                raw = client(prompt)
+                                if recorder is not None:
+                                    raw = recorder.call(client, prompt, attempt)
+                                else:
+                                    raw, _ = unpack_response(client(prompt))
                                 parsed = json.loads(
                                     raw[raw.find("{"): raw.rfind("}") + 1]
                                 )
                                 break
-                            except Exception:
+                            except Exception as exc:
                                 parsed = {}
+                                if recorder is not None:
+                                    recorder.record_parse_error(exc)
                     for f_ in fields:
                         val = parsed.get(f_)
                         cols[f_].append(None if val is None else str(val))
+                    if recorder is not None:
+                        logs.append(recorder.row())
                 for f_ in fields:
                     pdf = pdf.assign(**{f_: cols[f_]})
+                if capture:
+                    pdf = pdf.assign(**{CALL_LOG_COLUMN: logs})
                 yield pdf
 
         return df.mapInPandas(infer, out_schema)
+
+    def extract(self, data: Dataset | DataFrame, source_column: str) -> DataFrame:
+        return self._extracted(data, source_column, capture=False)
+
+    def extract_with_log(
+        self,
+        data: Dataset | DataFrame,
+        source_column: str,
+        id_column: str | None = None,
+    ) -> "tuple[DataFrame, DataFrame]":
+        """``(extracted, call_log)`` — reference parity with the LLM
+        prompt/response persistence in PyDI/informationextraction/llm.py
+        and the always-written llm_calls artifacts (base.py:108-160).
+        The log keys on ``id_column`` when given; previews inside each
+        record identify the row otherwise. Checkpointed once so both
+        outputs come from the SAME inference run."""
+        from pydi_spark.core.llmcalls import CALL_LOG_COLUMN, explode_call_log
+
+        out = self._extracted(
+            data, source_column, capture=True
+        ).localCheckpoint(eager=True)
+        keys = [id_column] if id_column else []
+        log = explode_call_log(out, keys, "llm_extractor")
+        return out.drop(CALL_LOG_COLUMN), log

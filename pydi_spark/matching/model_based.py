@@ -210,7 +210,9 @@ Answer with JSON: {{"match": bool, "score": float, "explanation": str}}"""
 class LLMBasedMatcher:
     """Per-pair prompt matcher; ``client_factory`` returns a callable
     ``prompt -> completion`` (one per executor). Retries with fallback
-    parsing mirror the reference (llm_based.py:75-137)."""
+    parsing mirror the reference (llm_based.py:75-137); per-call
+    prompt/response/usage capture (``match_with_log``) mirrors its
+    LLMCallLogger wiring (llm_based.py:72, 213-214, 348)."""
 
     text_formatter: TextFormatter
     client_factory: Callable[[], Callable[[str], str]] = fake_llm_client
@@ -224,14 +226,22 @@ class LLMBasedMatcher:
         )
         return shots + self.prompt_template.format(left=left_text, right=right_text)
 
-    def match(
+    def _scored(
         self,
         left: Dataset | DataFrame,
         right: Dataset | DataFrame,
         candidates: DataFrame,
-        threshold: float = 0.5,
-        id_column: str | None = None,
+        id_column: str | None,
+        capture: bool,
     ) -> DataFrame:
+        from pydi_spark.core.llmcalls import (
+            CALL_LOG_COLUMN,
+            CALL_LOG_TYPE,
+            CallRecorder,
+            unpack_response,
+        )
+        from pyspark.sql.types import StructField, StructType
+
         joined = join_pairs_to_records(candidates, left, right, id_column)
         pairs_text = joined.select(
             F.col("p.id1").alias("id1"),
@@ -240,28 +250,80 @@ class LLMBasedMatcher:
             self.text_formatter.expr("r.").alias("rt"),
         )
         factory, render, retries = self.client_factory, self._render, self.max_retries
+        schema = SCORED_SCHEMA
+        if capture:
+            schema = StructType(
+                schema.fields + [StructField(CALL_LOG_COLUMN, CALL_LOG_TYPE)]
+            )
 
         def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             client = factory()
+            recorder = CallRecorder() if capture else None
             for pdf in batches:
-                scores, notes = [], []
+                scores, notes, logs = [], [], []
                 for lt, rt in zip(pdf["lt"], pdf["rt"]):
                     score, note = 0.0, "llm_error"
-                    for _ in range(retries + 1):
+                    for attempt in range(retries + 1):
                         try:
-                            raw = client(render(lt, rt))
+                            prompt = render(lt, rt)
+                            if recorder is not None:
+                                raw = recorder.call(client, prompt, attempt)
+                            else:
+                                raw, _ = unpack_response(client(prompt))
                             obj = json.loads(raw[raw.find("{"): raw.rfind("}") + 1])
                             score = float(obj.get("score", 1.0 if obj.get("match") else 0.0))
                             note = str(obj.get("explanation", ""))[:200]
                             break
                         except Exception as exc:  # retry, then record failure
                             note = f"llm_error: {type(exc).__name__}"
+                            if recorder is not None:
+                                recorder.record_parse_error(exc)
                     scores.append(score)
                     notes.append(note)
-                yield pd.DataFrame(
+                    if recorder is not None:
+                        logs.append(recorder.row())
+                out = pd.DataFrame(
                     {"id1": pdf["id1"], "id2": pdf["id2"],
                      "score": scores, "notes": notes}
                 )
+                if capture:
+                    out[CALL_LOG_COLUMN] = logs
+                yield out
 
-        out = pairs_text.mapInPandas(infer, SCORED_SCHEMA)
+        return pairs_text.mapInPandas(infer, schema)
+
+    def match(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame,
+        candidates: DataFrame,
+        threshold: float = 0.5,
+        id_column: str | None = None,
+    ) -> DataFrame:
+        out = self._scored(left, right, candidates, id_column, capture=False)
         return out.where(F.col("score") >= F.lit(float(threshold)))
+
+    def match_with_log(
+        self,
+        left: Dataset | DataFrame,
+        right: Dataset | DataFrame,
+        candidates: DataFrame,
+        threshold: float = 0.5,
+        id_column: str | None = None,
+    ) -> "tuple[DataFrame, DataFrame]":
+        """``(matches, call_log)`` — matches as ``match()``; call_log
+        has one row per LLM call (all attempts, including calls for
+        below-threshold pairs), keyed by (id1, id2). The scored frame is
+        checkpointed once so both outputs come from the SAME inference
+        run — without it, lazy evaluation would re-invoke the client per
+        consumer."""
+        from pydi_spark.core.llmcalls import CALL_LOG_COLUMN, explode_call_log
+
+        scored = self._scored(
+            left, right, candidates, id_column, capture=True
+        ).localCheckpoint(eager=True)
+        log = explode_call_log(scored, ["id1", "id2"], "llm_matcher")
+        matches = scored.drop(CALL_LOG_COLUMN).where(
+            F.col("score") >= F.lit(float(threshold))
+        )
+        return matches, log

@@ -81,6 +81,34 @@ class LLMBasedSchemaMatcher:
         target: Dataset | DataFrame,
         threshold: float = 0.5,
     ) -> DataFrame:
+        mapping, _ = self._match(source, target, threshold, capture=False)
+        return mapping
+
+    def match_with_log(
+        self,
+        source: Dataset | DataFrame,
+        target: Dataset | DataFrame,
+        threshold: float = 0.5,
+    ) -> "tuple[DataFrame, DataFrame]":
+        """``(mapping, call_log)`` — reference parity with the
+        LLMCallLogger capture (PyDI/utils/llm.py:88-212). The single
+        schema-comparison prompt happens driver-side, so the log is a
+        one-row-per-call frame built directly from the recorder."""
+        return self._match(source, target, threshold, capture=True)
+
+    def _match(
+        self,
+        source: Dataset | DataFrame,
+        target: Dataset | DataFrame,
+        threshold: float,
+        capture: bool,
+    ) -> "tuple[DataFrame, DataFrame | None]":
+        from pydi_spark.core.llmcalls import (
+            CALL_RECORD_TYPE,
+            CallRecorder,
+            unpack_response,
+        )
+
         sdf, tdf = as_dataframe(source), as_dataframe(target)
         s_cols, t_cols = schema_columns(source), schema_columns(target)
         s_name, t_name = dataset_name(source, "source"), dataset_name(target, "target")
@@ -90,9 +118,13 @@ class LLMBasedSchemaMatcher:
             t_md=_to_markdown(tdf, t_cols, self.num_rows),
         )
         client = self.client_factory()
+        recorder = CallRecorder() if capture else None
         rows = []
         try:
-            raw = client(prompt)
+            if recorder is not None:
+                raw = recorder.call(client, prompt, attempt=0)
+            else:
+                raw, _ = unpack_response(client(prompt))
             parsed = json.loads(raw[raw.find("["): raw.rfind("]") + 1])
             for item in parsed:
                 sc, tc = item.get("source_column"), item.get("target_column")
@@ -101,6 +133,26 @@ class LLMBasedSchemaMatcher:
                         (s_name, sc, t_name, tc,
                          float(item.get("score", 0.0)), "llm_based")
                     )
-        except Exception:
+        except Exception as exc:
             rows = []
-        return build_mapping(sdf.sparkSession, rows, threshold)
+            if recorder is not None:
+                recorder.record_parse_error(exc)
+        mapping = build_mapping(sdf.sparkSession, rows, threshold)
+        if not capture:
+            return mapping, None
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        log_schema = StructType(
+            [StructField("stage", StringType()),
+             StructField("source_dataset", StringType()),
+             StructField("target_dataset", StringType())]
+            + CALL_RECORD_TYPE.fields
+        )
+        log = sdf.sparkSession.createDataFrame(
+            [tuple([
+                "llm_schema_matcher", s_name, t_name,
+            ] + [r[f.name] for f in CALL_RECORD_TYPE.fields])
+             for r in recorder.row()],
+            log_schema,
+        )
+        return mapping, log

@@ -39,6 +39,10 @@ ROTATION_QUEUE: set[str] = {
     # r8: distributed CC gained forest pre-contraction (material code
     # change on the query path — re-check next round)
     "cluster_cc_distributed",
+    # r8: LLM stages gained call-record capture (extract/schema paths
+    # changed; match_llm_fake's re-check is already in the r8 window)
+    "extract_llm_fake",
+    "schema_llm_fake",
 }
 
 

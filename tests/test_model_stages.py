@@ -270,3 +270,148 @@ def test_sentence_transformer_hooks_skip_cleanly():
     assert vecs.shape[0] == 1
     scores = factory()(["a [SEP] b"])
     assert len(scores) == 1
+
+
+# ---------------------------------------------------------- call logging
+
+def test_llm_matcher_call_log(spark, pair_setup):
+    """Reference parity: LLMCallLogger capture (PyDI/utils/llm.py:88-212
+    wired at entitymatching/llm_based.py:72,348). One record per call,
+    previews + attempt + duration populated, matches identical to
+    match()."""
+    left, right, pairs = pair_setup
+    m = LLMBasedMatcher(TextFormatter(["title", "year"]))
+    matches, log = m.match_with_log(left, right, pairs, threshold=0.4,
+                                    id_column="rid")
+    plain = {(r["id1"], r["id2"]) for r in
+             m.match(left, right, pairs, threshold=0.4, id_column="rid").collect()}
+    assert {(r["id1"], r["id2"]) for r in matches.collect()} == plain
+    rows = log.collect()
+    # fake client succeeds first try: one call per candidate pair,
+    # including below-threshold pairs
+    assert len(rows) == pairs.count()
+    for r in rows:
+        assert r["stage"] == "llm_matcher"
+        assert r["attempt"] == 0 and r["error"] is None
+        assert "<record>" in r["prompt_preview"]
+        assert '"score"' in r["response_preview"]
+        assert r["duration_ms"] >= 0.0
+
+
+def test_llm_matcher_call_log_usage_and_retries(spark, pair_setup):
+    """A client that fails on its first call and reports usage metadata:
+    the log carries BOTH attempts (error then success) and the usage
+    lands in usage_json / call_log_summary."""
+    import json as _json
+
+    left, right, pairs = pair_setup
+
+    def flaky_factory():
+        state = {"calls": 0}
+
+        def client(prompt):
+            state["calls"] += 1
+            if state["calls"] == 1:
+                raise RuntimeError("rate limited")
+            return (
+                _json.dumps({"match": True, "score": 0.9, "explanation": "ok"}),
+                {"input_tokens": 10, "output_tokens": 5},
+            )
+
+        return client
+
+    m = LLMBasedMatcher(TextFormatter(["title"]), client_factory=flaky_factory)
+    one_pair = pairs.where((F.col("id1") == "l1") & (F.col("id2") == "r1"))
+    matches, log = m.match_with_log(left, right, one_pair, threshold=0.5,
+                                    id_column="rid")
+    assert matches.count() == 1
+    rows = sorted(log.collect(), key=lambda r: r["attempt"])
+    assert [r["attempt"] for r in rows] == [0, 1]
+    assert rows[0]["error"].startswith("RuntimeError")
+    assert rows[0]["response_preview"] is None
+    assert rows[1]["error"] is None
+    assert _json.loads(rows[1]["usage_json"]) == {
+        "input_tokens": 10, "output_tokens": 5}
+
+    from pydi_spark.core.llmcalls import call_log_summary
+
+    s = call_log_summary(log).collect()[0]
+    assert s["total_calls"] == 2 and s["n_errors"] == 1
+    assert s["total_input_tokens"] == 10
+    assert s["total_output_tokens"] == 5
+    assert s["total_tokens"] == 15
+
+
+def test_llm_extractor_call_log(spark):
+    from pydi_spark.extraction import LLMExtractor
+
+    df = spark.createDataFrame(
+        [("1", "name: Alice, age: 30"), ("2", "age: 44; name: Bob"), ("3", None)],
+        "id string, text string",
+    )
+    out, log = LLMExtractor(["name", "age"]).extract_with_log(
+        df, "text", id_column="id")
+    vals = {r["id"]: r for r in out.collect()}
+    assert vals["1"]["name"] == "Alice" and "_llm_calls" not in out.columns
+    rows = {r["id"]: r for r in log.collect()}
+    # null source value makes no call -> no log row for id 3
+    assert set(rows) == {"1", "2"}
+    assert rows["1"]["stage"] == "llm_extractor"
+    assert "name, age" in rows["1"]["prompt_preview"]
+    assert "Alice" in rows["1"]["response_preview"]
+
+
+def test_llm_schema_matcher_call_log(spark):
+    from pydi_spark.schemamatching import LLMBasedSchemaMatcher
+
+    src = Dataset(
+        spark.createDataFrame(
+            [("the matrix", "1999")], "title string, year string"),
+        name="movies_a")
+    tgt = Dataset(
+        spark.createDataFrame(
+            [("the matrix", "1999")], "name string, released string"),
+        name="movies_b")
+    m = LLMBasedSchemaMatcher()
+    mapping, log = m.match_with_log(src, tgt, threshold=0.5)
+    plain = m.match(src, tgt, threshold=0.5)
+    assert sorted(map(tuple, mapping.collect())) == sorted(
+        map(tuple, plain.collect()))
+    rows = log.collect()
+    assert len(rows) == 1
+    assert rows[0]["stage"] == "llm_schema_matcher"
+    assert rows[0]["source_dataset"] == "movies_a"
+    assert rows[0]["target_dataset"] == "movies_b"
+    assert rows[0]["error"] is None and "movies_a" in rows[0]["prompt_preview"]
+
+
+def test_extractor_pipeline_artifacts(spark, tmp_path):
+    """BaseExtractor artifact-writer analogue
+    (PyDI/informationextraction/base.py:108-160): config.json per step
+    always; llm_calls.json + llm_usage_summary.json for LLM steps."""
+    import json as _json
+
+    from pydi_spark.extraction import ExtractorPipeline, LLMExtractor, RegexExtractor
+
+    df = spark.createDataFrame(
+        [("1", "name: Alice, age: 30 zip 12345")], "id string, text string")
+    pipe = ExtractorPipeline([
+        RegexExtractor({"zip": {"pattern": r"(\d{5})"}}),
+        LLMExtractor(["name"]),
+    ])
+    out = pipe.run(df, "text", artifacts_dir=str(tmp_path))
+    row = out.collect()[0]
+    assert row["zip"] == "12345" and row["name"] == "Alice"
+    regex_dir = tmp_path / "00_RegexExtractor"
+    llm_dir = tmp_path / "01_LLMExtractor"
+    assert (regex_dir / "config.json").exists()
+    assert not (regex_dir / "llm_calls.json").exists()
+    calls = _json.loads((llm_dir / "llm_calls.json").read_text())
+    assert len(calls) == 1 and calls[0]["error"] is None
+    summary = _json.loads((llm_dir / "llm_usage_summary.json").read_text())
+    assert summary["total_calls"] == 1 and summary["n_errors"] == 0
+    cfg = _json.loads((llm_dir / "config.json").read_text())
+    assert cfg["extractor_class"] == "LLMExtractor"
+    assert cfg["fields"] == ["name"]
+    # artifacts_dir omitted -> pure lazy chain, nothing written
+    assert pipe.run(df, "text").collect()[0]["name"] == "Alice"
