@@ -99,7 +99,7 @@ def main() -> None:
     synthesize(spark, f"{sf_dir}/part.parquet", part10,
                "p_partkey", "p_name", [])
     synthesize(spark, f"{sf_dir}/customer.parquet", cust10,
-               "c_custkey", "c_name", [])
+               "c_custkey", "c_name", ["c_nationkey"])
     if not os.path.exists(os.path.join(emb10, "_SUCCESS")):
         # 10x embeddings: ids offset, vectors shifted by a copy-dependent
         # per-element nudge so copies are distinct but identically
@@ -173,6 +173,76 @@ def main() -> None:
             key_col="text", id_col="doc_id",
         )
 
+    # 10x events: user_id and event_id offset per copy -> users are
+    # DISJOINT across copies, so per-user structure (touches per
+    # conversion, user-days) reproduces exactly and true output scales
+    # 10x for attribution / stays day-bounded for active_users
+    events10 = os.path.join(scratch, "events10.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pydi_spark.io.readers import nanos_to_timestamp
+
+    ev1 = nanos_to_timestamp(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "user_id", "event_type", "ts")
+    if not os.path.exists(os.path.join(events10, "_SUCCESS")):
+        parts = [
+            ev1.select(
+                (F.col("event_id") + F.lit(k * 100_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
+                "event_type", "ts",
+            )
+            for k in range(COPIES)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(events10)
+    ev10 = spark.read.parquet(events10)
+
+    def attribution(df):
+        from pydi_spark.events import attribute_conversions
+
+        return attribute_conversions(
+            df, touch_types=["click", "view"], conversion_type="purchase",
+            model="linear", lookback_hours=24,
+        )
+
+    def active(df):
+        # output is the DAY GRID (constant across 1x/10x — same corpus
+        # span); the claim under test is cost ~ |user-days| x w, so the
+        # time ratio should sit at/below the 10x user-day growth
+        from pydi_spark.events import active_users
+
+        return active_users(df.select("user_id", "ts"), window_days=7)
+
+    def ring_edges(cust):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        r = cust.select("c_custkey", "c_nationkey").withColumn(
+            "rk", F.row_number().over(w)
+        )
+        a, b = r.alias("a"), r.alias("b")
+        return a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("b.rk") - F.col("a.rk")).isin(1, 2),
+        ).select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+        )
+
+    def triangles(cust):
+        # rank-chain edges: 10x customers per nation -> 10x edges and
+        # ~10x triangles; the oriented wedge join's out-degree stays
+        # bounded (<= 2 after orientation), so time should track edges
+        # linearly. Output is ONE row (the count) — read the time ratio.
+        from pydi_spark.llmdata import triangle_count
+
+        edges = ring_edges(cust).localCheckpoint(eager=True)
+        return triangle_count(edges)
+
     def edit_capped(df):
         # hot-gram cap (VERDICT r6 #4): a FIXED absolute cap bounds
         # every posting list by a constant, so candidate volume is
@@ -188,6 +258,65 @@ def main() -> None:
             max_gram_frequency=100,
         )
 
+    # Synthetic PNG corpus for the multimodal family (VERDICT r7 #6:
+    # perceptual_hash / image_near_duplicates / decode were pytest-only
+    # and perf-untracked). Images are generated DISTRIBUTED (mapInPandas
+    # over an id range, numpy seeded per cluster): clusters of 3 near-dup
+    # variants (1-pixel perturbations -> hamming <= 6), cluster seeds
+    # disjoint across the 1x/10x corpora's copies, so true pair output
+    # scales 10x and no pair crosses copies.
+    def synth_images(path: str, n_clusters: int) -> None:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        from pyspark.sql.types import (
+            BinaryType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("media_id", StringType()),
+            StructField("payload", BinaryType()),
+        ])
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from pydi_spark.llmdata.multimodal import png_encode
+
+            for pdf in batches:
+                ids, payloads = [], []
+                for cid in pdf["id"]:
+                    rng = np.random.default_rng(int(cid))
+                    base = (rng.random((32, 32, 3)) * 255).astype("uint8")
+                    for v in range(3):
+                        img = base.copy()
+                        if v:  # variant: flip v pixels
+                            img[0, :v] = 255 - img[0, :v]
+                        ids.append(f"{cid}-{v}")
+                        payloads.append(bytearray(png_encode(img)))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        spark.range(n_clusters).repartition(32).mapInPandas(
+            gen, schema
+        ).write.mode("overwrite").parquet(path)
+
+    img1_path = os.path.join(scratch, "images1.parquet")
+    img10_path = os.path.join(scratch, "images10.parquet")
+    synth_images(img1_path, 500)
+    synth_images(img10_path, 5000)
+    img1 = spark.read.parquet(img1_path)
+    img10 = spark.read.parquet(img10_path)
+
+    def image_decode(df):
+        from pydi_spark.llmdata.multimodal import decode_and_resize
+
+        return decode_and_resize(df, 16, 16).where("decode_ok = 'ok'")
+
+    def image_near_dups(df):
+        from pydi_spark.llmdata.multimodal import image_near_duplicates
+
+        return image_near_duplicates(df, max_hamming=6)
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -199,11 +328,24 @@ def main() -> None:
         "dedup_incremental": incr,
         "dedup_bloom": bloom,
         "join_edit_capped": edit_capped,
+        "events_attribution": attribution,
+        "events_active_users": active,
+        "graph_triangles": triangles,
+        "image_decode": image_decode,
+        "image_near_dups": image_near_dups,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
         "ann_ivf": (emb1, emb10_df),
         "join_edit_capped": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "events_attribution": (ev1, ev10),
+        "events_active_users": (ev1, ev10),
+        "image_decode": (img1, img10),
+        "image_near_dups": (img1, img10),
+        "graph_triangles": (
             spark.read.parquet(f"{sf_dir}/customer.parquet"),
             spark.read.parquet(cust10),
         ),
