@@ -1037,6 +1037,25 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup (llmdata/dedup.py keep_best_duplicates):
+    simhash pairs -> CC clusters -> keep the LONGEST doc per cluster
+    under the (length DESC, id ASC) total order (integer score — no
+    float anywhere). Oracle = the dedup_canonical recursive closure
+    plus a rank-1 window over the same order."""
+    from pydi_spark.llmdata import keep_best_duplicates, simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("q")
+    )
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    out = keep_best_duplicates(docs, pairs, "q")
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "cluster_id", "keep_id", "is_kept",
+    )
+
+
 def q_normalize_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.normalization import apply_column_transforms
 
@@ -1397,6 +1416,20 @@ def q_events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_minutes=30)
 
 
+def q_events_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session landing/exit report (events/ops.py
+    session_entry_exit): entry/exit event types via min_by/max_by on
+    the (micros, event_id) struct total order, bounce flag as int.
+    Oracle replays the sessionization and picks entry/exit with
+    first/last_value windows over the same total order."""
+    from pydi_spark.events import session_entry_exit
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return session_entry_exit(ev, gap_minutes=30)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props extraction: per event type, stats over the
     JSON payload's $.k field (get_json_object — JVM-side Jackson path,
@@ -1605,6 +1638,65 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
     )
     return triangle_count(edges)
+
+
+def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact local clustering coefficient (llmdata/graph.py
+    clustering_coefficient — the triangle orientation kept per-node,
+    coef as integer ppm 2T*1e6 div d(d-1)). Same ring-edge graph as
+    graph_triangles; interior nodes sit in 3 triangles at degree 4 ->
+    coef_ppm 500000, so the output leaves the 0/1 corners. Oracle =
+    brute per-node triangle enumeration (independent
+    characterization)."""
+    from pydi_spark.llmdata import clustering_coefficient
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = cust.withColumn("rk", F.row_number().over(w))
+    a, b = r.alias("a"), r.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rk") - F.col("a.rk")).isin(1, 2),
+    ).select(
+        F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
+    )
+    return clustering_coefficient(edges)
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of a clique+bridge graph (llmdata/graph.py k_core —
+    iterated peeling to fixpoint): customers form 4-cliques per
+    (nation, rank-block) plus stride-4 bridges between consecutive
+    blocks, so partial tail blocks peel over SEVERAL rounds (the tail
+    dies first, then the bridge endpoints lose their extra degree) and
+    the fixpoint keeps exactly the full blocks. Oracle = 12 inlined
+    MATERIALIZED peel rounds (idempotent past convergence — fixpoint
+    rounds are no-ops)."""
+    from pydi_spark.llmdata import k_core
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = cust.withColumn("rk", F.row_number().over(w)).withColumn(
+        "blk", F.expr("(rk - 1) div 4")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("b.rk") > F.col("a.rk")),
+    ).select(
+        F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
+    )
+    bridge = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rk") - F.col("a.rk") == 4),
+    ).select(
+        F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
+    )
+    return k_core(clique.unionByName(bridge), k=3)
 
 
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2817,6 +2909,46 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(docs)
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch novelty vs the reference corpus (llmdata/cleaning.py
+    novelty_scores — the shuffle-join dual of decontaminate): distinct
+    2-grams of each batch doc (doc_id % 5 == 0) not present anywhere in
+    the reference split, exact integer ppm."""
+    from pydi_spark.llmdata import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    reference = docs.where(F.col("doc_id") % 5 != 0)
+    return novelty_scores(batch, reference, n=3)
+
+
+def q_text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script detection (llmdata/textstats.py script_profile): the
+    corpus is ASCII, so the query synthesizes mixed-script docs by
+    doc_id class (translate vowels to Cyrillic / Greek / CJK
+    lookalikes — translate() behaves identically in both engines) and
+    profiles the result. Counts are length-minus-stripped integers;
+    dominance is the fixed-priority CASE replayed verbatim."""
+    from pydi_spark.llmdata import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "CASE WHEN doc_id % 4 = 1 THEN translate(text, 'aeio', "
+            "'\u0430\u0435\u0438\u043e') "
+            "WHEN doc_id % 4 = 2 THEN translate(text, 'aeiost', "
+            "'\u03b1\u03b5\u03b9\u03bf\u03c3\u03c4') "
+            "WHEN doc_id % 4 = 3 THEN translate(text, 'ae', "
+            "'\u4e9c\u6075') ELSE text END"
+        ).alias("text"),
+    )
+    out = script_profile(docs)
+    return out.select(
+        "doc_id", "n_chars", "n_latin", "n_cyrillic", "n_greek",
+        "n_cjk", "n_digit", "dominant_script",
+    )
 
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5683,6 +5815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        # -- round-8 additions past the window (r9 rotation queue)
+        "graph_clustering_coef": q_graph_clustering_coef,
+        "graph_kcore": q_graph_kcore,
+        "events_session_report": q_events_session_report,
+        "text_novelty": q_text_novelty,
+        "dedup_keep_best": q_dedup_keep_best,
+        "text_script_detect": q_text_script_detect,
     }
 
 
@@ -6659,6 +6798,34 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
        CAST(coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR))
          = CAST(d.doc_id AS VARCHAR) AS INT) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) q),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+scored AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+         length(d.text) AS q
+  FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+),
+winners AS (
+  SELECT cluster_id, doc_id AS keep_id
+  FROM (SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY q DESC, doc_id ASC) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+SELECT s.doc_id, s.cluster_id, w.keep_id,
+       CAST(s.doc_id = w.keep_id AS INT) AS is_kept
+FROM scored s JOIN winners w USING (cluster_id)
 """,
         "type_detection": _type_detection_sql(),
         "normalize_transforms": """
@@ -7647,6 +7814,69 @@ SELECT doc_id, token, tf_idf,
 FROM scored
 QUALIFY rank <= 3
 """
+    _script_counts = "".join(
+        f", length(text) - length(regexp_replace(text, '[{lo}-{hi}]', '', 'g')) AS n_{nm}\n"
+        for nm, lo, hi in [
+            ("latin", "A-Za-z", ""), ("cyrillic", "Ѐ", "ӿ"),
+            ("greek", "Ͱ", "Ͽ"), ("cjk", "一", "鿿"),
+            ("digit", "0-9", ""),
+        ]
+    ).replace("[A-Za-z-]", "[A-Za-z]").replace("[0-9-]", "[0-9]")
+    out["text_script_detect"] = f"""
+WITH synth AS (
+  SELECT CAST(doc_id AS VARCHAR) doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN translate(text, 'aeio', 'аеио')
+              WHEN doc_id % 4 = 2 THEN translate(text, 'aeiost', 'αειοστ')
+              WHEN doc_id % 4 = 3 THEN translate(text, 'ae', '亜恵')
+              ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, coalesce(length(text), 0) AS n_chars
+         {_script_counts}
+  FROM synth
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) n_chars,
+       CAST(coalesce(n_latin, 0) AS BIGINT) n_latin,
+       CAST(coalesce(n_cyrillic, 0) AS BIGINT) n_cyrillic,
+       CAST(coalesce(n_greek, 0) AS BIGINT) n_greek,
+       CAST(coalesce(n_cjk, 0) AS BIGINT) n_cjk,
+       CAST(coalesce(n_digit, 0) AS BIGINT) n_digit,
+       CASE WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk) AND n_latin > 0 THEN 'latin'
+            WHEN n_cyrillic >= greatest(n_greek, n_cjk) AND n_cyrillic > 0 THEN 'cyrillic'
+            WHEN n_greek >= n_cjk AND n_greek > 0 THEN 'greek'
+            WHEN n_cjk > 0 THEN 'cjk'
+            ELSE 'other' END AS dominant_script
+FROM counted
+"""
+
+    out["text_novelty"] = """
+
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+         ELSE list_distinct([array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)])
+    END AS gset
+  FROM toks
+),
+ref AS (SELECT DISTINCT unnest(gset) AS gram, 1 AS seen FROM g WHERE doc_id % 5 != 0),
+b AS (SELECT CAST(doc_id AS VARCHAR) doc_id, unnest(gset) AS gram FROM g WHERE doc_id % 5 = 0),
+agg AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         count(*) - CAST(sum(coalesce(seen, 0)) AS BIGINT) AS n_novel
+  FROM b LEFT JOIN ref USING (gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel * 1000000 // n_ngrams AS BIGINT) AS novelty_ppm
+FROM agg
+"""
+
     out["text_decontaminate"] = """
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}#'']+'), x -> x != '') tok
@@ -8137,6 +8367,42 @@ SELECT user_id, session_id, count(*) AS n_events,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM sess GROUP BY user_id, session_id
 """
+    out["events_session_report"] = """
+WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM flagged
+),
+typed AS (
+  SELECT user_id, session_id, ts,
+         first_value(event_type) OVER ws AS entry_type,
+         last_value(event_type) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS exit_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       min(entry_type) AS entry_type,
+       min(exit_type) AS exit_type,
+       CAST(CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS INT) AS is_bounce
+FROM typed GROUP BY user_id, session_id
+"""
+
     out["events_json"] = """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
@@ -9608,6 +9874,83 @@ FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
+
+    out["graph_clustering_coef"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk
+  FROM customer
+),
+e AS (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk IN (1, 2)
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+pern AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.v AS id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(pern.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d < 2 THEN 0
+                 ELSE (2 * COALESCE(pern.t, 0) * 1000000)
+                      // (deg.d * (deg.d - 1)) END AS BIGINT) AS coef_ppm
+FROM deg LEFT JOIN pern ON pern.id = deg.v
+"""
+
+    # 12 inlined peel rounds: past convergence each round is a no-op,
+    # so the chain is exact as long as the graph converges within 12
+    # (measured: <= 4 rounds at sf0.001/sf0.01/sf0.1 on this structure)
+    _kcore_rounds = []
+    for _i in range(12):
+        _p = f"e{_i}"
+        _kcore_rounds.append(
+            f"n{_i} AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM {_p} "
+            f"UNION ALL SELECT b FROM {_p}) GROUP BY v "
+            f"HAVING COUNT(*) >= 3),\n"
+            f"e{_i + 1} AS MATERIALIZED (SELECT a, b FROM {_p} "
+            f"WHERE a IN (SELECT v FROM n{_i}) "
+            f"AND b IN (SELECT v FROM n{_i}))"
+        )
+    out["graph_kcore"] = (
+        """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+"""
+        + ",\n".join(_kcore_rounds)
+        + """
+SELECT DISTINCT id FROM (
+  SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12
+)
+"""
+    )
 
     out["streaming_distinct_users"] = """
 SELECT CAST(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS VARCHAR)

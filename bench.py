@@ -137,6 +137,13 @@ BENCH_QUERIES = [
     "blocking_key_report",
     "streaming_distinct_users",
     "graph_triangles",
+    # round-8 additions
+    "graph_clustering_coef",
+    "graph_kcore",
+    "events_session_report",
+    "text_novelty",
+    "dedup_keep_best",
+    "text_script_detect",
 ]
 
 

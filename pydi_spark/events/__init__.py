@@ -6,6 +6,7 @@ from pydi_spark.events.ops import (
     funnel_stages,
     resample_timeseries,
     retention_cohorts,
+    session_entry_exit,
     session_stats,
 )
 
@@ -27,6 +28,7 @@ __all__ = [
     "funnel_stages",
     "resample_timeseries",
     "retention_cohorts",
+    "session_entry_exit",
     "session_stats",
     "sessionize_stream",
 ]

@@ -72,6 +72,40 @@ def session_stats(
     )
 
 
+def session_entry_exit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """[user, session_id, n_events, duration_us, entry_type, exit_type,
+    is_bounce] — the per-session landing/exit report next to
+    session_stats: entry/exit = the event type at the session's first/
+    last event under the (ts, order_col) TOTAL order (min_by/max_by on
+    the composite struct — deterministic despite their first-found tie
+    rule, the tpch_q2 trick), is_bounce = 1 for single-event sessions
+    (int, not boolean — hash-safe output convention).
+
+    Scale: one exchange by user (shared with assign_sessions' window),
+    then a map-side-combinable aggregate per (user, session)."""
+    sess = assign_sessions(df, user_col, ts_col, order_col, gap_minutes)
+    key = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(order_col).alias("o"),
+    )
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("duration_us"),
+        F.min_by(type_col, key).alias("entry_type"),
+        F.max_by(type_col, key).alias("exit_type"),
+        (F.count(F.lit(1)) == 1).cast("int").alias("is_bounce"),
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     stages: list[str],

@@ -151,6 +151,38 @@ def dedup_corpus_lines(
     )
 
 
+def _word_ngram_rows(
+    frame: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """[doc_id, gh] — md5-hashed word n-grams; documents shorter than
+    ``n`` tokens contribute their whole token sequence as one gram (the
+    shingle-dedup edge rule). Shared by decontaminate/novelty_scores."""
+    from pyspark.sql import Window
+
+    from pydi_spark.functions.tokenize import word_tokens
+
+    toks = word_tokens(F.col(text_col))
+    tok_rows = frame.where(F.size(toks) >= n).select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    grams = (
+        tok_rows.select("doc_id", "tok", *leads)
+        .where(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("gram"),
+        )
+    )
+    short = frame.where(F.size(toks) < n).select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.array_join(toks, " ").alias("gram"),
+    )
+    return grams.unionByName(short).select("doc_id", F.md5("gram").alias("gh"))
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -177,37 +209,10 @@ def decontaminate(
     single explicit repartition(doc_id) exchange. Never joins raw
     n-gram strings (hash keys keep the rows narrow).
     """
-    from pydi_spark.functions.tokenize import word_tokens
-
     parallelism = df.sparkSession.sparkContext.defaultParallelism
 
     def ngram_rows(frame: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        toks = word_tokens(F.col(text_col))
-        tok_rows = frame.where(F.size(toks) >= n).select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.posexplode(toks).alias("pos", "tok"),
-        )
-        wpos = Window.partitionBy("doc_id").orderBy("pos")
-        leads = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
-        grams = (
-            tok_rows.select("doc_id", "tok", *leads)
-            .where(F.col(f"t{n - 1}").isNotNull())
-            .select(
-                "doc_id",
-                F.concat_ws(
-                    " ", "tok", *[f"t{j}" for j in range(1, n)]
-                ).alias("gram"),
-            )
-        )
-        short = frame.where(F.size(toks) < n).select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.array_join(toks, " ").alias("gram"),
-        )
-        return grams.unionByName(short).select(
-            "doc_id", F.md5("gram").alias("gh")
-        )
+        return _word_ngram_rows(frame, text_col, id_col, n)
 
     eval_grams = ngram_rows(eval_df).select("gh").distinct()
     hits = ngram_rows(df).repartition(parallelism, "doc_id").dropDuplicates(
@@ -401,3 +406,51 @@ def corpus_cleanup(
         .unionByName(stage_row(s3, 3, "near_dedup"))
     )
     return s3, report
+
+def novelty_scores(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document novelty vs a REFERENCE CORPUS: [doc_id, n_ngrams,
+    n_novel, novelty_ppm] where novelty_ppm = distinct word n-grams NOT
+    present anywhere in the reference, in exact integer ppm. The
+    curation dual of ``decontaminate``: decontamination asks "does this
+    training doc leak the eval set" (small eval side, broadcast);
+    novelty asks "does this incoming batch add anything the corpus does
+    not already have" (reference IS the corpus, so the gram join must
+    SHUFFLE on the hash key — no broadcast anywhere). Used to rank
+    crawl batches by marginal value before paying full-dedup cost.
+
+    Scale: batch grams dedup per doc (one exchange), reference grams
+    dedup globally (one exchange, cardinality-bounded output), then an
+    equi-join on the 32-char md5 key co-partitioned by gram hash. No
+    reference counterpart — north-star addition.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    batch = _word_ngram_rows(df, text_col, id_col, n).dropDuplicates(
+        ["doc_id", "gh"]
+    )
+    ref = (
+        _word_ngram_rows(reference, text_col, id_col, n)
+        .select("gh")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    joined = batch.repartition(parallelism, "gh").join(ref, "gh", "left")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("__seen"), F.lit(0))).alias(
+            "n_novel"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("n_novel * 1000000 div n_ngrams").cast("long").alias(
+            "novelty_ppm"
+        ),
+    )

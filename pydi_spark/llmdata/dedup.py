@@ -825,6 +825,61 @@ def canonical_corpus(
     )
 
 
+def keep_best_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware duplicate collapse: like ``canonical_corpus`` but
+    the kept row per duplicate cluster is the HIGHEST-``score_col``
+    document under the strict (score DESC, id ASC) total order, not the
+    min-id one — the production rule when near-dups differ in quality
+    (keep the cleanest crawl of a page, not the lexicographically
+    first). Output: input columns + ``cluster_id`` (min-id cluster
+    label, stable across score changes) + ``keep_id`` + ``is_kept``
+    (int; ``.where("is_kept = 1")`` is the deduplicated corpus).
+
+    Scale design: pair graph ids-only through CC; winners are one
+    map-side-combinable min_by aggregate over the clustered slice
+    (struct total order makes min_by's first-found tie rule
+    deterministic — the tpch_q2 trick with the score negated); the
+    corpus is touched by two narrow id joins, never shuffled by
+    content. No reference counterpart — north-star addition.
+    """
+    from pydi_spark.clustering.connected_components import (
+        connected_components,
+    )
+
+    sid = F.col(id_col).cast("string")
+    assign = connected_components(pairs.select("id1", "id2"))
+    scored = df.select(
+        sid.alias("__rid"), F.col(score_col).cast("double").alias("__sc")
+    ).join(assign.withColumnRenamed("record_id", "__rid"), "__rid")
+    winners = scored.groupBy("cluster_id").agg(
+        F.min_by(
+            "__rid", F.struct((-F.col("__sc")).alias("s"), F.col("__rid"))
+        ).alias("__keep")
+    )
+    out = (
+        df.join(
+            assign.withColumnRenamed("record_id", "__rid"),
+            sid == F.col("__rid"),
+            "left",
+        )
+        .drop("__rid")
+        .join(winners, "cluster_id", "left")
+    )
+    canonical = F.coalesce(F.col("cluster_id"), sid)
+    keep = F.coalesce(F.col("__keep"), sid)
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        canonical.alias("cluster_id"),
+        keep.alias("keep_id"),
+        (sid == keep).cast("int").alias("is_kept"),
+    )
+
+
 def dedup_method_agreement(
     df: DataFrame,
     text_col: str = "text",

@@ -140,3 +140,148 @@ def triangle_count(
     )
     tri = wedges.join(closing, ["v", "w"], "left_semi")
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def _canonical_edges(edges: DataFrame, id1: str, id2: str) -> DataFrame:
+    """Undirected edge set: self-loops dropped, duplicates/reversals
+    collapsed to (a < b)."""
+    return (
+        edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """[id, degree, n_triangles, coef_ppm] — EXACT local clustering
+    coefficient per node: the fraction of a node's neighbour pairs that
+    are themselves connected, in integer parts-per-million
+    (``2T * 1e6 div (d*(d-1))``; degree < 2 -> 0). The community-
+    cohesion diagnostic next to triangle_count — same inputs, per-node
+    resolution.
+
+    Scale design: reuses triangle_count's degree-ordered orientation
+    (out-degree O(sqrt(m)), wedge volume O(m^1.5) worst case), but the
+    closure join is an INNER join keeping the wedge source, so every
+    triangle surfaces exactly once as its (src, v, w) triple; exploding
+    the triple attributes it to all three corners with one narrow pass.
+    d*(d-1) runs in decimal(19,0) products (the r6 int64 rule — a
+    3e9-degree hub would overflow long) and the ppm emerges via
+    try_cast (NULL = coefficient denominator over int64, do not trust).
+
+    No reference counterpart (PyDI has no graph analytics) —
+    north-star addition.
+    """
+    e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a").join(db, "b").select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            ).otherwise(F.col("b")).alias("src"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            ).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    l = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    r = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = l.join(r, "src").where(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    ).dropDuplicates(["v", "w"])
+    triangles = wedges.join(closing, ["v", "w"])  # one row per triangle
+    per_node = (
+        triangles.select(
+            F.explode(F.array("src", "v", "w")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.withColumnRenamed("v", "id")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN d < 2 THEN CAST(0 AS BIGINT) ELSE try_cast("
+                "CAST(2 AS DECIMAL(19,0)) * coalesce(n_triangles, 0)"
+                " * 1000000 div (CAST(d AS DECIMAL(19,0)) * (d - 1))"
+                " AS BIGINT) END"
+            ).alias("coef_ppm"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """[id] — the nodes of the k-core: the maximal induced subgraph in
+    which every node has degree >= k, found by iterated peeling (drop
+    sub-k nodes, recompute degrees on the induced subgraph, repeat to
+    fixpoint). The standard corpus-graph densifier: everything outside
+    the core is tree-ish fringe.
+
+    Scale shape: each round is one degree aggregate + two semi-joins
+    over the surviving edge set, lineage cut per round
+    (localCheckpoint) — the distributed-CC discipline. Rounds are
+    bounded by the peeling depth of the graph (degeneracy ordering
+    length), NOT by diameter; convergence is detected by the surviving-
+    node count reaching a fixpoint (monotone decreasing, so equality is
+    the exact test — no checksum needed).
+
+    No reference counterpart — north-star addition.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(int(max_iterations)):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= F.lit(int(k))).select("v")
+        keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        if prev is not None and n == prev:
+            break
+        prev = n
+        if n == 0:
+            break
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .distinct()
+        .where(F.lit(prev if prev is not None else 0) > 0)
+    )

@@ -112,6 +112,54 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Unicode script blocks as LITERAL character-class ranges (never \u or
+# \p escapes: Spark SQL string literals consume backslashes and Java
+# spells script classes \p{IsX} where RE2 spells \p{X} — embedding the
+# actual boundary characters is the only text both engines read alike)
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[\u0400-\u04ff]",
+    "greek": "[\u0370-\u03ff]",
+    "cjk": "[\u4e00-\u9fff]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-script character counts (n_latin / n_cyrillic /
+    n_greek / n_cjk / n_digit), n_chars, and ``dominant_script`` — the
+    writing-system companion to ``language_id``: language markers only
+    work within a script, so a multilingual crawl routes on script
+    FIRST (latin -> langid, cjk -> a CJK segmenter, mixed -> review).
+
+    Counting is ``length(x) - length(regexp_replace(x, class, ''))`` —
+    JVM-side, no per-character explode, linear scan per row; dominance
+    is a fixed-priority CASE over the exact integer counts (latin >
+    cyrillic > greek > cjk on ties — deterministic, replayed verbatim
+    in the oracle). No reference counterpart — north-star addition.
+    """
+    x = F.col(text_col)
+    counts = {
+        name: (
+            F.length(x) - F.length(F.regexp_replace(x, rng, ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out = df.withColumn("n_chars", F.coalesce(F.length(x).cast("long"), F.lit(0)))
+    for name in SCRIPT_RANGES:
+        out = out.withColumn(f"n_{name}", F.coalesce(counts[name], F.lit(0)))
+    lat, cyr, grk, cjk = (F.col(f"n_{n}") for n in
+                          ("latin", "cyrillic", "greek", "cjk"))
+    dominant = (
+        F.when((lat >= F.greatest(cyr, grk, cjk)) & (lat > 0), "latin")
+        .when((cyr >= F.greatest(grk, cjk)) & (cyr > 0), "cyrillic")
+        .when((grk >= cjk) & (grk > 0), "greek")
+        .when(cjk > 0, "cjk")
+        .otherwise("other")
+    )
+    return out.withColumn("dominant_script", dominant)
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds fingerprint: md5 over the sorted distinct word tokens —
     order/whitespace/case-insensitive content identity (rolling-hash

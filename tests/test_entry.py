@@ -43,6 +43,13 @@ ROTATION_QUEUE: set[str] = {
     # changed; match_llm_fake's re-check is already in the r8 window)
     "extract_llm_fake",
     "schema_llm_fake",
+    # r8 new queries (window full — first checks in r9)
+    "graph_clustering_coef",
+    "graph_kcore",
+    "events_session_report",
+    "text_novelty",
+    "dedup_keep_best",
+    "text_script_detect",
 }
 
 
@@ -201,6 +208,9 @@ def test_partition_independence_of_new_queries(spark):
         "events_attribution", "profile_histogram", "events_active_users",
         "normalize_encode", "normalize_urls", "blocking_key_report",
         "streaming_distinct_users", "graph_triangles",
+        # round-8 additions
+        "graph_clustering_coef", "graph_kcore", "events_session_report",
+        "text_novelty", "dedup_keep_best", "text_script_detect",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

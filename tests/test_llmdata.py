@@ -1908,3 +1908,146 @@ def test_triangle_count_brute_force(spark):
     # empty graph
     empty = spark.createDataFrame([], "id1 int, id2 int")
     assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Square with one diagonal: a-b-c-d-a plus a-c. Triangles abc, acd.
+    Degrees a=3 b=2 c=3 d=2 -> coef a,c = 2*2/(3*2) = 2/3; b,d = 1."""
+    from pydi_spark.llmdata import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+         ("c", "a"),  # reversed duplicate collapses
+         ("b", "b")],  # self-loop drops
+        "id1 string, id2 string",
+    )
+    got = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert {(k, v["degree"], v["n_triangles"], v["coef_ppm"])
+            for k, v in got.items()} == {
+        ("a", 3, 2, 666666), ("b", 2, 1, 1000000),
+        ("c", 3, 2, 666666), ("d", 2, 1, 1000000),
+    }
+    # global triangle count must agree with the per-node attribution
+    from pydi_spark.llmdata import triangle_count
+    n_tri = triangle_count(edges).collect()[0]["n_triangles"]
+    assert sum(v["n_triangles"] for v in got.values()) == 3 * n_tri == 6
+
+
+def test_k_core_peeling_cascade(spark):
+    """Triangle {x,y,z} with a 3-node tail x-t1-t2-t3: the 2-core must
+    peel the tail one layer per round (t3 -> t2 -> t1), proving the
+    iteration runs to fixpoint, and keep exactly the triangle."""
+    from pydi_spark.llmdata import k_core
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"),
+         ("x", "t1"), ("t1", "t2"), ("t2", "t3")],
+        "id1 string, id2 string",
+    )
+    assert {r["id"] for r in k_core(edges, k=2).collect()} == {"x", "y", "z"}
+    # k above the max core -> empty
+    assert k_core(edges, k=3).count() == 0
+    # k=1 keeps every non-isolated node
+    assert k_core(edges, k=1).count() == 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_core(edges, k=0)
+
+
+def test_k_core_empty_and_partition_invariance(spark):
+    from pydi_spark.llmdata import clustering_coefficient, k_core
+
+    empty = spark.createDataFrame([], "id1 string, id2 string")
+    assert k_core(empty, k=2).count() == 0
+    assert clustering_coefficient(empty).count() == 0
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)]
+        + [(f"n{i}", f"n{(i + 2) % 7}") for i in range(7)],
+        "id1 string, id2 string",
+    )
+    a = sorted(map(tuple, clustering_coefficient(edges).collect()))
+    b = sorted(map(tuple, clustering_coefficient(edges.repartition(13)).collect()))
+    assert a == b
+
+
+def test_novelty_scores(spark):
+    """Batch docs vs a reference corpus: a doc fully covered by the
+    reference scores 0 ppm, a fully-new doc 1e6, a half-covered doc the
+    exact integer ratio; short docs fall back to the whole-sequence
+    gram (the decontaminate edge rule)."""
+    from pydi_spark.llmdata import novelty_scores
+
+    reference = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # grams all in reference
+            (2, "nova stella prima"),       # fully novel
+            (3, "alpha beta nova stella"),  # 1 of 3 grams known
+            (4, "zeta"),                    # short: single gram, novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(batch, reference, n=2).collect()}
+    assert (got["1"]["n_ngrams"], got["1"]["n_novel"], got["1"]["novelty_ppm"]) == (2, 0, 0)
+    assert (got["2"]["n_ngrams"], got["2"]["novelty_ppm"]) == (2, 1000000)
+    assert (got["3"]["n_ngrams"], got["3"]["n_novel"], got["3"]["novelty_ppm"]) == (3, 2, 666666)
+    # "zeta" alone is the whole-sequence gram; reference's short doc
+    # contributes "epsilon zeta" as ITS gram -> no match -> novel
+    assert got["4"]["novelty_ppm"] == 1000000
+
+
+def test_keep_best_duplicates(spark):
+    """Winner per duplicate cluster = (score DESC, id ASC); unpaired
+    docs keep themselves; ties break on min id."""
+    from pydi_spark.llmdata import keep_best_duplicates
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 30), ("d", 5), ("e", 99)],
+        "doc_id string, q int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "d2_missing")],  # d pairs with absent doc
+        "id1 string, id2 string",
+    )
+    got = {r["doc_id"]: r for r in
+           keep_best_duplicates(docs, pairs, "q").collect()}
+    # cluster {a,b,c}: best score 30 tie -> min id 'b'
+    assert got["a"]["keep_id"] == "b" and got["a"]["is_kept"] == 0
+    assert got["b"]["is_kept"] == 1 and got["c"]["is_kept"] == 0
+    assert got["a"]["cluster_id"] == "a"  # min-id label, stable
+    # 'd' clustered with an id absent from the corpus: d is the only
+    # scored member -> keeps itself
+    assert got["d"]["is_kept"] == 1
+    # unpaired doc keeps itself
+    assert got["e"]["keep_id"] == "e" and got["e"]["is_kept"] == 1
+    kept = keep_best_duplicates(docs, pairs, "q").where("is_kept = 1")
+    assert {r["doc_id"] for r in kept.collect()} == {"b", "d", "e"}
+
+
+def test_script_profile(spark):
+    from pydi_spark.llmdata import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world 42"),
+            (2, "привет мир"),
+            (3, "αβγ abc"),          # greek ties latin 3-3 -> latin wins
+            (4, "中文 text here more"),  # latin outnumbers cjk
+            (5, "中文字字字 ab"),
+            (6, "!!! ..."),
+            (7, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[1]["dominant_script"] == "latin"
+    assert got[1]["n_latin"] == 10 and got[1]["n_digit"] == 2
+    assert got[2]["dominant_script"] == "cyrillic" and got[2]["n_cyrillic"] == 9
+    assert got[3]["dominant_script"] == "latin"  # tie -> fixed priority
+    assert got[4]["dominant_script"] == "latin" and got[4]["n_cjk"] == 2
+    assert got[5]["dominant_script"] == "cjk"
+    assert got[6]["dominant_script"] == "other"
+    assert got[7]["dominant_script"] == "other" and got[7]["n_chars"] == 0

@@ -76,6 +76,12 @@ def dtype_class_mismatches(spark_rows, spark_cols, duck_rel):
 
     sdf = pd.DataFrame(spark_rows, columns=spark_cols)
     odf = duck_rel.df()
+    if len(sdf) == 0 or len(odf) == 0:
+        # an empty Spark frame types every column object while the
+        # DuckDB relation keeps its declared types — no values exist to
+        # hash differently, so dtype classes carry no signal here (the
+        # row-count compare still flags empty-vs-non-empty)
+        return {}
     bad = {}
     for c in spark_cols:
         if c not in odf.columns:
