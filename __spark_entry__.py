@@ -2951,6 +2951,44 @@ def q_text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window event counts (streaming/dedup.py
+    windowed_event_counts with slide= — the overlapping-window surface
+    next to the tumbling streaming_windowed): 6h windows every 2h, so
+    each event lands in exactly 3 windows. The oracle fans each event
+    to its 3 aligned starts with integer micros arithmetic."""
+    from pydi_spark.streaming import windowed_event_counts
+
+    events = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    out = windowed_event_counts(
+        events, "6 hours", slide="2 hours", value_column=None
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile (profiling/profiler.py
+    benford_profile): order prices as exact integer cents
+    (floor(x*100) — floor, never bare CAST: DuckDB's double->int cast
+    ROUNDS where Spark's truncates) and customer keys. TPC-H prices
+    are uniform-ish, so share_ppm visibly deviates from expected_ppm —
+    the profile carries real signal, not a zero column."""
+    from pydi_spark.profiling import benford_profile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    return benford_profile(orders, ["price_cents", "custkey"])
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 3-gram collision check of the train
     split (doc_id % 47 != 0) against a held-out eval split, broadcast
@@ -5822,6 +5860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": q_text_novelty,
         "dedup_keep_best": q_dedup_keep_best,
         "text_script_detect": q_text_script_detect,
+        "streaming_sliding": q_streaming_sliding,
+        "profile_benford": q_profile_benford,
     }
 
 
@@ -9875,7 +9915,63 @@ JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
 
+    out["streaming_sliding"] = """
+SELECT CAST(make_timestamp(ws) AS VARCHAR) AS window_start,
+       CAST(make_timestamp(ws + 21600000000) AS VARCHAR) AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type,
+         (epoch_us(ts) // 7200000000) * 7200000000
+           - k * 7200000000 AS ws
+  FROM events, unnest([CAST(0 AS BIGINT), 1, 2]) AS t(k)
+  WHERE ts IS NOT NULL
+)
+GROUP BY 1, 2, 3
+"""
+
+    _benford_expected = (
+        "CASE g.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938 "
+        "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 "
+        "WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757 END"
+    )
+    out["profile_benford"] = f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(o_custkey AS BIGINT) AS custkey
+  FROM orders
+),
+vals AS (
+  SELECT 'price_cents' AS "column", price_cents AS v FROM src
+  WHERE price_cents IS NOT NULL AND price_cents != 0
+  UNION ALL
+  SELECT 'custkey', custkey FROM src
+  WHERE custkey IS NOT NULL AND custkey != 0
+),
+counts AS (
+  SELECT "column", CAST(substr(CAST(abs(v) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM vals GROUP BY 1, 2
+),
+totals AS (SELECT "column", sum(n) AS total FROM counts GROUP BY 1),
+grid AS (
+  SELECT c AS "column", d AS digit
+  FROM (SELECT unnest(['price_cents', 'custkey']) AS c),
+       (SELECT unnest(range(1, 10)) AS d)
+)
+SELECT g."column", CAST(g.digit AS INT) AS digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN coalesce(t.total, 0) = 0 THEN 0
+                 ELSE coalesce(c.n, 0) * 1000000 // t.total END AS BIGINT)
+         AS share_ppm,
+       CAST({_benford_expected} AS BIGINT) AS expected_ppm
+FROM grid g
+LEFT JOIN counts c ON c."column" = g."column" AND c.digit = g.digit
+LEFT JOIN totals t ON t."column" = g."column"
+"""
+
     out["graph_clustering_coef"] = """
+
 WITH r AS (
   SELECT c_custkey AS id, c_nationkey AS n,
          row_number() OVER (PARTITION BY c_nationkey

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "text_novelty",
     "dedup_keep_best",
     "text_script_detect",
+    "streaming_sliding",
+    "profile_benford",
 ]
 
 

@@ -61,6 +61,19 @@ def main() -> None:
     print("-- most-overlapping source pairs")
     cross_source_overlap(docs, n=2).orderBy(F.desc("jaccard")).show(3)
 
+    # 0b. script routing BEFORE language ID: language markers only work
+    # within a writing system — a multilingual crawl routes latin docs
+    # to langid and everything else to per-script handling
+    from pydi_spark.llmdata import script_profile
+
+    scripts = script_profile(docs)
+    print("-- dominant scripts")
+    scripts.groupBy("dominant_script").count().show(5)
+    docs = docs.join(
+        scripts.where("dominant_script = 'latin'").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+
     # 1. language ID (native n-gram heuristic) — keep confident rows
     langs = language_id(docs)
     docs = docs.join(langs.select("doc_id", "predicted_lang"), "doc_id")
@@ -98,16 +111,34 @@ def main() -> None:
         .withColumn("n_chars", F.length("text"))
     )
 
-    # 3+4. exact + near-dup canonicalization (MinHash LSH -> connected
-    # components -> keep min doc per component)
+    # 3+4. near-dup collapse, QUALITY-AWARE: MinHash LSH -> connected
+    # components -> keep the LONGEST doc per duplicate cluster under
+    # the (length DESC, id ASC) total order (keep_best_duplicates; the
+    # min-id rule is canonical_corpus when ids are the right tiebreak)
+    from pydi_spark.llmdata import keep_best_duplicates
+
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.9)
-    canon = canonical_corpus(docs, pairs)
-    kept = canon.where("is_canonical").select("doc_id")
+    canon = keep_best_duplicates(
+        docs.withColumn("q", F.length("text")), pairs, "q"
+    )
+    kept = canon.where("is_kept = 1").select("doc_id")
     docs = docs.join(kept, "doc_id", "left_semi")
     # cut lineage: every later stage (and its count) would otherwise
     # re-execute the dedup cascade above
     docs = docs.localCheckpoint()
     n_canon = docs.count()
+
+    # 4b. marginal value of an incoming batch BEFORE paying full-dedup
+    # cost: novelty of the newest docs' trigrams vs the standing corpus
+    # (shuffle-join gram overlap — the broadcast-decontaminate dual)
+    from pydi_spark.llmdata import novelty_scores
+
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    standing = docs.where(F.col("doc_id") % 5 != 0)
+    nov = novelty_scores(incoming, standing, n=3)
+    print("-- incoming-batch novelty (ppm of trigrams unseen in corpus)")
+    nov.agg(F.min("novelty_ppm"), F.expr("percentile_approx(novelty_ppm, 0.5)"),
+            F.max("novelty_ppm")).show()
 
     # 5. benchmark decontamination vs a held-out eval split
     ev = docs.where(F.col("doc_id") % 47 == 0)

@@ -265,6 +265,82 @@ class DataProfiler:
         )
 
 
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+# first-digit shares as integer ppm literals (precomputed so BOTH
+# engines compare against the identical constants; no runtime log10)
+BENFORD_EXPECTED_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """[column, digit, n, share_ppm, expected_ppm] — first-significant-
+    digit distribution per column vs Benford's law, the classic
+    fabricated-data / unit-mixing smell test for numeric columns.
+
+    Determinism contract: pass INTEGER-valued columns (scale currency
+    to cents upstream) — the first digit comes from the bigint's string
+    form, which renders identically everywhere, where double->string
+    formatting does NOT (Spark renders 1e7 as '1.0E7'). Zeros and NULLs
+    are excluded (they have no first significant digit); shares are
+    exact integer ppm of each column's nonzero count. All 9 digits
+    appear per column (n = 0 rows zero-filled) so downstream deviation
+    scans never miss an absent digit.
+
+    Scale: one narrow pass per column unioned (cardinality-bounded
+    output, 9 rows/column), one shuffle on the tiny (column, digit)
+    key space — map-side combine does the real work.
+
+    No reference counterpart — north-star profiling addition.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    spark = df.sparkSession
+    parts = []
+    for c in columns:
+        v = F.col(c).cast("long")
+        parts.append(
+            df.where(v.isNotNull() & (v != 0)).select(
+                F.lit(c).alias("column"),
+                F.substring(F.abs(v).cast("string"), 1, 1)
+                .cast("int")
+                .alias("digit"),
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    counts = stacked.groupBy("column", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = spark.createDataFrame(
+        [(c, d) for c in columns for d in range(1, 10)],
+        "column string, digit int",
+    )
+    totals = counts.groupBy("column").agg(F.sum("n").alias("__total"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in BENFORD_EXPECTED_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return (
+        grid.join(counts, ["column", "digit"], "left")
+        .join(totals, "column", "left")
+        .select(
+            "column",
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN coalesce(__total, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(n, 0) * 1000000 div __total END"
+            ).alias("share_ppm"),
+            expected.cast("long").alias("expected_ppm"),
+        )
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_col: str,

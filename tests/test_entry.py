@@ -50,6 +50,8 @@ ROTATION_QUEUE: set[str] = {
     "text_novelty",
     "dedup_keep_best",
     "text_script_detect",
+    "streaming_sliding",
+    "profile_benford",
 }
 
 
@@ -211,6 +213,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-8 additions
         "graph_clustering_coef", "graph_kcore", "events_session_report",
         "text_novelty", "dedup_keep_best", "text_script_detect",
+        "streaming_sliding", "profile_benford",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -887,3 +887,62 @@ def test_null_pattern_report(spark):
 
     with _pytest.raises(ValueError):
         null_pattern_report(df, [])
+
+
+def test_benford_profile(spark):
+    """Known distribution: digits of [1, 12, -13, 145, 2, 0, None] for
+    column a -> d1:3 d2:1 (zeros/nulls excluded); all 9 digits present
+    zero-filled; shares exact ppm; expected = the Benford literals."""
+    import pytest as _pytest
+
+    from pydi_spark.profiling import BENFORD_EXPECTED_PPM, benford_profile
+
+    df = spark.createDataFrame(
+        [(1, 9), (12, 9), (-13, 91), (145, 9), (2, 9), (0, 9), (None, 9)],
+        "a long, b long",
+    )
+    out = benford_profile(df, ["a", "b"])
+    rows = {(r["column"], r["digit"]): r for r in out.collect()}
+    assert len(rows) == 18  # 9 digits x 2 columns, zero-filled
+    # digits: 1->1, 12->1, -13->1, 145->1, 2->2 ; zeros/nulls dropped
+    got_a = {d: rows[("a", d)]["n"] for d in range(1, 10)}
+    assert got_a == {1: 4, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
+    assert rows[("a", 1)]["share_ppm"] == 4 * 1_000_000 // 5
+    assert rows[("a", 2)]["share_ppm"] == 1_000_000 // 5
+    got_b = {d: rows[("b", d)]["n"] for d in range(1, 10)}
+    assert got_b[9] == 7  # 9,9,91,9,9,9,9 -> all first-digit 9
+    assert rows[("b", 9)]["share_ppm"] == 1_000_000
+    for d in range(1, 10):
+        assert rows[("a", d)]["expected_ppm"] == BENFORD_EXPECTED_PPM[d]
+    with _pytest.raises(ValueError):
+        benford_profile(df, [])
+
+
+def test_streaming_sliding_parity(spark, sf_dir):
+    """Sliding windows (slide < duration) on a real stream: every event
+    lands in exactly duration/slide windows, and the streaming run
+    matches the batch plan (the oracle's side) window-for-window."""
+    from pydi_spark.io.readers import nanos_to_timestamp
+    from pydi_spark.streaming import windowed_event_counts
+    from pydi_spark.streaming.dedup import run_stream_from_parquet
+
+    path = f"{sf_dir}/events.parquet"
+    batch = nanos_to_timestamp(spark.read.parquet(path)).where(
+        "ts IS NOT NULL"
+    )
+    b = windowed_event_counts(batch, "6 hours", slide="2 hours",
+                              value_column=None)
+    expected = {(r["window_start"], r["event_type"]): r["n_events"]
+                for r in b.collect()}
+    # fan-out law: total windowed events = 3x the raw events
+    assert sum(expected.values()) == 3 * batch.count()
+    got = run_stream_from_parquet(
+        spark, path,
+        lambda s: windowed_event_counts(
+            nanos_to_timestamp(s).where("ts IS NOT NULL"),
+            "6 hours", slide="2 hours", value_column=None),
+        output_mode="complete", query_name="sliding_result",
+    )
+    got_counts = {(r["window_start"], r["event_type"]): r["n_events"]
+                  for r in got.collect()}
+    assert got_counts == expected
