@@ -1640,6 +1640,53 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_cluster_max_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-WEIGHT bipartite matching (clustering/maximum_bipartite.py
+    — previously pytest-only because the optimum is not unique in
+    general). This query constructs disjoint 3-edge paths whose optimum
+    IS unique: per customer 4-group (m0, m1, m2, m3), edges
+    (m0,m1,0.6), (m2,m1,0.9), (m2,m3,0.5) — the 2-edge matching weighs
+    1.1 > 0.9, so EVERY exact solver must keep {(m0,m1), (m2,m3)} and
+    the oracle can state the answer directly. (A greedy matcher would
+    take the 0.9 edge first and score 0.9 — this query certifies the
+    solver is exact, not greedy.)"""
+    from pydi_spark.clustering import MaximumBipartiteMatcher
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = (
+        cust.withColumn("rk", F.row_number().over(w))
+        .withColumn("g", F.expr("(rk - 1) div 4"))
+        .withColumn("m", F.expr("(rk - 1) % 4"))
+    )
+    full = (
+        r.groupBy("c_nationkey", "g").agg(F.count("*").alias("n"))
+        .where("n = 4").select("c_nationkey", "g")
+    )
+    r = r.join(full, ["c_nationkey", "g"], "left_semi")
+    m = {
+        i: r.where(F.col("m") == i).select(
+            F.col("c_nationkey").alias("nk"), F.col("g").alias("gg"),
+            F.col("c_custkey").cast("string").alias(f"m{i}"),
+        )
+        for i in range(4)
+    }
+    grp = m[0].join(m[1], ["nk", "gg"]).join(m[2], ["nk", "gg"]).join(
+        m[3], ["nk", "gg"]
+    )
+    edges = (
+        grp.select(F.col("m0").alias("id1"), F.col("m1").alias("id2"),
+                   F.lit(0.6).alias("score"))
+        .unionByName(grp.select(F.col("m2").alias("id1"),
+                                F.col("m1").alias("id2"),
+                                F.lit(0.9).alias("score")))
+        .unionByName(grp.select(F.col("m2").alias("id1"),
+                                F.col("m3").alias("id2"),
+                                F.lit(0.5).alias("score")))
+    )
+    return MaximumBipartiteMatcher().cluster(edges)
+
+
 def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact local clustering coefficient (llmdata/graph.py
     clustering_coefficient — the triangle orientation kept per-node,
@@ -5862,6 +5909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_detect": q_text_script_detect,
         "streaming_sliding": q_streaming_sliding,
         "profile_benford": q_profile_benford,
+        "cluster_max_bipartite": q_cluster_max_bipartite,
     }
 
 
@@ -9915,7 +9963,35 @@ JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
 
+    out["cluster_max_bipartite"] = """
+WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS id, c_nationkey AS nk,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk
+  FROM customer
+),
+g AS (
+  SELECT id, nk, (rk - 1) // 4 AS gg, (rk - 1) % 4 AS m FROM r
+),
+full_g AS (
+  SELECT nk, gg FROM g GROUP BY nk, gg HAVING count(*) = 4
+),
+p AS (
+  SELECT g.nk, g.gg,
+         max(CASE WHEN m = 0 THEN id END) AS m0,
+         max(CASE WHEN m = 1 THEN id END) AS m1,
+         max(CASE WHEN m = 2 THEN id END) AS m2,
+         max(CASE WHEN m = 3 THEN id END) AS m3
+  FROM g JOIN full_g USING (nk, gg)
+  GROUP BY g.nk, g.gg
+)
+SELECT m0 AS id1, m1 AS id2, CAST(0.6 AS DOUBLE) AS score FROM p
+UNION ALL
+SELECT m2, m3, CAST(0.5 AS DOUBLE) FROM p
+"""
+
     out["streaming_sliding"] = """
+
 SELECT CAST(make_timestamp(ws) AS VARCHAR) AS window_start,
        CAST(make_timestamp(ws + 21600000000) AS VARCHAR) AS window_end,
        event_type,

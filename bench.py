@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "text_script_detect",
     "streaming_sliding",
     "profile_benford",
+    "cluster_max_bipartite",
 ]
 
 

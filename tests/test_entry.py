@@ -52,6 +52,7 @@ ROTATION_QUEUE: set[str] = {
     "text_script_detect",
     "streaming_sliding",
     "profile_benford",
+    "cluster_max_bipartite",
 }
 
 
@@ -213,7 +214,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-8 additions
         "graph_clustering_coef", "graph_kcore", "events_session_report",
         "text_novelty", "dedup_keep_best", "text_script_detect",
-        "streaming_sliding", "profile_benford",
+        "streaming_sliding", "profile_benford", "cluster_max_bipartite",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
