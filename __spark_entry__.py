@@ -5668,8 +5668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         locally now).
     #   16-25 stalest greens (last driver row r02), continued
     #   26-50 stalest greens (last driver row r03)
-    # After this round EVERY one of the 220 contract queries has >= 1
-    # driver row. Everything past 50 has >= 1 green driver row in
+    # After this round every query that existed at rotation time has
+    # >= 1 driver row; round-8 additions sit past 50 in the pinned
+    # ROTATION_QUEUE (tests/test_entry.py — the roster source of
+    # truth). Everything else past 50 has >= 1 green driver row in
     # r01-r07 and stays under the local gate (tools/check_oracle.py).
     return {
         # -- window 1-8: r7 rotation-queue first checks (the pinned

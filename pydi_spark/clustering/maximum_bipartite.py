@@ -37,21 +37,56 @@ class MaximumBipartiteMatcher:
         return corr.join(kept_df, ["id1", "id2"], "left_semi")
 
     @staticmethod
-    def _solve(rows, li, ri, left_ids, right_ids):
+    def _components(rows):
+        """Union-find over the (output-sized) edge set: the optimum of a
+        disconnected graph is the union of per-component optima, and the
+        blossom solver is superlinear in graph size — nx on one 15k-node
+        forest of 4-node paths took ~153 s where per-component solves
+        take milliseconds (r8 review finding)."""
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = ("L", r["id1"]), ("R", r["id2"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comps: dict = {}
+        for r in rows:
+            comps.setdefault(find(("L", r["id1"])), []).append(r)
+        return comps.values()
+
+    @classmethod
+    def _solve(cls, rows, li, ri, left_ids, right_ids):
         try:
             # the reference's own solver choice (NetworkX,
-            # maximum_bipartite_matching.py:28-348)
+            # maximum_bipartite_matching.py:28-348), run PER CONNECTED
+            # COMPONENT — exactness is preserved (components share no
+            # vertices) and the superlinear blossom cost is paid on
+            # component-sized graphs
             import networkx as nx
 
-            g = nx.Graph()
-            for r in rows:
-                g.add_edge(("L", r["id1"]), ("R", r["id2"]), weight=float(r["score"]))
-            matching = nx.algorithms.matching.max_weight_matching(g)
             out = []
-            for a, b in matching:
-                if a[0] == "R":
-                    a, b = b, a
-                out.append((a[1], b[1]))
+            for comp in cls._components(rows):
+                g = nx.Graph()
+                for r in comp:
+                    g.add_edge(
+                        ("L", r["id1"]), ("R", r["id2"]),
+                        weight=float(r["score"]),
+                    )
+                for a, b in nx.algorithms.matching.max_weight_matching(g):
+                    if a[0] == "R":
+                        a, b = b, a
+                    out.append((a[1], b[1]))
             return sorted(out)
         except ImportError:
             try:

@@ -99,38 +99,7 @@ def triangle_count(
     No reference counterpart (PyDI has no graph analytics) — the
     community/cohesion diagnostic next to pagerank_micro.
     """
-    e = (
-        edges.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .where(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .dropDuplicates(["a", "b"])
-    )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    # orient low (deg, id) -> high (deg, id)
-    oriented = (
-        e.join(da, "a").join(db, "b").select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.col("a"),
-            ).otherwise(F.col("b")).alias("src"),
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.col("b"),
-            ).otherwise(F.col("a")).alias("dst"),
-        )
-    )
+    oriented = _oriented(_canonical_edges(edges, id1, id2))
     l = oriented.select(F.col("src"), F.col("dst").alias("v"))
     r = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = l.join(r, "src").where(F.col("v") < F.col("w"))
@@ -153,6 +122,33 @@ def _canonical_edges(edges: DataFrame, id1: str, id2: str) -> DataFrame:
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .dropDuplicates(["a", "b"])
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """[v, d] over a canonical edge set."""
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _oriented(e: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of a canonical edge set: every edge
+    runs from its lower endpoint to its higher under the (degree, id)
+    TOTAL order, bounding out-degree by O(sqrt(m)) (arboricity) — the
+    shared core of triangle_count and clustering_coefficient."""
+    deg = _degrees(e)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.join(da, "a").join(db, "b").select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
 
 
@@ -179,28 +175,8 @@ def clustering_coefficient(
     north-star addition.
     """
     e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    oriented = (
-        e.join(da, "a").join(db, "b").select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.col("a"),
-            ).otherwise(F.col("b")).alias("src"),
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.col("b"),
-            ).otherwise(F.col("a")).alias("dst"),
-        )
-    )
+    deg = _degrees(e)
+    oriented = _oriented(e)
     l = oriented.select(F.col("src"), F.col("dst").alias("v"))
     r = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = l.join(r, "src").where(F.col("v") < F.col("w"))

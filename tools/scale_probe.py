@@ -39,7 +39,12 @@ def synthesize(spark, src_path: str, out_path: str, id_col: str,
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(out_path, "_SUCCESS")):
-        return
+        # cache-bust on SCHEMA drift: a scratch table synthesized by an
+        # older probe version may lack newly-kept columns (r8: a stale
+        # customer10 without c_nationkey broke the graph probe)
+        want = {id_col, text_col, *keep_cols}
+        if want <= set(spark.read.parquet(out_path).columns):
+            return
     base = spark.read.parquet(src_path)
     parts = []
     for k in range(COPIES):
