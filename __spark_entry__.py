@@ -5469,6 +5469,39 @@ def q_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_keys(_t(spark, sf_dir, "orders"), _FD_COLS, max_size=2)
 
 
+def q_io_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history (io/cdc.py
+    point_in_time_join — the consumption twin of io_scd2): each order
+    (fact, at = its orderkey version) joins the per-customer status
+    version valid at that point; facts landing on a delete-closed or
+    pre-first-version point keep null dimension columns. SCD2
+    intervals partition the timeline -> exactly one output row per
+    fact."""
+    from pydi_spark.io import point_in_time_join, scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.select(
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    hist = scd2_history(changes, "o_custkey").select(
+        "o_custkey", F.col("o_orderstatus").alias("status_at"),
+        "valid_from", "valid_to",
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderkey").cast("long").alias("at"),
+    )
+    out = point_in_time_join(facts, hist, "o_custkey", "at")
+    return out.select(
+        "o_orderkey", "o_custkey", "status_at",
+        F.coalesce("valid_from", F.lit(-1)).alias("valid_from"),
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
+    )
+
+
 def q_io_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals from a change stream (io/cdc.py
     scd2_history): orders as per-customer status changes versioned by
@@ -5912,6 +5945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding": q_streaming_sliding,
         "profile_benford": q_profile_benford,
         "cluster_max_bipartite": q_cluster_max_bipartite,
+        "io_pit_join": q_io_pit_join,
     }
 
 
@@ -9642,7 +9676,33 @@ SELECT '{label}' AS columns,
 
     # versions (o_orderkey) are unique per key, so the engine's md5
     # tiebreak never fires and ORDER BY v alone replays it exactly
+    out["io_pit_join"] = """
+WITH ch AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderkey AS BIGINT) v,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END op
+  FROM orders
+),
+hist AS (
+  SELECT o_custkey, o_orderstatus AS status_at, valid_from, valid_to
+  FROM (
+    SELECT o_custkey, o_orderstatus, v AS valid_from, op,
+           lead(v) OVER (PARTITION BY o_custkey ORDER BY v ASC) AS valid_to
+    FROM ch
+  ) WHERE op != 'D'
+)
+SELECT f.o_orderkey, f.o_custkey, h.status_at,
+       coalesce(h.valid_from, -1) AS valid_from,
+       coalesce(h.valid_to, -1) AS valid_to
+FROM (SELECT o_orderkey, o_custkey, CAST(o_orderkey AS BIGINT) AS at
+      FROM orders) f
+LEFT JOIN hist h
+  ON h.o_custkey = f.o_custkey
+ AND f.at >= h.valid_from
+ AND (h.valid_to IS NULL OR f.at < h.valid_to)
+"""
+
     out["io_scd2"] = """
+
 WITH ch AS (
   SELECT o_custkey, o_orderstatus, CAST(o_orderkey AS BIGINT) v,
          CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END op

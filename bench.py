@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "streaming_sliding",
     "profile_benford",
     "cluster_max_bipartite",
+    "io_pit_join",
 ]
 
 

@@ -19,7 +19,7 @@ from pydi_spark.io.compaction import (
     plan_compaction,
 )
 from pydi_spark.io.cdc import apply_changes
-from pydi_spark.io.cdc import scd2_history
+from pydi_spark.io.cdc import point_in_time_join, scd2_history
 from pydi_spark.io.diff import diff_summary, table_diff
 from pydi_spark.io.schema_align import align_and_union
 from pydi_spark.io.zorder import write_zordered, zorder_key, zorder_key_sql
@@ -42,6 +42,7 @@ __all__ = [
     "plan_compaction",
     "align_and_union",
     "diff_summary",
+    "point_in_time_join",
     "scd2_history",
     "table_diff",
     "load_csv",

@@ -101,3 +101,45 @@ def scd2_history(
         "valid_to",
         (F.col("valid_to").isNull()).cast("int").alias("is_current"),
     )
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    at_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid AT the fact's
+    time: ``history.key = facts.key AND valid_from <= at <
+    coalesce(valid_to, infinity)`` — the consumption twin of
+    :func:`scd2_history` (the warehouse "point-in-time correct" join a
+    plain equi-join to ``is_current`` silently gets wrong for
+    historical facts). SCD2 intervals partition each key's timeline, so
+    every fact matches AT MOST one version; unmatched facts keep null
+    dimension columns under the default left join.
+
+    Scale shape: ONE equi-join shuffle on the key with the interval
+    predicate riding in the join condition (Catalyst keeps it a hash
+    join keyed on ``key_col``; the interval check is a post-probe
+    filter per key group, bounded by versions-per-key). History
+    columns colliding with fact columns get ``suffix``.
+    """
+    f, h = facts.alias("__f"), history.alias("__h")
+    cond = (
+        (F.col(f"__f.{key_col}") == F.col(f"__h.{key_col}"))
+        & (F.col(f"__f.{at_col}") >= F.col(f"__h.{valid_from_col}"))
+        & (
+            F.col(f"__h.{valid_to_col}").isNull()
+            | (F.col(f"__f.{at_col}") < F.col(f"__h.{valid_to_col}"))
+        )
+    )
+    taken = set(facts.columns)
+    out_cols = [F.col(f"__f.{c}") for c in facts.columns] + [
+        F.col(f"__h.{c}").alias(c + suffix if c in taken else c)
+        for c in history.columns
+        if c != key_col
+    ]
+    return f.join(h, cond, how).select(*out_cols)

@@ -53,6 +53,7 @@ ROTATION_QUEUE: set[str] = {
     "streaming_sliding",
     "profile_benford",
     "cluster_max_bipartite",
+    "io_pit_join",
 }
 
 
@@ -215,6 +216,7 @@ def test_partition_independence_of_new_queries(spark):
         "graph_clustering_coef", "graph_kcore", "events_session_report",
         "text_novelty", "dedup_keep_best", "text_script_detect",
         "streaming_sliding", "profile_benford", "cluster_max_bipartite",
+        "io_pit_join",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

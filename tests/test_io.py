@@ -468,3 +468,39 @@ def test_plan_compaction_idempotent_and_list_files(spark, tmp_path):
         for r in plan_compaction(files.repartition(4), 250).collect()
     )
     assert a == b  # plan is a pure function of the file list
+
+
+def test_point_in_time_join(spark):
+    """Each fact matches the dimension version valid at its time;
+    facts before the first version / on deleted keys stay unmatched;
+    intervals partition the timeline so matches are unique."""
+    from pydi_spark.io import point_in_time_join, scd2_history
+
+    changes = spark.createDataFrame(
+        [("k1", "bronze", 10, "U"), ("k1", "silver", 20, "U"),
+         ("k1", "gold", 30, "U"),
+         ("k2", "basic", 15, "U"), ("k2", None, 25, "D")],
+        "key string, tier string, version int, op string",
+    )
+    hist = scd2_history(changes, "key")
+    facts = spark.createDataFrame(
+        [("f1", "k1", 10), ("f2", "k1", 25), ("f3", "k1", 99),
+         ("f4", "k2", 16), ("f5", "k2", 30),   # after k2's delete
+         ("f6", "k1", 5),                      # before first version
+         ("f7", "kX", 10)],                    # unknown key
+        "fact_id string, key string, at long",
+    )
+    out = {r["fact_id"]: r for r in
+           point_in_time_join(facts, hist, "key", "at").collect()}
+    assert len(out) == 7  # left join keeps every fact exactly once
+    assert out["f1"]["tier"] == "bronze"   # at == valid_from matches
+    assert out["f2"]["tier"] == "silver"
+    assert out["f3"]["tier"] == "gold"     # open interval
+    assert out["f4"]["tier"] == "basic"
+    assert out["f5"]["tier"] is None       # delete closed the interval
+    assert out["f6"]["tier"] is None
+    assert out["f7"]["tier"] is None
+    # colliding column names get the suffix
+    hist2 = hist.withColumnRenamed("tier", "at")
+    cols = point_in_time_join(facts, hist2, "key", "at").columns
+    assert "at_dim" in cols and cols.count("at") == 1
