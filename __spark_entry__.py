@@ -1394,6 +1394,41 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(ev, ["view", "click", "purchase"], within_hours=24)
 
 
+def q_events_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted retention / LTV table (events/ops.py
+    cohort_value): retention's cohort grid plus the exact micro-integer
+    value sum per (cohort, week offset) — values floor-quantized to
+    micros BEFORE summation so the aggregate is order-free."""
+    from pydi_spark.events import cohort_value
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value"
+    )
+    return cohort_value(ev, signup_type="signup")
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between two corpus snapshots (profiling
+    category_drift_report): order priorities of early vs late orders
+    (orderkey halves), exact integer ppm shares + signed delta; a
+    synthesized one-sided category and a null class prove the
+    full-outer + null accounting."""
+    from pydi_spark.profiling import category_drift_report
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 0, F.lit(None))
+        .when(F.col("o_orderkey") % 37 == 0, F.lit("LEGACY"))
+        .otherwise(F.col("o_orderpriority")).alias("pri"),
+    )
+    mid = orders.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_orderkey)")
+    ).collect()[0][0]
+    a = orders.where(F.col("o_orderkey") <= F.lit(int(mid)))
+    b = orders.where(F.col("o_orderkey") > F.lit(int(mid)))
+    return category_drift_report(a, b, "pri")
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by ISO week of first
     signup; n_users active per week offset. Week arithmetic is
@@ -5946,6 +5981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_benford": q_profile_benford,
         "cluster_max_bipartite": q_cluster_max_bipartite,
         "io_pit_join": q_io_pit_join,
+        "events_cohort_value": q_events_cohort_value,
+        "profile_drift": q_profile_drift,
     }
 
 
@@ -8455,7 +8492,61 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+    out["events_cohort_value"] = """
+WITH ev AS (SELECT user_id, event_type, ts, value FROM events),
+su AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+       FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+j AS (
+  SELECT e.user_id, su.cw,
+         CAST(datediff('day', su.cw, date_trunc('week', e.ts)) // 7 AS INT)
+           AS wk_off,
+         CAST(floor(coalesce(e.value, 0) * 1000000) AS BIGINT) AS vm
+  FROM ev e JOIN su ON su.user_id = e.user_id
+  WHERE e.ts >= su.cw
+)
+SELECT CAST(CAST(cw AS DATE) AS VARCHAR) AS cohort_week, wk_off,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(vm) AS BIGINT) AS value_micro
+FROM j GROUP BY 1, 2
+"""
+
+    out["profile_drift"] = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 31 = 0 THEN NULL
+              WHEN o_orderkey % 37 = 0 THEN 'LEGACY'
+              ELSE o_orderpriority END AS pri
+  FROM orders
+),
+mid AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_orderkey) AS m
+        FROM src),
+a AS (SELECT coalesce(CAST(pri AS VARCHAR), '__null__') AS value,
+             count(*) AS n_a
+      FROM src, mid WHERE o_orderkey <= m GROUP BY 1),
+b AS (SELECT coalesce(CAST(pri AS VARCHAR), '__null__') AS value,
+             count(*) AS n_b
+      FROM src, mid WHERE o_orderkey > m GROUP BY 1),
+ta AS (SELECT count(*) AS t FROM src, mid WHERE o_orderkey <= m),
+tb AS (SELECT count(*) AS t FROM src, mid WHERE o_orderkey > m),
+m0 AS (
+  SELECT coalesce(a.value, b.value) AS value,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL OUTER JOIN b USING (value)
+)
+SELECT value, n_a, n_b,
+       CAST(CASE WHEN ta.t = 0 THEN 0 ELSE n_a * 1000000 // ta.t END
+            AS BIGINT) AS share_a_ppm,
+       CAST(CASE WHEN tb.t = 0 THEN 0 ELSE n_b * 1000000 // tb.t END
+            AS BIGINT) AS share_b_ppm,
+       CAST((CASE WHEN tb.t = 0 THEN 0 ELSE n_b * 1000000 // tb.t END)
+          - (CASE WHEN ta.t = 0 THEN 0 ELSE n_a * 1000000 // ta.t END)
+            AS BIGINT) AS delta_ppm
+FROM m0, ta, tb
+"""
+
     out["events_retention"] = """
+
 WITH ev AS (SELECT user_id, event_type, ts FROM events),
 su AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
        FROM ev WHERE event_type = 'signup' GROUP BY user_id),

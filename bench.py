@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "profile_benford",
     "cluster_max_bipartite",
     "io_pit_join",
+    "events_cohort_value",
+    "profile_drift",
 ]
 
 

@@ -2,6 +2,7 @@ from pydi_spark.events.ops import (
     active_users,
     assign_sessions,
     attribute_conversions,
+    cohort_value,
     event_path_ngrams,
     funnel_stages,
     resample_timeseries,
@@ -24,6 +25,7 @@ __all__ = [
     "active_users",
     "assign_sessions",
     "attribute_conversions",
+    "cohort_value",
     "event_path_ngrams",
     "funnel_stages",
     "resample_timeseries",

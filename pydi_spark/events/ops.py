@@ -200,6 +200,54 @@ def retention_cohorts(
     ).agg(F.count("*").alias("n_users"))
 
 
+def cohort_value(
+    df: DataFrame,
+    signup_type: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """[cohort_week, wk_off, n_users, value_micro] — revenue-weighted
+    retention: retention_cohorts' user counts PLUS the exact
+    micro-integer sum of ``value_col`` each cohort generates per
+    whole-week offset (LTV curves read straight off this table;
+    NULL values count as 0). Values quantize to micro-units BEFORE
+    aggregation (floor(value * 1e6)) so the sum is an exact integer —
+    the resample_timeseries convention.
+
+    Scale: the signup aggregate + one user-keyed join, then a
+    map-side-combinable (cohort, offset) aggregate — the event stream
+    is touched once and never windowed.
+    """
+    base = df.select(user_col, type_col, ts_col, value_col)
+    su = (
+        base.where(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cw"))
+    )
+    joined = (
+        base.join(su, user_col)
+        .where(F.col(ts_col) >= F.col("cw"))
+        .select(
+            user_col,
+            "cw",
+            F.expr(f"datediff(date_trunc('week', {ts_col}), cw) div 7")
+            .cast("int")
+            .alias("wk_off"),
+            F.expr(f"CAST(floor(coalesce({value_col}, 0) * 1000000) AS BIGINT)")
+            .alias("__vm"),
+        )
+    )
+    return joined.groupBy(
+        F.col("cw").cast("date").cast("string").alias("cohort_week"),
+        "wk_off",
+    ).agg(
+        F.countDistinct(user_col).alias("n_users"),
+        F.sum("__vm").alias("value_micro"),
+    )
+
+
 def event_path_ngrams(
     df: DataFrame,
     n: int = 3,

@@ -341,6 +341,54 @@ def benford_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
+def category_drift_report(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """[value, n_a, n_b, share_a_ppm, share_b_ppm, delta_ppm] — exact
+    categorical-distribution drift between two snapshots of a column
+    (baseline corpus vs incoming batch, last week vs this week): per
+    value, both counts, both shares in exact integer ppm, and the
+    signed share delta. The corpus-monitoring primitive a training-data
+    pipeline checks before accepting a new crawl — values absent from
+    one side surface with n = 0 (full outer), never silently vanish.
+    NULL is reported as its own category (a null-rate shift IS drift).
+
+    Statistics like PSI/chi-square need logs or float accumulation
+    (not portable under the repo's exact-arithmetic rule) — downstream
+    callers can fold delta_ppm however they like; the report itself is
+    all-integer and cross-engine exact.
+
+    Scale: one groupBy per side (cardinality-bounded), a full outer
+    join on the value, two 1-row totals broadcast as literals.
+    """
+    null_token = "__null__"
+
+    def counted(df, name):
+        v = F.coalesce(F.col(col).cast("string"), F.lit(null_token))
+        return df.select(v.alias("value")).groupBy("value").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    a, b = counted(df_a, "n_a"), counted(df_b, "n_b")
+    ta = int(df_a.count())
+    tb = int(df_b.count())
+    out = a.join(b, "value", "full_outer").select(
+        "value",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    share_a = F.expr(f"CASE WHEN {ta} = 0 THEN CAST(0 AS BIGINT) "
+                     f"ELSE n_a * 1000000 div {ta} END")
+    share_b = F.expr(f"CASE WHEN {tb} = 0 THEN CAST(0 AS BIGINT) "
+                     f"ELSE n_b * 1000000 div {tb} END")
+    return out.select(
+        "value", "n_a", "n_b",
+        share_a.alias("share_a_ppm"),
+        share_b.alias("share_b_ppm"),
+        (share_b - share_a).cast("long").alias("delta_ppm"),
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_col: str,

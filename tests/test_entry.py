@@ -54,6 +54,8 @@ ROTATION_QUEUE: set[str] = {
     "profile_benford",
     "cluster_max_bipartite",
     "io_pit_join",
+    "events_cohort_value",
+    "profile_drift",
 }
 
 
@@ -216,7 +218,7 @@ def test_partition_independence_of_new_queries(spark):
         "graph_clustering_coef", "graph_kcore", "events_session_report",
         "text_novelty", "dedup_keep_best", "text_script_detect",
         "streaming_sliding", "profile_benford", "cluster_max_bipartite",
-        "io_pit_join",
+        "io_pit_join", "events_cohort_value", "profile_drift",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

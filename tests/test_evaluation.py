@@ -474,3 +474,37 @@ def test_equi_width_histogram(spark):
         equi_width_histogram(df, "x", n_buckets=0)
     with _pytest.raises(ValueError):
         equi_width_histogram(df, "x", lo=5.0, hi=1.0)
+
+
+def test_cohort_value(spark):
+    """LTV table: value sums quantize to exact micros; n_users matches
+    retention_cohorts' distinct count; pre-signup events excluded."""
+    from pydi_spark.events import cohort_value, retention_cohorts
+
+    rows = [
+        # u1 signs up week of Mon 2024-01-01; spends in wk 0 and wk 1
+        (1, "u1", "signup", "2024-01-02 10:00:00", 0.0),
+        (2, "u1", "purchase", "2024-01-03 10:00:00", 10.5),
+        (3, "u1", "purchase", "2024-01-09 10:00:00", 2.25),
+        # u2 same cohort, only wk 0 activity (value NULL -> 0)
+        (4, "u2", "signup", "2024-01-04 09:00:00", None),
+        # u2 pre-signup event must NOT count
+        (5, "u2", "view", "2023-12-20 09:00:00", 99.0),
+        # u3 never signs up -> outside every cohort
+        (6, "u3", "purchase", "2024-01-03 12:00:00", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, "
+              "ts_s string, value double",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts_s"))
+    got = {(r["cohort_week"], r["wk_off"]): r
+           for r in cohort_value(df).collect()}
+    wk0 = got[("2024-01-01", 0)]
+    assert wk0["n_users"] == 2
+    assert wk0["value_micro"] == 10_500_000  # u1 10.5 + signups 0
+    wk1 = got[("2024-01-01", 1)]
+    assert wk1["n_users"] == 1 and wk1["value_micro"] == 2_250_000
+    assert len(got) == 2  # u3 and pre-signup rows excluded
+    ret = {(r["cohort_week"], r["wk_off"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    assert all(got[k]["n_users"] == ret[k] for k in got)

@@ -946,3 +946,23 @@ def test_streaming_sliding_parity(spark, sf_dir):
     got_counts = {(r["window_start"], r["event_type"]): r["n_events"]
                   for r in got.collect()}
     assert got_counts == expected
+
+
+def test_category_drift_report(spark):
+    """Exact drift accounting: one-sided values survive the full outer
+    with n=0; NULL is a real category; shares are exact integer ppm and
+    delta is their signed difference."""
+    from pydi_spark.profiling import category_drift_report
+
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "c string")
+    b = spark.createDataFrame(
+        [("x",), ("z",), ("z",), ("z",)], "c string")
+    got = {r["value"]: r for r in category_drift_report(a, b, "c").collect()}
+    assert set(got) == {"x", "y", "z", "__null__"}
+    assert (got["x"]["n_a"], got["x"]["n_b"]) == (2, 1)
+    assert got["x"]["share_a_ppm"] == 500000 and got["x"]["share_b_ppm"] == 250000
+    assert got["x"]["delta_ppm"] == -250000
+    assert (got["y"]["n_b"], got["y"]["share_b_ppm"]) == (0, 0)
+    assert got["z"]["share_b_ppm"] == 750000 and got["z"]["n_a"] == 0
+    assert got["__null__"]["n_a"] == 1 and got["__null__"]["n_b"] == 0
