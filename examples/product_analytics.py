@@ -40,6 +40,13 @@ def main() -> None:
     print("== sessions (30-min gap) ==")
     session_stats(ev).orderBy("user_id", "session_id").show(5)
 
+    print("== session landing/exit report + bounce rate ==")
+    from pydi_spark.events import session_entry_exit
+
+    rep = session_entry_exit(ev)
+    rep.orderBy("user_id", "session_id").show(5)
+    rep.groupBy("entry_type").avg("is_bounce").orderBy("entry_type").show()
+
     print("== funnel view -> click -> purchase (24h steps) ==")
     funnel_stages(ev, ["view", "click", "purchase"]).orderBy("stage").show()
 
@@ -50,6 +57,11 @@ def main() -> None:
 
     print("== weekly retention cohorts ==")
     retention_cohorts(ev).orderBy("cohort_week", "wk_off").show(8)
+
+    print("== revenue-weighted cohorts (LTV, exact micro sums) ==")
+    from pydi_spark.events import cohort_value
+
+    cohort_value(ev).orderBy("cohort_week", "wk_off").show(8)
 
     print("== rolling 7-day active users (exact) ==")
     active_users(ev, window_days=7).orderBy("day").show(7)
