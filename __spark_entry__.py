@@ -8520,11 +8520,9 @@ WITH src AS (
 ),
 mid AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_orderkey) AS m
         FROM src),
-a AS (SELECT coalesce(CAST(pri AS VARCHAR), '__null__') AS value,
-             count(*) AS n_a
+a AS (SELECT CAST(pri AS VARCHAR) AS value, count(*) AS n_a
       FROM src, mid WHERE o_orderkey <= m GROUP BY 1),
-b AS (SELECT coalesce(CAST(pri AS VARCHAR), '__null__') AS value,
-             count(*) AS n_b
+b AS (SELECT CAST(pri AS VARCHAR) AS value, count(*) AS n_b
       FROM src, mid WHERE o_orderkey > m GROUP BY 1),
 ta AS (SELECT count(*) AS t FROM src, mid WHERE o_orderkey <= m),
 tb AS (SELECT count(*) AS t FROM src, mid WHERE o_orderkey > m),
@@ -8532,7 +8530,8 @@ m0 AS (
   SELECT coalesce(a.value, b.value) AS value,
          CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
          CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL OUTER JOIN b USING (value)
+  FROM a FULL OUTER JOIN b
+    ON a.value IS NOT DISTINCT FROM b.value
 )
 SELECT value, n_a, n_b,
        CAST(CASE WHEN ta.t = 0 THEN 0 ELSE n_a * 1000000 // ta.t END

@@ -166,6 +166,40 @@ def funnel_stages(
     return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
 
 
+def _cohort_frame(
+    df: DataFrame,
+    signup_type: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """[user, cw, wk_off, *extra_cols] — the shared cohort derivation
+    under the module's week-math contract (Monday truncation,
+    day-difference div 7): first ``signup_type`` event fixes each
+    user's cohort week; every event at-or-after it gets its whole-week
+    offset. retention_cohorts and cohort_value both build on this so
+    the contract lives in exactly one place."""
+    base = df.select(user_col, type_col, ts_col, *(extra_cols or []))
+    su = (
+        base.where(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cw"))
+    )
+    return (
+        base.join(su, user_col)
+        .where(F.col(ts_col) >= F.col("cw"))
+        .select(
+            user_col,
+            "cw",
+            F.expr(f"datediff(date_trunc('week', {ts_col}), cw) div 7")
+            .cast("int")
+            .alias("wk_off"),
+            *(extra_cols or []),
+        )
+    )
+
+
 def retention_cohorts(
     df: DataFrame,
     signup_type: str = "signup",
@@ -176,24 +210,7 @@ def retention_cohorts(
     """[cohort_week, wk_off, n_users] — weekly retention: users grouped
     by Monday-truncated week of their first ``signup_type`` event;
     distinct active users per whole-week offset from it."""
-    base = df.select(user_col, type_col, ts_col)
-    su = (
-        base.where(F.col(type_col) == signup_type)
-        .groupBy(user_col)
-        .agg(F.date_trunc("week", F.min(ts_col)).alias("cw"))
-    )
-    act = (
-        base.join(su, user_col)
-        .where(F.col(ts_col) >= F.col("cw"))
-        .select(
-            user_col,
-            "cw",
-            F.expr(f"datediff(date_trunc('week', {ts_col}), cw) div 7")
-            .cast("int")
-            .alias("wk_off"),
-        )
-        .distinct()
-    )
+    act = _cohort_frame(df, signup_type, user_col, type_col, ts_col).distinct()
     return act.groupBy(
         F.col("cw").cast("date").cast("string").alias("cohort_week"),
         "wk_off",
@@ -220,24 +237,11 @@ def cohort_value(
     map-side-combinable (cohort, offset) aggregate — the event stream
     is touched once and never windowed.
     """
-    base = df.select(user_col, type_col, ts_col, value_col)
-    su = (
-        base.where(F.col(type_col) == signup_type)
-        .groupBy(user_col)
-        .agg(F.date_trunc("week", F.min(ts_col)).alias("cw"))
-    )
-    joined = (
-        base.join(su, user_col)
-        .where(F.col(ts_col) >= F.col("cw"))
-        .select(
-            user_col,
-            "cw",
-            F.expr(f"datediff(date_trunc('week', {ts_col}), cw) div 7")
-            .cast("int")
-            .alias("wk_off"),
-            F.expr(f"CAST(floor(coalesce({value_col}, 0) * 1000000) AS BIGINT)")
-            .alias("__vm"),
-        )
+    joined = _cohort_frame(
+        df, signup_type, user_col, type_col, ts_col, [value_col]
+    ).withColumn(
+        "__vm",
+        F.expr(f"CAST(floor(coalesce({value_col}, 0) * 1000000) AS BIGINT)"),
     )
     return joined.groupBy(
         F.col("cw").cast("date").cast("string").alias("cohort_week"),

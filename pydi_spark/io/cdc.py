@@ -127,6 +127,13 @@ def point_in_time_join(
     filter per key group, bounded by versions-per-key). History
     columns colliding with fact columns get ``suffix``.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            "point_in_time_join supports how='left'|'inner' — other "
+            "join types either drop the history key (full/right: "
+            "unmatched history rows would surface keyless) or cannot "
+            f"carry history columns (semi/anti): {how!r}"
+        )
     f, h = facts.alias("__f"), history.alias("__h")
     cond = (
         (F.col(f"__f.{key_col}") == F.col(f"__h.{key_col}"))
@@ -136,10 +143,17 @@ def point_in_time_join(
             | (F.col(f"__f.{at_col}") < F.col(f"__h.{valid_to_col}"))
         )
     )
-    taken = set(facts.columns)
-    out_cols = [F.col(f"__f.{c}") for c in facts.columns] + [
-        F.col(f"__h.{c}").alias(c + suffix if c in taken else c)
-        for c in history.columns
-        if c != key_col
-    ]
+    emitted = list(facts.columns)
+    out_cols = [F.col(f"__f.{c}") for c in facts.columns]
+    for c in history.columns:
+        if c == key_col:
+            continue
+        name = c + suffix if c in emitted else c
+        if name in emitted:
+            raise ValueError(
+                f"column name collision even after suffixing: {name!r} "
+                f"(suffix={suffix!r}) — rename inputs or pass a suffix"
+            )
+        emitted.append(name)
+        out_cols.append(F.col(f"__h.{c}").alias(name))
     return f.join(h, cond, how).select(*out_cols)

@@ -351,36 +351,49 @@ def category_drift_report(
     signed share delta. The corpus-monitoring primitive a training-data
     pipeline checks before accepting a new crawl — values absent from
     one side surface with n = 0 (full outer), never silently vanish.
-    NULL is reported as its own category (a null-rate shift IS drift).
+    NULL is reported as its own category, as a real NULL row (a
+    null-rate shift IS drift; no string sentinel, so a literal
+    '__null__' value cannot collide).
 
     Statistics like PSI/chi-square need logs or float accumulation
     (not portable under the repo's exact-arithmetic rule) — downstream
     callers can fold delta_ppm however they like; the report itself is
     all-integer and cross-engine exact.
 
-    Scale: one groupBy per side (cardinality-bounded), a full outer
-    join on the value, two 1-row totals broadcast as literals.
+    Scale: one groupBy per side (cardinality-bounded), a null-safe
+    full outer join on the value, totals derived FROM the grouped
+    counts (each input scanned once, fully lazy) riding as broadcast
+    1-row frames.
     """
-    null_token = "__null__"
-
     def counted(df, name):
-        v = F.coalesce(F.col(col).cast("string"), F.lit(null_token))
-        return df.select(v.alias("value")).groupBy("value").agg(
-            F.count(F.lit(1)).alias(name)
-        )
+        # groupBy treats NULL as its own group — no string sentinel, so
+        # a literal '__null__' category can never collide with real
+        # NULLs (r8 review finding)
+        return df.select(F.col(col).cast("string").alias("value")).groupBy(
+            "value"
+        ).agg(F.count(F.lit(1)).alias(name))
 
     a, b = counted(df_a, "n_a"), counted(df_b, "n_b")
-    ta = int(df_a.count())
-    tb = int(df_b.count())
-    out = a.join(b, "value", "full_outer").select(
-        "value",
-        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    merged = (
+        a.alias("a")
+        .join(b.alias("b"),
+              F.col("a.value").eqNullSafe(F.col("b.value")), "full_outer")
+        .select(
+            F.coalesce(F.col("a.value"), F.col("b.value")).alias("value"),
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
     )
-    share_a = F.expr(f"CASE WHEN {ta} = 0 THEN CAST(0 AS BIGINT) "
-                     f"ELSE n_a * 1000000 div {ta} END")
-    share_b = F.expr(f"CASE WHEN {tb} = 0 THEN CAST(0 AS BIGINT) "
-                     f"ELSE n_b * 1000000 div {tb} END")
+    # totals derive from the grouped counts (no second scan of either
+    # input, and nothing is evaluated eagerly at call time) and ride as
+    # broadcast 1-row frames — the oracle's FROM m0, ta, tb shape
+    ta = a.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("__ta"))
+    tb = b.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("__tb"))
+    out = merged.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+    share_a = F.expr("CASE WHEN __ta = 0 THEN CAST(0 AS BIGINT) "
+                     "ELSE n_a * 1000000 div __ta END")
+    share_b = F.expr("CASE WHEN __tb = 0 THEN CAST(0 AS BIGINT) "
+                     "ELSE n_b * 1000000 div __tb END")
     return out.select(
         "value", "n_a", "n_b",
         share_a.alias("share_a_ppm"),

@@ -43,6 +43,8 @@ ROTATION_QUEUE: set[str] = {
     # changed; match_llm_fake's re-check is already in the r8 window)
     "extract_llm_fake",
     "schema_llm_fake",
+    # r8: retention_cohorts refactored onto the shared _cohort_frame
+    "events_retention",
     # r8 new queries (window full — first checks in r9)
     "graph_clustering_coef",
     "graph_kcore",

@@ -959,10 +959,15 @@ def test_category_drift_report(spark):
     b = spark.createDataFrame(
         [("x",), ("z",), ("z",), ("z",)], "c string")
     got = {r["value"]: r for r in category_drift_report(a, b, "c").collect()}
-    assert set(got) == {"x", "y", "z", "__null__"}
+    assert set(got) == {"x", "y", "z", None}
     assert (got["x"]["n_a"], got["x"]["n_b"]) == (2, 1)
     assert got["x"]["share_a_ppm"] == 500000 and got["x"]["share_b_ppm"] == 250000
     assert got["x"]["delta_ppm"] == -250000
     assert (got["y"]["n_b"], got["y"]["share_b_ppm"]) == (0, 0)
     assert got["z"]["share_b_ppm"] == 750000 and got["z"]["n_a"] == 0
-    assert got["__null__"]["n_a"] == 1 and got["__null__"]["n_b"] == 0
+    assert got[None]["n_a"] == 1 and got[None]["n_b"] == 0
+    # the lazy form triggers no Spark job at call time
+    import time as _t
+    t0 = _t.time()
+    category_drift_report(a, b, "c")
+    assert _t.time() - t0 < 2.0
