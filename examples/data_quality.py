@@ -78,6 +78,24 @@ def main() -> None:
     flags = detect_anomalies(series, ["event_type"], "n_events", k_num=2)
     flags.where("is_anomaly = 1").orderBy("event_type", "bucket_start_us").show(5)
 
+    print("== Benford first-digit profile: unit-mixing / fabrication smell ==")
+    from pydi_spark.profiling import benford_profile
+
+    cents = orders.select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    benford_profile(cents, ["cents"]).orderBy("digit").show(9)
+
+    print("== categorical drift: early vs late orders ==")
+    from pydi_spark.profiling import category_drift_report
+
+    mid = orders.count() // 2
+    a = orders.where(F.col("o_orderkey") < mid).select("o_orderpriority")
+    b = orders.where(F.col("o_orderkey") >= mid).select("o_orderpriority")
+    category_drift_report(a, b, "o_orderpriority").orderBy(
+        F.abs(F.col("delta_ppm")).desc()
+    ).show(5)
+
     print("== repairs: impute nulls, clip outliers, collapse rare keys ==")
     dirty = lineitem.select(
         "l_orderkey",
