@@ -1037,6 +1037,30 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCubed extrinsic clustering evaluation (evaluation/matching_eval
+    bcubed_metrics): predicted = simhash CC duplicate clusters (incl.
+    singletons via canonical_corpus), gold = exact-text partitions
+    (md5 groups). Per-record ratios floor to integer ppm BEFORE the
+    exact integer mean; only the final F1 is a fixed-order double
+    chain replayed with the same source literals."""
+    from pydi_spark.evaluation import bcubed_metrics
+    from pydi_spark.llmdata import simhash_near_duplicates
+    from pydi_spark.llmdata.dedup import canonical_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3, bands=4)
+    pred = canonical_corpus(docs, pairs).select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("canonical_id").alias("cluster_id"),
+    )
+    gold = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.md5(F.col("text").cast("binary")).alias("cluster_id"),
+    )
+    return bcubed_metrics(pred, gold)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup (llmdata/dedup.py keep_best_duplicates):
     simhash pairs -> CC clusters -> keep the LONGEST doc per cluster
@@ -5983,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_pit_join": q_io_pit_join,
         "events_cohort_value": q_events_cohort_value,
         "profile_drift": q_profile_drift,
+        "eval_bcubed": q_eval_bcubed,
     }
 
 
@@ -6987,6 +7012,51 @@ winners AS (
 SELECT s.doc_id, s.cluster_id, w.keep_id,
        CAST(s.doc_id = w.keep_id AS INT) AS is_kept
 FROM scored s JOIN winners w USING (cluster_id)
+""",
+        "eval_bcubed": f"""
+WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ({_simhash_sql(3)}) q),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL SELECT id2, id1 FROM pairs),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) n
+  UNION
+  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+pred AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS rid,
+         coalesce(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS pc
+  FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR)
+),
+gold AS (
+  SELECT CAST(doc_id AS VARCHAR) AS rid, md5(text) AS gc FROM documents
+),
+j AS (SELECT pred.rid, pc, gc FROM pred JOIN gold USING (rid)),
+cell AS (SELECT pc, gc, count(*) AS c FROM j GROUP BY 1, 2),
+psz AS (SELECT pc, count(*) AS ps FROM j GROUP BY 1),
+gsz AS (SELECT gc, count(*) AS gs FROM j GROUP BY 1),
+per AS (
+  SELECT (c * CAST(1000000 AS BIGINT)) // ps AS p_ppm,
+         (c * CAST(1000000 AS BIGINT)) // gs AS r_ppm
+  FROM j JOIN cell USING (pc, gc) JOIN psz USING (pc) JOIN gsz USING (gc)
+),
+agg AS (
+  -- HUGEINT intermediates are fine (only OUTPUT columns are dtype-
+  -- gated); DECIMAL // here would ROUND during the scale-limited
+  -- decimal division before flooring (off-by-one at .744)
+  SELECT count(*) AS n, sum(p_ppm) AS sp, sum(r_ppm) AS sr FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_records,
+       CAST(sp // n AS BIGINT) AS precision_ppm,
+       CAST(sr // n AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN CAST(sp // n AS BIGINT)
+                    + CAST(sr // n AS BIGINT) = 0 THEN 0.0
+            ELSE CAST(2 AS DOUBLE) * CAST(sp // n AS BIGINT)
+            * CAST(sr // n AS BIGINT)
+            / (CAST(sp // n AS BIGINT)
+            + CAST(sr // n AS BIGINT)) / 1000000 END
+            AS DOUBLE) AS f1
+FROM agg
 """,
         "type_detection": _type_detection_sql(),
         "normalize_transforms": """

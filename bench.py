@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "io_pit_join",
     "events_cohort_value",
     "profile_drift",
+    "eval_bcubed",
 ]
 
 

@@ -1,5 +1,5 @@
 from pydi_spark.evaluation.matching_eval import (
-    adjusted_rand_index,
+    adjusted_rand_index, bcubed_metrics,
     calibration_table,
     cluster_consistency_report,
     cluster_size_distribution,
@@ -10,7 +10,7 @@ from pydi_spark.evaluation.matching_eval import (
 )
 
 __all__ = [
-    "adjusted_rand_index",
+    "adjusted_rand_index", "bcubed_metrics",
     "calibration_table",
     "cluster_consistency_report",
     "cluster_size_distribution",

@@ -286,6 +286,78 @@ def cluster_size_distribution(clusters: DataFrame) -> DataFrame:
     )
 
 
+def bcubed_metrics(
+    predicted: DataFrame,
+    gold: DataFrame,
+    record_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """[n_records, precision_ppm, recall_ppm, f1] — BCubed extrinsic
+    clustering evaluation (Bagga & Baldwin): per record, precision =
+    |pred-cluster ∩ gold-cluster| / |pred-cluster| and recall = the
+    same over the gold cluster, averaged over records. The standard ER
+    cluster metric next to pairwise P/R (which over-weights big
+    clusters quadratically) and ARI (chance-corrected but one opaque
+    number).
+
+    Exact-arithmetic contract: per-record ratios quantize to integer
+    ppm (floor) BEFORE averaging, and the mean is an exact integer
+    (decimal sum div n — float averaging would be shuffle-order
+    dependent); only the final F1 is one double division over the two
+    ppm ints. Records must appear in BOTH assignments (inner join) —
+    BCubed is undefined for one-sided records.
+
+    Scale: cell/cluster sizes are three cardinality-bounded groupBys;
+    the per-record pass is narrow joins on cluster ids — nothing
+    quadratic, no pair materialization (the whole point vs pairwise
+    metrics at 100 TB).
+    """
+    p = predicted.select(
+        F.col(record_col).cast("string").alias("rid"),
+        F.col(cluster_col).cast("string").alias("pc"),
+    ).dropDuplicates(["rid"])
+    g = gold.select(
+        F.col(record_col).cast("string").alias("rid"),
+        F.col(cluster_col).cast("string").alias("gc"),
+    ).dropDuplicates(["rid"])
+    j = p.join(g, "rid")
+    cell = j.groupBy("pc", "gc").agg(F.count(F.lit(1)).alias("c"))
+    psz = j.groupBy("pc").agg(F.count(F.lit(1)).alias("ps"))
+    gsz = j.groupBy("gc").agg(F.count(F.lit(1)).alias("gs"))
+    per = (
+        j.join(cell, ["pc", "gc"]).join(psz, "pc").join(gsz, "gc")
+        .select(
+            F.expr("c * CAST(1000000 AS BIGINT) div ps").alias("p_ppm"),
+            F.expr("c * CAST(1000000 AS BIGINT) div gs").alias("r_ppm"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.expr(
+            "CAST(sum(CAST(p_ppm AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+        ).alias("__sp"),
+        F.expr(
+            "CAST(sum(CAST(r_ppm AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+        ).alias("__sr"),
+    )
+    pr = F.expr("CAST(__sp div n_records AS BIGINT)")
+    rc = F.expr("CAST(__sr div n_records AS BIGINT)")
+    return agg.select(
+        F.col("n_records").cast("long").alias("n_records"),
+        pr.alias("precision_ppm"),
+        rc.alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(__sp div n_records AS BIGINT) "
+            "        + CAST(__sr div n_records AS BIGINT) = 0 THEN 0.0 "
+            "ELSE CAST(2 AS DOUBLE) * CAST(__sp div n_records AS BIGINT) "
+            "* CAST(__sr div n_records AS BIGINT) "
+            "/ (CAST(__sp div n_records AS BIGINT) "
+            "+ CAST(__sr div n_records AS BIGINT)) / 1000000 END "
+            "AS DOUBLE)"
+        ).alias("f1"),
+    )
+
+
 def adjusted_rand_index(
     pred: DataFrame,
     gold: DataFrame,

@@ -58,6 +58,7 @@ ROTATION_QUEUE: set[str] = {
     "io_pit_join",
     "events_cohort_value",
     "profile_drift",
+    "eval_bcubed",
 }
 
 
@@ -221,6 +222,7 @@ def test_partition_independence_of_new_queries(spark):
         "text_novelty", "dedup_keep_best", "text_script_detect",
         "streaming_sliding", "profile_benford", "cluster_max_bipartite",
         "io_pit_join", "events_cohort_value", "profile_drift",
+        "eval_bcubed",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -508,3 +508,31 @@ def test_cohort_value(spark):
     ret = {(r["cohort_week"], r["wk_off"]): r["n_users"]
            for r in retention_cohorts(df).collect()}
     assert all(got[k]["n_users"] == ret[k] for k in got)
+
+
+def test_bcubed_metrics(spark):
+    """Worked example (Amigo et al. fig-style): gold {a,b,c},{d,e};
+    predicted {a,b},{c,d},{e}. Per-record P: a,b=1, c=1/2, d=1/2, e=1
+    -> mean 0.8; per-record R: a,b=2/3, c=1/3, d=1/2, e=1/2 -> mean
+    (2/3+2/3+1/3+1/2+1/2)/5 = 8/15."""
+    from pydi_spark.evaluation import bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2"), ("e", "p3")],
+        "record_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "g2"), ("e", "g2")],
+        "record_id string, cluster_id string",
+    )
+    r = bcubed_metrics(pred, gold).collect()[0]
+    assert r["n_records"] == 5
+    # per-record ppm floors: P = [1e6,1e6,500000,500000,1e6] -> 800000
+    assert r["precision_ppm"] == 800000
+    # R = [666666,666666,333333,500000,500000] -> sum 2666665 div 5
+    assert r["recall_ppm"] == 533333
+    assert abs(r["f1"] - (2 * 0.8 * 0.533333) / (0.8 + 0.533333)) < 1e-5
+    # identical clusterings -> perfect scores
+    perfect = bcubed_metrics(pred, pred).collect()[0]
+    assert perfect["precision_ppm"] == perfect["recall_ppm"] == 1000000
+    assert perfect["f1"] == 1.0
