@@ -224,6 +224,11 @@ def test_partition_independence_of_new_queries(spark):
         "io_pit_join", "events_cohort_value", "profile_drift",
         "eval_bcubed",
     ]
+    def none_safe(t):
+        # a NULL category (profile_drift) is a legitimate output value;
+        # bare tuple sorting can't compare None with str
+        return tuple((v is None, v) for v in t)
+
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
@@ -231,7 +236,8 @@ def test_partition_independence_of_new_queries(spark):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
             for name in names:
                 rows = sorted(
-                    tuple(r) for r in qs[name](spark, sf).collect()
+                    (tuple(r) for r in qs[name](spark, sf).collect()),
+                    key=none_safe,
                 )
                 if name in results:
                     assert results[name] == rows, f"{name} differs at {n_part}"

@@ -26,6 +26,9 @@ ALLOWED = {
     # empirical S-curve needs exhaustive ground truth on the sample
     "dedup_lsh_recall": {"cartesian", "nested_loop"},
     "ann_topk": {"nested_loop"},          # broadcast query-side brute force
+    # TWO one-row total frames (sum n_a / sum n_b, derived from the
+    # grouped counts) broadcast onto the value-level merge: O(#values)
+    "profile_drift": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
