@@ -1080,6 +1080,49 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking for export (normalization/robust.py mask_columns):
+    hash pseudonyms (md5 — joinable, deterministic), partial masking
+    with edge retention, constant redaction, nulling. Pure expressions;
+    DuckDB replays each strategy verbatim."""
+    from pydi_spark.normalization import mask_columns
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+    )
+    return mask_columns(
+        cust, {"name": "hash", "segment": "partial", "nation": "redact"}
+    )
+
+
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — a pure COMPOSITION query: each
+    user's first view -> first later purchase lag in exact micros,
+    then exact quantiles over the lag column (profiling
+    exact_quantiles — answers are column elements, so values pass
+    through bit-identically)."""
+    from pydi_spark.profiling import exact_quantiles
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"), F.min("tv").alias("tv2"))
+    )
+    lags = p.select(
+        (F.unix_micros("tp") - F.unix_micros("tv2")).alias("lag_us")
+    )
+    return exact_quantiles(lags, ["lag_us"], ps=(0.25, 0.5, 0.75, 0.9))
+
+
 def q_normalize_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydi_spark.normalization import apply_column_transforms
 
@@ -6008,6 +6051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_value": q_events_cohort_value,
         "profile_drift": q_profile_drift,
         "eval_bcubed": q_eval_bcubed,
+        "normalize_mask": q_normalize_mask,
+        "events_conversion_lag": q_events_conversion_lag,
     }
 
 
@@ -10014,6 +10059,45 @@ FROM (
         WHERE {c} IS NOT NULL GROUP BY 1)
 )""")
     out["profile_quantiles"] = "\nUNION ALL".join(quant_selects)
+
+    _lag_picks = ",\n       ".join(
+        f"MIN(CASE WHEN cum >= ({q} * n + 999999) // 1000000 "
+        f"THEN val END) AS p_{q}"
+        for q in [250000, 500000, 750000, 900000]
+    )
+    out["events_conversion_lag"] = f"""
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp, min(v.tv) AS tv2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+lags AS (SELECT epoch_us(tp) - epoch_us(tv2) AS val FROM p)
+SELECT 'lag_us' AS "column", CAST(MAX(n) AS BIGINT) AS n,
+       {_lag_picks}
+FROM (
+  SELECT val,
+         SUM(c) OVER (ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM (SELECT val, COUNT(*) AS c FROM lags WHERE val IS NOT NULL
+        GROUP BY 1)
+)
+"""
+
+    out["normalize_mask"] = """
+SELECT CAST(c_custkey AS VARCHAR) AS ck,
+       md5(c_name) AS name,
+       CASE WHEN length(c_mktsegment) >= 3
+            THEN substr(c_mktsegment, 1, 1)
+                 || repeat('*', length(c_mktsegment) - 2)
+                 || substr(c_mktsegment, length(c_mktsegment), 1)
+            WHEN c_mktsegment IS NOT NULL THEN '[REDACTED]' END AS segment,
+       CASE WHEN c_nationkey IS NOT NULL THEN '[REDACTED]' END AS nation
+FROM customer
+"""
 
     # per-group impute replay: mean = exact decimal sum / count in ONE
     # double division; median = histogram cumsum at rank (n+1) div 2;

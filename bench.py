@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "events_cohort_value",
     "profile_drift",
     "eval_bcubed",
+    "normalize_mask",
+    "events_conversion_lag",
 ]
 
 

@@ -166,3 +166,47 @@ def encode_categories(
     joined = df.join(F.broadcast(table), col, "left")
     fill = F.lit(0).cast("long") if method == "frequency" else F.lit(-1)
     return joined.withColumn(out_col, F.coalesce(out_col, fill))
+
+def mask_columns(df: DataFrame, strategies: dict) -> DataFrame:
+    """Column-level masking for sharing/export — the data-governance
+    twin of llmdata's free-text ``redact_pii``: per structured column,
+    one of
+      - ``'hash'``: md5 of the string form (joinable pseudonym — equal
+        values stay equal, nothing else survives; NULL stays NULL),
+      - ``'redact'``: constant ``'[REDACTED]'``,
+      - ``'partial'``: first and last character kept, interior replaced
+        with ``*`` (values shorter than 3 chars redact fully — keeping
+        1 of 2 chars would leak half the value),
+      - ``'null'``: the column is nulled out.
+    Every strategy is a pure Column expression — masking a 100 TB table
+    is a map-only pass with full codegen, no UDF, no shuffle.
+
+    Reference has no masking surface — north-star governance addition.
+    """
+    known = {"hash", "redact", "partial", "null"}
+    bad = {c: v for c, v in strategies.items() if v not in known}
+    if bad:
+        raise ValueError(f"unknown masking strategies: {bad}")
+    missing = [c for c in strategies if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    out = df
+    for c, strat in strategies.items():
+        s = F.col(c).cast("string")
+        if strat == "hash":
+            expr = F.md5(s.cast("binary"))
+        elif strat == "redact":
+            expr = F.when(s.isNotNull(), F.lit("[REDACTED]"))
+        elif strat == "partial":
+            expr = F.when(
+                F.length(s) >= 3,
+                F.concat(
+                    F.substring(s, 1, 1),
+                    F.repeat(F.lit("*"), F.length(s) - 2),
+                    F.substring(s, -1, 1),
+                ),
+            ).otherwise(F.when(s.isNotNull(), F.lit("[REDACTED]")))
+        else:  # null
+            expr = F.lit(None).cast("string")
+        out = out.withColumn(c, expr)
+    return out

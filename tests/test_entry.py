@@ -59,6 +59,8 @@ ROTATION_QUEUE: set[str] = {
     "events_cohort_value",
     "profile_drift",
     "eval_bcubed",
+    "normalize_mask",
+    "events_conversion_lag",
 }
 
 
@@ -222,7 +224,7 @@ def test_partition_independence_of_new_queries(spark):
         "text_novelty", "dedup_keep_best", "text_script_detect",
         "streaming_sliding", "profile_benford", "cluster_max_bipartite",
         "io_pit_join", "events_cohort_value", "profile_drift",
-        "eval_bcubed",
+        "eval_bcubed", "normalize_mask", "events_conversion_lag",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

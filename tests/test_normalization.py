@@ -610,3 +610,32 @@ def test_canonical_url_cross_engine_parity(spark):
     assert got_spark == got_duck, list(
         zip(urls, got_spark, got_duck)
     )
+
+
+def test_mask_columns(spark):
+    from pydi_spark.normalization import mask_columns
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("alice@x.com", "555-1234", "Alice", "ab", None)],
+        "email string, phone string, name string, short string, missing string",
+    )
+    out = mask_columns(df, {
+        "email": "hash", "phone": "redact", "name": "partial",
+        "short": "partial", "missing": "hash",
+    }).collect()[0]
+    import hashlib
+    assert out["email"] == hashlib.md5(b"alice@x.com").hexdigest()
+    assert out["phone"] == "[REDACTED]"
+    assert out["name"] == "A***e"
+    assert out["short"] == "[REDACTED]"  # too short to keep edges
+    assert out["missing"] is None        # NULL stays NULL
+    # determinism: equal values stay joinable under 'hash'
+    two = spark.createDataFrame(
+        [("k1", "alice@x.com"), ("k2", "alice@x.com")], "id string, email string")
+    hashed = mask_columns(two, {"email": "hash"}).select("email").distinct()
+    assert hashed.count() == 1
+    with _pytest.raises(ValueError):
+        mask_columns(df, {"email": "rot13"})
+    with _pytest.raises(ValueError):
+        mask_columns(df, {"nope": "hash"})
