@@ -89,9 +89,13 @@ def main() -> None:
     print("== categorical drift: early vs late orders ==")
     from pydi_spark.profiling import category_drift_report
 
-    mid = orders.count() // 2
-    a = orders.where(F.col("o_orderkey") < mid).select("o_orderpriority")
-    b = orders.where(F.col("o_orderkey") >= mid).select("o_orderpriority")
+    # split on the key's MEDIAN (orderkeys are sparse — max/2 or
+    # count/2 would put ~1/8 of rows in the "early" half)
+    mid = orders.agg(F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_orderkey)"
+    )).collect()[0][0]
+    a = orders.where(F.col("o_orderkey") <= mid).select("o_orderpriority")
+    b = orders.where(F.col("o_orderkey") > mid).select("o_orderpriority")
     category_drift_report(a, b, "o_orderpriority").orderBy(
         F.abs(F.col("delta_ppm")).desc()
     ).show(5)

@@ -305,39 +305,62 @@ def bcubed_metrics(
     (decimal sum div n — float averaging would be shuffle-order
     dependent); only the final F1 is one double division over the two
     ppm ints. Records must appear in BOTH assignments (inner join) —
-    BCubed is undefined for one-sided records.
+    BCubed is undefined for one-sided records — and each assignment
+    must be a PARTITION: a record in two clusters raises (any silent
+    resolution would be shuffle-order dependent).
 
-    Scale: cell/cluster sizes are three cardinality-bounded groupBys;
-    the per-record pass is narrow joins on cluster ids — nothing
-    quadratic, no pair materialization (the whole point vs pairwise
-    metrics at 100 TB).
+    Scale: the record frame is joined once and collapsed to the
+    (pred, gold) cell table; sizes and the ppm sums are O(#cells)
+    arithmetic over it (every record in a cell shares the same
+    ratios) — nothing quadratic, no pair materialization (the whole
+    point vs pairwise metrics at 100 TB).
     """
-    p = predicted.select(
-        F.col(record_col).cast("string").alias("rid"),
-        F.col(cluster_col).cast("string").alias("pc"),
-    ).dropDuplicates(["rid"])
-    g = gold.select(
-        F.col(record_col).cast("string").alias("rid"),
-        F.col(cluster_col).cast("string").alias("gc"),
-    ).dropDuplicates(["rid"])
-    j = p.join(g, "rid")
+    def side(df, label):
+        out = df.select(
+            F.col(record_col).cast("string").alias("rid"),
+            F.col(cluster_col).cast("string").alias(label),
+        ).distinct()
+        # a record in two clusters makes BCubed ill-defined and a
+        # dropDuplicates "resolution" would be shuffle-order dependent
+        # (r8 review finding) — refuse loudly instead
+        dup = out.groupBy("rid").count().where("count > 1").limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"bcubed_metrics: record {dup[0]['rid']!r} belongs to "
+                f"multiple clusters in the "
+                f"{'predicted' if label == 'pc' else 'gold'} assignment — "
+                "BCubed is defined over partitions, not overlapping "
+                "clusterings"
+            )
+        return out
+
+    j = side(predicted, "pc").join(side(gold, "gc"), "rid")
+    # every record of cell (pc, gc) shares the same per-record ratios,
+    # so the ppm sums collapse to O(#cells) arithmetic over the cell
+    # table — the record-level frame is joined exactly once
     cell = j.groupBy("pc", "gc").agg(F.count(F.lit(1)).alias("c"))
-    psz = j.groupBy("pc").agg(F.count(F.lit(1)).alias("ps"))
-    gsz = j.groupBy("gc").agg(F.count(F.lit(1)).alias("gs"))
+    cell = cell.localCheckpoint(eager=True)  # feeds three aggregates
+    psz = cell.groupBy("pc").agg(F.sum("c").alias("ps"))
+    gsz = cell.groupBy("gc").agg(F.sum("c").alias("gs"))
     per = (
-        j.join(cell, ["pc", "gc"]).join(psz, "pc").join(gsz, "gc")
+        cell.join(psz, "pc").join(gsz, "gc")
         .select(
-            F.expr("c * CAST(1000000 AS BIGINT) div ps").alias("p_ppm"),
-            F.expr("c * CAST(1000000 AS BIGINT) div gs").alias("r_ppm"),
+            "c",
+            F.expr(
+                "c * (c * CAST(1000000 AS BIGINT) div ps)"
+            ).alias("p_ppm_sum"),
+            F.expr(
+                "c * (c * CAST(1000000 AS BIGINT) div gs)"
+            ).alias("r_ppm_sum"),
         )
     )
     agg = per.agg(
-        F.count(F.lit(1)).alias("n_records"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_records"),
         F.expr(
-            "CAST(sum(CAST(p_ppm AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+            "CAST(sum(CAST(p_ppm_sum AS DECIMAL(19,0))) AS DECIMAL(38,0))"
         ).alias("__sp"),
         F.expr(
-            "CAST(sum(CAST(r_ppm AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+            "CAST(sum(CAST(r_ppm_sum AS DECIMAL(19,0))) AS DECIMAL(38,0))"
         ).alias("__sr"),
     )
     pr = F.expr("CAST(__sp div n_records AS BIGINT)")

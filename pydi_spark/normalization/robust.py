@@ -167,12 +167,18 @@ def encode_categories(
     fill = F.lit(0).cast("long") if method == "frequency" else F.lit(-1)
     return joined.withColumn(out_col, F.coalesce(out_col, fill))
 
-def mask_columns(df: DataFrame, strategies: dict) -> DataFrame:
+def mask_columns(
+    df: DataFrame, strategies: dict, salt: str | None = None
+) -> DataFrame:
     """Column-level masking for sharing/export — the data-governance
     twin of llmdata's free-text ``redact_pii``: per structured column,
     one of
-      - ``'hash'``: md5 of the string form (joinable pseudonym — equal
-        values stay equal, nothing else survives; NULL stays NULL),
+      - ``'hash'``: joinable pseudonym (equal values stay equal; NULL
+        stays NULL). With ``salt`` set, sha2-256 over salt||value — a
+        keyed pseudonym an outsider cannot dictionary-reverse without
+        the salt. WITHOUT a salt it is bare md5: fine for high-entropy
+        values, but LOW-ENTROPY PII (phone numbers, national ids) is
+        trivially brute-forceable — pass a secret salt for those,
       - ``'redact'``: constant ``'[REDACTED]'``,
       - ``'partial'``: first and last character kept, interior replaced
         with ``*`` (values shorter than 3 chars redact fully — keeping
@@ -194,7 +200,10 @@ def mask_columns(df: DataFrame, strategies: dict) -> DataFrame:
     for c, strat in strategies.items():
         s = F.col(c).cast("string")
         if strat == "hash":
-            expr = F.md5(s.cast("binary"))
+            if salt is not None:
+                expr = F.sha2(F.concat(F.lit(salt), s), 256)
+            else:
+                expr = F.md5(s.cast("binary"))
         elif strat == "redact":
             expr = F.when(s.isNotNull(), F.lit("[REDACTED]"))
         elif strat == "partial":

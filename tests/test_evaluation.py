@@ -536,3 +536,27 @@ def test_bcubed_metrics(spark):
     perfect = bcubed_metrics(pred, pred).collect()[0]
     assert perfect["precision_ppm"] == perfect["recall_ppm"] == 1000000
     assert perfect["f1"] == 1.0
+
+
+def test_bcubed_rejects_overlapping_clusters(spark):
+    import pytest as _pytest
+
+    from pydi_spark.evaluation import bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("a", "p2"), ("b", "p1")],
+        "record_id string, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1")], "record_id string, cluster_id string")
+    with _pytest.raises(ValueError, match="multiple clusters"):
+        bcubed_metrics(pred, gold)
+    with _pytest.raises(ValueError, match="gold"):
+        bcubed_metrics(gold, pred)
+    # exact duplicate ROWS are fine (distinct, not ambiguity)
+    dup_rows = spark.createDataFrame(
+        [("a", "g1"), ("a", "g1"), ("b", "g1")],
+        "record_id string, cluster_id string",
+    )
+    r = bcubed_metrics(dup_rows, gold).collect()[0]
+    assert r["precision_ppm"] == 1000000

@@ -635,6 +635,11 @@ def test_mask_columns(spark):
         [("k1", "alice@x.com"), ("k2", "alice@x.com")], "id string, email string")
     hashed = mask_columns(two, {"email": "hash"}).select("email").distinct()
     assert hashed.count() == 1
+    # keyed pseudonym: salted hash differs from unsalted and between salts
+    h1 = mask_columns(two, {"email": "hash"}, salt="s1").select("email").collect()[0][0]
+    h2 = mask_columns(two, {"email": "hash"}, salt="s2").select("email").collect()[0][0]
+    h0 = mask_columns(two, {"email": "hash"}).select("email").collect()[0][0]
+    assert len({h0, h1, h2}) == 3 and len(h1) == 64  # sha2-256 hex
     with _pytest.raises(ValueError):
         mask_columns(df, {"email": "rot13"})
     with _pytest.raises(ValueError):
