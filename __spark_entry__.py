@@ -1821,7 +1821,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dies first, then the bridge endpoints lose their extra degree) and
     the fixpoint keeps exactly the full blocks. Oracle = 12 inlined
     MATERIALIZED peel rounds (idempotent past convergence — fixpoint
-    rounds are no-ops)."""
+    rounds are no-ops). max_iterations=12 matches the oracle's bound:
+    a graph that needs more rounds RAISES on the Spark side (k_core's
+    non-convergence guard) instead of silently diverging from the
+    12-round oracle (ADVICE r8)."""
     from pydi_spark.llmdata import k_core
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1845,7 +1848,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
     )
-    return k_core(clique.unionByName(bridge), k=3)
+    return k_core(clique.unionByName(bridge), k=3, max_iterations=12)
 
 
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2205,6 +2208,90 @@ def q_cluster_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", F.round("score", 6).alias("score"))
     )
     return HierarchicalClusterer(linkage="MIN", min_similarity=0.65).assign(corr)
+
+
+def _hier_triangle_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJOINT-TRIANGLE correspondence fixture with forced-unique
+    agglomerative merge order (the r8 cluster_max_bipartite pattern:
+    engineer the input so the optimum/merge sequence is unique, then
+    the sequential solver's exact output is SQL-characterizable).
+    Customers rank-blocked into triangles of 3 per nation (first two
+    full blocks, partial blocks dropped); each triangle (a<b<c) gets
+    edges (a,b)=s1 > (a,c)=s2 > (b,c)=s3 — strictly distinct WITHIN the
+    triangle, exact sixteenths (cross-engine float-exact), regime
+    m=(2*nation+blk)%5 choosing the band layout vs threshold 0.5:
+      m=0 (.875,.75,.625)   all>t          -> MAX & AVG merge all
+      m=1 (.875,.75,.125)   avg(s2,s3)<t   -> both stop at top pair
+      m=2 (.875,.8125,.3125) avg=.5625>t   -> AVG merges all, MAX stops
+                                              (the linkage separator)
+      m=3 (.875,.25,.125)   s2<t           -> both stop at top pair
+      m=4 (.375,.25,.125)   s1<t           -> all singletons
+    Triangles are mutually edge-free, so cross-triangle cluster_sim is
+    None (never a merge candidate) and per-triangle outcomes compose
+    independently of the global merge interleave."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    r = (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 6)
+        .withColumn("blk", F.expr("CAST((rk - 1) div 3 AS INT)"))
+        .withColumn("pos", F.expr("(rk - 1) % 3"))
+        .withColumn("id", F.format_string("C%07d", F.col("c_custkey")))
+    )
+    tri = (
+        r.groupBy("c_nationkey", "blk")
+        .agg(
+            F.min(F.when(F.col("pos") == 0, F.col("id"))).alias("a"),
+            F.min(F.when(F.col("pos") == 1, F.col("id"))).alias("b"),
+            F.min(F.when(F.col("pos") == 2, F.col("id"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 3)
+        .withColumn("m", F.expr("(c_nationkey * 2 + blk) % 5"))
+    )
+    s1 = F.expr("CASE WHEN m = 4 THEN 0.375D ELSE 0.875D END")
+    s2 = F.expr(
+        "CASE WHEN m IN (0, 1) THEN 0.75D WHEN m = 2 THEN 0.8125D "
+        "ELSE 0.25D END"
+    )
+    s3 = F.expr(
+        "CASE WHEN m = 0 THEN 0.625D WHEN m = 2 THEN 0.3125D "
+        "ELSE 0.125D END"
+    )
+    return (
+        tri.select(F.col("a").alias("id1"), F.col("b").alias("id2"), s1.alias("score"))
+        .unionByName(tri.select(F.col("a").alias("id1"), F.col("c").alias("id2"), s2.alias("score")))
+        .unionByName(tri.select(F.col("b").alias("id1"), F.col("c").alias("id2"), s3.alias("score")))
+    )
+
+
+def q_cluster_hierarchical_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-linkage (MAX) agglomerative clustering on the forced-
+    unique triangle fixture (reference semantics:
+    hierarchical_clusterer.py:21-323 — cluster similarity = MIN over
+    present cross-pairs). Retires the last §2 'order-dependent, no
+    oracle' excuse (VERDICT r8 #4): with strictly distinct
+    within-triangle sims the merge order is unique, so the oracle can
+    state the exact expected partition per regime — MAX merges the
+    whole triangle only at m=0 (s3 > t); m=1-3 stop at the top pair
+    (min over cross-pairs dips below t); m=4 stays singletons."""
+    from pydi_spark.clustering import HierarchicalClusterer
+
+    corr = _hier_triangle_corr(spark, sf_dir)
+    return HierarchicalClusterer(linkage="MAX", min_similarity=0.5).assign(corr)
+
+
+def q_cluster_hierarchical_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-linkage (AVG) agglomerative clustering on the same
+    fixture. The m=2 regime separates AVG from MAX: avg(s2,s3)=0.5625
+    clears the 0.5 floor while min(s2,s3)=0.3125 does not, so AVG
+    merges the full triangle where MAX stops — the oracle pins exactly
+    that divergence (sums of exact sixteenths: float-exact on both
+    engines)."""
+    from pydi_spark.clustering import HierarchicalClusterer
+
+    corr = _hier_triangle_corr(spark, sf_dir)
+    return HierarchicalClusterer(linkage="AVG", min_similarity=0.5).assign(corr)
 
 
 def q_cluster_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5787,30 +5874,101 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
+# FIRST 50 queries() entries (counted; tests/test_entry.py pins the
+# arithmetic). Round-9 window (the pinned r8-verdict rotation —
+# NOTES.md "Round-8 r9 WINDOW PLAN"):
+#   1-12  first 12 of the 19 r8 ROTATION_QUEUE entries: 4 material-
+#         change re-checks (cluster_cc_distributed forest
+#         pre-contraction; extract/schema_llm_fake call-record capture;
+#         events_retention _cohort_frame refactor) + 8 r8-addition
+#         first checks. All 19 pre-verified green + VANILLA-green.
+#   13-15 canaries + probes at pinned positions: canary_hash_safe
+#         (green expected), canary_hash_risky (driver tolerates the
+#         class; drift detector), probe_corpus_echo (RED means the
+#         driver regenerated documents.parquet). canary_hugeint stays
+#         DEMOTED past 50 (two confirming reds; FORBIDDEN_ORACLE_TYPES
+#         guards the class locally).
+#   16-22 remaining 7 r8 queue entries. graph_kcore and eval_bcubed
+#         ALSO re-check this round's r9 code changes (k_core
+#         convergence guard; bcubed folded precondition).
+#   23-34 stalest greens: all 12 r03-last (the TPC-H block).
+#   35-50 stalest greens: 16 of the r04-last (alphabetical prefix;
+#         extract/schema_llm_fake already sit in the queue slots).
+# After this round EVERY contract query that existed at rotation time
+# has >= 1 driver row. Round-9 additions sit past 50 in the pinned
+# ROTATION_QUEUE (tests/roster.py — the roster source of truth).
+_R9_WINDOW = [
+    # 1-12: r8 queue — re-checks first, then first-checks
+    "cluster_cc_distributed",
+    "extract_llm_fake",
+    "schema_llm_fake",
+    "events_retention",
+    "graph_clustering_coef",
+    "graph_kcore",
+    "events_session_report",
+    "text_novelty",
+    "dedup_keep_best",
+    "text_script_detect",
+    "streaming_sliding",
+    "profile_benford",
+    # 13-15: canaries + probes (pinned positions)
+    "canary_hash_safe",
+    "canary_hash_risky",
+    "probe_corpus_echo",
+    # 16-22: r8 queue, continued
+    "cluster_max_bipartite",
+    "io_pit_join",
+    "events_cohort_value",
+    "profile_drift",
+    "eval_bcubed",
+    "normalize_mask",
+    "events_conversion_lag",
+    # 23-34: stalest greens (last driver row r03)
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_window",
+    # 35-50: stalest greens (last driver row r04)
+    "blocking_meta",
+    "blocking_meta_cnp",
+    "blocking_standard_capped",
+    "blocking_token_capped",
+    "cluster_incremental",
+    "dedup_semantic",
+    "embed_ivfpq_topk",
+    "embed_mean_pool",
+    "embed_pq_encode",
+    "embed_pq_topk",
+    "embed_quantize",
+    "extract_code",
+    "fusion_conflicts",
+    "io_explode_delimited",
+    "io_feather_roundtrip",
+    "io_fwf_roundtrip",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver records CORRECTNESS rows for exactly
-    # the FIRST 50 dict entries (counted; tests/test_entry.py pins the
-    # arithmetic). Round-8 window (the pinned r7-verdict rotation):
-    #   1-8   r7 rotation-queue first checks (never driver-checked;
-    #         all pre-verified VANILLA-green + hash-safe in r7)
-    #   9-12  stalest greens (last driver row r02)
-    #   13-15 canaries + probes at pinned positions: canary_hash_safe
-    #         (green expected), canary_hash_risky (driver tolerates the
-    #         class; drift detector), probe_corpus_echo (RED means the
-    #         driver regenerated documents.parquet). canary_hugeint is
-    #         DEMOTED past 50 after two consecutive confirming reds
-    #         (r5 decision; FORBIDDEN_ORACLE_TYPES guards the class
-    #         locally now).
-    #   16-25 stalest greens (last driver row r02), continued
-    #   26-50 stalest greens (last driver row r03)
-    # After this round every query that existed at rotation time has
-    # >= 1 driver row; round-8 additions sit past 50 in the pinned
-    # ROTATION_QUEUE (tests/test_entry.py — the roster source of
-    # truth). Everything else past 50 has >= 1 green driver row in
-    # r01-r07 and stays under the local gate (tools/check_oracle.py).
-    return {
-        # -- window 1-8: r7 rotation-queue first checks (the pinned
-        # -- r8 rotation; all pre-verified VANILLA-green + hash-safe)
+    out = {name: _ALL_QUERIES[name] for name in _R9_WINDOW}
+    for name, fn in _ALL_QUERIES.items():
+        if name not in out:
+            out[name] = fn
+    return out
+
+
+# The full registry (name -> callable). Window membership/order lives
+# in _R9_WINDOW above; here insertion order only decides the past-50
+# tail order, so entries stay grouped by the round that added them.
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_attribution": q_events_attribution,
         "profile_histogram": q_profile_histogram,
         "events_active_users": q_events_active_users,
@@ -5819,16 +5977,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_key_report": q_blocking_key_report,
         "streaming_distinct_users": q_streaming_distinct_users,
         "graph_triangles": q_graph_triangles,
-        # -- window 9-12: stalest greens (last driver row r02)
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "blocking_sorted_neighbourhood": q_blocking_snb,
         "cluster_consistency": q_cluster_consistency,
-        # -- window 13-15: canaries + probes (pinned positions)
         "canary_hash_safe": q_canary_hash_safe,
         "canary_hash_risky": q_canary_hash_risky,
         "probe_corpus_echo": q_probe_corpus_echo,
-        # -- window 16-25: stalest greens (last driver row r02, cont.)
         "cluster_hierarchical": q_cluster_hierarchical,
         "cluster_size_dist": q_cluster_size_dist,
         "eval_threshold_sweep": q_eval_threshold_sweep,
@@ -5839,7 +5994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_instance_based": q_schema_instance_based,
         "text_fingerprint": q_text_fingerprint,
         "tpch_rollup": q_tpch_rollup,
-        # -- window 26-50: stalest greens (last driver row r03)
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "eval_ie": q_eval_ie,
@@ -5865,8 +6019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_temperature_mix": q_text_temperature_mix,
         "translate_rename": q_translate_rename,
-        # -- past the 50-entry window: every entry has >= 1 green
-        # -- driver row r01-r07 (canary_hugeint deliberately demoted)
         "match_fellegi_sunter": q_match_fellegi_sunter,
         "blocking_phonetic": q_blocking_phonetic,
         "join_grid_radius": q_join_grid_radius,
@@ -6053,6 +6205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_bcubed": q_eval_bcubed,
         "normalize_mask": q_normalize_mask,
         "events_conversion_lag": q_events_conversion_lag,
+        # -- round-9 additions past the window (r10 rotation queue —
+        # -- tests/roster.py)
+        "cluster_hierarchical_max": q_cluster_hierarchical_max,
+        "cluster_hierarchical_avg": q_cluster_hierarchical_avg,
     }
 
 
@@ -7401,6 +7557,56 @@ reach AS (
 SELECT n.id AS record_id, least(n.id, coalesce(min(r.b), n.id)) AS cluster_id
 FROM nodes n LEFT JOIN reach r ON r.a = n.id
 GROUP BY n.id
+""",
+        # forced-unique-merge-order triangle fixture (see
+        # _hier_triangle_corr): the oracle states the exact expected
+        # partition per regime m. MAX merges the full triangle only at
+        # m=0; stops at the top pair for m=1-3; singletons at m=4.
+        "cluster_hierarchical_max": """
+WITH r AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rk
+  FROM customer
+), rr AS (
+  SELECT printf('C%07d', c_custkey) AS id, c_nationkey,
+         CAST((rk - 1) // 3 AS INTEGER) AS blk, (rk - 1) % 3 AS pos
+  FROM r WHERE rk <= 6
+), tri AS (
+  SELECT c_nationkey, blk,
+         min(CASE WHEN pos = 0 THEN id END) AS a,
+         min(CASE WHEN pos = 1 THEN id END) AS b,
+         min(CASE WHEN pos = 2 THEN id END) AS c
+  FROM rr GROUP BY c_nationkey, blk HAVING count(*) = 3
+), t2 AS (SELECT a, b, c, (c_nationkey * 2 + blk) % 5 AS m FROM tri)
+SELECT a AS record_id, a AS cluster_id FROM t2
+UNION ALL
+SELECT b AS record_id, CASE WHEN m <= 3 THEN a ELSE b END AS cluster_id FROM t2
+UNION ALL
+SELECT c AS record_id, CASE WHEN m = 0 THEN a ELSE c END AS cluster_id FROM t2
+""",
+        # AVG diverges from MAX exactly at m=2 (avg .5625 > t while
+        # min .3125 < t) — the merged-vs-stopped regime the oracle pins.
+        "cluster_hierarchical_avg": """
+WITH r AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rk
+  FROM customer
+), rr AS (
+  SELECT printf('C%07d', c_custkey) AS id, c_nationkey,
+         CAST((rk - 1) // 3 AS INTEGER) AS blk, (rk - 1) % 3 AS pos
+  FROM r WHERE rk <= 6
+), tri AS (
+  SELECT c_nationkey, blk,
+         min(CASE WHEN pos = 0 THEN id END) AS a,
+         min(CASE WHEN pos = 1 THEN id END) AS b,
+         min(CASE WHEN pos = 2 THEN id END) AS c
+  FROM rr GROUP BY c_nationkey, blk HAVING count(*) = 3
+), t2 AS (SELECT a, b, c, (c_nationkey * 2 + blk) % 5 AS m FROM tri)
+SELECT a AS record_id, a AS cluster_id FROM t2
+UNION ALL
+SELECT b AS record_id, CASE WHEN m <= 3 THEN a ELSE b END AS cluster_id FROM t2
+UNION ALL
+SELECT c AS record_id, CASE WHEN m IN (0, 2) THEN a ELSE c END AS cluster_id FROM t2
 """,
         "cluster_consistency": """
 WITH g AS (

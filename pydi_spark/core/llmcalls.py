@@ -136,8 +136,8 @@ def call_log_summary(log: DataFrame) -> DataFrame:
     """One-row usage roll-up of a call-log frame — the Spark analogue of
     the reference's ``llm_usage_summary.json`` (utils/llm.py:166-212):
     call/error counts, total duration, and token totals pulled from the
-    provider-agnostic ``usage_json`` (both openai- and anthropic-style
-    key spellings, like the reference's multi-key fallback)."""
+    provider-agnostic ``usage_json`` (both common provider key
+    spellings, like the reference's multi-key fallback)."""
     in_tok = F.coalesce(
         F.get_json_object("usage_json", "$.input_tokens"),
         F.get_json_object("usage_json", "$.prompt_tokens"),

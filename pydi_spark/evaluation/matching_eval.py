@@ -15,7 +15,7 @@ oracle-checkable; driver-side dict versions via ``.collect()``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -304,42 +304,73 @@ def bcubed_metrics(
     ppm (floor) BEFORE averaging, and the mean is an exact integer
     (decimal sum div n — float averaging would be shuffle-order
     dependent); only the final F1 is one double division over the two
-    ppm ints. Records must appear in BOTH assignments (inner join) —
-    BCubed is undefined for one-sided records — and each assignment
-    must be a PARTITION: a record in two clusters raises (any silent
-    resolution would be shuffle-order dependent).
+    ppm ints. Records must appear in BOTH assignments (one-sided
+    records are excluded) — BCubed is undefined for them — and each
+    assignment must be a PARTITION: a record in two clusters raises
+    (any silent resolution would be shuffle-order dependent).
 
     Scale: the record frame is joined once and collapsed to the
     (pred, gold) cell table; sizes and the ppm sums are O(#cells)
     arithmetic over it (every record in a cell shares the same
     ratios) — nothing quadratic, no pair materialization (the whole
-    point vs pairwise metrics at 100 TB).
+    point vs pairwise metrics at 100 TB). The partition precondition
+    is FOLDED into the same pass (r8 verdict #5): per-record
+    membership counts ride the rid window that shares the join's rid
+    partitioning, the cell aggregation carries their max, and the
+    refusal reads the already-checkpointed O(#cells) table — one
+    eager action total, each input scanned once (was two extra
+    full-shuffle validation jobs before any metric work).
     """
-    def side(df, label):
-        out = df.select(
+    w = Window.partitionBy("rid")
+    p = (
+        predicted.select(
             F.col(record_col).cast("string").alias("rid"),
-            F.col(cluster_col).cast("string").alias(label),
+            F.col(cluster_col).cast("string").alias("pc"),
         ).distinct()
-        # a record in two clusters makes BCubed ill-defined and a
-        # dropDuplicates "resolution" would be shuffle-order dependent
-        # (r8 review finding) — refuse loudly instead
-        dup = out.groupBy("rid").count().where("count > 1").limit(1).collect()
-        if dup:
-            raise ValueError(
-                f"bcubed_metrics: record {dup[0]['rid']!r} belongs to "
-                f"multiple clusters in the "
-                f"{'predicted' if label == 'pc' else 'gold'} assignment — "
-                "BCubed is defined over partitions, not overlapping "
-                "clusterings"
-            )
-        return out
-
-    j = side(predicted, "pc").join(side(gold, "gc"), "rid")
+        # memberships per record: >1 means the assignment is not a
+        # partition (refused below, from the cell table). The window
+        # hash-partitions by rid — exactly the distribution the join
+        # needs, so no extra exchange.
+        .withColumn("npc", F.count(F.lit(1)).over(w))
+    )
+    g = (
+        gold.select(
+            F.col(record_col).cast("string").alias("rid"),
+            F.col(cluster_col).cast("string").alias("gc"),
+        ).distinct()
+        .withColumn("ngc", F.count(F.lit(1)).over(w))
+    )
+    # FULL outer: one-sided records don't enter the metric, but their
+    # membership counts must still reach the violation check (the old
+    # per-side eager scans covered the whole input — keep that).
+    j = p.join(g, "rid", "full_outer")
     # every record of cell (pc, gc) shares the same per-record ratios,
     # so the ppm sums collapse to O(#cells) arithmetic over the cell
     # table — the record-level frame is joined exactly once
-    cell = j.groupBy("pc", "gc").agg(F.count(F.lit(1)).alias("c"))
+    cell = j.groupBy("pc", "gc").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max(F.coalesce("npc", F.lit(1))).alias("mx_p"),
+        F.max(F.coalesce("ngc", F.lit(1))).alias("mx_g"),
+    )
     cell = cell.localCheckpoint(eager=True)  # feeds three aggregates
+    # a record in two clusters makes BCubed ill-defined and a
+    # dropDuplicates "resolution" would be shuffle-order dependent
+    # (r8 review finding) — refuse loudly. This scans only the
+    # checkpointed O(#cells) table; naming an offending record costs
+    # a recompute on the ERROR path only.
+    viol = cell.where("mx_p > 1 OR mx_g > 1").limit(1).collect()
+    if viol:
+        side_df, label = (
+            (p, "predicted") if viol[0]["mx_p"] > 1 else (g, "gold")
+        )
+        col = "npc" if label == "predicted" else "ngc"
+        rid = side_df.where(F.col(col) > 1).limit(1).collect()[0]["rid"]
+        raise ValueError(
+            f"bcubed_metrics: record {rid!r} belongs to multiple "
+            f"clusters in the {label} assignment — BCubed is defined "
+            "over partitions, not overlapping clusterings"
+        )
+    cell = cell.where(F.col("pc").isNotNull() & F.col("gc").isNotNull())
     psz = cell.groupBy("pc").agg(F.sum("c").alias("ps"))
     gsz = cell.groupBy("gc").agg(F.sum("c").alias("gs"))
     per = (

@@ -229,12 +229,21 @@ def k_core(
     node count reaching a fixpoint (monotone decreasing, so equality is
     the exact test — no checksum needed).
 
+    Peeling depth is NOT bounded by ``max_iterations`` on adversarial
+    shapes (a path of n nodes at k=2 peels 2 endpoints per round and
+    needs ~n/2 rounds), so exhausting the cap without reaching the
+    count fixpoint RAISES rather than silently returning the residual
+    superset — the engine's refuse-loudly convention (see
+    ``estimate_pairs`` / ``bcubed_metrics``). Raise ``max_iterations``
+    for deep-peel graphs.
+
     No reference counterpart — north-star addition.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
     prev = None
+    converged = False
     for _ in range(int(max_iterations)):
         deg = (
             e.select(F.col("a").alias("v"))
@@ -246,14 +255,24 @@ def k_core(
         keep = keep.localCheckpoint(eager=True)
         n = keep.count()
         if prev is not None and n == prev:
+            converged = True
             break
         prev = n
         if n == 0:
+            converged = True
             break
         e = (
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach the peel fixpoint within "
+            f"max_iterations={int(max_iterations)} rounds (surviving "
+            f"nodes still shrinking: {prev}); the residual node set "
+            f"would be a SUPERSET of the {k}-core. Raise max_iterations "
+            f"(peeling depth can be O(n) on chain-like graphs)."
         )
     return (
         e.select(F.col("a").alias("id"))

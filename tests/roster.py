@@ -1,0 +1,23 @@
+"""The pinned rotation-queue roster — the single source of truth.
+
+Queries added while the driver's 50-entry correctness window is already
+claimed by the current round's first-checks queue HERE and rotate into
+the NEXT round's window. A query whose operator code materially changes
+must also re-enter the window or this queue that round.
+
+Pure data, importable by both tests/test_entry.py and
+tools/check_oracle.py (ADVICE r8: the tool used to exec the test module
+to read the queue, which ran test-file top-level code — this module has
+no imports and no side effects, so loading it can never drag in pytest
+fixtures or a SparkSession).
+"""
+
+# Round-9 queue: the r8 queue (19 entries) fully rotated into the r9
+# window (_R9_WINDOW in __spark_entry__.py); new r9 additions queue
+# here for their first driver checks in the r10 window.
+ROTATION_QUEUE: set[str] = {
+    # r9: first SQL oracles for hierarchical MAX/AVG linkage (the
+    # forced-unique-merge-order triangle fixture — VERDICT r8 #4)
+    "cluster_hierarchical_max",
+    "cluster_hierarchical_avg",
+}

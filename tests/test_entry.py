@@ -29,39 +29,10 @@ def test_two_sample_queries_run(spark, sf_dir):
     assert out.columns == ["id1", "id2", "block_key"]
 
 
-# Round-8 rotation queue: queries added past position 50 because the
-# window is already claimed by this round's first-checks — rotate into
-# the NEXT round's window. Keep in sync when adding queries; the two
-# tests below enforce the accounting. The r8 rotation emptied the
-# round-7 queue (all 8 entries took window positions 1-8); new round-8
-# queries and materially-changed operators queue here for r9.
-ROTATION_QUEUE: set[str] = {
-    # r8: distributed CC gained forest pre-contraction (material code
-    # change on the query path — re-check next round)
-    "cluster_cc_distributed",
-    # r8: LLM stages gained call-record capture (extract/schema paths
-    # changed; match_llm_fake's re-check is already in the r8 window)
-    "extract_llm_fake",
-    "schema_llm_fake",
-    # r8: retention_cohorts refactored onto the shared _cohort_frame
-    "events_retention",
-    # r8 new queries (window full — first checks in r9)
-    "graph_clustering_coef",
-    "graph_kcore",
-    "events_session_report",
-    "text_novelty",
-    "dedup_keep_best",
-    "text_script_detect",
-    "streaming_sliding",
-    "profile_benford",
-    "cluster_max_bipartite",
-    "io_pit_join",
-    "events_cohort_value",
-    "profile_drift",
-    "eval_bcubed",
-    "normalize_mask",
-    "events_conversion_lag",
-}
+# The pinned rotation queue lives in tests/roster.py (importable pure
+# data — ADVICE r8) so tools/check_oracle.py can read it without
+# executing this test module. The tests below enforce the accounting.
+from roster import ROTATION_QUEUE
 
 
 def test_driver_window_arithmetic():
@@ -79,30 +50,34 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 8 round-7 rotation-queue queries (never driver-checked
-    # r01-r07) hold window positions 1-8 for their first checks
-    r7_queue = [
-        "events_attribution", "profile_histogram", "events_active_users",
-        "normalize_encode", "normalize_urls", "blocking_key_report",
-        "streaming_distinct_users", "graph_triangles",
+    # the 19 round-8 rotation-queue entries hold window positions 1-12
+    # and 16-22: re-checks first (material r8 code changes), then the
+    # r8-addition first checks
+    r8_queue_head = [
+        "cluster_cc_distributed", "extract_llm_fake", "schema_llm_fake",
+        "events_retention", "graph_clustering_coef", "graph_kcore",
+        "events_session_report", "text_novelty", "dedup_keep_best",
+        "text_script_detect", "streaming_sliding", "profile_benford",
     ]
-    assert window[:8] == r7_queue, f"r8 first-checks moved: {window[:8]}"
-    # backfill slots 9-50 carry the stalest greens (last driver row
-    # r02/r03) so staleness keeps rotating down
+    r8_queue_tail = [
+        "cluster_max_bipartite", "io_pit_join", "events_cohort_value",
+        "profile_drift", "eval_bcubed", "normalize_mask",
+        "events_conversion_lag",
+    ]
+    assert window[:12] == r8_queue_head, f"r9 first-checks moved: {window[:12]}"
+    assert window[15:22] == r8_queue_tail, f"r9 queue tail moved: {window[15:22]}"
+    # backfill slots 23-50 carry the stalest greens (last driver row
+    # r03/r04) so staleness keeps rotating down
     stalest = {
-        "ann_lsh", "ann_ivf", "blocking_sorted_neighbourhood",
-        "cluster_consistency", "cluster_hierarchical", "cluster_size_dist",
-        "eval_threshold_sweep", "fusion_most_complete", "fusion_trust",
-        "normalize_transforms", "schema_duplicate_based",
-        "schema_instance_based", "text_fingerprint", "tpch_rollup",
-        "dedup_embedding", "dedup_ngram_prefix", "eval_ie",
-        "fusion_accuracy", "io_id_injection", "join_asof", "join_range",
-        "join_skew_salted", "match_llm_fake", "match_plm_fake",
-        "movies_parity", "normalize_text", "outlier_bounds",
-        "profile_coverage", "sample_stratified", "streaming_join",
-        "text_chunk", "text_decontaminate", "text_pack", "text_pii",
-        "text_quality_filter", "text_repetition", "text_span_dedup",
-        "text_temperature_mix", "translate_rename",
+        "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19",
+        "tpch_q22", "tpch_window",
+        "blocking_meta", "blocking_meta_cnp", "blocking_standard_capped",
+        "blocking_token_capped", "cluster_incremental", "dedup_semantic",
+        "embed_ivfpq_topk", "embed_mean_pool", "embed_pq_encode",
+        "embed_pq_topk", "embed_quantize", "extract_code",
+        "fusion_conflicts", "io_explode_delimited", "io_feather_roundtrip",
+        "io_fwf_roundtrip",
     }
     assert stalest <= set(window), f"fell out: {stalest - set(window)}"
     past_window = set(names[50:])
@@ -225,6 +200,8 @@ def test_partition_independence_of_new_queries(spark):
         "streaming_sliding", "profile_benford", "cluster_max_bipartite",
         "io_pit_join", "events_cohort_value", "profile_drift",
         "eval_bcubed", "normalize_mask", "events_conversion_lag",
+        # round-9 additions
+        "cluster_hierarchical_max", "cluster_hierarchical_avg",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

@@ -1954,6 +1954,25 @@ def test_k_core_peeling_cascade(spark):
         k_core(edges, k=0)
 
 
+def test_k_core_raises_on_iteration_cap(spark):
+    """VERDICT r8 #2: a chain peels 2 endpoints per round, so a 20-node
+    path at k=2 needs ~10 rounds; with max_iterations=3 the peel CANNOT
+    reach the fixpoint and k_core must RAISE (refuse-loudly) instead of
+    silently returning the residual superset of the (empty) 2-core."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import k_core
+
+    chain = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(20)],
+        "id1 string, id2 string",
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(chain, k=2, max_iterations=3)
+    # with enough rounds the same graph converges (to the empty 2-core)
+    assert k_core(chain, k=2, max_iterations=50).count() == 0
+
+
 def test_k_core_empty_and_partition_invariance(spark):
     from pydi_spark.llmdata import clustering_coefficient, k_core
 

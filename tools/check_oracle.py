@@ -118,18 +118,20 @@ def hash_safety_violations(rows, cols):
 
 
 def rotation_queue() -> set[str]:
-    """The pinned rotation queue from tests/test_entry.py (the single
-    roster source of truth). Queue entries are FUTURE window members —
-    gate them with the same hash-safety rules so a hash-unsafe output
-    can never sit waiting in the queue (VERDICT r7 #5: r8's rotation
-    would have been the first time the r7 queue hit the window check)."""
+    """The pinned rotation queue from tests/roster.py (the single
+    roster source of truth — pure data, no imports, so loading it runs
+    no test-module code; ADVICE r8). Queue entries are FUTURE window
+    members — gate them with the same hash-safety rules so a
+    hash-unsafe output can never sit waiting in the queue (VERDICT r7
+    #5: r8's rotation would have been the first time the r7 queue hit
+    the window check)."""
     import importlib.util
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests", "test_entry.py",
+        "tests", "roster.py",
     )
-    spec = importlib.util.spec_from_file_location("_test_entry_roster", path)
+    spec = importlib.util.spec_from_file_location("_roster", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return set(mod.ROTATION_QUEUE)

@@ -322,6 +322,39 @@ def main() -> None:
 
         return image_near_duplicates(df, max_hamming=6)
 
+    def keep_best(df):
+        # the r8 CC-class heavy: simhash pairs -> ids-only CC -> min_by
+        # struct keep; the corpus is only touched by two narrow id
+        # joins, so time should track the simhash+CC pair (row_ratio
+        # ~10 — every doc emits a verdict row)
+        from pydi_spark.llmdata import (
+            keep_best_duplicates, simhash_near_duplicates,
+        )
+
+        d = df.select("doc_id", "text", F.length("text").alias("q"))
+        pairs = simhash_near_duplicates(d, max_hamming=3, bands=4)
+        return keep_best_duplicates(d, pairs, "q")
+
+    def bcubed(df):
+        # the other r8 CC-class heavy: pred = simhash canonical
+        # clusters, gold = exact-text partition; the metric itself is
+        # O(#cells) over the cell table, so time should track the
+        # cluster construction. Output is ONE row — read the time ratio.
+        from pydi_spark.evaluation import bcubed_metrics
+        from pydi_spark.llmdata import simhash_near_duplicates
+        from pydi_spark.llmdata.dedup import canonical_corpus
+
+        pairs = simhash_near_duplicates(df, max_hamming=3, bands=4)
+        pred = canonical_corpus(df, pairs).select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.col("canonical_id").alias("cluster_id"),
+        )
+        gold = df.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.md5(F.col("text").cast("binary")).alias("cluster_id"),
+        )
+        return bcubed_metrics(pred, gold)
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -338,6 +371,8 @@ def main() -> None:
         "graph_triangles": triangles,
         "image_decode": image_decode,
         "image_near_dups": image_near_dups,
+        "dedup_keep_best": keep_best,
+        "eval_bcubed": bcubed,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
