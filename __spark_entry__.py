@@ -1813,20 +1813,11 @@ def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(edges)
 
 
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of a clique+bridge graph (llmdata/graph.py k_core —
-    iterated peeling to fixpoint): customers form 4-cliques per
-    (nation, rank-block) plus stride-4 bridges between consecutive
-    blocks, so partial tail blocks peel over SEVERAL rounds (the tail
-    dies first, then the bridge endpoints lose their extra degree) and
-    the fixpoint keeps exactly the full blocks. Oracle = 12 inlined
-    MATERIALIZED peel rounds (idempotent past convergence — fixpoint
-    rounds are no-ops). max_iterations=12 matches the oracle's bound:
-    a graph that needs more rounds RAISES on the Spark side (k_core's
-    non-convergence guard) instead of silently diverging from the
-    12-round oracle (ADVICE r8)."""
-    from pydi_spark.llmdata import k_core
-
+def _clique_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-structured test graph shared by graph_kcore and
+    graph_label_prop: customers form 4-cliques per (nation, rank-block)
+    plus stride-4 bridges between consecutive blocks — dense cores
+    joined by weak links."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     r = cust.withColumn("rk", F.row_number().over(w)).withColumn(
@@ -1848,7 +1839,49 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.c_custkey").alias("id1"), F.col("b.c_custkey").alias("id2")
     )
-    return k_core(clique.unionByName(bridge), k=3, max_iterations=12)
+    return clique.unionByName(bridge)
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the clique+bridge graph (llmdata/graph.py k_core —
+    iterated peeling to fixpoint): partial tail blocks peel over
+    SEVERAL rounds (the tail dies first, then the bridge endpoints
+    lose their extra degree) and the fixpoint keeps exactly the full
+    blocks. Oracle = 12 inlined MATERIALIZED peel rounds (idempotent
+    past convergence — fixpoint rounds are no-ops). max_iterations=12
+    matches the oracle's bound: a graph that needs more rounds RAISES
+    on the Spark side (k_core's non-convergence guard) instead of
+    silently diverging from the 12-round oracle (ADVICE r8)."""
+    from pydi_spark.llmdata import k_core
+
+    return k_core(_clique_bridge_edges(spark, sf_dir), k=3, max_iterations=12)
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (llmdata/graph.py
+    label_propagation) on the clique+bridge graph: 4 fixed rounds of
+    'adopt the most frequent neighbour label, smallest label on ties'.
+    Unlike CC (which fuses everything the bridges reach), LPA settles
+    on the dense 4-cliques. The oracle replays the SAME 4 synchronous
+    rounds (count DESC, label ASC via row_number) — fixed round count
+    on both sides, so a structure that needed more rounds changes both
+    engines identically (bound-alignment, the graph_kcore lesson)."""
+    from pydi_spark.llmdata import label_propagation
+
+    return label_propagation(_clique_bridge_edges(spark, sf_dir), n_iter=4)
+
+
+def q_io_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted rendezvous-hash shard routing (io/bucketing.py
+    rendezvous_shard): every doc goes to the shard owning the max
+    md5(key:shard:rep) over 8 virtual nodes (weights 3/2/1/1/1) — the
+    stable-under-topology-change alternative to hash-mod sharding. A
+    pure map-only expression; the oracle replays the same argmax via
+    row_number over identical md5 literals."""
+    from pydi_spark.io import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_shard(docs, "doc_id", [3, 2, 1, 1, 1])
 
 
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6209,6 +6242,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- tests/roster.py)
         "cluster_hierarchical_max": q_cluster_hierarchical_max,
         "cluster_hierarchical_avg": q_cluster_hierarchical_avg,
+        "graph_label_prop": q_graph_label_prop,
+        "io_rendezvous_shards": q_io_rendezvous_shards,
     }
 
 
@@ -10635,6 +10670,66 @@ SELECT DISTINCT id FROM (
 )
 """
     )
+
+    # 4 inlined synchronous LPA rounds over the same clique+bridge
+    # graph: count neighbour labels, adopt (count DESC, label ASC) —
+    # the fixed round count matches label_propagation(n_iter=4)
+    _lpa_rounds = []
+    for _i in range(4):
+        _lpa_rounds.append(
+            f"c{_i} AS (SELECT s.d AS id, l.label, COUNT(*) AS cnt "
+            f"FROM sym s JOIN lab{_i} l ON s.s = l.id GROUP BY s.d, l.label),\n"
+            f"lab{_i + 1} AS MATERIALIZED (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER (PARTITION BY id "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM c{_i}) WHERE rn = 1)"
+        )
+    out["graph_label_prop"] = (
+        """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+lab0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
+"""
+        + ",\n".join(_lpa_rounds)
+        + """
+SELECT id, label FROM lab4
+"""
+    )
+
+    # weighted rendezvous: 8 virtual nodes (weights 3/2/1/1/1), argmax
+    # md5(key:shard:rep) with (h DESC, shard DESC) matching Spark's
+    # array_max struct order on md5 ties
+    out["io_rendezvous_shards"] = """
+WITH v(shard, rep) AS (
+  VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(2,0),(3,0),(4,0)
+),
+sc AS (
+  SELECT d.doc_id, v.shard,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || v.shard || ':' || v.rep) AS h
+  FROM documents d CROSS JOIN v
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard FROM (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, shard DESC) AS rn
+  FROM sc
+) WHERE rn = 1
+"""
 
     out["streaming_distinct_users"] = """
 SELECT CAST(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS VARCHAR)

@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "eval_bcubed",
     "normalize_mask",
     "events_conversion_lag",
+    # round-9 additions
+    "cluster_hierarchical_max",
+    "cluster_hierarchical_avg",
+    "graph_label_prop",
+    "io_rendezvous_shards",
 ]
 
 

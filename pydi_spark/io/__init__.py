@@ -18,6 +18,7 @@ from pydi_spark.io.compaction import (
     list_data_files,
     plan_compaction,
 )
+from pydi_spark.io.bucketing import rendezvous_shard
 from pydi_spark.io.cdc import apply_changes
 from pydi_spark.io.cdc import point_in_time_join, scd2_history
 from pydi_spark.io.diff import diff_summary, table_diff
@@ -36,6 +37,7 @@ from pydi_spark.io.writers import (
 __all__ = [
     "explode_delimited",
     "list_to_string",
+    "rendezvous_shard",
     "apply_changes",
     "compaction_summary",
     "list_data_files",

@@ -280,3 +280,64 @@ def k_core(
         .distinct()
         .where(F.lit(prev if prev is not None else 0) > 0)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    id1: str = "id1",
+    id2: str = "id2",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, label] — SYNCHRONOUS label propagation community detection
+    over the undirected graph: every node starts labelled with its own
+    id; each round ALL nodes simultaneously adopt the most frequent
+    label among their neighbours, ties broken by the SMALLEST label.
+    The finer-than-connected-components community signal for near-dup /
+    host graphs (CC merges everything reachable; LPA respects density
+    boundaries — a weak bridge between two tight cliques does not fuse
+    them).
+
+    Determinism contract: the synchronous schedule + (count DESC, label
+    ASC) tie-break make every round a pure function of the previous
+    labelling — no shuffle-order or visit-order dependence (the
+    classic asynchronous LPA is neither reproducible nor
+    SQL-replayable). Runs EXACTLY ``n_iter`` rounds: synchronous LPA
+    can 2-cycle on bipartite structures, so a fixpoint test could
+    never terminate; a fixed bound is both the standard remedy and
+    what lets an oracle replay the rounds verbatim (the k_core
+    bound-alignment lesson).
+
+    Scale shape: one round = one edge-with-labels join (shuffled by
+    source; the symmetrized edge list is checkpointed once and reused)
+    + one (node, label) count with map-side combine + one min-struct
+    argmax by node. State is one row per node; lineage cut every
+    ``checkpoint_every`` rounds — the pagerank_micro discipline.
+
+    No reference counterpart (PyDI has no graph analytics) —
+    north-star addition.
+    """
+    e = _canonical_edges(edges, id1, id2)
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for i in range(int(n_iter)):
+        counted = (
+            sym.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # (count DESC, label ASC) argmax as ONE order-free aggregate:
+        # min of struct(-count, label) is lexicographic, so the largest
+        # count wins and the smallest label breaks ties
+        labels = counted.groupBy("id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lbl")))
+            .getField("lbl")
+            .alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -20,4 +20,8 @@ ROTATION_QUEUE: set[str] = {
     # forced-unique-merge-order triangle fixture — VERDICT r8 #4)
     "cluster_hierarchical_max",
     "cluster_hierarchical_avg",
+    # r9 new operators: synchronous label-propagation communities and
+    # weighted rendezvous-hash shard routing
+    "graph_label_prop",
+    "io_rendezvous_shards",
 }

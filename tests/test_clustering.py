@@ -116,6 +116,30 @@ def test_hierarchical_min_similarity(spark):
     assert got["c"] != got["a"]
 
 
+def test_hierarchical_linkage_semantics(spark):
+    """The triangle that separates the three linkages (reference
+    hierarchical_clusterer.py:21-323 over PRESENT cross-pairs): sims
+    (a,b)=.875 > (a,c)=.8125 > (b,c)=.3125, floor .5. After the forced
+    first merge {a,b}, the {a,b}-{c} similarity is MIN->max(.8125,
+    .3125)=.8125 (merge), AVG->.5625 (merge), MAX->.3125 (stop)."""
+    corr = spark.createDataFrame(
+        [("a", "b", 0.875), ("a", "c", 0.8125), ("b", "c", 0.3125)],
+        "id1 string, id2 string, score double",
+    )
+
+    def clusters(linkage):
+        rows = HierarchicalClusterer(
+            linkage=linkage, min_similarity=0.5
+        ).assign(corr).collect()
+        return {r["record_id"]: r["cluster_id"] for r in rows}
+
+    for linkage in ("MIN", "AVG"):
+        got = clusters(linkage)
+        assert got["a"] == got["b"] == got["c"] == "a", (linkage, got)
+    got = clusters("MAX")
+    assert got["a"] == got["b"] == "a" and got["c"] == "c", got
+
+
 def test_incremental_assignment(spark):
     from pydi_spark.clustering.incremental import assign_new_records
 

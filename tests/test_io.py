@@ -504,3 +504,33 @@ def test_point_in_time_join(spark):
     hist2 = hist.withColumnRenamed("tier", "at")
     cols = point_in_time_join(facts, hist2, "key", "at").columns
     assert "at_dim" in cols and cols.count("at") == 1
+
+
+def test_rendezvous_shard_weights_and_stability(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pydi_spark.io import rendezvous_shard
+
+    keys = spark.range(300).select(F.col("id").alias("k"))
+    a = rendezvous_shard(keys, "k", [3, 2, 1])
+    counts = {r["shard"]: r["n"] for r in
+              a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    # weights steer capacity: shard 0 (weight 3) > shard 2 (weight 1)
+    assert set(counts) == {0, 1, 2}
+    assert counts[0] > counts[2]
+    # deterministic: same call, same assignment
+    b = rendezvous_shard(keys, "k", [3, 2, 1])
+    assert a.collect() == b.collect()
+    # minimal movement: dropping the LAST shard only moves ITS keys
+    dropped = rendezvous_shard(keys, "k", [3, 2]).withColumnRenamed(
+        "shard", "shard2"
+    )
+    j = a.join(dropped, "k")
+    moved = j.where("shard != shard2")
+    assert moved.where("shard != 2").count() == 0
+    assert moved.count() == counts[2]
+    with _pytest.raises(ValueError):
+        rendezvous_shard(keys, "k", [])
+    with _pytest.raises(ValueError):
+        rendezvous_shard(keys, "k", [2, 0])

@@ -2070,3 +2070,26 @@ def test_script_profile(spark):
     assert got[5]["dominant_script"] == "cjk"
     assert got[6]["dominant_script"] == "other"
     assert got[7]["dominant_script"] == "other" and got[7]["n_chars"] == 0
+
+
+def test_label_propagation_communities(spark):
+    """Two triangles joined by one weak bridge: CC would fuse them;
+    synchronous LPA (min-label ties) settles on one label per triangle
+    — worked by hand for 4 rounds: {a,b,c}->a, {d,e,f}->c."""
+    from pydi_spark.llmdata import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"),
+         ("c", "d")],
+        "id1 string, id2 string",
+    )
+    got = {r["id"]: r["label"]
+           for r in label_propagation(edges, n_iter=4).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+    # synchronous schedule -> partition-independent
+    got13 = {r["id"]: r["label"]
+             for r in label_propagation(
+                 edges.repartition(13), n_iter=4).collect()}
+    assert got13 == got
