@@ -122,6 +122,16 @@ def main() -> None:
         docs.withColumn("q", F.length("text")), pairs, "q"
     )
     kept = canon.where("is_kept = 1").select("doc_id")
+
+    # 3b. community structure of the near-dup graph: synchronous label
+    # propagation keeps dense template families apart where connected
+    # components would fuse everything a weak shared boilerplate line
+    # chains together — the report a crawl-dedup postmortem starts from
+    from pydi_spark.llmdata import label_propagation
+
+    communities = label_propagation(pairs.select("id1", "id2"), n_iter=4)
+    n_comm = communities.select("label").distinct().count()
+
     docs = docs.join(kept, "doc_id", "left_semi")
     # cut lineage: every later stage (and its count) would otherwise
     # re-execute the dedup cascade above
@@ -209,8 +219,22 @@ def main() -> None:
     wf = word_frequencies(docs, word_filter=r"^[a-z]+$")
     top_pieces = piece_stats(bpe_segment(wf, merges), top_n=15)
 
+    # 10. route the surviving docs to weighted shards (capacity 3/2/1):
+    # rendezvous hashing keeps the assignment stable if a shard server
+    # is added or removed between nightly runs — only the affected
+    # shard's keys move, unlike hash-mod resharding
+    from pydi_spark.io import rendezvous_shard
+
+    shard_plan = (
+        rendezvous_shard(docs.select("doc_id"), "doc_id", [3, 2, 1])
+        .groupBy("shard").agg(F.count("*").alias("docs"))
+        .orderBy("shard")
+    )
+
     print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
-          f"-> decontaminated {n_clean}")
+          f"-> decontaminated {n_clean}; "
+          f"{n_comm} near-dup communities")
+    shard_plan.show(5, truncate=False)
     summary.orderBy("source").show(25, truncate=False)
     print(f"BPE merges: {merges}")
     top_pieces.show(15, truncate=False)
