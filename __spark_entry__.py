@@ -1884,6 +1884,19 @@ def q_io_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_shard(docs, "doc_id", [3, 2, 1, 1, 1])
 
 
+def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-phrase search (llmdata/search.py phrase_match):
+    occurrences of the phrase 'batch batch' — a REPEATED-term phrase,
+    so overlapping matches ('batch batch batch' -> 2) exercise the
+    positional semantics substring-replace counting would get wrong.
+    The oracle replays the position normalization (base = pos - slot)
+    independently over a DuckDB lateral ordinality unnest."""
+    from pydi_spark.llmdata import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_match(docs, "batch batch")
+
+
 def q_profile_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-run detection in a surrogate-key sequence
     (profiling/profiler.py find_sequence_gaps): deterministic holes
@@ -6244,6 +6257,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cluster_hierarchical_avg": q_cluster_hierarchical_avg,
         "graph_label_prop": q_graph_label_prop,
         "io_rendezvous_shards": q_io_rendezvous_shards,
+        "text_search_phrase": q_text_search_phrase,
     }
 
 
@@ -10708,6 +10722,35 @@ lab0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
         + ",\n".join(_lpa_rounds)
         + """
 SELECT id, label FROM lab4
+"""
+    )
+
+    # positional phrase replay: zipped lateral unnest gives (token,
+    # pos); base = pos - slot; a base covered by BOTH slots of the
+    # repeated-term phrase is one (possibly overlapping) occurrence
+    out["text_search_phrase"] = (
+        """
+WITH base AS (
+  SELECT doc_id, """
+        + _TOK_SQL.format(col="text")
+        + """ AS arr FROM documents
+),
+toks AS (
+  SELECT b.doc_id, u.tok AS token, u.p - 1 AS pos
+  FROM base b, LATERAL (
+    SELECT unnest(b.arr) AS tok, unnest(range(1, len(b.arr) + 1)) AS p
+  ) u
+),
+tagged AS (
+  SELECT t.doc_id, t.pos - s.k AS base, s.k
+  FROM toks t
+  JOIN (SELECT 0 AS k, 'batch' AS term
+        UNION ALL SELECT 1, 'batch') s ON t.token = s.term
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM (
+  SELECT doc_id, base FROM tagged
+  GROUP BY doc_id, base HAVING count(DISTINCT k) = 2
+) GROUP BY doc_id
 """
     )
 

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "cluster_hierarchical_avg",
     "graph_label_prop",
     "io_rendezvous_shards",
+    "text_search_phrase",
 ]
 
 

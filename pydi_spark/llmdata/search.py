@@ -311,3 +311,65 @@ def rerank_topk(
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, n_matches] — documents containing the EXACT token
+    phrase (terms adjacent, in order, under word_tokens tokenization),
+    with occurrence counts. OVERLAPPING occurrences count separately
+    ("batch batch batch" contains "batch batch" twice) — the
+    positional-index semantics, not substring-replace counting.
+
+    The missing piece between bag-of-words BM25 (any order, any gap)
+    and exact-substring span search (byte-level): phrase queries are
+    how a retrieval stack matches named entities and idioms.
+
+    Scale design — the classic positional-index trick with NO
+    positional index stored: posexplode the tokens once, broadcast-join
+    the tiny (k, term) phrase table (the join IS the filter — only
+    phrase terms survive the probe), normalize each hit to its
+    candidate start ``base = pos - k``, then one map-side-combinable
+    (doc, base) aggregate keeps bases covered by ALL n distinct phrase
+    slots. One shuffle on (doc, base); repeated terms in the phrase
+    are handled naturally (one token row fans out to every slot k it
+    could fill).
+
+    No reference counterpart — north-star addition.
+    """
+    import re as _re
+
+    if isinstance(phrase, str):
+        terms = [
+            t for t in _re.split(r"[^0-9a-zA-Z#']+", phrase.lower()) if t
+        ]
+    else:
+        terms = [str(t).lower() for t in phrase]
+    if not terms:
+        raise ValueError(f"phrase has no tokens: {phrase!r}")
+    n = len(terms)
+    spark = df.sparkSession
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "k int, term string"
+    )
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_tokens(text_col)).alias("pos", "token"),
+    )
+    tagged = pos.join(
+        F.broadcast(slots), pos["token"] == slots["term"]
+    ).select(
+        "doc_id", (F.col("pos") - F.col("k")).alias("base"), "k"
+    )
+    per_base = (
+        tagged.groupBy("doc_id", "base")
+        .agg(F.count_distinct("k").alias("nk"))
+        .where(F.col("nk") == F.lit(n))
+    )
+    return per_base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

@@ -20,8 +20,9 @@ ROTATION_QUEUE: set[str] = {
     # forced-unique-merge-order triangle fixture — VERDICT r8 #4)
     "cluster_hierarchical_max",
     "cluster_hierarchical_avg",
-    # r9 new operators: synchronous label-propagation communities and
-    # weighted rendezvous-hash shard routing
+    # r9 new operators: synchronous label-propagation communities,
+    # weighted rendezvous-hash shard routing, positional phrase search
     "graph_label_prop",
     "io_rendezvous_shards",
+    "text_search_phrase",
 }

@@ -202,7 +202,7 @@ def test_partition_independence_of_new_queries(spark):
         "eval_bcubed", "normalize_mask", "events_conversion_lag",
         # round-9 additions
         "cluster_hierarchical_max", "cluster_hierarchical_avg",
-        "graph_label_prop", "io_rendezvous_shards",
+        "graph_label_prop", "io_rendezvous_shards", "text_search_phrase",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

@@ -2093,3 +2093,33 @@ def test_label_propagation_communities(spark):
              for r in label_propagation(
                  edges.repartition(13), n_iter=4).collect()}
     assert got13 == got
+
+
+def test_phrase_match_positional_semantics(spark):
+    """Overlapping repeated-term phrase, multi-term adjacency, case
+    folding, and the no-tokens refusal."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "batch batch batch stream"),      # 2 OVERLAPPING matches
+         (2, "Batch, BATCH!"),                  # punctuation + case -> 1
+         (3, "batch stream batch"),             # non-adjacent -> no row
+         (4, "the fast batch batch end")],      # 1
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(docs, "batch batch").collect()}
+    assert got == {1: 2, 2: 1, 4: 1}
+    # multi-term: order matters
+    got3 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_match(docs, "batch stream").collect()}
+    assert got3 == {1: 1, 3: 1}
+    assert phrase_match(docs, "stream batch").count() == 1  # doc 3 only
+    # list input + single term = term frequency
+    got1 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_match(docs, ["batch"]).collect()}
+    assert got1 == {1: 3, 2: 2, 3: 2, 4: 2}
+    with _pytest.raises(ValueError):
+        phrase_match(docs, " , !")
