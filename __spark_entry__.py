@@ -1884,6 +1884,22 @@ def q_io_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_shard(docs, "doc_id", [3, 2, 1, 1, 1])
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (llmdata/graph.py
+    personalized_pagerank_micro) on the clique+bridge graph with seeds
+    = custkey % 20 == 0: walk mass concentrates near seed cliques and
+    decays across bridges — the corpus-expansion signal. Oracle = 5
+    inlined rounds of the same integer formula with the teleport CASE
+    on the seed predicate and (n, s) computed as scalar subqueries."""
+    from pydi_spark.llmdata import personalized_pagerank_micro
+
+    edges = _clique_bridge_edges(spark, sf_dir)
+    seeds = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 20 == 0
+    ).select("c_custkey")
+    return personalized_pagerank_micro(edges, seeds, n_iter=5)
+
+
 def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-phrase search (llmdata/search.py phrase_match):
     occurrences of the phrase 'batch batch' — a REPEATED-term phrase,
@@ -4063,6 +4079,60 @@ pr{i} AS (
     return (
         head + "," + ",".join(its)
         + f"\nSELECT id, r AS rank_micro FROM pr{n_iter}"
+    )
+
+
+def _ppr_oracle_sql(n_iter: int = 5, damping_ppm: int = 850000) -> str:
+    """Unrolled replay of q_graph_ppr over the clique+bridge graph:
+    same chained-CTE scheme as _pagerank_oracle_sql, but the teleport
+    term is the seed-conditional CASE with (n, s) scalar subqueries —
+    the exact integer formula personalized_pagerank_micro computes
+    with driver-side counts."""
+    base = 1000000 - damping_ppm
+    head = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS nk,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.nk = b.nk AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.nk = b.nk AND b.rk - a.rk = 4
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+n AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+st AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM n) AS nn,
+         (SELECT count(*) FROM n WHERE id % 20 = 0) AS ns
+),
+pr0 AS (
+  SELECT id, CAST(CASE WHEN id % 20 = 0
+                  THEN (st.nn * 1000000) // st.ns ELSE 0 END AS BIGINT) AS r
+  FROM n CROSS JOIN st)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+pr{i} AS (
+  SELECT n.id,
+         CAST(CASE WHEN n.id % 20 = 0
+              THEN (st.nn * {base}) // st.ns ELSE 0 END
+              + ({damping_ppm} * COALESCE(x.S, 0)) // 1000000
+              AS BIGINT) AS r
+  FROM n CROSS JOIN st LEFT JOIN (
+    SELECT sym.d AS id, SUM(pr{i - 1}.r // deg.deg) AS S
+    FROM sym JOIN pr{i - 1} ON pr{i - 1}.id = sym.s
+             JOIN deg ON deg.s = sym.s
+    GROUP BY sym.d) x ON x.id = n.id)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\nSELECT CAST(id AS VARCHAR) AS id, r AS rank_micro FROM pr{n_iter}"
     )
 
 
@@ -6258,6 +6328,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_label_prop": q_graph_label_prop,
         "io_rendezvous_shards": q_io_rendezvous_shards,
         "text_search_phrase": q_text_search_phrase,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -9053,6 +9124,7 @@ FROM fr
 """.replace("{SIM}", _simhash_sql(3))
     out["sample_contrastive"] = _contrastive_oracle_sql()
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
+    out["graph_ppr"] = _ppr_oracle_sql(5, 850000)
     out["io_cdc_upsert"] = """
 WITH base AS (
   SELECT CAST(c_custkey AS VARCHAR) AS rid, c_name AS name,

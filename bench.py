@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "graph_label_prop",
     "io_rendezvous_shards",
     "text_search_phrase",
+    "graph_ppr",
 ]
 
 

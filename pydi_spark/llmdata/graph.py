@@ -28,32 +28,36 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
-def pagerank_micro(
-    edges: DataFrame,
-    n_iter: int = 5,
-    damping_ppm: int = 850_000,
-    id1_col: str = "id1",
-    id2_col: str = "id2",
-    checkpoint_every: int = 2,
-) -> DataFrame:
-    """[id, rank_micro] — PageRank over the UNDIRECTED graph given as a
-    pair list (edges are symmetrized; nodes = every id appearing in an
-    edge). rank_micro starts at 1,000,000 per node; after each
-    iteration Σ rank stays ≈ n×1e6 (minus the documented floor bias).
-    """
+def _symmetrize(edges: DataFrame, id1_col: str, id2_col: str) -> DataFrame:
     sym = edges.select(
         F.col(id1_col).cast("string").alias("s"),
         F.col(id2_col).cast("string").alias("d"),
     )
     sym = sym.unionByName(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.localCheckpoint(eager=True)  # reused every iteration
+    return sym.localCheckpoint(eager=True)  # reused every iteration
+
+
+def _pagerank_core(
+    sym: DataFrame,
+    node_base: DataFrame,
+    n_iter: int,
+    damping_ppm: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared power-iteration core over a symmetrized edge list.
+    ``node_base`` = [id, init_micro, base_micro]: the starting rank and
+    the per-node teleport term — uniform for PageRank, concentrated on
+    the seed set for personalized PageRank. Every iteration is the same
+    order-free integer aggregate (rank' = base + d*Σ(rank div deg)
+    div 1e6)."""
     deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
     src = sym.join(deg, "s")  # (s, d, deg) — the static iteration input
     src = src.localCheckpoint(eager=True)
-    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(eager=True)
+    nodes = node_base.localCheckpoint(eager=True)
 
-    base = int(MICRO - damping_ppm)
-    ranks = nodes.select("id", F.lit(MICRO).cast("bigint").alias("rank_micro"))
+    ranks = nodes.select(
+        "id", F.col("init_micro").cast("bigint").alias("rank_micro")
+    )
     for i in range(int(n_iter)):
         contrib = (
             src.join(ranks.withColumnRenamed("id", "s"), "s")
@@ -67,7 +71,7 @@ def pagerank_micro(
         ranks = nodes.join(contrib, "id", "left").select(
             "id",
             (
-                F.lit(base)
+                F.col("base_micro")
                 + F.expr(
                     f"CAST({int(damping_ppm)} AS BIGINT)"
                     f" * coalesce(S, CAST(0 AS BIGINT)) div {MICRO}"
@@ -77,6 +81,88 @@ def pagerank_micro(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_ppm: int = 850_000,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, rank_micro] — PageRank over the UNDIRECTED graph given as a
+    pair list (edges are symmetrized; nodes = every id appearing in an
+    edge). rank_micro starts at 1,000,000 per node; after each
+    iteration Σ rank stays ≈ n×1e6 (minus the documented floor bias).
+    """
+    sym = _symmetrize(edges, id1_col, id2_col)
+    base = int(MICRO - damping_ppm)
+    node_base = sym.select(F.col("s").alias("id")).distinct().select(
+        "id",
+        F.lit(MICRO).cast("bigint").alias("init_micro"),
+        F.lit(base).cast("bigint").alias("base_micro"),
+    )
+    return _pagerank_core(sym, node_base, n_iter, damping_ppm, checkpoint_every)
+
+
+def personalized_pagerank_micro(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping_ppm: int = 850_000,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    seed_col: str | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, rank_micro] — PERSONALIZED PageRank: the random walk
+    restarts into the SEED set instead of uniformly, so rank measures
+    proximity to the seeds — the standard corpus-expansion signal
+    ("find documents like these curated ones") and the graph dual of
+    DSIR's distribution matching.
+
+    Integer contract (shared _pagerank_core): total walk mass stays
+    ≈ n×1e6 like the uniform variant, but the teleport term
+    concentrates on seeds — init = base-equivalent mass
+    ``(n*1e6) div s`` per seed, teleport ``(n*(1e6-d)) div s`` per
+    seed, 0 elsewhere (s = seeds actually present in the graph; raises
+    if none are — a silent empty seed set would return the zero
+    vector). Non-seed ranks are pure accumulated proximity.
+
+    Scale shape: identical to pagerank_micro (one join + one
+    map-side-combined aggregate per iteration) plus ONE seed semi-join
+    at setup; the two scalar counts (n, s) are O(1) driver values.
+
+    No reference counterpart — north-star addition.
+    """
+    sym = _symmetrize(edges, id1_col, id2_col)
+    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    scol = seed_col or seeds.columns[0]
+    seed_ids = seeds.select(F.col(scol).cast("string").alias("id")).distinct()
+    flagged = nodes.join(
+        seed_ids.withColumn("__is_seed", F.lit(1)), "id", "left"
+    ).select("id", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"))
+    flagged = flagged.localCheckpoint(eager=True)
+    n = flagged.count()
+    s = flagged.where(F.col("__is_seed") == 1).count()
+    if s == 0:
+        raise ValueError(
+            "personalized_pagerank_micro: no seed id appears in the "
+            "graph — the walk would have nowhere to restart"
+        )
+    init_seed = (n * MICRO) // s
+    base_seed = (n * (MICRO - int(damping_ppm))) // s
+    node_base = flagged.select(
+        "id",
+        F.when(F.col("__is_seed") == 1, F.lit(init_seed))
+        .otherwise(F.lit(0)).cast("bigint").alias("init_micro"),
+        F.when(F.col("__is_seed") == 1, F.lit(base_seed))
+        .otherwise(F.lit(0)).cast("bigint").alias("base_micro"),
+    )
+    return _pagerank_core(sym, node_base, n_iter, damping_ppm, checkpoint_every)
 
 
 def triangle_count(

@@ -25,4 +25,9 @@ ROTATION_QUEUE: set[str] = {
     "graph_label_prop",
     "io_rendezvous_shards",
     "text_search_phrase",
+    # r9 new operator: personalized PageRank (seed-restart walk)
+    "graph_ppr",
+    # r9 material change: pagerank_micro refactored onto the shared
+    # _pagerank_core (same integer formula; re-check next window)
+    "graph_pagerank",
 }

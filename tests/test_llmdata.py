@@ -2123,3 +2123,33 @@ def test_phrase_match_positional_semantics(spark):
     assert got1 == {1: 3, 2: 2, 3: 2, 4: 2}
     with _pytest.raises(ValueError):
         phrase_match(docs, " , !")
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    """Two 3-cliques joined by one bridge, seed in clique 1: mass must
+    concentrate in the seed clique and decay across the bridge;
+    conservation ~ n*1e6 within the floor bias; empty seed set raises."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import personalized_pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"),
+         ("c", "d")],
+        "id1 string, id2 string",
+    )
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["rank_micro"]
+           for r in personalized_pagerank_micro(edges, seeds, n_iter=8).collect()}
+    assert set(got) == set("abcdef")
+    # the seed outranks everything; its own clique outranks the far one
+    assert got["a"] == max(got.values())
+    assert min(got["b"], got["c"]) > max(got["e"], got["f"])
+    # total walk mass conserved up to the documented floor bias
+    assert 0.9 * 6_000_000 < sum(got.values()) <= 6_000_000
+    # every node reachable -> strictly positive mass
+    assert all(v > 0 for v in got.values())
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank_micro(
+            edges, spark.createDataFrame([("zz",)], "id string"))
