@@ -1884,6 +1884,25 @@ def q_io_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_shard(docs, "doc_id", [3, 2, 1, 1, 1])
 
 
+def q_profile_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distribution drift (profiling/profiler.py
+    numeric_drift_report): equi-depth edges from the pre-1998-06 lineitem
+    quantity distribution, drifted batch = post-cut lines CAPPED at
+    quantity 30 (truncation drift — upper bins collapse). Edges are
+    exact discrete quantiles (column elements), bin = #edges strictly
+    below, shares exact integer ppm — the oracle replays the rank
+    arithmetic and the same strict comparisons."""
+    from pydi_spark.profiling import numeric_drift_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_shipdate") < F.lit("1998-06-01"))
+    b = li.where(
+        (F.col("l_shipdate") >= F.lit("1998-06-01"))
+        & (F.col("l_quantity") <= 30)
+    )
+    return numeric_drift_report(a, b, "l_quantity", n_bins=8)
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (llmdata/graph.py
     personalized_pagerank_micro) on the clique+bridge graph with seeds
@@ -6329,6 +6348,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "io_rendezvous_shards": q_io_rendezvous_shards,
         "text_search_phrase": q_text_search_phrase,
         "graph_ppr": q_graph_ppr,
+        "profile_numeric_drift": q_profile_numeric_drift,
     }
 
 
@@ -9125,6 +9145,70 @@ FROM fr
     out["sample_contrastive"] = _contrastive_oracle_sql()
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
     out["graph_ppr"] = _ppr_oracle_sql(5, 850000)
+
+    # numeric drift: edges = exact discrete quantiles of the BASELINE
+    # (rank arithmetic identical to profile_quantiles), bin = #edges
+    # strictly below, shares exact integer ppm off derived totals
+    out["profile_numeric_drift"] = """
+WITH av AS (
+  SELECT l_quantity AS v FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1998-06-01' AND l_quantity IS NOT NULL
+),
+bv AS (
+  SELECT l_quantity AS v FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_quantity <= 30
+    AND l_quantity IS NOT NULL
+),
+cum AS (
+  SELECT val,
+         SUM(c) OVER (ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM (SELECT v AS val, COUNT(*) AS c FROM av GROUP BY 1)
+),
+edges AS MATERIALIZED (
+  SELECT ip.i,
+         MIN(CASE WHEN c.cum >= (ip.p * c.n + 999999) // 1000000
+             THEN c.val END) AS e
+  FROM cum c CROSS JOIN (
+    SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS i,
+           unnest([125000, 250000, 375000, 500000,
+                   625000, 750000, 875000]) AS p) ip
+  GROUP BY ip.i
+),
+acnt AS (
+  SELECT bin, COUNT(*) AS n_a FROM (
+    SELECT (SELECT COUNT(*) FROM edges e WHERE e.e < a.v) AS bin FROM av a
+  ) GROUP BY bin
+),
+bcnt AS (
+  SELECT bin, COUNT(*) AS n_b FROM (
+    SELECT (SELECT COUNT(*) FROM edges e WHERE e.e < b.v) AS bin FROM bv b
+  ) GROUP BY bin
+),
+tots AS (SELECT (SELECT COUNT(*) FROM av) AS ta,
+                (SELECT COUNT(*) FROM bv) AS tb),
+grid AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS bin)
+SELECT g.bin, lo.e AS lo, hi.e AS hi,
+       CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_b,
+       CAST(CASE WHEN t.ta = 0 THEN 0
+            ELSE COALESCE(a.n_a, 0) * 1000000 // t.ta END AS BIGINT)
+         AS share_a_ppm,
+       CAST(CASE WHEN t.tb = 0 THEN 0
+            ELSE COALESCE(b.n_b, 0) * 1000000 // t.tb END AS BIGINT)
+         AS share_b_ppm,
+       CAST((CASE WHEN t.tb = 0 THEN 0
+             ELSE COALESCE(b.n_b, 0) * 1000000 // t.tb END)
+          - (CASE WHEN t.ta = 0 THEN 0
+             ELSE COALESCE(a.n_a, 0) * 1000000 // t.ta END) AS BIGINT)
+         AS delta_ppm
+FROM grid g CROSS JOIN tots t
+LEFT JOIN acnt a ON a.bin = g.bin
+LEFT JOIN bcnt b ON b.bin = g.bin
+LEFT JOIN edges lo ON lo.i = g.bin
+LEFT JOIN edges hi ON hi.i = g.bin + 1
+"""
     out["io_cdc_upsert"] = """
 WITH base AS (
   SELECT CAST(c_custkey AS VARCHAR) AS rid, c_name AS name,

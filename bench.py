@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "io_rendezvous_shards",
     "text_search_phrase",
     "graph_ppr",
+    "profile_numeric_drift",
 ]
 
 

@@ -960,3 +960,101 @@ def equi_width_histogram(
         )
         .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+def numeric_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """[bin, lo, hi, n_a, n_b, share_a_ppm, share_b_ppm, delta_ppm] —
+    exact NUMERIC-distribution drift between two snapshots: equi-depth
+    bin edges taken from snapshot A's exact discrete quantiles
+    (percentile_disc semantics — edges are column ELEMENTS, so doubles
+    pass through bit-identically), every non-null value of BOTH sides
+    assigned ``bin = #edges strictly below it``, then per-bin counts
+    and exact integer-ppm shares with the signed delta. The numeric
+    twin of category_drift_report: a healthy B puts ~1/n_bins of its
+    mass in every bin; mass piling into the first/last bin is the
+    classic upstream-shift signal. NULLs are excluded on both sides
+    (null-rate drift is category_drift_report's job); PSI/KL stay
+    deliberately out (logs are not cross-engine portable) — fold
+    delta_ppm downstream if a scalar is wanted.
+
+    lo/hi are the enclosing edges (NULL for the open first/last bin).
+    Values equal to an edge land in the LOWER bin; B values outside
+    A's range land in bin 0 or n_bins-1 — never dropped.
+
+    Scale: A's edge derivation is one value-histogram groupBy (shuffle
+    bounded by the column's CARDINALITY) + one ordered cumsum window
+    over the distinct-value table — for near-unique columns use the
+    KLL sketch to pick edges instead. The n_bins-1 edges collect to
+    the driver (O(1)) and become literal comparisons, so the binning
+    pass over both sides is pure map-side codegen feeding one tiny
+    groupBy per side. Raises on an all-null/empty baseline (no edges
+    -> every comparison undefined) — refuse-loudly.
+
+    Beyond the reference (PyDI has no drift surface) — north-star
+    addition.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    ppms = [i * 1_000_000 // int(n_bins) for i in range(1, int(n_bins))]
+    edges_row = exact_quantiles(df_a, [col], ps=[p / 1e6 for p in ppms])
+    row = edges_row.collect()[0]
+    if row["n"] == 0 or row[1] is None:
+        raise ValueError(
+            f"numeric_drift_report: baseline snapshot has no non-null "
+            f"{col!r} values — no equi-depth edges exist"
+        )
+    edges = [row[f"p_{q}"] for q in ppms]
+
+    c = F.col(col)
+    bin_expr = sum(
+        (c > F.lit(e)).cast("int") for e in edges
+    ).cast("int").alias("bin")
+
+    def side(df, name):
+        return (
+            df.where(c.isNotNull())
+            .select(bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a, b = side(df_a, "n_a"), side(df_b, "n_b")
+    spark = df_a.sparkSession
+    grid = spark.range(int(n_bins)).select(F.col("id").cast("int").alias("bin"))
+    merged = (
+        grid.join(a, "bin", "left").join(b, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    ta = a.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("__ta"))
+    tb = b.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("__tb"))
+    out = merged.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+    share_a = F.expr("CASE WHEN __ta = 0 THEN CAST(0 AS BIGINT) "
+                     "ELSE n_a * 1000000 div __ta END")
+    share_b = F.expr("CASE WHEN __tb = 0 THEN CAST(0 AS BIGINT) "
+                     "ELSE n_b * 1000000 div __tb END")
+    lo = F.create_map(
+        *[x for i, e in enumerate(edges, start=1)
+          for x in (F.lit(i), F.lit(e))]
+    )[F.col("bin")]
+    hi = F.create_map(
+        *[x for i, e in enumerate(edges)
+          for x in (F.lit(i), F.lit(e))]
+    )[F.col("bin")]
+    return out.select(
+        "bin",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        "n_a", "n_b",
+        share_a.alias("share_a_ppm"),
+        share_b.alias("share_b_ppm"),
+        (share_b - share_a).cast("long").alias("delta_ppm"),
+    )

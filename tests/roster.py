@@ -27,6 +27,8 @@ ROTATION_QUEUE: set[str] = {
     "text_search_phrase",
     # r9 new operator: personalized PageRank (seed-restart walk)
     "graph_ppr",
+    # r9 new operator: equi-depth numeric drift report
+    "profile_numeric_drift",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

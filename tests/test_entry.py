@@ -203,7 +203,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-9 additions
         "cluster_hierarchical_max", "cluster_hierarchical_avg",
         "graph_label_prop", "io_rendezvous_shards", "text_search_phrase",
-        "graph_ppr",
+        "graph_ppr", "profile_numeric_drift",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

@@ -971,3 +971,45 @@ def test_category_drift_report(spark):
     t0 = _t.time()
     category_drift_report(a, b, "c")
     assert _t.time() - t0 < 2.0
+
+
+def test_numeric_drift_report(spark):
+    """Uniform baseline 1..100 split into 4 equi-depth bins (edges
+    25/50/75 by percentile_disc); a shifted batch 81..180 puts ALL its
+    mass past the last edge. Values equal to an edge land in the LOWER
+    bin; empty/degenerate baselines refuse."""
+    import pytest as _pytest
+
+    from pydi_spark.profiling import numeric_drift_report
+
+    a = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(81, 181)], "v double")
+    rows = {r["bin"]: r for r in numeric_drift_report(a, b, "v", n_bins=4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert [rows[i]["n_a"] for i in range(4)] == [25, 25, 25, 25]
+    assert [rows[i]["share_a_ppm"] for i in range(4)] == [250000] * 4
+    assert [rows[i]["n_b"] for i in range(4)] == [0, 0, 0, 100]
+    assert rows[3]["share_b_ppm"] == 1000000
+    assert rows[3]["delta_ppm"] == 750000
+    assert rows[0]["delta_ppm"] == -250000
+    # enclosing edges: open first/last bins, exact column elements
+    assert rows[0]["lo"] is None and rows[0]["hi"] == 25.0
+    assert rows[1]["lo"] == 25.0 and rows[1]["hi"] == 50.0
+    assert rows[3]["lo"] == 75.0 and rows[3]["hi"] is None
+    # edge-equal values land LOW: 25.0 is in bin 0
+    one = spark.createDataFrame([(25.0,)], "v double")
+    got = {r["bin"]: r["n_b"] for r in
+           numeric_drift_report(a, one, "v", n_bins=4).collect()}
+    assert got[0] == 1 and got[1] == 0
+    # refusals
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        numeric_drift_report(empty, b, "v", n_bins=4)
+    with _pytest.raises(ValueError, match="n_bins"):
+        numeric_drift_report(a, b, "v", n_bins=1)
+    # NULLs excluded from both sides
+    withnull = spark.createDataFrame(
+        [(None,), (10.0,)], "v double")
+    got2 = {r["bin"]: r["n_b"] for r in
+            numeric_drift_report(a, withnull, "v", n_bins=4).collect()}
+    assert sum(got2.values()) == 1
