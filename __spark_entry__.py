@@ -1919,6 +1919,21 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_micro(edges, seeds, n_iter=5)
 
 
+def q_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction (llmdata/graph.py
+    link_prediction_scores) on the clique+bridge graph: the non-edge
+    pairs one bridge apart share 1-2 neighbours, so the output ranks
+    exactly the cross-block links a densifier would propose. All-integer
+    scores: common-neighbour count, Jaccard ppm, Resource-Allocation
+    micro (1e6 div deg summed — the integer-exact Adamic-Adar stand-in),
+    preferential attachment. Oracle = the same wedge enumeration as
+    independent SQL (adjacency self-join through the shared centre,
+    NOT EXISTS anti-join on the edge set)."""
+    from pydi_spark.llmdata import link_prediction_scores
+
+    return link_prediction_scores(_clique_bridge_edges(spark, sf_dir))
+
+
 def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-phrase search (llmdata/search.py phrase_match):
     occurrences of the phrase 'batch batch' — a REPEATED-term phrase,
@@ -6349,6 +6364,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_search_phrase": q_text_search_phrase,
         "graph_ppr": q_graph_ppr,
         "profile_numeric_drift": q_profile_numeric_drift,
+        "graph_link_pred": q_graph_link_pred,
     }
 
 
@@ -10880,6 +10896,57 @@ lab0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
 SELECT id, label FROM lab4
 """
     )
+
+    # link prediction: independent wedge enumeration over the same
+    # clique+bridge graph — adjacency self-join through the shared
+    # centre, NOT EXISTS against the edge set, integer div everywhere
+    # (SUM casts to BIGINT: DuckDB integer SUM is HUGEINT, the r3 rule)
+    out["graph_link_pred"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+),
+adj AS (
+  SELECT a AS z, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+),
+pairs AS (
+  SELECT l.v AS v, rr.v AS w, COUNT(*) AS cn,
+         CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra
+  FROM adj l
+  JOIN adj rr ON l.z = rr.z AND l.v < rr.v
+  JOIN deg dz ON dz.v = l.z
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = p.v AND e0.b = p.w)
+)
+SELECT ne.v AS id1, ne.w AS id2,
+       CAST(ne.cn AS BIGINT) AS common_neighbors,
+       CAST(ne.cn * 1000000 // (dv.d + dw.d - ne.cn) AS BIGINT)
+         AS jaccard_ppm,
+       ne.ra AS ra_micro,
+       CAST(dv.d * dw.d AS BIGINT) AS pref_attach
+FROM ne
+JOIN deg dv ON dv.v = ne.v
+JOIN deg dw ON dw.v = ne.w
+"""
 
     # positional phrase replay: zipped lateral unnest gives (token,
     # pos); base = pos - slot; a base covered by BOTH slots of the

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "text_search_phrase",
     "graph_ppr",
     "profile_numeric_drift",
+    "graph_link_pred",
 ]
 
 

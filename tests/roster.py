@@ -29,6 +29,9 @@ ROTATION_QUEUE: set[str] = {
     "graph_ppr",
     # r9 new operator: equi-depth numeric drift report
     "profile_numeric_drift",
+    # r9 new operator: structural link prediction (wedge enumeration,
+    # integer RA/Jaccard scores)
+    "graph_link_pred",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -2153,3 +2153,68 @@ def test_personalized_pagerank_seed_proximity(spark):
     with _pytest.raises(ValueError, match="seed"):
         personalized_pagerank_micro(
             edges, spark.createDataFrame([("zz",)], "id string"))
+
+
+def test_link_prediction_scores_known_graph(spark):
+    """Square a-b-c-d-a plus pendant e on a: worked by hand.
+    Non-edge diagonals (a,c) and (b,d) share 2 neighbours;
+    (b,e)/(d,e) share only a. Degrees: a=3, b=c=d=2, e=1."""
+    from pydi_spark.llmdata import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e")],
+        "id1 string, id2 string",
+    )
+    got = {(r["id1"], r["id2"]): r.asDict()
+           for r in link_prediction_scores(edges).collect()}
+    assert set(got) == {("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")}
+    ac = got[("a", "c")]
+    # shared: b (deg 2) and d (deg 2) -> ra = 2 * (1e6 div 2)
+    assert ac["common_neighbors"] == 2
+    assert ac["ra_micro"] == 1_000_000
+    # jaccard = 2 / (3 + 2 - 2) = 2/3 -> 666666 ppm (floor)
+    assert ac["jaccard_ppm"] == 666_666
+    assert ac["pref_attach"] == 6
+    bd = got[("b", "d")]
+    # shared: a (deg 3) and c (deg 2)
+    assert bd["common_neighbors"] == 2
+    assert bd["ra_micro"] == 333_333 + 500_000
+    assert bd["jaccard_ppm"] == 1_000_000  # 2/(2+2-2)
+    be = got[("b", "e")]
+    # shared: a only (deg 3); jaccard 1/(2+1-1) = 1/2
+    assert be["common_neighbors"] == 1
+    assert be["ra_micro"] == 333_333
+    assert be["jaccard_ppm"] == 500_000
+    assert be["pref_attach"] == 2
+    # existing edges never appear
+    assert ("a", "b") not in got and ("a", "d") not in got
+
+
+def test_link_prediction_hub_cap_and_min_common(spark):
+    """max_degree removes the hub's wedges (its pairs vanish when it
+    is the ONLY shared neighbour) but hub degree still counts at the
+    endpoints; min_common prunes weak pairs."""
+    from pydi_spark.llmdata import link_prediction_scores
+
+    # star: h—x1..x4, plus x1—x2 (so (x1,x2) is an edge, (x3,x4) etc.
+    # exist only through the hub)
+    edges = spark.createDataFrame(
+        [("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"),
+         ("x1", "x2")],
+        "id1 string, id2 string",
+    )
+    full = {(r["id1"], r["id2"])
+            for r in link_prediction_scores(edges).collect()}
+    assert ("x3", "x4") in full and ("x1", "x3") in full
+    capped = link_prediction_scores(edges, max_degree=3).collect()
+    capped_pairs = {(r["id1"], r["id2"]) for r in capped}
+    # hub (deg 4) no longer generates wedges -> only x1/x2-centred
+    # wedges survive: (h, x2) via x1? no — h-x2 is an edge; x1 centre
+    # gives (h, x2) edge-pair, x2 centre gives (h, x1) edge-pair ->
+    # nothing left but pairs through sub-cap centres
+    assert ("x3", "x4") not in capped_pairs
+    # min_common=2: no non-edge pair here shares two neighbours
+    assert link_prediction_scores(edges, min_common=2).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_common"):
+        link_prediction_scores(edges, min_common=0)
