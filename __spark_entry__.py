@@ -3607,6 +3607,43 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (functions/joins.py
+    interval_overlap_join): two synthetic per-key interval tables carved
+    from orders (even vs odd orderkeys, starts spread by co-prime
+    multipliers over a 10000-unit domain, lengths 0-12 / 0-16). The
+    engine explodes both sides to width-16 buckets and equi-joins with
+    the exactly-once guard (emit only at greatest(start buckets)) — no
+    post-join dedup; the oracle is the plain quadratic overlap
+    predicate DuckDB plans as IEJoin."""
+    from pydi_spark.functions.joins import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        (F.col("o_custkey") % 2000).alias("k"),
+        F.col("o_orderkey").alias("aid"),
+        ((F.col("o_orderkey") * 7) % 10000).alias("s"),
+        ((F.col("o_orderkey") * 7) % 10000
+         + F.col("o_orderkey") % 13).alias("e"),
+    )
+    b = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_custkey") % 2000).alias("k"),
+        F.col("o_orderkey").alias("bid"),
+        ((F.col("o_orderkey") * 11) % 10000).alias("s"),
+        ((F.col("o_orderkey") * 11) % 10000
+         + F.col("o_orderkey") % 17).alias("e"),
+    )
+    out = interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=16
+    )
+    return out.select(
+        "k", "aid",
+        F.col("s").alias("a_start"), F.col("e").alias("a_end"),
+        "bid",
+        F.col("s_right").alias("b_start"), F.col("e_right").alias("b_end"),
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (order priority checking), adapted to the testdata's
     columns: the reference predicate l_commitdate < l_receiptdate is
@@ -6365,6 +6402,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_ppr": q_graph_ppr,
         "profile_numeric_drift": q_profile_numeric_drift,
         "graph_link_pred": q_graph_link_pred,
+        "join_interval_overlap": q_join_interval_overlap,
     }
 
 
@@ -10946,6 +10984,27 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # interval overlap: DuckDB plans the inequality pair directly
+    # (IEJoin) — the independent characterization of the bucketized
+    # exactly-once equi-join
+    out["join_interval_overlap"] = """
+WITH a AS (
+  SELECT (o_custkey % 2000) AS k, o_orderkey AS aid,
+         (o_orderkey * 7) % 10000 AS s,
+         (o_orderkey * 7) % 10000 + (o_orderkey % 13) AS e
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+b AS (
+  SELECT (o_custkey % 2000) AS k, o_orderkey AS bid,
+         (o_orderkey * 11) % 10000 AS s,
+         (o_orderkey * 11) % 10000 + (o_orderkey % 17) AS e
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT a.k AS k, a.aid, a.s AS a_start, a.e AS a_end,
+       b.bid, b.s AS b_start, b.e AS b_end
+FROM a JOIN b ON a.k = b.k AND a.s <= b.e AND b.s <= a.e
 """
 
     # positional phrase replay: zipped lateral unnest gives (token,

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "graph_ppr",
     "profile_numeric_drift",
     "graph_link_pred",
+    "join_interval_overlap",
 ]
 
 

@@ -2,6 +2,7 @@ from pydi_spark.functions.joins import (
     asof_join,
     edit_distance_join,
     grid_distance_join,
+    interval_overlap_join,
     range_join,
     salted_join,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "asof_join",
     "edit_distance_join",
     "grid_distance_join",
+    "interval_overlap_join",
     "PhoneticBlocker",
     "soundex_key",
     "soundex_sql",

@@ -159,6 +159,149 @@ def range_join(
     return matched.unionByName(missing).select(*out_cols)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_between: tuple[str, str],
+    right_between: tuple[str, str],
+    by: str | list[str] | None = None,
+    bucket_width=None,
+    closed: str = "both",
+    min_overlap=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval x interval OVERLAP join: each ``left`` interval joins
+    every ``right`` interval it overlaps (per optional ``by``
+    equi-keys) — the sibling of ``range_join`` for two interval tables
+    (session-vs-campaign windows, availability-vs-maintenance, span
+    conflict detection).
+
+    Scale design: the naive plan (``ls <= re AND rs <= le``) is a
+    broadcast-nested-loop / cartesian — quadratic. Both sides explode
+    to the coarse buckets they cover, so the join becomes a shuffled
+    EQUI-join on (by…, bucket) with the overlap predicate as a
+    residual. An overlapping pair shares EVERY bucket between
+    ``max(bucket(ls), bucket(rs))`` and the first-ending interval's
+    end, so the pair is emitted ONLY in ``bucket ==
+    greatest(bucket(ls), bucket(rs))`` — each result surfaces exactly
+    once with NO post-join dropDuplicates (which would shuffle the
+    full output a second time). The probe (left) side is explicitly
+    repartitioned on the bucket key — the band-join AQE lesson. Pick
+    ``bucket_width`` near the typical interval length (O(1) buckets
+    per interval); by default it is auto-derived as the median
+    interval length over BOTH sides (one bounded ``approxQuantile``
+    driver action).
+
+    ``closed``: "both" counts touching endpoints (``ls <= re AND rs <=
+    le``); "neither" requires strict interior overlap (``ls < re AND
+    rs < le`` — also the correct predicate for half-open ``[s, e)``
+    intervals). ``min_overlap`` (seconds for timestamps, value units
+    for numerics) keeps only pairs with ``least(le, re) -
+    greatest(ls, rs) >= min_overlap``. Interval columns must share a
+    type across sides: timestamps (bucketed on ``unix_micros``;
+    ``bucket_width`` in SECONDS) or numerics. Rows with ``start >
+    end`` are dropped on both sides.
+
+    No reference counterpart (PyDI has no interval analytics) —
+    north-star op; the bucketized-overlap strategy is the standard
+    distributed interval-join pattern.
+    """
+    from pyspark.sql.types import TimestampType
+
+    ls_col, le_col = left_between
+    rs_col, re_col = right_between
+    if closed not in ("both", "neither"):
+        raise ValueError(f"closed must be both|neither: {closed}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    l_is_ts = isinstance(left.schema[ls_col].dataType, TimestampType)
+    r_is_ts = isinstance(right.schema[rs_col].dataType, TimestampType)
+    if l_is_ts != r_is_ts:
+        raise ValueError(
+            "left_between and right_between must share a type family "
+            f"(left timestamp={l_is_ts}, right timestamp={r_is_ts})"
+        )
+    is_ts = l_is_ts
+
+    def scalar(col):
+        return F.unix_micros(col) if is_ts else col
+
+    if bucket_width is None:
+        dur = (
+            left.select(
+                (scalar(F.col(le_col)) - scalar(F.col(ls_col)))
+                .cast("double").alias("d")
+            )
+            .unionByName(
+                right.select(
+                    (scalar(F.col(re_col)) - scalar(F.col(rs_col)))
+                    .cast("double").alias("d")
+                )
+            )
+        )
+        med = dur.approxQuantile("d", [0.5], 0.01)
+        bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)
+    else:
+        bucket_width_units = float(bucket_width) * (1_000_000 if is_ts else 1)
+    width = F.lit(bucket_width_units)
+
+    def bucket(col):
+        return F.floor(scalar(col) / width).cast("long")
+
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    l_carry = [c for c in left.columns if c not in by_cols]
+    r_carry = [c for c in right.columns if c not in by_cols]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in r_carry
+    }
+
+    lv = left.where(
+        scalar(F.col(ls_col)) <= scalar(F.col(le_col))
+    ).select(
+        *[F.col(c) for c in by_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in l_carry],
+        bucket(F.col(ls_col)).alias("__lsb"),
+        F.explode(
+            F.sequence(bucket(F.col(ls_col)), bucket(F.col(le_col)))
+        ).alias("__bucket"),
+    ).repartition(parallelism, *(by_cols + ["__bucket"]))
+    rv = right.where(
+        scalar(F.col(rs_col)) <= scalar(F.col(re_col))
+    ).select(
+        *[F.col(c) for c in by_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in r_carry],
+        bucket(F.col(rs_col)).alias("__rsb"),
+        F.explode(
+            F.sequence(bucket(F.col(rs_col)), bucket(F.col(re_col)))
+        ).alias("__bucket"),
+    )
+
+    ls, le = F.col(f"__l_{ls_col}"), F.col(f"__l_{le_col}")
+    rs, re = F.col(f"__r_{rs_col}"), F.col(f"__r_{re_col}")
+    overlap = (
+        (ls <= re) & (rs <= le) if closed == "both"
+        else (ls < re) & (rs < le)
+    )
+    once = F.col("__bucket") == F.greatest("__lsb", "__rsb")
+    cond = overlap & once
+    if min_overlap is not None:
+        units = float(min_overlap) * (1_000_000 if is_ts else 1)
+        cond = cond & (
+            (F.least(scalar(le), scalar(re))
+             - F.greatest(scalar(ls), scalar(rs))) >= F.lit(units)
+        )
+
+    return (
+        lv.join(rv, by_cols + ["__bucket"], "inner")
+        .where(cond)
+        .select(
+            *[F.col(c) for c in by_cols],
+            *[F.col(f"__l_{c}").alias(c) for c in l_carry],
+            *[F.col(f"__r_{c}").alias(out_names[c]) for c in r_carry],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -32,6 +32,9 @@ ROTATION_QUEUE: set[str] = {
     # r9 new operator: structural link prediction (wedge enumeration,
     # integer RA/Jaccard scores)
     "graph_link_pred",
+    # r9 new operator: bucketized interval x interval overlap join
+    # (exactly-once emission guard, no post-join dedup)
+    "join_interval_overlap",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

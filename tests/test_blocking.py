@@ -246,6 +246,90 @@ def test_range_join_left_and_timestamps(spark):
     assert by_pid[0] is None and by_pid[11] is None
 
 
+def test_interval_overlap_join_vs_naive(spark):
+    from pydi_spark.functions.joins import interval_overlap_join
+
+    a_rows = [(i, "k%d" % (i % 2), float(i * 3), float(i * 3 + 4))
+              for i in range(30)]
+    b_rows = [(j, "k%d" % (j % 2), float(j * 5 + 1), float(j * 5 + 3))
+              for j in range(20)]
+    a = spark.createDataFrame(a_rows, "aid long, k string, s double, e double")
+    b = spark.createDataFrame(b_rows, "bid long, k string, s double, e double")
+    got = {(r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=4.0).collect()}
+    naive = {(i, j) for i, ka, s1, e1 in a_rows for j, kb, s2, e2 in b_rows
+             if ka == kb and s1 <= e2 and s2 <= e1}
+    assert got == naive and got
+    # exactly-once: collect() returns no duplicate pairs
+    all_rows = interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=4.0).collect()
+    assert len(all_rows) == len(got)
+    # strict interior overlap drops touching endpoints
+    strict = {(r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=4.0,
+        closed="neither").collect()}
+    naive_strict = {(i, j) for i, ka, s1, e1 in a_rows
+                    for j, kb, s2, e2 in b_rows
+                    if ka == kb and s1 < e2 and s2 < e1}
+    assert strict == naive_strict and strict <= got
+    # touching endpoints: counted under "both", dropped under "neither"
+    t1 = spark.createDataFrame([(1, 0.0, 2.0)], "aid long, s double, e double")
+    t2 = spark.createDataFrame([(9, 2.0, 5.0)], "bid long, s double, e double")
+    assert interval_overlap_join(
+        t1, t2, ("s", "e"), ("s", "e"), bucket_width=2.0).count() == 1
+    assert interval_overlap_join(
+        t1, t2, ("s", "e"), ("s", "e"), bucket_width=2.0,
+        closed="neither").count() == 0
+    # min_overlap keeps only pairs overlapping by >= 2 units
+    deep = {(r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=4.0,
+        min_overlap=2.0).collect()}
+    naive_deep = {(i, j) for i, ka, s1, e1 in a_rows
+                  for j, kb, s2, e2 in b_rows
+                  if ka == kb and min(e1, e2) - max(s1, s2) >= 2.0}
+    assert deep == naive_deep
+    # auto bucket width reproduces the same pair set
+    auto = {(r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, ("s", "e"), ("s", "e"), by="k").collect()}
+    assert auto == naive
+
+
+def test_interval_overlap_join_timestamps_and_suffix(spark):
+    import datetime as dt
+    import pytest as _pytest
+    from pydi_spark.functions.joins import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(x):
+        return t0 + dt.timedelta(minutes=x)
+
+    sessions = spark.createDataFrame(
+        [(1, m(0), m(30)), (2, m(50), m(70)), (3, m(100), m(110))],
+        "sid long, s timestamp, e timestamp",
+    )
+    promos = spark.createDataFrame(
+        [("p1", m(25), m(55)), ("p2", m(200), m(240))],
+        "pid string, s timestamp, e timestamp",
+    )
+    rows = interval_overlap_join(
+        sessions, promos, ("s", "e"), ("s", "e"), bucket_width=1800
+    ).collect()
+    got = {(r["sid"], r["pid"]) for r in rows}
+    assert got == {(1, "p1"), (2, "p1")}
+    # colliding right columns carry the suffix
+    assert {"s_right", "e_right"} <= set(rows[0].asDict())
+    # inverted right intervals are dropped, not matched
+    bad = promos.selectExpr("pid", "e AS s", "s AS e")
+    assert interval_overlap_join(
+        sessions, bad, ("s", "e"), ("s", "e"), bucket_width=1800
+    ).count() == 0
+    # type-family mismatch refuses loudly
+    nums = spark.createDataFrame([(1, 0.0, 5.0)], "nid long, s double, e double")
+    with _pytest.raises(ValueError, match="type family"):
+        interval_overlap_join(sessions, nums, ("s", "e"), ("s", "e"))
+
+
 def test_embedding_lsh_band_join_is_ids_only(spark):
     # the quadratic band join must stay ids-only: carrying vectors through
     # it multiplies the widest stage's shuffle bytes by dim x band fan-out
