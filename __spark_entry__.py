@@ -1919,6 +1919,19 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_micro(edges, seeds, n_iter=5)
 
 
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (events/ops.py rfm_segments): per-user recency/
+    frequency/monetary rolled up in one aggregate, quartile scores from
+    the distributed global rank under the (metric, user_id) total order
+    (never ntile — engine-specific tie placement), recency inverted so
+    4 = most recent. The oracle replays the ranks with row_number and
+    the same integer-div tile arithmetic."""
+    from pydi_spark.events import rfm_segments
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return rfm_segments(ev)
+
+
 def q_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural link prediction (llmdata/graph.py
     link_prediction_scores) on the clique+bridge graph: the non-edge
@@ -6403,6 +6416,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_numeric_drift": q_profile_numeric_drift,
         "graph_link_pred": q_graph_link_pred,
         "join_interval_overlap": q_join_interval_overlap,
+        "events_rfm": q_events_rfm,
     }
 
 
@@ -10984,6 +10998,45 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # RFM: rank replay with row_number over the same total orders;
+    # scalar subqueries for the corpus max date and user count;
+    # integer-div tiles (// binds like * in DuckDB, left-assoc)
+    out["events_rfm"] = """
+WITH pu AS (
+  SELECT user_id,
+         CAST((SELECT CAST(max(ts) AS DATE) FROM events)
+              - CAST(max(ts) AS DATE) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT))
+              AS BIGINT) AS monetary_micro
+  FROM events GROUP BY user_id
+),
+rr AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rn_r,
+         row_number() OVER (ORDER BY frequency, user_id) AS rn_f,
+         row_number() OVER (ORDER BY monetary_micro, user_id) AS rn_m,
+         (SELECT count(*) FROM pu) AS n
+  FROM pu
+),
+sc AS (
+  SELECT user_id, recency_days, frequency, monetary_micro,
+         CAST(5 - ((rn_r - 1) * 4 // n + 1) AS BIGINT) AS r_score,
+         CAST((rn_f - 1) * 4 // n + 1 AS BIGINT) AS f_score,
+         CAST((rn_m - 1) * 4 // n + 1 AS BIGINT) AS m_score
+  FROM rr
+)
+SELECT user_id, recency_days, frequency, monetary_micro,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+            THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score >= 3 THEN 'recent'
+            WHEN f_score >= 3 THEN 'at_risk'
+            ELSE 'dormant' END AS segment
+FROM sc
 """
 
     # interval overlap: DuckDB plans the inequality pair directly

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "profile_numeric_drift",
     "graph_link_pred",
     "join_interval_overlap",
+    "events_rfm",
 ]
 
 

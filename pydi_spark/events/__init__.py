@@ -7,6 +7,7 @@ from pydi_spark.events.ops import (
     funnel_stages,
     resample_timeseries,
     retention_cohorts,
+    rfm_segments,
     session_entry_exit,
     session_stats,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "funnel_stages",
     "resample_timeseries",
     "retention_cohorts",
+    "rfm_segments",
     "session_entry_exit",
     "session_stats",
     "sessionize_stream",

@@ -549,3 +549,90 @@ def active_users(
     return grid.join(counts, "day", "left").select(
         "day", F.coalesce("n_active", F.lit(0)).alias("n_active")
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    as_of=None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """[user_id, recency_days, frequency, monetary_micro, r_score,
+    f_score, m_score, segment] — classic RFM user segmentation:
+    recency (days since last event, vs ``as_of`` or the corpus max
+    timestamp), frequency (event count), monetary (exact micro-integer
+    value sum, the cohort_value quantization), each scored into
+    quartiles 1-4 (4 = best: most recent / most frequent / highest
+    value), plus a fixed five-way segment label
+    (champion/loyal/recent/at_risk/dormant CASE cascade on the
+    scores).
+
+    Determinism contract: quartiles come from the global rank under
+    the TOTAL order (metric, user_id) — ``score = ((rn-1)*4) div n +
+    1`` — NOT from ntile() (whose tie placement across partition
+    boundaries is engine-specific); recency inverts the ascending
+    rank (5 - tile) so DESC ordering never enters. Monetary quantizes
+    to micros BEFORE summing.
+
+    Scale: the raw stream collapses to one row per user in a single
+    map-side-combinable aggregate; the three quartile ranks run on
+    that compact frame via the distributed global rank
+    (functions/ranks.py — range-partition + broadcast offsets; a bare
+    Window.orderBy would funnel every user through one task). When
+    ``as_of`` is None the corpus max arrives as a one-row broadcast.
+
+    No reference counterpart — north-star product-analytics addition.
+    """
+    from pydi_spark.functions.ranks import global_row_number
+
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.expr(
+                f"CAST(floor(coalesce({value_col}, 0) * 1000000) AS BIGINT)"
+            )
+        ).alias("monetary_micro"),
+    )
+    if as_of is None:
+        mx = df.agg(F.max(ts_col).alias("__as_of"))
+        per_user = per_user.crossJoin(F.broadcast(mx))
+    else:
+        per_user = per_user.withColumn(
+            "__as_of", F.lit(as_of).cast("timestamp")
+        )
+    per_user = per_user.withColumn(
+        "recency_days",
+        F.datediff(F.col("__as_of"), F.col("__last")).cast("long"),
+    ).drop("__as_of", "__last")
+
+    ranked, n = global_row_number(
+        per_user, ["recency_days", "user_id"], "__rn_r", return_count=True
+    )
+    ranked = global_row_number(ranked, ["frequency", "user_id"], "__rn_f")
+    ranked = global_row_number(
+        ranked, ["monetary_micro", "user_id"], "__rn_m"
+    )
+    tile = "(({rn} - 1) * 4) div {n} + 1"
+    scored = ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        F.expr("5 - (" + tile.format(rn="__rn_r", n=n) + ")")
+        .cast("long").alias("r_score"),
+        F.expr(tile.format(rn="__rn_f", n=n)).cast("long").alias("f_score"),
+        F.expr(tile.format(rn="__rn_m", n=n)).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.expr(
+            "CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 "
+            "THEN 'champion' "
+            "WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal' "
+            "WHEN r_score >= 3 THEN 'recent' "
+            "WHEN f_score >= 3 THEN 'at_risk' "
+            "ELSE 'dormant' END"
+        ),
+    )

@@ -35,6 +35,8 @@ ROTATION_QUEUE: set[str] = {
     # r9 new operator: bucketized interval x interval overlap join
     # (exactly-once emission guard, no post-join dedup)
     "join_interval_overlap",
+    # r9 new operator: RFM segmentation (global-rank quartiles)
+    "events_rfm",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

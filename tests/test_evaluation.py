@@ -560,3 +560,57 @@ def test_bcubed_rejects_overlapping_clusters(spark):
     )
     r = bcubed_metrics(dup_rows, gold).collect()[0]
     assert r["precision_ppm"] == 1000000
+
+
+def test_rfm_segments_hand_worked(spark):
+    """8 users with strictly distinct R/F/M metrics: quartiles under
+    ((rn-1)*4) div n + 1 are 2 users per tile; the segment cascade and
+    the recency inversion (most recent -> r_score 4) checked by hand."""
+    import datetime as dt
+
+    from pydi_spark.events import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user u{i}: last event t0 + i days, i+1 events of value 10*(i+1)
+    for i in range(8):
+        for j in range(i + 1):
+            rows.append(
+                (i * 100 + j, t0 + dt.timedelta(days=i, hours=j),
+                 f"u{i}", "click", float(10 * (i + 1)))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+              "event_type string, value double"
+    )
+    out = {r["user_id"]: r.asDict() for r in rfm_segments(df).collect()}
+    assert len(out) == 8
+    # u7: most recent, most frequent, highest value -> all 4s, champion
+    assert (out["u7"]["r_score"], out["u7"]["f_score"],
+            out["u7"]["m_score"]) == (4, 4, 4)
+    assert out["u7"]["segment"] == "champion"
+    # u0: oldest (7 days before max), least frequent, lowest value
+    assert (out["u0"]["r_score"], out["u0"]["f_score"],
+            out["u0"]["m_score"]) == (1, 1, 1)
+    assert out["u0"]["segment"] == "dormant"
+    assert out["u0"]["recency_days"] == 7 and out["u7"]["recency_days"] == 0
+    assert out["u0"]["frequency"] == 1 and out["u7"]["frequency"] == 8
+    # exact micro sums: u3 has 4 events of 40.0 -> 160e6
+    assert out["u3"]["monetary_micro"] == 160_000_000
+    # quartiles: ranks 1-8 over 8 users -> tiles (1,1,2,2,3,3,4,4)
+    assert [out[f"u{i}"]["f_score"] for i in range(8)] == [
+        1, 1, 2, 2, 3, 3, 4, 4]
+    # recency inverted: ascending recency_days = descending score
+    assert [out[f"u{i}"]["r_score"] for i in range(8)] == [
+        1, 1, 2, 2, 3, 3, 4, 4]
+    # explicit as_of shifts recency but not the ordering
+    shifted = {r["user_id"]: r["recency_days"]
+               for r in rfm_segments(
+                   df, as_of=t0 + dt.timedelta(days=9)).collect()}
+    assert shifted["u7"] == 2 and shifted["u0"] == 9
+    # partition-independence of the global ranks
+    out13 = {r["user_id"]: (r["r_score"], r["f_score"], r["m_score"],
+                            r["segment"])
+             for r in rfm_segments(df.repartition(13)).collect()}
+    assert out13 == {u: (d["r_score"], d["f_score"], d["m_score"],
+                         d["segment"]) for u, d in out.items()}
