@@ -1947,6 +1947,22 @@ def q_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_scores(_clique_bridge_edges(spark, sf_dir))
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius multi-source BFS (llmdata/graph.py bfs_hops) on
+    the clique+bridge graph from the custkey%20 seed set (same seeds as
+    graph_ppr — BFS certifies the proximity PPR weights): exact
+    shortest hop counts 0-3, farther nodes absent. Oracle = 3 inlined
+    level-synchronous rounds (frontier join, NOT IN visited union) —
+    fixed bound on both sides, the k_core bound-alignment rule."""
+    from pydi_spark.llmdata import bfs_hops
+
+    edges = _clique_bridge_edges(spark, sf_dir)
+    seeds = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 20 == 0
+    ).select("c_custkey")
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
 def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-phrase search (llmdata/search.py phrase_match):
     occurrences of the phrase 'batch batch' — a REPEATED-term phrase,
@@ -6417,6 +6433,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_link_pred": q_graph_link_pred,
         "join_interval_overlap": q_join_interval_overlap,
         "events_rfm": q_events_rfm,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -10999,6 +11016,52 @@ FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
 """
+
+    # BFS: 3 inlined level-synchronous rounds over the clique+bridge
+    # graph — frontier neighbour join, NOT IN the visited union (ids
+    # are never NULL, so NOT IN is safe)
+    _bfs_rounds = []
+    for _i in range(1, 4):
+        _vis = " UNION ALL ".join(
+            f"SELECT id FROM f{_j}" for _j in range(_i)
+        )
+        _bfs_rounds.append(
+            f"f{_i} AS MATERIALIZED (SELECT DISTINCT sym.d AS id "
+            f"FROM sym JOIN f{_i - 1} ON sym.s = f{_i - 1}.id "
+            f"WHERE sym.d NOT IN ({_vis}))"
+        )
+    _bfs_final = " UNION ALL ".join(
+        f"SELECT id, CAST({_j} AS BIGINT) AS hops FROM f{_j}"
+        for _j in range(4)
+    )
+    out["graph_bfs"] = (
+        """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+f0 AS MATERIALIZED (
+  SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 20 = 0
+),
+"""
+        + ",\n".join(_bfs_rounds)
+        + "\n"
+        + _bfs_final
+    )
 
     # RFM: rank replay with row_number over the same total orders;
     # scalar subqueries for the corpus max date and user count;

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "graph_link_pred",
     "join_interval_overlap",
     "events_rfm",
+    "graph_bfs",
 ]
 
 

@@ -37,6 +37,8 @@ ROTATION_QUEUE: set[str] = {
     "join_interval_overlap",
     # r9 new operator: RFM segmentation (global-rank quartiles)
     "events_rfm",
+    # r9 new operator: bounded-radius multi-source BFS
+    "graph_bfs",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

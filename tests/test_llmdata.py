@@ -2218,3 +2218,36 @@ def test_link_prediction_hub_cap_and_min_common(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_common"):
         link_prediction_scores(edges, min_common=0)
+
+
+def test_bfs_hops_levels_and_bounds(spark):
+    """Path a-b-c-d-e plus isolated seed z: exact levels, radius
+    bounds, early frontier exhaustion, empty-seed refusal."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id1 string, id2 string",
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], "id string")
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, 2).collect()}
+    # z is isolated but still surfaces at 0 (totality); d/e out of radius
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 2}
+    # radius 10 exhausts the frontier early and covers the path
+    full = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, 10).collect()}
+    assert full == {"a": 0, "z": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    # multi-source: nearest seed wins
+    two = {r["id"]: r["hops"] for r in bfs_hops(
+        edges, spark.createDataFrame([("a",), ("e",)], "id string"),
+        3).collect()}
+    assert two == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+    # max_hops=0 returns just the seeds
+    assert {r["id"] for r in bfs_hops(edges, seeds, 0).collect()} == {"a", "z"}
+    # partition independence
+    p13 = {r["id"]: r["hops"] for r in bfs_hops(
+        edges.repartition(13), seeds.repartition(5), 2).collect()}
+    assert p13 == got
+    with _pytest.raises(ValueError, match="empty seed"):
+        bfs_hops(edges, spark.createDataFrame([], "id string"), 2)
