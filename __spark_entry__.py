@@ -1919,6 +1919,43 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_micro(edges, seeds, n_iter=5)
 
 
+def q_normalize_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (normalization/robust.py
+    k_anonymity_report): equivalence classes over the
+    (nation, segment) quasi-identifier with c_acctbal as the sensitive
+    attribute, k=50. One aggregate pass; 0/1 BIGINT flags (the
+    hash-safety rule). Oracle = the same grouped counts."""
+    from pydi_spark.normalization import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=50,
+        sensitive_col="c_acctbal",
+    )
+
+
+def q_normalize_value_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision value clustering (normalization/robust.py
+    value_cluster_report): three deterministic dirty variants of
+    c_mktsegment (lowercased+dot / raw / padded+comma by custkey%3)
+    fingerprint to one key per segment; the report lists every variant
+    with the most-frequent canonical (ties to the lexicographically
+    smallest). The oracle replays the fingerprint with
+    regexp_split_to_array + list_sort and the argmax with
+    row_number."""
+    from pydi_spark.normalization import value_cluster_report
+
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    messy = (
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lower(seg), F.lit(".")))
+        .when(F.col("c_custkey") % 3 == 1, seg)
+        .otherwise(F.concat(F.lit(" "), seg, F.lit(" ,")))
+    )
+    return value_cluster_report(cust.select(messy.alias("segment")), "segment")
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (events/ops.py rfm_segments): per-user recency/
     frequency/monetary rolled up in one aggregate, quartile scores from
@@ -6434,6 +6471,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "join_interval_overlap": q_join_interval_overlap,
         "events_rfm": q_events_rfm,
         "graph_bfs": q_graph_bfs,
+        "normalize_kanonymity": q_normalize_kanonymity,
+        "normalize_value_clusters": q_normalize_value_clusters,
     }
 
 
@@ -11015,6 +11054,54 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # k-anonymity: plain grouped counts with a 0/1 threshold flag
+    out["normalize_kanonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN count(*) >= 50 THEN 1 ELSE 0 END AS BIGINT)
+         AS meets_k
+FROM customer
+GROUP BY 1, 2
+"""
+
+    # value clustering: fingerprint replay (ASCII-alnum split,
+    # list_sort = Spark array_sort for strings), argmax via
+    # row_number (n_rows DESC, value ASC)
+    out["normalize_value_clusters"] = """
+WITH v AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment) || '.'
+              WHEN c_custkey % 3 = 1 THEN c_mktsegment
+              ELSE ' ' || c_mktsegment || ' ,' END AS value
+  FROM customer
+),
+keyed AS (
+  SELECT array_to_string(list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(value)), '[^a-z0-9]+'),
+           x -> x != ''))), ' ') AS cluster_key,
+         value
+  FROM v WHERE value IS NOT NULL
+),
+counted AS (
+  SELECT cluster_key, value, CAST(count(*) AS BIGINT) AS n_rows
+  FROM keyed WHERE cluster_key != '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cluster_key, value, n_rows,
+         CAST(count(*) OVER (PARTITION BY cluster_key) AS BIGINT)
+           AS n_values,
+         row_number() OVER (PARTITION BY cluster_key
+                            ORDER BY n_rows DESC, value ASC) AS rn
+  FROM counted
+),
+per_key AS (
+  SELECT cluster_key, n_values, value AS canonical
+  FROM ranked WHERE rn = 1 AND n_values >= 2
+)
+SELECT c.cluster_key, c.value, c.n_rows, p.n_values, p.canonical
+FROM counted c JOIN per_key p USING (cluster_key)
 """
 
     # BFS: 3 inlined level-synchronous rounds over the clique+bridge

@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "join_interval_overlap",
     "events_rfm",
     "graph_bfs",
+    "normalize_kanonymity",
+    "normalize_value_clusters",
 ]
 
 

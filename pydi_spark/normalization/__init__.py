@@ -13,7 +13,10 @@ from pydi_spark.normalization.impute import impute_missing
 from pydi_spark.normalization.robust import (
     clip_outliers,
     collapse_rare_categories,
-    encode_categories, mask_columns,
+    encode_categories,
+    k_anonymity_report,
+    mask_columns,
+    value_cluster_report,
 )
 from pydi_spark.normalization.repair import fd_repair_report, repair_fd_violations
 from pydi_spark.normalization.transforms import BUILTIN_TRANSFORMS, transform_expr
@@ -50,7 +53,8 @@ __all__ = [
     "canonicalize_values",
     "clip_outliers",
     "collapse_rare_categories",
-    "encode_categories", "mask_columns",
+    "encode_categories", "k_anonymity_report", "mask_columns",
+    "value_cluster_report",
     "impute_missing",
     "repair_fd_violations",
     "parse_quantity_expr",

@@ -219,3 +219,101 @@ def mask_columns(
             expr = F.lit(None).cast("string")
         out = out.withColumn(c, expr)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """[qi..., group_size, meets_k(0/1)[, l_distinct]] — k-anonymity
+    audit over the quasi-identifier combination: one row per
+    equivalence class (each distinct QI tuple, NULLs forming their own
+    class) with its size and whether it meets the ``k`` threshold;
+    with ``sensitive_col`` set, also the class's distinct sensitive
+    value count (l-diversity — a k-anonymous class with l=1 still
+    leaks the sensitive attribute). The release-gate companion to
+    ``mask_columns``: run BEFORE export, mask or generalize the QI
+    columns that produce sub-k classes, re-run.
+
+    Flags are 0/1 BIGINT, never boolean (the driver-portability hash
+    rule). Scale: one map-side-combinable aggregate by the QI tuple —
+    output is bounded by the class count, the full table is scanned
+    once; countDistinct adds a partial-agg expand, not a second scan.
+
+    Reference has no privacy surface — north-star governance addition.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    missing = [c for c in qi_cols + ([sensitive_col] if sensitive_col else [])
+               if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("group_size")]
+    if sensitive_col:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).cast("long")
+            .alias("l_distinct")
+        )
+    out = df.groupBy(*qi_cols).agg(*aggs)
+    return out.withColumn(
+        "meets_k",
+        (F.col("group_size") >= F.lit(int(k))).cast("long"),
+    )
+
+
+def value_cluster_report(df: DataFrame, col: str) -> DataFrame:
+    """[cluster_key, value, n_rows, n_values, canonical] — key-collision
+    value clustering (the classic data-cleaning "fingerprint" method):
+    distinct raw values that normalize to the same fingerprint key —
+    lowercase, every non-[a-z0-9] run a separator, tokens
+    deduplicated and sorted — form one cluster; clusters with >= 2
+    distinct raw values are reported, one row per raw value, with the
+    suggested canonical = the most FREQUENT raw value (ties to the
+    lexicographically smallest — the LPA argmax idiom, order-free).
+    Singleton keys are omitted: they need no cleaning.
+
+    The ASCII-alphanumeric tokenization is deliberate: it is identical
+    under Java regex and RE2 (the cross-engine rule); accented
+    characters act as separators rather than silently folding.
+
+    Scale: one (key, value) count with map-side combine, then one
+    per-key aggregate (min-struct argmax + sums) joined back on the
+    key — two narrow shuffles of the DISTINCT-VALUE table, never the
+    raw rows.
+
+    Reference has no interactive-cleaning surface — north-star
+    addition modeled on the standard key-collision clustering method.
+    """
+    key = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(col))), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ),
+        " ",
+    )
+    counted = (
+        df.where(F.col(col).isNotNull())
+        .select(key.alias("cluster_key"), F.col(col).alias("value"))
+        .where(F.col("cluster_key") != "")
+        .groupBy("cluster_key", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    per_key = counted.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.min(
+            F.struct(
+                (-F.col("n_rows")).alias("nc"), F.col("value").alias("v")
+            )
+        ).getField("v").alias("canonical"),
+    ).where(F.col("n_values") >= 2)
+    return counted.join(per_key, "cluster_key").select(
+        "cluster_key", "value", "n_rows", "n_values", "canonical"
+    )

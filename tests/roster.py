@@ -39,6 +39,10 @@ ROTATION_QUEUE: set[str] = {
     "events_rfm",
     # r9 new operator: bounded-radius multi-source BFS
     "graph_bfs",
+    # r9 new operators: k-anonymity/l-diversity audit and
+    # key-collision value clustering
+    "normalize_kanonymity",
+    "normalize_value_clusters",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

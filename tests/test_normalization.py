@@ -644,3 +644,62 @@ def test_mask_columns(spark):
         mask_columns(df, {"email": "rot13"})
     with _pytest.raises(ValueError):
         mask_columns(df, {"nope": "hash"})
+
+
+def test_k_anonymity_report(spark):
+    import pytest as _pytest
+
+    from pydi_spark.normalization import k_anonymity_report
+
+    rows = [
+        ("us", "m", 1), ("us", "m", 2), ("us", "m", 2),
+        ("us", "f", 3),
+        ("de", None, 4), ("de", None, 4),
+    ]
+    df = spark.createDataFrame(rows, "country string, g string, sens int")
+    out = {(r["country"], r["g"]): r.asDict()
+           for r in k_anonymity_report(
+               df, ["country", "g"], k=2, sensitive_col="sens").collect()}
+    assert out[("us", "m")]["group_size"] == 3
+    assert out[("us", "m")]["meets_k"] == 1
+    assert out[("us", "m")]["l_distinct"] == 2
+    # singleton class violates k=2
+    assert out[("us", "f")]["meets_k"] == 0
+    # NULL quasi-identifier forms its own class
+    assert out[("de", None)]["group_size"] == 2
+    assert out[("de", None)]["l_distinct"] == 1  # k-anonymous, l=1 leak
+    # no sensitive column -> no l_distinct column
+    cols = k_anonymity_report(df, ["country"], k=2).columns
+    assert "l_distinct" not in cols and "meets_k" in cols
+    with _pytest.raises(ValueError, match="columns not in frame"):
+        k_anonymity_report(df, ["nope"], k=2)
+    with _pytest.raises(ValueError, match="qi_cols"):
+        k_anonymity_report(df, [], k=2)
+
+
+def test_value_cluster_report(spark):
+    from pydi_spark.normalization import value_cluster_report
+
+    rows = [
+        ("ACME Corp.",), ("ACME Corp.",), ("acme corp",), (" Acme-CORP ",),
+        ("Widget Inc",), ("widget, inc.",),
+        ("Unique LLC",),          # singleton key -> omitted
+        (None,), ("  ",),         # null/empty-key rows ignored
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    out = value_cluster_report(df, "name").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["cluster_key"], []).append(r)
+    assert set(by_key) == {"acme corp", "inc widget"}
+    acme = {r["value"]: r for r in by_key["acme corp"]}
+    assert set(acme) == {"ACME Corp.", "acme corp", " Acme-CORP "}
+    # canonical = most frequent raw value
+    assert all(r["canonical"] == "ACME Corp." for r in acme.values())
+    assert acme["ACME Corp."]["n_rows"] == 2
+    assert all(r["n_values"] == 3 for r in acme.values())
+    # tie in widget cluster -> lexicographically smallest value wins
+    widget = {r["value"]: r for r in by_key["inc widget"]}
+    assert all(r["canonical"] == "Widget Inc" for r in widget.values())
+    # tokens sort: "widget, inc." -> key "inc widget" (sorted)
+    assert "Unique LLC" not in {r["value"] for r in out}

@@ -29,6 +29,9 @@ ALLOWED = {
     # TWO one-row total frames (sum n_a / sum n_b, derived from the
     # grouped counts) broadcast onto the value-level merge: O(#values)
     "profile_drift": {"nested_loop"},
+    # same shape, numeric twin: TWO one-row totals broadcast onto the
+    # n_bins-row merged grid: O(n_bins)
+    "profile_numeric_drift": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
