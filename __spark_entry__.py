@@ -1919,6 +1919,54 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_micro(edges, seeds, n_iter=5)
 
 
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (events/ops.py event_cooccurrence):
+    baskets = (user, epoch day), items = event types; exact integer
+    support and lift (one non-negative decimal division — floor ==
+    truncate on both engines). The oracle replays the distinct-presence
+    self-join with scalar-subquery basket totals."""
+    from pydi_spark.events import event_cooccurrence
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    )
+    return event_cooccurrence(ev, ["user_id", "day"], "event_type")
+
+
+def q_profile_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding (profiling/profiler.py
+    value_runs): per customer, maximal runs of consecutive orders (by
+    orderkey) sharing one order status. Oracle = the same double-rank
+    island difference in SQL."""
+    from pydi_spark.profiling import value_runs
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    return value_runs(orders, ["o_custkey"], "o_orderkey", "o_orderstatus")
+
+
+def q_profile_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mass-shift change-point (profiling/profiler.py
+    changepoint_report) over the 6h resampled per-type event series —
+    the same series events_anomalies audits, now asking WHEN the rate
+    shifted: argmax_t |cum_share - t/n| in integer ppm, one
+    non-negative decimal division, ties to the smallest index. Oracle
+    replays the cumsum and the argmax via row_number."""
+    from pydi_spark.events import resample_timeseries
+    from pydi_spark.profiling import changepoint_report
+
+    ev = _events(spark, sf_dir).select("event_type", "ts")
+    series = resample_timeseries(
+        ev, key_col="event_type", interval_minutes=360
+    )
+    return changepoint_report(
+        series, ["event_type"], "bucket_start_us", "n_events"
+    )
+
+
 def q_normalize_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (normalization/robust.py
     k_anonymity_report): equivalence classes over the
@@ -6473,6 +6521,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_bfs": q_graph_bfs,
         "normalize_kanonymity": q_normalize_kanonymity,
         "normalize_value_clusters": q_normalize_value_clusters,
+        "events_cooccurrence": q_events_cooccurrence,
+        "profile_value_runs": q_profile_value_runs,
+        "profile_changepoint": q_profile_changepoint,
     }
 
 
@@ -11054,6 +11105,98 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # co-occurrence: distinct-presence self-join; basket total via
+    # scalar subquery; lift in HUGEINT intermediates cast to BIGINT
+    out["events_cooccurrence"] = """
+WITH b AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+         event_type AS item
+  FROM events WHERE event_type IS NOT NULL
+),
+ng AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM b)),
+it AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_items FROM b GROUP BY 1
+),
+p AS (
+  SELECT l.item AS item1, r.item AS item2,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM b l JOIN b r ON l.user_id = r.user_id AND l.day = r.day
+                    AND l.item < r.item
+  GROUP BY 1, 2
+)
+SELECT item1, item2, n_pair,
+       i1.n_items AS n_i, i2.n_items AS n_j,
+       CAST(n_pair * 1000000 // (SELECT n FROM ng) AS BIGINT)
+         AS support_ppm,
+       CAST(CAST(n_pair AS HUGEINT) * (SELECT n FROM ng) * 1000000
+            // (CAST(i1.n_items AS HUGEINT) * i2.n_items) AS BIGINT)
+         AS lift_micro
+FROM p
+JOIN it i1 ON i1.item = p.item1
+JOIN it i2 ON i2.item = p.item2
+"""
+
+    # value runs: the classic double-rank island difference
+    out["profile_value_runs"] = """
+WITH s AS (
+  SELECT o_custkey AS k, o_orderkey AS o, o_orderstatus AS v,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderkey) AS isl
+  FROM orders
+)
+SELECT k AS o_custkey, v AS value,
+       min(o) AS run_start, max(o) AS run_end,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM s GROUP BY k, v, isl
+"""
+
+    # changepoint: resample replay (events_anomalies CTEs) + cumsum +
+    # single-division statistic + (stat DESC, t ASC) argmax
+    out["profile_changepoint"] = """
+WITH agg AS (
+  SELECT event_type, epoch_us(ts) // 21600000000 AS b,
+         COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM agg GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM span),
+series AS (
+  SELECT g.event_type, g.b * 21600000000 AS bucket_start_us,
+         COALESCE(a.n_events, 0) AS n_events
+  FROM grid g LEFT JOIN agg a
+    ON a.event_type IS NOT DISTINCT FROM g.event_type AND a.b = g.b
+),
+st AS (
+  SELECT event_type, bucket_start_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY bucket_start_us) AS t,
+         CAST(SUM(CAST(floor(coalesce(n_events, 0) * 1000000) AS BIGINT))
+              OVER (PARTITION BY event_type ORDER BY bucket_start_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(CAST(floor(coalesce(n_events, 0) * 1000000) AS BIGINT))
+              OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+),
+sc AS (
+  SELECT event_type, t, bucket_start_us,
+         CAST(abs(CAST(cum AS HUGEINT) * n - CAST(t AS HUGEINT) * total)
+              * 1000000 // (CAST(total AS HUGEINT) * n) AS BIGINT)
+           AS stat
+  FROM st WHERE total > 0
+)
+SELECT event_type, CAST(t AS BIGINT) AS split_idx,
+       bucket_start_us AS split_ord, stat AS stat_ppm
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY stat DESC, t ASC) AS rn
+  FROM sc
+) WHERE rn = 1
 """
 
     # k-anonymity: plain grouped counts with a 0/1 threshold flag

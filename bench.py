@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "graph_bfs",
     "normalize_kanonymity",
     "normalize_value_clusters",
+    "events_cooccurrence",
+    "profile_value_runs",
+    "profile_changepoint",
 ]
 
 

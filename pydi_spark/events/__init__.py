@@ -3,6 +3,7 @@ from pydi_spark.events.ops import (
     assign_sessions,
     attribute_conversions,
     cohort_value,
+    event_cooccurrence,
     event_path_ngrams,
     funnel_stages,
     resample_timeseries,
@@ -27,6 +28,7 @@ __all__ = [
     "assign_sessions",
     "attribute_conversions",
     "cohort_value",
+    "event_cooccurrence",
     "event_path_ngrams",
     "funnel_stages",
     "resample_timeseries",

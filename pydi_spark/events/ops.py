@@ -636,3 +636,86 @@ def rfm_segments(
             "ELSE 'dormant' END"
         ),
     )
+
+
+def event_cooccurrence(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    min_pairs: int = 1,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """[item1, item2, n_pair, n_i, n_j, support_ppm, lift_micro] —
+    market-basket co-occurrence over (basket = the ``group_cols``
+    tuple, item = ``item_col``): for every unordered item pair, the
+    number of baskets containing BOTH, each item's own basket count,
+    exact integer support (``n_pair*1e6 div n_baskets``) and lift
+    (``n_pair*n_baskets*1e6 div (n_i*n_j)`` — > 1e6 means the pair
+    co-occurs more than independence predicts). The association signal
+    behind next-action suggestions and feature co-occurrence audits.
+
+    Determinism/portability: presence is DISTINCT (duplicate events in
+    a basket count once); lift is ONE division of non-negative
+    decimal(38,0) products (truncation == floor on both engines — the
+    changepoint_report rule).
+
+    Scale: baskets self-join on the basket key, so a single hot basket
+    with B items emits C(B,2) pairs — ``max_items_per_group`` drops
+    baskets above the cap BEFORE the join (the TokenBlocker hot-key
+    rule; a basket holding half the catalogue carries no association
+    signal). n_baskets arrives as a one-row broadcast; item counts are
+    two narrow item-keyed joins onto the pair table.
+
+    No reference counterpart — north-star product-analytics addition.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if min_pairs < 1:
+        raise ValueError(f"min_pairs must be >= 1: {min_pairs}")
+    baskets = (
+        df.where(F.col(item_col).isNotNull())
+        .select(*group_cols, F.col(item_col).alias("__item"))
+        .distinct()
+    )
+    if max_items_per_group is not None:
+        ok = (
+            baskets.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") <= F.lit(int(max_items_per_group)))
+            .select(*group_cols)
+        )
+        baskets = baskets.join(ok, group_cols, "left_semi")
+    baskets = baskets.localCheckpoint(eager=True)
+    ng = baskets.select(*group_cols).distinct().agg(
+        F.count(F.lit(1)).alias("__ng")
+    )
+    items = baskets.groupBy("__item").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_items")
+    )
+    l = baskets.select(*group_cols, F.col("__item").alias("item1"))
+    r = baskets.select(*group_cols, F.col("__item").alias("item2"))
+    pairs = (
+        l.join(r, group_cols)
+        .where(F.col("item1") < F.col("item2"))
+        .groupBy("item1", "item2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= F.lit(int(min_pairs)))
+    )
+    out = (
+        pairs.join(
+            items.select(F.col("__item").alias("item1"),
+                         F.col("__n_items").alias("n_i")), "item1")
+        .join(
+            items.select(F.col("__item").alias("item2"),
+                         F.col("__n_items").alias("n_j")), "item2")
+        .crossJoin(F.broadcast(ng))
+    )
+    return out.select(
+        "item1", "item2", "n_pair", "n_i", "n_j",
+        F.expr("n_pair * 1000000 div __ng").cast("long")
+        .alias("support_ppm"),
+        F.expr(
+            "CAST(CAST(n_pair AS DECIMAL(38,0)) * __ng * 1000000"
+            " div (CAST(n_i AS DECIMAL(38,0)) * n_j) AS BIGINT)"
+        ).alias("lift_micro"),
+    )

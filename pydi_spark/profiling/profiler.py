@@ -1058,3 +1058,121 @@ def numeric_drift_report(
         share_b.alias("share_b_ppm"),
         (share_b - share_a).cast("long").alias("delta_ppm"),
     )
+
+
+def value_runs(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """[key..., value, run_start, run_end, run_len] — gaps-and-islands
+    run-length encoding: per key, maximal runs of consecutive rows (in
+    ``order_col`` order) sharing the same ``value_col`` — the
+    stuck-sensor / status-transition audit (a run that spans the whole
+    series means the column never changed; thousands of length-1 runs
+    mean it flaps). NULL is a value: consecutive NULLs form one run.
+
+    Determinism: ``order_col`` must totally order each key's rows
+    (duplicate order values make "consecutive" undefined — the
+    engine's total-order rule); runs then fall out of the classic
+    double-rank difference, a pure function of the data.
+
+    Scale: both row_numbers and the final aggregate share the one
+    hash partitioning by key — a single exchange of the input, output
+    bounded by the run count. Keys are assumed partition-sized (the
+    per-user / per-order grain); this is not a single global window.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    w_all = Window.partitionBy(*key_cols).orderBy(order_col)
+    w_val = Window.partitionBy(*key_cols, value_col).orderBy(order_col)
+    island = (
+        F.row_number().over(w_all) - F.row_number().over(w_val)
+    ).alias("__island")
+    return (
+        df.select(*key_cols, order_col, F.col(value_col).alias("value"),
+                  island)
+        .groupBy(*key_cols, "value", "__island")
+        .agg(
+            F.min(order_col).alias("run_start"),
+            F.max(order_col).alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .drop("__island")
+    )
+
+
+def changepoint_report(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """[key..., split_idx, split_ord, stat_ppm] — exact mass-shift
+    change-point per key: the prefix boundary where the cumulative
+    share of ``value_col`` mass diverges most from the uniform share
+    of elapsed steps (``stat = max_t |cum_share(t) - t/n|``, integer
+    ppm — the CUSUM/KS-against-uniform statistic on an ordered
+    series). A rate that jumps halfway through scores high with the
+    split at the jump; a steady series scores ~0. Run it on a
+    resampled count series (resample_timeseries) to localize WHEN a
+    metric shifted; ties break to the SMALLEST index (min-struct
+    argmax, order-free).
+
+    Determinism: values quantize to micro BEFORE the cumulative sum
+    (the cohort_value rule); the statistic is computed with ONE
+    division of an absolute value by a positive denominator —
+    ``abs(cum*n - t*total) * 1e6 div (total*n)`` — so truncation
+    equals floor on BOTH engines even when individual values are
+    negative (two separate share divisions would diverge: Spark's
+    ``div`` truncates toward zero, SQL ``//`` floors). Products run
+    in decimal(38,0) (the int64 rule). ``order_col`` must totally
+    order each key. Keys whose total mass is <= 0 are dropped (a
+    share of a non-positive total is undefined) — run on counts or
+    other non-negative series.
+
+    Scale: one window cumsum + one argmax aggregate, both on the one
+    key partitioning; per-key series are assumed partition-sized
+    (resampled grids, not raw streams).
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    vm = F.expr(
+        f"CAST(floor(coalesce({value_col}, 0) * 1000000) AS BIGINT)"
+    )
+    part = Window.partitionBy(*key_cols)
+    ordered = part.orderBy("__ord")
+    staged = df.select(
+        *key_cols, F.col(order_col).alias("__ord"), vm.alias("__vm")
+    ).select(
+        *key_cols, "__ord",
+        F.row_number().over(ordered).alias("__t"),
+        F.sum("__vm").over(ordered).alias("__cum"),
+        F.sum("__vm").over(part).alias("__total"),
+        F.count(F.lit(1)).over(part).alias("__n"),
+    )
+    stat = F.expr(
+        "abs(CAST(__cum AS DECIMAL(38,0)) * __n"
+        " - CAST(__t AS DECIMAL(38,0)) * __total) * 1000000"
+        " div (CAST(__total AS DECIMAL(38,0)) * __n)"
+    )
+    scored = staged.where(F.col("__total") > 0).select(
+        *key_cols,
+        F.struct(
+            (-stat).alias("ns"),
+            F.col("__t").alias("t"),
+            F.col("__ord").alias("o"),
+        ).alias("__s"),
+    )
+    best = scored.groupBy(*key_cols).agg(F.min("__s").alias("__b"))
+    return best.select(
+        *key_cols,
+        F.col("__b.t").cast("long").alias("split_idx"),
+        F.col("__b.o").alias("split_ord"),
+        (-F.col("__b.ns")).cast("long").alias("stat_ppm"),
+    )

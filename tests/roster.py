@@ -43,6 +43,11 @@ ROTATION_QUEUE: set[str] = {
     # key-collision value clustering
     "normalize_kanonymity",
     "normalize_value_clusters",
+    # r9 new operators: market-basket co-occurrence, gaps-and-islands
+    # value runs, exact mass-shift changepoint
+    "events_cooccurrence",
+    "profile_value_runs",
+    "profile_changepoint",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -614,3 +614,41 @@ def test_rfm_segments_hand_worked(spark):
              for r in rfm_segments(df.repartition(13)).collect()}
     assert out13 == {u: (d["r_score"], d["f_score"], d["m_score"],
                          d["segment"]) for u, d in out.items()}
+
+
+def test_event_cooccurrence_support_and_lift(spark):
+    import pytest as _pytest
+
+    from pydi_spark.events import event_cooccurrence
+
+    # 4 baskets: {a,b} x2, {a,c}, {d}; duplicates inside a basket
+    # count once
+    rows = [
+        ("g1", "a"), ("g1", "b"), ("g1", "a"),
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "a"), ("g3", "c"),
+        ("g4", "d"), ("g4", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {(r["item1"], r["item2"]): r.asDict()
+           for r in event_cooccurrence(df, ["g"], "item").collect()}
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_pair"], ab["n_i"], ab["n_j"]) == (2, 3, 2)
+    assert ab["support_ppm"] == 500_000          # 2/4 baskets
+    # lift = (2*4)/(3*2) = 4/3 -> 1333333 micro (floor)
+    assert ab["lift_micro"] == 1_333_333
+    ac = out[("a", "c")]
+    assert ac["support_ppm"] == 250_000
+    # lift = (1*4)/(3*1) = 4/3 as well
+    assert ac["lift_micro"] == 1_333_333
+    # min_pairs prunes the singleton pair
+    strong = {(r["item1"], r["item2"]) for r in event_cooccurrence(
+        df, ["g"], "item", min_pairs=2).collect()}
+    assert strong == {("a", "b")}
+    # the hot-basket cap drops g1/g2-sized baskets before the join
+    capped = event_cooccurrence(
+        df, ["g"], "item", max_items_per_group=1).collect()
+    assert capped == []
+    with _pytest.raises(ValueError, match="group_cols"):
+        event_cooccurrence(df, [], "item")

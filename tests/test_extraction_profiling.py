@@ -1013,3 +1013,68 @@ def test_numeric_drift_report(spark):
     got2 = {r["bin"]: r["n_b"] for r in
             numeric_drift_report(a, withnull, "v", n_bins=4).collect()}
     assert sum(got2.values()) == 1
+
+
+def test_value_runs_gaps_and_islands(spark):
+    import pytest as _pytest
+
+    from pydi_spark.profiling import value_runs
+
+    rows = [
+        ("k1", 1, "a"), ("k1", 2, "a"), ("k1", 3, "b"),
+        ("k1", 4, "a"), ("k1", 5, None), ("k1", 6, None),
+        ("k2", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v string")
+    out = sorted(
+        ((r["k"], r["value"], r["run_start"], r["run_end"], r["run_len"])
+         for r in value_runs(df, ["k"], "o", "v").collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out == [
+        ("k1", "a", 1, 2, 2),
+        ("k1", "b", 3, 3, 1),
+        ("k1", "a", 4, 4, 1),      # re-appearance = NEW run
+        ("k1", None, 5, 6, 2),     # consecutive NULLs form one run
+        ("k2", "x", 1, 1, 1),
+    ]
+    # partition independence
+    out13 = sorted(
+        ((r["k"], r["value"], r["run_start"], r["run_end"], r["run_len"])
+         for r in value_runs(df.repartition(13), ["k"], "o", "v").collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out13 == out
+    with _pytest.raises(ValueError, match="key_cols"):
+        value_runs(df, [], "o", "v")
+
+
+def test_changepoint_report_localizes_shift(spark):
+    import pytest as _pytest
+
+    from pydi_spark.profiling import changepoint_report
+
+    # k1: rate jumps 1 -> 9 at t=6 of 10; k2: perfectly steady;
+    # k3: zero total mass -> dropped
+    rows = (
+        [("k1", t, 1.0) for t in range(1, 6)]
+        + [("k1", t, 9.0) for t in range(6, 11)]
+        + [("k2", t, 4.0) for t in range(1, 11)]
+        + [("k3", t, 0.0) for t in range(1, 4)]
+    )
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {r["k"]: r.asDict() for r in
+           changepoint_report(df, ["k"], "t", "v").collect()}
+    assert set(out) == {"k1", "k2"}
+    # the maximal divergence sits at the last low-rate step (t=5):
+    # cum share 5/50 = 100000 ppm vs index share 5/10 = 500000 ppm
+    assert out["k1"]["split_idx"] == 5 and out["k1"]["split_ord"] == 5
+    assert out["k1"]["stat_ppm"] == 400_000
+    # steady series: every prefix share equals the index share
+    assert out["k2"]["stat_ppm"] == 0 and out["k2"]["split_idx"] == 1
+    # partition independence
+    out13 = {r["k"]: r["split_idx"] for r in changepoint_report(
+        df.repartition(13), ["k"], "t", "v").collect()}
+    assert out13 == {k: d["split_idx"] for k, d in out.items()}
+    with _pytest.raises(ValueError, match="key_cols"):
+        changepoint_report(df, [], "t", "v")

@@ -32,6 +32,9 @@ ALLOWED = {
     # same shape, numeric twin: TWO one-row totals broadcast onto the
     # n_bins-row merged grid: O(n_bins)
     "profile_numeric_drift": {"nested_loop"},
+    # ONE-row basket-count total broadcast onto the item-pair table:
+    # O(#pairs)
+    "events_cooccurrence": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
