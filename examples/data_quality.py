@@ -127,6 +127,39 @@ def main() -> None:
         orders.select("o_custkey"), "o_custkey", min_share_ppm=1000
     ).groupBy("o_custkey").count().orderBy(F.desc("count")).show(3)
 
+    print("== k-anonymity: is (nation, segment) safe to release? ==")
+    from pydi_spark.normalization import k_anonymity_report
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    kan = k_anonymity_report(
+        customer, ["c_nationkey", "c_mktsegment"], k=10,
+        sensitive_col="c_acctbal",
+    )
+    kan.where("meets_k = 0").orderBy("group_size").show(5)
+
+    print("== key-collision value clustering (dirty segment labels) ==")
+    from pydi_spark.normalization import value_cluster_report
+
+    messy = customer.select(
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lower("c_mktsegment"), F.lit(".")))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" ,")))
+        .alias("segment")
+    )
+    value_cluster_report(messy, "segment").orderBy(
+        "cluster_key", "value"
+    ).show(6, truncate=False)
+
+    print("== status runs per customer (stuck-value audit) ==")
+    from pydi_spark.profiling import value_runs
+
+    runs = value_runs(
+        orders.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        ["o_custkey"], "o_orderkey", "o_orderstatus",
+    )
+    runs.orderBy(F.desc("run_len")).show(5)
+
 
 if __name__ == "__main__":
     main()

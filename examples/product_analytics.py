@@ -85,6 +85,34 @@ def main() -> None:
     print("== windowed distinct users (exact batch; HLL as a stream) ==")
     windowed_distinct_users(ev, "6 hours").orderBy("window_start").show(4)
 
+    print("== RFM segmentation (global-rank quartiles) ==")
+    from pydi_spark.events import rfm_segments
+
+    rfm = rfm_segments(ev)
+    rfm.orderBy("user_id").show(5)
+    rfm.groupBy("segment").count().orderBy("segment").show()
+
+    print("== event-type co-occurrence by (user, day) basket ==")
+    from pyspark.sql import functions as F
+
+    from pydi_spark.events import event_cooccurrence
+
+    baskets = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    )
+    event_cooccurrence(baskets, ["user_id", "day"], "event_type").orderBy(
+        F.desc("lift_micro")
+    ).show(5)
+
+    print("== when did each event type's rate shift? (changepoint) ==")
+    from pydi_spark.profiling import changepoint_report
+
+    changepoint_report(
+        series, ["event_type"], "bucket_start_us", "n_events"
+    ).orderBy(F.desc("stat_ppm")).show()
+
 
 if __name__ == "__main__":
     main()
