@@ -189,13 +189,20 @@ def main() -> None:
 
     ev1 = nanos_to_timestamp(
         spark.read.parquet(f"{sf_dir}/events.parquet")
-    ).select("event_id", "user_id", "event_type", "ts")
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+    if os.path.exists(os.path.join(events10, "_SUCCESS")) and (
+        "value" not in spark.read.parquet(events10).columns
+    ):
+        # schema-bust: r9 probes (rfm) need the value column
+        import shutil
+
+        shutil.rmtree(events10)
     if not os.path.exists(os.path.join(events10, "_SUCCESS")):
         parts = [
             ev1.select(
                 (F.col("event_id") + F.lit(k * 100_000_000)).alias("event_id"),
                 (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
-                "event_type", "ts",
+                "event_type", "ts", "value",
             )
             for k in range(COPIES)
         ]
@@ -355,6 +362,59 @@ def main() -> None:
         )
         return bcubed_metrics(pred, gold)
 
+    def rfm(df):
+        # per-user aggregate collapses the 10x stream to 10x users;
+        # the three distributed global ranks are narrow shuffles of
+        # that compact frame — time should track users ~linearly
+        from pydi_spark.events import rfm_segments
+
+        return rfm_segments(df)
+
+    def cooccur(df):
+        # baskets = (user, day): disjoint users -> 10x baskets, same
+        # item alphabet; the distinct-presence self-join fans out per
+        # basket (bounded by the alphabet), so time ~ baskets
+        from pydi_spark.events import event_cooccurrence
+
+        b = df.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "event_type",
+        )
+        return event_cooccurrence(b, ["user_id", "day"], "event_type")
+
+    def interval_overlap(df):
+        # per-key density is CONSTANT (by = custkey div 10 -> ~5
+        # intervals/side/key in every copy), so true output and join
+        # fan-out scale 10x with the key count
+        from pydi_spark.functions.joins import interval_overlap_join
+
+        a = df.where(F.col("c_custkey") % 2 == 0).select(
+            (F.col("c_custkey") / F.lit(10)).cast("long").alias("k"),
+            F.col("c_custkey").alias("aid"),
+            ((F.col("c_custkey") * 7) % 10000).alias("s"),
+            ((F.col("c_custkey") * 7) % 10000
+             + F.col("c_custkey") % 13).alias("e"),
+        )
+        b = df.where(F.col("c_custkey") % 2 == 1).select(
+            (F.col("c_custkey") / F.lit(10)).cast("long").alias("k"),
+            F.col("c_custkey").alias("bid"),
+            ((F.col("c_custkey") * 11) % 10000).alias("s"),
+            ((F.col("c_custkey") * 11) % 10000
+             + F.col("c_custkey") % 17).alias("e"),
+        )
+        return interval_overlap_join(
+            a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=16
+        )
+
+    def link_pred(cust):
+        # rank-chain edges (degree <= 4): wedge volume is linear in
+        # nodes, so candidate pairs and time should both scale ~10x
+        from pydi_spark.llmdata import link_prediction_scores
+
+        edges = ring_edges(cust).localCheckpoint(eager=True)
+        return link_prediction_scores(edges)
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -373,6 +433,10 @@ def main() -> None:
         "image_near_dups": image_near_dups,
         "dedup_keep_best": keep_best,
         "eval_bcubed": bcubed,
+        "events_rfm": rfm,
+        "events_cooccurrence": cooccur,
+        "join_interval_overlap": interval_overlap,
+        "graph_link_pred": link_pred,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
@@ -383,6 +447,16 @@ def main() -> None:
         ),
         "events_attribution": (ev1, ev10),
         "events_active_users": (ev1, ev10),
+        "events_rfm": (ev1, ev10),
+        "events_cooccurrence": (ev1, ev10),
+        "join_interval_overlap": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "graph_link_pred": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
         "image_decode": (img1, img10),
         "image_near_dups": (img1, img10),
         "graph_triangles": (
