@@ -1935,6 +1935,27 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_cooccurrence(ev, ["user_id", "day"], "event_type")
 
 
+def q_events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (events/ops.py experiment_report):
+    variants synthesized from user_id%3 with user_id%97 users split by
+    event parity — deliberately CONTAMINATED assignments that must be
+    excluded and counted, not averaged in. Exact ppm rates + signed
+    uplift vs control; the oracle replays the per-user hygiene
+    aggregate and the scalar-subquery control rate."""
+    from pydi_spark.events import experiment_report
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type")
+    variant = F.expr(
+        "CASE WHEN user_id % 97 = 0 THEN "
+        "(CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'control' END) "
+        "ELSE (CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'a' "
+        "ELSE 'b' END) END"
+    )
+    return experiment_report(
+        ev.withColumn("variant", variant), "variant", "purchase"
+    )
+
+
 def q_profile_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run-length encoding (profiling/profiler.py
     value_runs): per customer, maximal runs of consecutive orders (by
@@ -6524,6 +6545,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_cooccurrence": q_events_cooccurrence,
         "profile_value_runs": q_profile_value_runs,
         "profile_changepoint": q_profile_changepoint,
+        "events_experiment": q_events_experiment,
     }
 
 
@@ -11105,6 +11127,42 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # experiment: per-user hygiene aggregate (nv = distinct variants),
+    # contaminated users excluded + counted; control rate and
+    # contamination count as scalar subqueries
+    out["events_experiment"] = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CASE WHEN user_id % 97 = 0
+              THEN (CASE WHEN event_id % 2 = 0 THEN 'a'
+                         ELSE 'control' END)
+              ELSE (CASE user_id % 3 WHEN 0 THEN 'control'
+                         WHEN 1 THEN 'a' ELSE 'b' END) END AS variant
+  FROM events
+),
+pu AS (
+  SELECT user_id, count(DISTINCT variant) AS nv, min(variant) AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM ev WHERE variant IS NOT NULL GROUP BY 1
+),
+pv AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_converted
+  FROM pu WHERE nv = 1 GROUP BY 1
+),
+pv2 AS (
+  SELECT *, CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_ppm
+  FROM pv
+)
+SELECT variant, n_users, n_converted, conv_ppm,
+       CAST(conv_ppm - (SELECT max(CASE WHEN variant = 'control'
+                                        THEN conv_ppm END) FROM pv2)
+            AS BIGINT) AS uplift_ppm,
+       CAST((SELECT coalesce(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END), 0)
+             FROM pu) AS BIGINT) AS n_multi_variant_users
+FROM pv2
 """
 
     # co-occurrence: distinct-presence self-join; basket total via

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "events_cooccurrence",
     "profile_value_runs",
     "profile_changepoint",
+    "events_experiment",
 ]
 
 

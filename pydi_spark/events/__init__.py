@@ -5,6 +5,7 @@ from pydi_spark.events.ops import (
     cohort_value,
     event_cooccurrence,
     event_path_ngrams,
+    experiment_report,
     funnel_stages,
     resample_timeseries,
     retention_cohorts,
@@ -30,6 +31,7 @@ __all__ = [
     "cohort_value",
     "event_cooccurrence",
     "event_path_ngrams",
+    "experiment_report",
     "funnel_stages",
     "resample_timeseries",
     "retention_cohorts",

@@ -719,3 +719,74 @@ def event_cooccurrence(
             " div (CAST(n_i AS DECIMAL(38,0)) * n_j) AS BIGINT)"
         ).alias("lift_micro"),
     )
+
+
+def experiment_report(
+    df: DataFrame,
+    variant_col: str,
+    conversion_type: str,
+    control: str = "control",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[variant, n_users, n_converted, conv_ppm, uplift_ppm,
+    n_multi_variant_users] — A/B experiment readout: per variant the
+    exact user and converter counts, the conversion rate in integer
+    ppm, and the signed uplift vs the ``control`` variant (control row
+    reads 0; if the control variant is absent every uplift is NULL —
+    totality over significance: the exact counts table IS the
+    deliverable, feed it to whatever test the analyst trusts; z/p
+    values stay deliberately out, the PSI/chi2 drift rule).
+
+    Assignment hygiene is folded into the metric pass (the bcubed
+    lesson): a user seen under MORE THAN ONE variant is excluded from
+    every rate and counted once in ``n_multi_variant_users`` (repeated
+    on each row — an audit column, not a sentinel row). A user's
+    variant is the min over their events (single-variant users are
+    unaffected); NULL-variant events are ignored.
+
+    Scale: one map-side-combinable per-user aggregate (the stream is
+    touched once), one per-variant aggregate of the compact user
+    frame, and two one-row broadcasts (control rate, contamination
+    count).
+
+    No reference counterpart — north-star product-analytics addition.
+    """
+    per_user = (
+        df.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.countDistinct(F.col(variant_col)).alias("__nv"),
+            F.min(F.col(variant_col)).alias("variant"),
+            F.max(
+                (F.col(type_col) == F.lit(conversion_type)).cast("int")
+            ).alias("__conv"),
+        )
+    )
+    clean = per_user.where(F.col("__nv") == 1)
+    contam = per_user.agg(
+        F.sum((F.col("__nv") > 1).cast("long")).alias("__n_multi")
+    )
+    per_variant = clean.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_converted"),
+    ).withColumn(
+        "conv_ppm",
+        F.expr("n_converted * 1000000 div n_users").cast("long"),
+    )
+    ctrl = per_variant.agg(
+        F.max(
+            F.when(F.col("variant") == F.lit(control), F.col("conv_ppm"))
+        ).alias("__ctrl_ppm")
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(ctrl))
+        .crossJoin(F.broadcast(contam))
+        .select(
+            "variant", "n_users", "n_converted", "conv_ppm",
+            (F.col("conv_ppm") - F.col("__ctrl_ppm")).cast("long")
+            .alias("uplift_ppm"),
+            F.coalesce("__n_multi", F.lit(0)).cast("long")
+            .alias("n_multi_variant_users"),
+        )
+    )

@@ -48,6 +48,8 @@ ROTATION_QUEUE: set[str] = {
     "events_cooccurrence",
     "profile_value_runs",
     "profile_changepoint",
+    # r9 new operator: A/B experiment readout with assignment hygiene
+    "events_experiment",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -652,3 +652,34 @@ def test_event_cooccurrence_support_and_lift(spark):
     assert capped == []
     with _pytest.raises(ValueError, match="group_cols"):
         event_cooccurrence(df, [], "item")
+
+
+def test_experiment_report_rates_and_contamination(spark):
+    from pydi_spark.events import experiment_report
+
+    rows = [
+        # control: u1 converts, u2 does not
+        ("u1", "control", "view"), ("u1", "control", "purchase"),
+        ("u2", "control", "view"),
+        # treatment: u3/u4 convert, u5 does not
+        ("u3", "t1", "purchase"), ("u4", "t1", "purchase"),
+        ("u5", "t1", "view"),
+        # u6 saw BOTH variants -> excluded + counted
+        ("u6", "control", "purchase"), ("u6", "t1", "view"),
+        # null variant ignored
+        ("u7", None, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, variant string, "
+                                     "event_type string")
+    out = {r["variant"]: r.asDict()
+           for r in experiment_report(df, "variant", "purchase").collect()}
+    assert set(out) == {"control", "t1"}
+    c, t = out["control"], out["t1"]
+    assert (c["n_users"], c["n_converted"], c["conv_ppm"]) == (2, 1, 500_000)
+    assert (t["n_users"], t["n_converted"], t["conv_ppm"]) == (3, 2, 666_666)
+    assert c["uplift_ppm"] == 0 and t["uplift_ppm"] == 166_666
+    assert c["n_multi_variant_users"] == 1
+    # absent control -> NULL uplift everywhere, rates intact
+    out2 = {r["variant"]: r["uplift_ppm"] for r in experiment_report(
+        df, "variant", "purchase", control="nope").collect()}
+    assert out2 == {"control": None, "t1": None}

@@ -35,6 +35,9 @@ ALLOWED = {
     # ONE-row basket-count total broadcast onto the item-pair table:
     # O(#pairs)
     "events_cooccurrence": {"nested_loop"},
+    # TWO one-row broadcasts (control rate, contamination count) onto
+    # the per-variant table: O(#variants)
+    "events_experiment": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
