@@ -2069,6 +2069,25 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (llmdata/graph.py hits_micro) on the
+    directed bipartite user -> event-type graph: curator users vs
+    endorsed types, 4 fixed rounds, each half renormalized to n*1e6
+    with one non-negative decimal division. Oracle = 4 inlined rounds
+    with scalar-subquery totals (MATERIALIZED per half — the
+    graph_kcore chain pattern)."""
+    from pydi_spark.llmdata import hits_micro
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return hits_micro(edges, n_iter=4)
+
+
 def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-phrase search (llmdata/search.py phrase_match):
     occurrences of the phrase 'batch batch' — a REPEATED-term phrase,
@@ -6546,6 +6565,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_value_runs": q_profile_value_runs,
         "profile_changepoint": q_profile_changepoint,
         "events_experiment": q_events_experiment,
+        "graph_hits": q_graph_hits,
     }
 
 
@@ -11128,6 +11148,62 @@ FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
 """
+
+    # HITS: 4 inlined rounds over the user->type bipartite graph;
+    # auth from the PREVIOUS hub, hub from the NEW auth (the operator's
+    # update order); renormalization via scalar-subquery totals in
+    # HUGEINT intermediates
+    _hits_rounds = []
+    for _i in range(4):
+        _hits_rounds.append(
+            f"""ar{_i} AS MATERIALIZED (
+  SELECT nn.id, coalesce(s.v, 0) AS raw FROM nn LEFT JOIN (
+    SELECT e.d AS id, SUM(h{_i}.v) AS v FROM e
+    JOIN h{_i} ON h{_i}.id = e.s GROUP BY e.d
+  ) s USING (id)
+),
+a{_i + 1} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SUM(raw) FROM ar{_i}) <= 0
+                  THEN CAST(0 AS BIGINT)
+             ELSE CAST(CAST(raw AS HUGEINT) * (SELECT n FROM nc)
+                       * 1000000 // (SELECT SUM(raw) FROM ar{_i})
+                       AS BIGINT) END AS v
+  FROM ar{_i}
+),
+hr{_i} AS MATERIALIZED (
+  SELECT nn.id, coalesce(s.v, 0) AS raw FROM nn LEFT JOIN (
+    SELECT e.s AS id, SUM(a{_i + 1}.v) AS v FROM e
+    JOIN a{_i + 1} ON a{_i + 1}.id = e.d GROUP BY e.s
+  ) s USING (id)
+),
+h{_i + 1} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SUM(raw) FROM hr{_i}) <= 0
+                  THEN CAST(0 AS BIGINT)
+             ELSE CAST(CAST(raw AS HUGEINT) * (SELECT n FROM nc)
+                       * 1000000 // (SELECT SUM(raw) FROM hr{_i})
+                       AS BIGINT) END AS v
+  FROM hr{_i}
+)"""
+        )
+    out["graph_hits"] = (
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS s,
+         't' || event_type AS d
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+nn AS MATERIALIZED (
+  SELECT s AS id FROM e UNION SELECT d FROM e
+),
+nc AS (SELECT count(*) AS n FROM nn),
+h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nn),
+"""
+        + ",\n".join(_hits_rounds)
+        + """
+SELECT h4.id, h4.v AS hub_micro, a4.v AS auth_micro
+FROM h4 JOIN a4 USING (id)
+"""
+    )
 
     # experiment: per-user hygiene aggregate (nv = distinct variants),
     # contaminated users excluded + counted; control rate and

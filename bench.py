@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "profile_value_runs",
     "profile_changepoint",
     "events_experiment",
+    "graph_hits",
 ]
 
 

@@ -578,3 +578,92 @@ def bfs_hops(
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def hits_micro(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, hub_micro, auth_micro] — HITS hubs and authorities over a
+    DIRECTED edge list (the first directed-graph operator next to the
+    symmetrized PageRank family): authorities accumulate hub mass over
+    in-edges, hubs accumulate authority mass over out-edges, each half
+    renormalized to total mass n*1e6 every round. On a bipartite
+    user -> item graph this is the classic "strong curators vs
+    endorsed items" decomposition.
+
+    Integer contract: updates are order-free SUMs; renormalization is
+    ``score * (n*1e6) div total`` with the product in decimal(38,0) —
+    one non-negative division, engine-portable (the changepoint rule);
+    totals arrive as one-row broadcasts. A zero total (no in-edges
+    anywhere for the auth half) leaves that half all-zero rather than
+    dividing by zero. Runs EXACTLY ``n_iter`` rounds — fixed bound =
+    oracle-replayable (the label_propagation rule); multi-edges
+    collapse (dropDuplicates) so an edge repeated twice does not vote
+    twice.
+
+    Scale shape: each half-round is one edge join with the current
+    score frame (shuffled by the join side's node id) + one
+    map-side-combined aggregate + a one-row total broadcast; state is
+    one row per node, lineage cut every ``checkpoint_every`` rounds.
+
+    No reference counterpart — north-star addition.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    scores = nodes.select(
+        "id",
+        F.lit(MICRO).cast("bigint").alias("hub_micro"),
+        F.lit(MICRO).cast("bigint").alias("auth_micro"),
+    )
+
+    def half(frame, join_key, sum_col, out_col):
+        """One HITS half-round: aggregate ``sum_col`` over the edges
+        incident via ``join_key``, renormalize to n*1e6 total."""
+        agg = (
+            e.join(
+                frame.select(F.col("id").alias(join_key), sum_col),
+                join_key,
+            )
+            .groupBy(F.col("d" if join_key == "s" else "s").alias("id"))
+            .agg(F.sum(sum_col).alias("__raw"))
+        )
+        scored = nodes.join(agg, "id", "left").select(
+            "id", F.coalesce("__raw", F.lit(0)).cast("bigint").alias("__raw")
+        )
+        total = scored.agg(F.sum("__raw").alias("__tot"))
+        return scored.crossJoin(F.broadcast(total)).select(
+            "id",
+            F.expr(
+                f"CASE WHEN __tot <= 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(CAST(__raw AS DECIMAL(38,0)) * {n} * {MICRO}"
+                f" div __tot AS BIGINT) END"
+            ).alias(out_col),
+        )
+
+    for i in range(int(n_iter)):
+        auth = half(scores, "s", "hub_micro", "auth_micro")
+        hub = half(
+            scores.drop("auth_micro").join(auth, "id"),
+            "d", "auth_micro", "hub_micro",
+        )
+        scores = nodes.join(hub, "id").join(auth, "id")
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("id", "hub_micro", "auth_micro")

@@ -50,6 +50,8 @@ ROTATION_QUEUE: set[str] = {
     "profile_changepoint",
     # r9 new operator: A/B experiment readout with assignment hygiene
     "events_experiment",
+    # r9 new operator: HITS hubs/authorities (directed bipartite)
+    "graph_hits",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -2251,3 +2251,36 @@ def test_bfs_hops_levels_and_bounds(spark):
     assert p13 == got
     with _pytest.raises(ValueError, match="empty seed"):
         bfs_hops(edges, spark.createDataFrame([], "id string"), 2)
+
+
+def test_hits_micro_bipartite_ordering(spark):
+    """u1 -> {t1, t2}, u2 -> t1, u3 -> t1: t1 must out-rank t2 as an
+    authority; u1 (points at both) must out-rank u2/u3, which are
+    symmetric and must tie exactly. Mass per half stays ~ n*1e6."""
+    from pydi_spark.llmdata import hits_micro
+
+    edges = spark.createDataFrame(
+        [("u1", "t1"), ("u1", "t2"), ("u2", "t1"), ("u3", "t1"),
+         ("u2", "t1")],  # duplicate edge must NOT vote twice
+        "src string, dst string",
+    )
+    got = {r["id"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits_micro(edges, n_iter=4).collect()}
+    assert set(got) == {"u1", "u2", "u3", "t1", "t2"}
+    assert got["t1"][1] > got["t2"][1] > 0
+    assert got["u1"][0] > got["u2"][0] > 0
+    assert got["u2"] == got["u3"]
+    # sinks have zero hub mass; pure sources zero authority
+    assert got["t1"][0] == 0 and got["u1"][1] == 0
+    n = 5
+    hub_total = sum(v[0] for v in got.values())
+    auth_total = sum(v[1] for v in got.values())
+    assert 0.99 * n * 1_000_000 < hub_total <= n * 1_000_000
+    assert 0.99 * n * 1_000_000 < auth_total <= n * 1_000_000
+    # partition independence
+    got13 = {r["id"]: (r["hub_micro"], r["auth_micro"])
+             for r in hits_micro(edges.repartition(13), n_iter=4).collect()}
+    assert got13 == got
+    # empty edge list -> empty (total function)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits_micro(empty).count() == 0

@@ -38,6 +38,9 @@ ALLOWED = {
     # TWO one-row broadcasts (control rate, contamination count) onto
     # the per-variant table: O(#variants)
     "events_experiment": {"nested_loop"},
+    # ONE-row renormalization total broadcast per HITS half-round onto
+    # the node frame: O(n) per round, 8 rounds
+    "graph_hits": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
