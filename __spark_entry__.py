@@ -2069,6 +2069,21 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=3)
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (llmdata/graph.py weighted_pagerank_micro)
+    on the clique+bridge graph with deterministic integer weights
+    1 + (id1+id2)%3: mass concentrates along heavy edges. Oracle = 5
+    inlined rounds of the weight-proportional floor share
+    (rank*w) div Σw — the _ppr_oracle_sql chain scheme with a weighted
+    contribution term."""
+    from pydi_spark.llmdata import weighted_pagerank_micro
+
+    edges = _clique_bridge_edges(spark, sf_dir).withColumn(
+        "weight", (F.col("id1") + F.col("id2")) % 3 + 1
+    )
+    return weighted_pagerank_micro(edges, n_iter=5)
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (llmdata/graph.py hits_micro) on the
     directed bipartite user -> event-type graph: curator users vs
@@ -4361,6 +4376,53 @@ pr{i} AS (
     )
 
 
+def _wpr_oracle_sql(n_iter: int = 5, damping_ppm: int = 850000) -> str:
+    """Unrolled replay of q_graph_pagerank_weighted: the _ppr_oracle_sql
+    chain scheme with the weight-proportional floor share
+    ``(rank*w) // Σw`` (HUGEINT intermediates) as the contribution."""
+    base = 1000000 - damping_ppm
+    head = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS nk,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.nk = b.nk AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.nk = b.nk AND b.rk - a.rk = 4
+),
+ew AS MATERIALIZED (SELECT a, b, 1 + (a + b) % 3 AS w FROM e0),
+sym AS MATERIALIZED (
+  SELECT a AS s, b AS d, w FROM ew UNION ALL SELECT b, a, w FROM ew
+),
+sw AS MATERIALIZED (SELECT s, SUM(w) AS sw FROM sym GROUP BY s),
+n AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+pr{i} AS (
+  SELECT n.id,
+         CAST({base} + ({damping_ppm} * COALESCE(x.S, 0)) // 1000000
+              AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT sym.d AS id,
+           SUM(CAST(pr{i - 1}.r AS HUGEINT) * sym.w // sw.sw) AS S
+    FROM sym JOIN pr{i - 1} ON pr{i - 1}.id = sym.s
+             JOIN sw ON sw.s = sym.s
+    GROUP BY sym.d) x ON x.id = n.id)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\nSELECT CAST(id AS VARCHAR) AS id, r AS rank_micro FROM pr{n_iter}"
+    )
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup method agreement matrix (llmdata.dedup_method_agreement):
     verified pair counts per subset of {minhash, simhash, ngram} — the
@@ -6566,6 +6628,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_changepoint": q_profile_changepoint,
         "events_experiment": q_events_experiment,
         "graph_hits": q_graph_hits,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
     }
 
 
@@ -9362,6 +9425,7 @@ FROM fr
     out["sample_contrastive"] = _contrastive_oracle_sql()
     out["graph_pagerank"] = _pagerank_oracle_sql(5, 850000)
     out["graph_ppr"] = _ppr_oracle_sql(5, 850000)
+    out["graph_pagerank_weighted"] = _wpr_oracle_sql(5, 850000)
 
     # numeric drift: edges = exact discrete quantiles of the BASELINE
     # (rank arithmetic identical to profile_quantiles), bin = #edges

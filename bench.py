@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "profile_changepoint",
     "events_experiment",
     "graph_hits",
+    "graph_pagerank_weighted",
 ]
 
 

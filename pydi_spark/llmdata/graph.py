@@ -43,15 +43,27 @@ def _pagerank_core(
     n_iter: int,
     damping_ppm: int,
     checkpoint_every: int,
+    weighted: bool = False,
 ) -> DataFrame:
     """Shared power-iteration core over a symmetrized edge list.
     ``node_base`` = [id, init_micro, base_micro]: the starting rank and
     the per-node teleport term — uniform for PageRank, concentrated on
     the seed set for personalized PageRank. Every iteration is the same
     order-free integer aggregate (rank' = base + d*Σ(rank div deg)
-    div 1e6)."""
-    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
-    src = sym.join(deg, "s")  # (s, d, deg) — the static iteration input
+    div 1e6). With ``weighted``, ``sym`` carries an integer weight
+    column ``w`` and each neighbour receives the weight-proportional
+    floor share ``(rank*w) div Σw`` instead of the uniform
+    ``rank div deg`` (product in decimal(38,0) — the int64 rule)."""
+    if weighted:
+        sw = sym.groupBy("s").agg(F.sum("w").alias("sw"))
+        src = sym.join(sw, "s")  # (s, d, w, sw)
+        contrib_expr = (
+            "CAST(CAST(rank_micro AS DECIMAL(38,0)) * w div sw AS BIGINT)"
+        )
+    else:
+        deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+        src = sym.join(deg, "s")  # (s, d, deg) — the static input
+        contrib_expr = "rank_micro div deg"
     src = src.localCheckpoint(eager=True)
     nodes = node_base.localCheckpoint(eager=True)
 
@@ -63,7 +75,7 @@ def _pagerank_core(
             src.join(ranks.withColumnRenamed("id", "s"), "s")
             .select(
                 F.col("d").alias("id"),
-                F.expr("rank_micro div deg").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("S"))
@@ -104,6 +116,68 @@ def pagerank_micro(
         F.lit(base).cast("bigint").alias("base_micro"),
     )
     return _pagerank_core(sym, node_base, n_iter, damping_ppm, checkpoint_every)
+
+
+def weighted_pagerank_micro(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    n_iter: int = 5,
+    damping_ppm: int = 850_000,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, rank_micro] — edge-WEIGHTED PageRank over the undirected
+    graph: each node splits its rank across neighbours in proportion
+    to the connecting edge's integer weight (similarity score, link
+    count) instead of uniformly — the centrality prior for similarity
+    graphs where edge strength matters. Multi-edges collapse by
+    SUMMING weights (a pair listed twice is twice the strength, once
+    per direction after symmetrization).
+
+    Integer contract (shared _pagerank_core): the neighbour share is
+    ``(rank * w) div Σw`` with the product in decimal(38,0) — exact,
+    order-free, engine-portable. Weights must be POSITIVE integers:
+    NULL or <= 0 weights RAISE (a zero-weight edge silently behaving
+    as a missing edge, or a negative one siphoning mass, is the
+    silent-wrongness class k_core refuses).
+
+    Scale shape: identical to pagerank_micro plus one weight-sum
+    aggregate at setup; the validation is one count on the already-
+    checkpointed edge frame.
+
+    No reference counterpart — north-star addition.
+    """
+    sym = edges.select(
+        F.col(id1_col).cast("string").alias("s"),
+        F.col(id2_col).cast("string").alias("d"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    )
+    sym = (
+        sym.groupBy("s", "d").agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_bad = sym.where(
+        F.col("w").isNull() | (F.col("w") <= 0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"weighted_pagerank_micro: {n_bad} edges carry NULL or "
+            f"non-positive weights — weights must be positive integers"
+        )
+    base = int(MICRO - damping_ppm)
+    node_base = sym.select(F.col("s").alias("id")).distinct().select(
+        "id",
+        F.lit(MICRO).cast("bigint").alias("init_micro"),
+        F.lit(base).cast("bigint").alias("base_micro"),
+    )
+    return _pagerank_core(
+        sym, node_base, n_iter, damping_ppm, checkpoint_every,
+        weighted=True,
+    )
 
 
 def personalized_pagerank_micro(

@@ -52,6 +52,10 @@ ROTATION_QUEUE: set[str] = {
     "events_experiment",
     # r9 new operator: HITS hubs/authorities (directed bipartite)
     "graph_hits",
+    # r9 new operator: edge-weighted PageRank (weight-proportional
+    # floor shares on the shared core — the core change also keeps
+    # graph_pagerank / graph_ppr queued above)
+    "graph_pagerank_weighted",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -2284,3 +2284,47 @@ def test_hits_micro_bipartite_ordering(spark):
     # empty edge list -> empty (total function)
     empty = spark.createDataFrame([], "src string, dst string")
     assert hits_micro(empty).count() == 0
+
+
+def test_weighted_pagerank_weight_steering(spark):
+    """Triangle a-b-c where the a-b edge weighs 10 and the others 1:
+    a and b must out-rank c (mass flows along the heavy edge); with
+    all weights equal the result must coincide with the unweighted
+    pagerank_micro exactly. Non-positive weights refuse."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import pagerank_micro, weighted_pagerank_micro
+
+    heavy = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 1), ("c", "a", 1)],
+        "id1 string, id2 string, weight int",
+    )
+    got = {r["id"]: r["rank_micro"]
+           for r in weighted_pagerank_micro(heavy, n_iter=8).collect()}
+    assert got["a"] == got["b"] > got["c"] > 0
+    # mass conservation up to the floor bias
+    assert 0.9 * 3_000_000 < sum(got.values()) <= 3_000_000
+    # uniform weights == unweighted pagerank, bit for bit
+    unif = spark.createDataFrame(
+        [("a", "b", 7), ("b", "c", 7), ("c", "a", 7)],
+        "id1 string, id2 string, weight int",
+    )
+    w = {r["id"]: r["rank_micro"]
+         for r in weighted_pagerank_micro(unif, n_iter=5).collect()}
+    u = {r["id"]: r["rank_micro"]
+         for r in pagerank_micro(unif.drop("weight"), n_iter=5).collect()}
+    assert w == u
+    # multi-edge collapse: duplicate (a,b,5)+(a,b,5) == single (a,b,10)
+    dup = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", 5), ("b", "c", 1), ("c", "a", 1)],
+        "id1 string, id2 string, weight int",
+    )
+    d = {r["id"]: r["rank_micro"]
+         for r in weighted_pagerank_micro(dup, n_iter=8).collect()}
+    assert d == got
+    with _pytest.raises(ValueError, match="positive"):
+        weighted_pagerank_micro(
+            spark.createDataFrame(
+                [("a", "b", 0)], "id1 string, id2 string, weight int"
+            )
+        )
