@@ -2025,6 +2025,36 @@ def q_normalize_value_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_cluster_report(cust.select(messy.alias("segment")), "segment")
 
 
+def q_normalize_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank normalization (functions/ranks.py rank_normalize):
+    c_acctbal mapped to [0, 1e6] ppm with TIES SHARING a rank
+    (min-rank numerator — a row_number transform would split equal
+    balances arbitrarily). The cumsum runs distributed
+    (global_running_sum over the distinct-value table); the oracle
+    replays with SQL rank() whose (rank-1) IS the strictly-below
+    count."""
+    from pydi_spark.functions import rank_normalize
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return rank_normalize(cust, "c_acctbal")
+
+
+def q_profile_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (functions/ranks.py top_k_per_group): the 3
+    highest-balance customers per nation under the
+    (acctbal DESC, custkey) TOTAL order — ties cannot flip across
+    engines. One hash exchange + per-group sort; the oracle is the
+    row_number replay."""
+    from pydi_spark.functions import top_k_per_group
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return top_k_per_group(
+        cust, ["c_nationkey"], [F.desc("c_acctbal"), "c_custkey"], k=3
+    )
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (events/ops.py rfm_segments): per-user recency/
     frequency/monetary rolled up in one aggregate, quartile scores from
@@ -6629,6 +6659,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_experiment": q_events_experiment,
         "graph_hits": q_graph_hits,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "normalize_rank": q_normalize_rank,
+        "profile_topk_per_group": q_profile_topk_per_group,
     }
 
 
@@ -11211,6 +11243,36 @@ SELECT ne.v AS id1, ne.w AS id2,
 FROM ne
 JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
+"""
+
+    # percent-rank: SQL rank() min-rank numerator == strictly-below
+    # count; distinct-value pct joined back on the identical-bits
+    # double key
+    out["normalize_rank"] = """
+WITH r AS (
+  SELECT c_acctbal AS v,
+         CAST((rank() OVER (ORDER BY c_acctbal) - 1) * 1000000
+              // greatest((SELECT count(*) FROM customer
+                           WHERE c_acctbal IS NOT NULL) - 1, 1)
+              AS BIGINT) AS pct
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+rd AS (SELECT DISTINCT v, pct FROM r)
+SELECT c.c_custkey, c.c_acctbal, rd.pct AS pct_ppm
+FROM customer c LEFT JOIN rd ON rd.v = c.c_acctbal
+"""
+
+    # grouped top-k: row_number replay under the same total order
+    out["profile_topk_per_group"] = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(rank_in_group AS INTEGER) AS rank_in_group
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey)
+           AS rank_in_group
+  FROM customer
+) WHERE rank_in_group <= 3
 """
 
     # HITS: 4 inlined rounds over the user->type bipartite graph;

@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "events_experiment",
     "graph_hits",
     "graph_pagerank_weighted",
+    "normalize_rank",
+    "profile_topk_per_group",
 ]
 
 

@@ -7,6 +7,12 @@ from pydi_spark.functions.joins import (
     salted_join,
 )
 from pydi_spark.functions.phonetic import PhoneticBlocker, soundex_key, soundex_sql
+from pydi_spark.functions.ranks import (
+    global_row_number,
+    global_running_sum,
+    rank_normalize,
+    top_k_per_group,
+)
 from pydi_spark.functions.similarity import (
     NATIVE_METRICS,
     PY_METRICS,
@@ -21,8 +27,12 @@ __all__ = [
     "PY_METRICS",
     "asof_join",
     "edit_distance_join",
+    "global_row_number",
+    "global_running_sum",
     "grid_distance_join",
     "interval_overlap_join",
+    "rank_normalize",
+    "top_k_per_group",
     "PhoneticBlocker",
     "soundex_key",
     "soundex_sql",

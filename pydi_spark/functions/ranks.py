@@ -60,3 +60,131 @@ def global_row_number(
         .drop("__pid", "__local_rn", "__off")
     )
     return (out, acc) if return_count else out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global cumulative sum in ``order_cols`` order
+    (inclusive of the current row): range-partition on the ordering,
+    per-partition prefix sums, plus broadcast cumulative partition
+    totals — the sibling of ``global_row_number`` for running totals
+    (a bare ``Window.orderBy`` cumsum funnels everything through one
+    task). Ties in ``order_cols`` are summed in (order, arbitrary)
+    within-partition order, so pass a TOTAL order when per-row values
+    under ties must be reproducible; sums of full tie groups are
+    order-free either way.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = with_pid.withColumn(
+        "__local_sum", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=True)  # same recompute hazard as the ranks
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__t"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["__pid"]] = acc
+        acc += row["__t"] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    return (
+        local.join(off_df, "__pid")
+        .withColumn(out_col, (F.col("__local_sum") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local_sum", "__off")
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    out_col: str = "pct_ppm",
+) -> DataFrame:
+    """Adds ``out_col``: the percent-rank of ``col`` in integer ppm —
+    ``(#rows strictly below) * 1e6 div (n-1)`` (the SQL percent_rank
+    numerator = min-rank of the tie group, so EQUAL VALUES GET EQUAL
+    RANKS — a raw row_number would split ties arbitrarily). The
+    rank-transform feature scaler: maps any numeric column to [0, 1e6]
+    uniformly regardless of its distribution. NULLs pass through with
+    a NULL rank; a single-row / all-equal frame maps to 0.
+
+    Scale: the heavy lifting runs on the DISTINCT-VALUE table
+    (cardinality-bounded, the exact_quantiles discipline): one count
+    aggregate, one distributed running sum over the value order
+    (``global_running_sum`` — never a single-partition window), one
+    value-keyed join back onto the rows.
+    """
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = global_running_sum(vals, ["__v"], "__c", "__cum")
+    n_row = cum.agg(F.max("__cum").alias("__n"))
+    ranked = cum.select(
+        "__v",
+        (F.col("__cum") - F.col("__c")).alias("__below"),
+    ).crossJoin(F.broadcast(n_row))
+    pct = ranked.select(
+        "__v",
+        F.expr(
+            "CASE WHEN __n <= 1 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(__below * 1000000 div (__n - 1) AS BIGINT) END"
+        ).alias(out_col),
+    )
+    return df.join(
+        pct.withColumnRenamed("__v", col), col, "left"
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    out_col: str = "rank_in_group",
+) -> DataFrame:
+    """The first ``k`` rows of every group under ``order_cols``
+    (ascending; wrap columns with F.desc(...) for largest-first), with
+    their 1-based rank. ``order_cols`` must totally order each group's
+    rows (append a unique id as the last column) — otherwise which
+    tied row survives the cut is arbitrary, the engine's total-order
+    rule.
+
+    Scale: one hash exchange by group + per-group sort — the grouped
+    TakeOrdered; groups are assumed partition-sized. For a GLOBAL
+    top-k use orderBy().limit() (TakeOrderedAndProject), not a
+    single-group call here.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(out_col, F.row_number().over(w))
+        .where(F.col(out_col) <= F.lit(int(k)))
+    )

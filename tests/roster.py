@@ -56,6 +56,10 @@ ROTATION_QUEUE: set[str] = {
     # floor shares on the shared core — the core change also keeps
     # graph_pagerank / graph_ppr queued above)
     "graph_pagerank_weighted",
+    # r9 new operators: percent-rank normalization (distributed
+    # running-sum core) and grouped top-k
+    "normalize_rank",
+    "profile_topk_per_group",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -68,3 +68,63 @@ def test_custom_callable(spark, pairs_df):
 def test_unknown_metric_raises(pairs_df):
     with pytest.raises(ValueError):
         pairs_df.select(similarity("no_such_metric", "a", "b"))
+
+
+def test_global_running_sum_matches_single_partition(spark):
+    from pyspark.sql import functions as F
+
+    from pydi_spark.functions import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(200)], "k long, v long"
+    ).repartition(13)
+    got = {r["k"]: r["running_sum"] for r in
+           global_running_sum(df, ["k"], "v").collect()}
+    rows = sorted([((i), (i * 37) % 100) for i in range(200)])
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_rank_normalize_percent_rank_semantics(spark):
+    from pydi_spark.functions import rank_normalize
+
+    # values: 10 x1, 20 x2, 30 x1 -> percent_rank 0, 250000, 750000
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 20), ("d", 30), ("e", None)],
+        "id string, x int",
+    )
+    got = {r["id"]: r["pct_ppm"] for r in rank_normalize(df, "x").collect()}
+    # n=4 non-null: below counts 0, 1, 1, 3 over n-1=3
+    assert got["a"] == 0
+    assert got["b"] == got["c"] == 333_333     # ties share the rank
+    assert got["d"] == 1_000_000
+    assert got["e"] is None                    # NULL passes through
+    # all-equal column maps to 0
+    eq = spark.createDataFrame([(1, 5), (2, 5)], "id int, x int")
+    assert {r["pct_ppm"] for r in rank_normalize(eq, "x").collect()} == {0}
+    # partition independence
+    got29 = {r["id"]: r["pct_ppm"]
+             for r in rank_normalize(df.repartition(29), "x").collect()}
+    assert got29 == got
+
+
+def test_top_k_per_group(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pydi_spark.functions import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("g1", 3, "a"), ("g1", 1, "b"), ("g1", 2, "c"),
+         ("g2", 9, "d"), ("g2", 8, "e")],
+        "g string, score int, id string",
+    )
+    got = {(r["g"], r["rank_in_group"]): r["id"] for r in top_k_per_group(
+        df, ["g"], [F.desc("score"), "id"], k=2).collect()}
+    assert got == {("g1", 1): "a", ("g1", 2): "c",
+                   ("g2", 1): "d", ("g2", 2): "e"}
+    with _pytest.raises(ValueError, match="k must"):
+        top_k_per_group(df, ["g"], ["score"], k=0)

@@ -41,6 +41,9 @@ ALLOWED = {
     # ONE-row renormalization total broadcast per HITS half-round onto
     # the node frame: O(n) per round, 8 rounds
     "graph_hits": {"nested_loop"},
+    # ONE-row non-null-count broadcast onto the distinct-value table:
+    # O(#values)
+    "normalize_rank": {"nested_loop"},
     "ann_ivf": {"nested_loop"},           # centroid assignment fan-out
     # k tiny broadcast centroids x corpus: the SemDeDup assignment
     # fan-out is O(n*k) by construction, like ann_ivf's
