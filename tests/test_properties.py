@@ -497,3 +497,54 @@ def test_histogram_totals_reconcile(spark):
         buckets = [r["bucket"] for r in out]
         assert len(buckets) == len(set(buckets))
         assert set(b for b in buckets if 0 <= b < 13) == set(range(13))
+
+
+def test_interval_overlap_join_random_parity(spark):
+    """Randomized (seeded) interval sets vs the quadratic naive join —
+    the exactly-once emission guard must neither drop nor duplicate a
+    pair under any bucket width."""
+    import random
+
+    rng = random.Random(421)
+    a_rows, b_rows = [], []
+    for i in range(60):
+        s = float(rng.randrange(100))
+        a_rows.append((i, rng.randrange(3), s, s + rng.randrange(12)))
+    for j in range(50):
+        s = float(rng.randrange(100))
+        b_rows.append((j, rng.randrange(3), s, s + rng.randrange(20)))
+    from pydi_spark.functions import interval_overlap_join
+
+    a = spark.createDataFrame(a_rows, "aid long, k long, s double, e double")
+    b = spark.createDataFrame(b_rows, "bid long, k long, s double, e double")
+    naive = {(i, j) for i, ka, s1, e1 in a_rows for j, kb, s2, e2 in b_rows
+             if ka == kb and s1 <= e2 and s2 <= e1}
+    for width in (1.0, 5.0, 17.0, 200.0):
+        rows = interval_overlap_join(
+            a, b, ("s", "e"), ("s", "e"), by="k", bucket_width=width
+        ).collect()
+        got = [(r["aid"], r["bid"]) for r in rows]
+        assert len(got) == len(set(got)), f"duplicates at width {width}"
+        assert set(got) == naive, f"mismatch at width {width}"
+
+
+def test_rank_normalize_matches_pandas_rank(spark):
+    """pct_ppm must equal pandas rank(method='min') percent-rank
+    floored to ppm, for a seeded multiset with heavy ties."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(77)
+    vals = [rng.randrange(10) for _ in range(120)]
+    from pydi_spark.functions import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x long"
+    )
+    got = {r["id"]: r["pct_ppm"] for r in rank_normalize(df, "x").collect()}
+    s = pd.Series(vals)
+    below = s.rank(method="min").astype(int) - 1
+    n = len(vals)
+    want = {i: (int(b) * 1_000_000) // (n - 1) for i, b in below.items()}
+    assert got == want
