@@ -1988,6 +1988,33 @@ def q_profile_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration (profiling/profiler.py
+    gini_concentration) of per-user event counts — how unequal is
+    activity? One distributed rank + one aggregate; single
+    non-negative division. Oracle replays the rank formula with
+    row_number and HUGEINT intermediates."""
+    from pydi_spark.profiling import gini_concentration
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("cnt").cast("double").alias("v"))
+    )
+    return gini_concentration(counts, "v")
+
+
+def q_events_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience growth curve (events/ops.py new_users_curve): first-seen
+    day per user, zero-filled day grid, cumulative distinct total via
+    the distributed running sum. Oracle = the same first-seen rollup
+    with a window running sum."""
+    from pydi_spark.events import new_users_curve
+
+    return new_users_curve(_events(spark, sf_dir).select("user_id", "ts"))
+
+
 def q_normalize_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (normalization/robust.py
     k_anonymity_report): equivalence classes over the
@@ -4828,6 +4855,35 @@ def q_io_feather_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_orc / write_orc (beyond-reference format; Spark-native
+    columnar interchange with the Hive/Trino world): supplier written
+    to ORC through the engine's writer, read back through the loader,
+    compared to the parquet oracle directly — the same roundtrip
+    contract as io_feather_roundtrip, on the distributed path (ORC
+    scans get pushdown/pruning like parquet)."""
+    import os
+
+    from pydi_spark.io import load_orc, write_orc
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "io_orc_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    path = os.path.join(base, "supplier.orc")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    write_orc(supp, path)
+    out = load_orc(spark, path, "supplier_orc").df
+    return out.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+    )
+
+
 def q_io_id_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed ID injection ({prefix}-0007 format,
     reference io/loaders.py:127-176): global rank via range partitioning
@@ -6661,6 +6717,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "normalize_rank": q_normalize_rank,
         "profile_topk_per_group": q_profile_topk_per_group,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "profile_gini": q_profile_gini,
+        "events_new_users": q_events_new_users,
     }
 
 
@@ -11245,6 +11304,13 @@ JOIN deg dv ON dv.v = ne.v
 JOIN deg dw ON dw.v = ne.w
 """
 
+    # ORC roundtrip: the loader output must equal the parquet source
+    out["io_orc_roundtrip"] = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey
+FROM supplier
+"""
+
     # percent-rank: SQL rank() min-rank numerator == strictly-below
     # count; distinct-value pct joined back on the identical-bits
     # double key
@@ -11457,6 +11523,52 @@ FROM (
                                ORDER BY stat DESC, t ASC) AS rn
   FROM sc
 ) WHERE rn = 1
+"""
+
+    # Gini: rank-formula replay; ties need no tiebreak (permuting
+    # equal values leaves the rank-weighted sum unchanged)
+    out["profile_gini"] = """
+WITH c AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY user_id
+),
+v AS (
+  SELECT CAST(floor(v * 1000000) AS BIGINT) AS vm
+  FROM c WHERE v IS NOT NULL
+),
+r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn FROM v),
+a AS (
+  SELECT count(*) AS n, SUM(CAST(vm AS HUGEINT)) AS s,
+         SUM(CAST(rn AS HUGEINT) * vm) AS t
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(coalesce(s, 0) AS BIGINT) AS total_micro,
+       CAST(CASE WHEN n <= 1 OR coalesce(s, 0) <= 0 THEN 0
+                 ELSE (2 * t - (CAST(n AS HUGEINT) + 1) * s) * 1000000
+                      // (CAST(n AS HUGEINT) * s) END AS BIGINT)
+         AS gini_ppm
+FROM a
+"""
+
+    # new-users curve: first-seen rollup + zero-filled grid + window
+    # running sum
+    out["events_new_users"] = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+dd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM dd),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+g AS (
+  SELECT grid.day, COALESCE(dd.n_new, 0) AS n_new
+  FROM grid LEFT JOIN dd ON dd.d = grid.day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_cumulative
+FROM g
 """
 
     # k-anonymity: plain grouped counts with a 0/1 threshold flag

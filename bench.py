@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "graph_pagerank_weighted",
     "normalize_rank",
     "profile_topk_per_group",
+    "io_orc_roundtrip",
+    "profile_gini",
+    "events_new_users",
 ]
 
 

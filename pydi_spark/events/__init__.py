@@ -7,6 +7,7 @@ from pydi_spark.events.ops import (
     event_path_ngrams,
     experiment_report,
     funnel_stages,
+    new_users_curve,
     resample_timeseries,
     retention_cohorts,
     rfm_segments,
@@ -33,6 +34,7 @@ __all__ = [
     "event_path_ngrams",
     "experiment_report",
     "funnel_stages",
+    "new_users_curve",
     "resample_timeseries",
     "retention_cohorts",
     "rfm_segments",

@@ -790,3 +790,43 @@ def experiment_report(
             .alias("n_multi_variant_users"),
         )
     )
+
+
+def new_users_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[day, n_new, n_cumulative] — audience growth: per calendar day
+    (exact integer epoch-days, the active_users convention) the number
+    of users seen for the FIRST time and the running total of distinct
+    users ever seen. Days without new users still appear (n_new = 0)
+    so the curve is chartable; together with active_users this splits
+    traffic into new vs returning exactly.
+
+    Scale: first-seen collapses the stream to one row per user (one
+    map-side-combinable aggregate); the day rollup is tiny; the
+    cumulative total runs through the distributed running sum
+    (functions/ranks.py global_running_sum — never a single-partition
+    window over the day grid).
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    first = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .groupBy("__u")
+        .agg(F.min("__d").alias("__d"))
+    )
+    daily = first.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    span = daily.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
+    grid = span.select(
+        F.explode(F.expr("sequence(__d0, __d1)")).alias("day")
+    )
+    filled = grid.join(
+        daily.withColumnRenamed("__d", "day"), "day", "left"
+    ).select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    from pydi_spark.functions.ranks import global_running_sum
+
+    return global_running_sum(filled, ["day"], "n_new", "n_cumulative")

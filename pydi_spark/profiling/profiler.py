@@ -1176,3 +1176,49 @@ def changepoint_report(
         F.col("__b.o").alias("split_ord"),
         (-F.col("__b.ns")).cast("long").alias("stat_ppm"),
     )
+
+
+def gini_concentration(df: DataFrame, value_col: str) -> DataFrame:
+    """[n, total_micro, gini_ppm] — one-row EXACT Gini coefficient of a
+    non-negative value column (activity concentration: 0 = everyone
+    equal, ->1e6 = one key owns everything). The inequality audit for
+    per-user event counts, per-source corpus shares, per-key join
+    fan-outs.
+
+    Exact-integer contract: values quantize to micro (floor(v*1e6))
+    BEFORE anything; the rank formula
+    ``(2*Σ(i*x_i) - (n+1)*Σx) * 1e6 div (n*Σx)`` over ascending ranks
+    needs only ONE division of a non-negative numerator (ascending
+    order maximizes Σ(i*x) past the (n+1)Σx/2 midpoint), so floor ==
+    truncate on both engines (the changepoint rule). Tie order cannot
+    matter: permuting equal values leaves Σ(i*x_i) unchanged. n <= 1
+    or zero total -> 0.
+
+    Scale: one distributed global rank of the value frame
+    (functions/ranks.py — never a bare Window.orderBy) + one aggregate;
+    products in decimal(38,0).
+    """
+    from pydi_spark.functions.ranks import global_row_number
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.expr(
+            f"CAST(floor({value_col} * 1000000) AS BIGINT)"
+        ).alias("__vm")
+    )
+    ranked = global_row_number(vals, ["__vm"], "__rn")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__vm").alias("__s"),
+        F.sum(F.expr("CAST(__rn AS DECIMAL(38,0)) * __vm")).alias("__t"),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("total_micro"),
+        F.expr(
+            "CASE WHEN __n <= 1 OR coalesce(__s, 0) <= 0"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((2 * __t - (CAST(__n AS DECIMAL(38,0)) + 1) * __s)"
+            " * 1000000 div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT)"
+            " END"
+        ).alias("gini_ppm"),
+    )

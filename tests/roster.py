@@ -60,6 +60,12 @@ ROTATION_QUEUE: set[str] = {
     # running-sum core) and grouped top-k
     "normalize_rank",
     "profile_topk_per_group",
+    # r9 new query: ORC write/load roundtrip under the oracle gate
+    "io_orc_roundtrip",
+    # r9 new operators: exact Gini concentration, new-users growth
+    # curve (both on the distributed rank/running-sum cores)
+    "profile_gini",
+    "events_new_users",
     # r9 material change: pagerank_micro refactored onto the shared
     # _pagerank_core (same integer formula; re-check next window)
     "graph_pagerank",

@@ -1078,3 +1078,58 @@ def test_changepoint_report_localizes_shift(spark):
     assert out13 == {k: d["split_idx"] for k, d in out.items()}
     with _pytest.raises(ValueError, match="key_cols"):
         changepoint_report(df, [], "t", "v")
+
+
+def test_gini_concentration_known_values(spark):
+    from pydi_spark.profiling import gini_concentration
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(1, 5.0)] * 4, "id int, v double")
+    row = gini_concentration(eq, "v").collect()[0]
+    assert row["gini_ppm"] == 0 and row["n"] == 4
+    assert row["total_micro"] == 20_000_000
+    # one owner of everything among n=4: G = (n-1)/n = 0.75
+    one = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0), (4, 8.0)], "id int, v double"
+    )
+    assert gini_concentration(one, "v").collect()[0]["gini_ppm"] == 750_000
+    # hand-worked: values 1,2,3,4 -> G = 2*30-5*10 over 4*10 = 0.25
+    lin = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)], "id int, v double"
+    )
+    assert gini_concentration(lin, "v").collect()[0]["gini_ppm"] == 250_000
+    # empty / all-null / single row -> 0, never an error
+    empty = spark.createDataFrame([], "id int, v double")
+    assert gini_concentration(empty, "v").collect()[0]["gini_ppm"] == 0
+    single = spark.createDataFrame([(1, 3.0)], "id int, v double")
+    assert gini_concentration(single, "v").collect()[0]["gini_ppm"] == 0
+    # partition independence (ties under arbitrary rank order)
+    tie = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(60)], "id int, v double"
+    )
+    a = gini_concentration(tie, "v").collect()[0]["gini_ppm"]
+    b = gini_concentration(tie.repartition(17), "v").collect()[0]["gini_ppm"]
+    assert a == b
+
+
+def test_new_users_curve(spark):
+    import datetime as dt
+
+    from pydi_spark.events import new_users_curve
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0), ("u1", t0 + dt.timedelta(days=3)),      # returns: not new
+        ("u2", t0),
+        ("u3", t0 + dt.timedelta(days=2)),
+        ("u4", t0 + dt.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = sorted(
+        ((r["day"], r["n_new"], r["n_cumulative"])
+         for r in new_users_curve(df).collect())
+    )
+    d0 = out[0][0]
+    assert [(d - d0, nn, nc) for d, nn, nc in out] == [
+        (0, 2, 2), (1, 0, 2), (2, 1, 3), (3, 1, 4),
+    ]
