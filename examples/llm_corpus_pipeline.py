@@ -132,6 +132,29 @@ def main() -> None:
     communities = label_propagation(pairs.select("id1", "id2"), n_iter=4)
     n_comm = communities.select("label").distinct().count()
 
+    # 3c. which links is the near-dup graph MISSING? structural link
+    # prediction ranks non-edge pairs that share verified neighbours —
+    # a blocked-pair recovery list for the next dedup pass
+    from pydi_spark.llmdata import link_prediction_scores
+
+    predicted = link_prediction_scores(
+        pairs.select("id1", "id2"), min_common=1
+    )
+    n_predicted = predicted.count()
+
+    # 3d. centrality of the near-dup graph, weighted by how many band
+    # collisions back each edge: heavy edges pull rank (the dedup
+    # review queue reads top-rank first)
+    from pydi_spark.llmdata import weighted_pagerank_micro
+
+    weighted_edges = pairs.groupBy("id1", "id2").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    top_rank = (
+        weighted_pagerank_micro(weighted_edges, n_iter=4)
+        .orderBy(F.desc("rank_micro")).limit(3).collect()
+    )
+
     docs = docs.join(kept, "doc_id", "left_semi")
     # cut lineage: every later stage (and its count) would otherwise
     # re-execute the dedup cascade above
@@ -233,7 +256,10 @@ def main() -> None:
 
     print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
           f"-> decontaminated {n_clean}; "
-          f"{n_comm} near-dup communities")
+          f"{n_comm} near-dup communities; "
+          f"{n_predicted} predicted missing links; "
+          f"top weighted-pagerank docs: "
+          f"{[r['id'] for r in top_rank]}")
     shard_plan.show(5, truncate=False)
     summary.orderBy("source").show(25, truncate=False)
     print(f"BPE merges: {merges}")
