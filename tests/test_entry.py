@@ -204,6 +204,14 @@ def test_partition_independence_of_new_queries(spark):
         "cluster_hierarchical_max", "cluster_hierarchical_avg",
         "graph_label_prop", "io_rendezvous_shards", "text_search_phrase",
         "graph_ppr", "profile_numeric_drift",
+        # round-9 session-2 additions
+        "graph_link_pred", "join_interval_overlap", "events_rfm",
+        "graph_bfs", "normalize_kanonymity", "normalize_value_clusters",
+        "events_cooccurrence", "profile_value_runs",
+        "profile_changepoint", "events_experiment", "graph_hits",
+        "graph_pagerank_weighted", "normalize_rank",
+        "profile_topk_per_group", "io_orc_roundtrip", "profile_gini",
+        "events_new_users",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

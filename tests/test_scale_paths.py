@@ -215,6 +215,64 @@ def test_operators_total_on_empty_inputs(spark):
     assert equi_width_histogram(num, "x", lo=0.0, hi=1.0).count() == 20
     kr = blocking_key_report(cat, ["v"]).collect()
     assert len(kr) == 1 and kr[0]["n_rows"] == 0
+    # round-9 widening: the session-2 operator batch
+    from pydi_spark.events import (
+        event_cooccurrence, experiment_report, new_users_curve,
+        rfm_segments,
+    )
+    from pydi_spark.functions import (
+        global_running_sum, interval_overlap_join, rank_normalize,
+        top_k_per_group,
+    )
+    from pydi_spark.llmdata import (
+        hits_micro, link_prediction_scores, weighted_pagerank_micro,
+    )
+    from pydi_spark.normalization import (
+        k_anonymity_report, value_cluster_report,
+    )
+    from pydi_spark.profiling import changepoint_report, value_runs
+
+    ev2 = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, "
+            "event_type string, value double, variant string"
+    )
+    iv = spark.createDataFrame([], "k long, s double, e double")
+    dedges = spark.createDataFrame([], "src string, dst string")
+    wedges = spark.createDataFrame(
+        [], "id1 string, id2 string, weight int"
+    )
+    empty_r9 = [
+        link_prediction_scores(pairs),
+        interval_overlap_join(iv, iv, ("s", "e"), ("s", "e"), by="k",
+                              bucket_width=1.0),
+        rfm_segments(ev2),
+        experiment_report(ev2, "variant", "purchase"),
+        event_cooccurrence(ev2, ["user_id"], "event_type"),
+        new_users_curve(ev2),
+        k_anonymity_report(cat, ["v"]),
+        value_cluster_report(cat, "v"),
+        value_runs(ev2, ["user_id"], "event_id", "event_type"),
+        changepoint_report(ev2, ["user_id"], "event_id", "value"),
+        hits_micro(dedges),
+        weighted_pagerank_micro(wedges),
+        global_running_sum(num, ["x"], "x"),
+        rank_normalize(num, "x"),
+        top_k_per_group(ev2, ["user_id"], ["event_id"], 3),
+    ]
+    for df in empty_r9:
+        assert df.count() == 0
+    # one-row report shapes on empty input
+    g = __import__("pydi_spark.profiling", fromlist=["gini_concentration"])
+    assert g.gini_concentration(num, "x").collect()[0]["gini_ppm"] == 0
+    # bfs refuses an empty SEED set loudly (a silent {} would look
+    # like an isolated seed set) but is total on empty EDGES
+    from pydi_spark.llmdata import bfs_hops
+
+    seeds1 = spark.createDataFrame([("a",)], "id string")
+    assert bfs_hops(pairs, seeds1, 2).count() == 1  # the seed at hops 0
+    with pytest.raises(ValueError, match="empty seed"):
+        bfs_hops(pairs, spark.createDataFrame([], "id string"), 2)
+
     # trainers on empty input fail FAST with a clear message — a silent
     # NaN/garbage model is the failure mode these guards close
     assert m.train_bpe_merges(docs, n_merges=3) == []
