@@ -11676,7 +11676,9 @@ WITH pu AS (
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(sum(CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT))
               AS BIGINT) AS monetary_micro
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
 ),
 rr AS (
   SELECT *,

@@ -573,7 +573,10 @@ def rfm_segments(
     1`` — NOT from ntile() (whose tie placement across partition
     boundaries is engine-specific); recency inverts the ascending
     rank (5 - tile) so DESC ordering never enters. Monetary quantizes
-    to micros BEFORE summing.
+    to micros BEFORE summing. Rows with a NULL user id or NULL
+    timestamp are excluded up front (NULL rank keys sort NULLS FIRST
+    in Spark, NULLS LAST in most SQL engines — they may not enter the
+    order).
 
     Scale: the raw stream collapses to one row per user in a single
     map-side-combinable aggregate; the three quartile ranks run on
@@ -586,6 +589,14 @@ def rfm_segments(
     """
     from pydi_spark.functions.ranks import global_row_number
 
+    # NULL user ids and NULL timestamps leave before anything: a NULL
+    # recency key would sort NULLS FIRST in Spark and NULLS LAST in
+    # most SQL engines, shifting EVERY user's quartile rank by one —
+    # the cross-engine divergence class the total-order rule exists
+    # to prevent
+    df = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(ts_col).alias("__last"),
         F.count(F.lit(1)).cast("long").alias("frequency"),

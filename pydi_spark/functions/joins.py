@@ -227,6 +227,12 @@ def interval_overlap_join(
         return F.unix_micros(col) if is_ts else col
 
     if bucket_width is None:
+        # median of POSITIVE durations only: a majority of zero-length
+        # (point) or inverted intervals would otherwise drag the median
+        # to <= 0 and the max(..., 1.0) floor means 1 MICROSECOND for
+        # timestamps — a 1-hour window would then explode into 3.6e9
+        # buckets. Zero-length intervals are safe under ANY width (one
+        # bucket each); the width only needs to fit the positive tail.
         dur = (
             left.select(
                 (scalar(F.col(le_col)) - scalar(F.col(ls_col)))
@@ -238,6 +244,7 @@ def interval_overlap_join(
                     .cast("double").alias("d")
                 )
             )
+            .where(F.col("d") > 0)
         )
         med = dur.approxQuantile("d", [0.5], 0.01)
         bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)

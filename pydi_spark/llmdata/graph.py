@@ -156,18 +156,31 @@ def weighted_pagerank_micro(
     sym = sym.unionByName(
         sym.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
     )
+    # the validity columns ride the SAME collapse aggregate, so a bad
+    # per-edge weight cannot hide behind a healthy duplicate of the
+    # same pair (sum() skips NULLs; a negative weight could net out):
+    # validation sees every raw edge, in one pass
     sym = (
-        sym.groupBy("s", "d").agg(F.sum("w").alias("w"))
+        sym.groupBy("s", "d").agg(
+            F.sum("w").alias("w"),
+            F.sum(F.col("w").isNull().cast("long")).alias("__n_null"),
+            F.min("w").alias("__min_w"),
+        )
         .localCheckpoint(eager=True)
     )
     n_bad = sym.where(
-        F.col("w").isNull() | (F.col("w") <= 0)
+        (F.col("__n_null") > 0)
+        | F.col("__min_w").isNull()
+        | (F.col("__min_w") <= 0)
     ).count()
     if n_bad:
         raise ValueError(
-            f"weighted_pagerank_micro: {n_bad} edges carry NULL or "
-            f"non-positive weights — weights must be positive integers"
+            f"weighted_pagerank_micro: {n_bad} node pairs carry NULL or "
+            f"non-positive edge weights — weights must be positive "
+            f"integers on EVERY edge (a bad weight masked by a healthy "
+            f"duplicate of the same pair is still rejected)"
         )
+    sym = sym.drop("__n_null", "__min_w")
     base = int(MICRO - damping_ppm)
     node_base = sym.select(F.col("s").alias("id")).distinct().select(
         "id",

@@ -747,3 +747,32 @@ def test_estimate_pairs_overflow_safe(spark):
 
     df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2, "k string")
     assert estimate_pairs(df, df, F.col("k")) == 9 + 4
+
+
+def test_interval_overlap_auto_width_survives_point_majority(spark):
+    """Auto bucket width derives from POSITIVE durations only: a
+    majority of zero-length (point) intervals must not drag the width
+    to the 1-unit floor and explode long windows into billions of
+    buckets (r9 self-review finding)."""
+    from pydi_spark.functions.joins import interval_overlap_join
+
+    points = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(200)],
+        "pid long, s double, e double",
+    )
+    windows = spark.createDataFrame(
+        [(1, 0.0, 3_600_000.0)], "wid long, s double, e double"
+    )
+    out = interval_overlap_join(
+        points, windows, ("s", "e"), ("s", "e")
+    )
+    # every point sits inside the one window; completes without a
+    # giga-bucket explode (the window explodes into O(1) buckets
+    # because the width comes from ITS length, the only positive one)
+    assert out.count() == 200
+    # all-point inputs (no positive duration anywhere) still work
+    pp = interval_overlap_join(
+        points, points.selectExpr("pid AS qid", "s", "e"), ("s", "e"),
+        ("s", "e"),
+    )
+    assert pp.count() == 200  # each point overlaps exactly itself

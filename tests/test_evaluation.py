@@ -683,3 +683,23 @@ def test_experiment_report_rates_and_contamination(spark):
     out2 = {r["variant"]: r["uplift_ppm"] for r in experiment_report(
         df, "variant", "purchase", control="nope").collect()}
     assert out2 == {"control": None, "t1": None}
+
+
+def test_rfm_segments_null_hygiene(spark):
+    """NULL user ids / NULL timestamps are excluded BEFORE ranking —
+    a NULL recency key would sort NULLS FIRST in Spark and NULLS LAST
+    in SQL engines, shifting every quartile (r9 self-review finding)."""
+    import datetime as dt
+
+    from pydi_spark.events import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 10.0), ("u2", t0 + dt.timedelta(days=1), 20.0),
+        (None, t0, 99.0),            # NULL user: dropped
+        ("u3", None, 50.0),          # NULL ts: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                                     "value double")
+    out = {r["user_id"] for r in rfm_segments(df).collect()}
+    assert out == {"u1", "u2"}

@@ -2328,3 +2328,25 @@ def test_weighted_pagerank_weight_steering(spark):
                 [("a", "b", 0)], "id1 string, id2 string, weight int"
             )
         )
+
+
+def test_weighted_pagerank_rejects_masked_bad_weights(spark):
+    """A NULL or negative per-edge weight must raise even when a
+    healthy duplicate of the SAME pair would mask it in the collapsed
+    sum (r9 self-review finding)."""
+    import pytest as _pytest
+
+    from pydi_spark.llmdata import weighted_pagerank_micro
+
+    masked_null = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", None), ("b", "c", 1), ("c", "a", 1)],
+        "id1 string, id2 string, weight int",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        weighted_pagerank_micro(masked_null)
+    masked_neg = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", -2), ("b", "c", 1), ("c", "a", 1)],
+        "id1 string, id2 string, weight int",
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        weighted_pagerank_micro(masked_neg)
