@@ -548,3 +548,61 @@ def test_rank_normalize_matches_pandas_rank(spark):
     n = len(vals)
     want = {i: (int(b) * 1_000_000) // (n - 1) for i, b in below.items()}
     assert got == want
+
+
+def test_event_cooccurrence_random_brute_parity(spark):
+    """Seeded random baskets vs a pure-python brute force: counts,
+    support, and lift must match exactly (integer floors included)."""
+    import itertools
+    import random
+
+    from pydi_spark.events import event_cooccurrence
+
+    rng = random.Random(9)
+    rows = [(f"g{rng.randrange(12)}", f"i{rng.randrange(6)}")
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {(r["item1"], r["item2"]):
+           (r["n_pair"], r["n_i"], r["n_j"], r["support_ppm"],
+            r["lift_micro"])
+           for r in event_cooccurrence(df, ["g"], "item").collect()}
+    baskets = {}
+    for g, i in rows:
+        baskets.setdefault(g, set()).add(i)
+    n = len(baskets)
+    item_n = {}
+    for s in baskets.values():
+        for i in s:
+            item_n[i] = item_n.get(i, 0) + 1
+    want = {}
+    allp = {}
+    for s in baskets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            allp[(a, b)] = allp.get((a, b), 0) + 1
+    for (a, b), np_ in allp.items():
+        want[(a, b)] = (
+            np_, item_n[a], item_n[b], np_ * 1_000_000 // n,
+            np_ * n * 1_000_000 // (item_n[a] * item_n[b]),
+        )
+    assert got == want
+
+
+def test_gini_matches_python_formula(spark):
+    """Seeded random values vs the textbook rank formula computed in
+    pure python (micro quantization included)."""
+    import random
+
+    from pydi_spark.profiling import gini_concentration
+
+    rng = random.Random(31)
+    vals = [rng.randrange(50) / 7 for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = gini_concentration(df, "v").collect()[0]
+    import math
+
+    vm = sorted(int(math.floor(v * 1_000_000)) for v in vals)
+    n, s = len(vm), sum(vm)
+    t = sum((i + 1) * x for i, x in enumerate(vm))
+    want = (2 * t - (n + 1) * s) * 1_000_000 // (n * s)
+    assert got["gini_ppm"] == want and got["n"] == n
+    assert got["total_micro"] == s
