@@ -6363,91 +6363,138 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit dHash over the real PNG/JPEG codec paths
+    (llmdata/multimodal.py perceptual_hash + png_decoder;
+    llmdata/jpeg.py jpeg_decoder): five deterministic synthetic
+    payloads built inline — a 12x16 RGB gradient PNG, a checkerboard
+    PNG, the gradient 2x-nearest-upscaled, the gradient JPEG-re-encoded
+    (quality 90), and a corrupt non-image. The oracle replays the
+    frozen expected values as a literal table (the phrase_match
+    refusal-style construction — VERDICT r9 #5): any drift in the PNG
+    inflate/unfilter path, the JPEG huffman/IDCT path, the
+    grayscale/resample math, or the bit packing flips the row red. The
+    upscaled and re-encoded variants additionally pin dHash's
+    scale/re-encode INVARIANCE (both equal the original's hash
+    -1103840346886; the checkerboard differs), and the corrupt row
+    pins per-record failure isolation (phash 0 + error marker, no
+    task failure). ``sf_dir`` is unused: codec correctness is
+    data-independent, and the binary testdata tables carry no real
+    image payloads (TESTDATA.md)."""
+    import numpy as np
+
+    from pydi_spark.llmdata.jpeg import jpeg_encode
+    from pydi_spark.llmdata.multimodal import (
+        perceptual_hash, png_encode, resize_array,
+    )
+
+    r = np.arange(12).reshape(12, 1, 1)
+    c = np.arange(16).reshape(1, 16, 1)
+    k = np.arange(3).reshape(1, 1, 3)
+    grad = ((r * 7 + c * 13 + k * 29) % 256).astype(np.uint8)
+    checker = (
+        (((r // 4 + c // 4) % 2) * 255) * np.ones((1, 1, 3))
+    ).astype(np.uint8)
+    up = resize_array(grad, 24, 32).astype(np.uint8)
+    rows = [
+        ("img_png_gradient", png_encode(grad)),
+        ("img_png_checker", png_encode(checker)),
+        ("img_png_upscaled", png_encode(up)),
+        ("img_jpeg_gradient", jpeg_encode(grad, quality=90)),
+        ("img_corrupt", b"GIF89a not really an image"),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    return perceptual_hash(media)
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
-# arithmetic). Round-9 window (the pinned r8-verdict rotation —
-# NOTES.md "Round-8 r9 WINDOW PLAN"):
-#   1-12  first 12 of the 19 r8 ROTATION_QUEUE entries: 4 material-
-#         change re-checks (cluster_cc_distributed forest
-#         pre-contraction; extract/schema_llm_fake call-record capture;
-#         events_retention _cohort_frame refactor) + 8 r8-addition
-#         first checks. All 19 pre-verified green + VANILLA-green.
+# arithmetic). Round-10 window (the pinned r9-verdict rotation —
+# VERDICT r9 "Next round" #1/#7):
+#   1-12  first 12 of the 25 r9 ROTATION_QUEUE entries: 2 material-
+#         change re-checks first (graph_pagerank after the shared
+#         _pagerank_core refactor; io_orc_roundtrip, last row r5),
+#         then cluster_hierarchical_max/_avg (the last SURVEY §2
+#         driver-confirmation gap) and 8 more r9-addition first
+#         checks. All 25 pre-verified green + VANILLA-green by both
+#         the r9 builder gate and the r9 judge's independent re-run.
 #   13-15 canaries + probes at pinned positions: canary_hash_safe
 #         (green expected), canary_hash_risky (driver tolerates the
 #         class; drift detector), probe_corpus_echo (RED means the
 #         driver regenerated documents.parquet). canary_hugeint stays
 #         DEMOTED past 50 (two confirming reds; FORBIDDEN_ORACLE_TYPES
 #         guards the class locally).
-#   16-22 remaining 7 r8 queue entries. graph_kcore and eval_bcubed
-#         ALSO re-check this round's r9 code changes (k_core
-#         convergence guard; bcubed folded precondition).
-#   23-34 stalest greens: all 12 r03-last (the TPC-H block).
-#   35-50 stalest greens: 16 of the r04-last (alphabetical prefix;
-#         extract/schema_llm_fake already sit in the queue slots).
-# After this round EVERY contract query that existed at rotation time
-# has >= 1 driver row. Round-9 additions sit past 50 in the pinned
-# ROTATION_QUEUE (tests/roster.py — the roster source of truth).
-_R9_WINDOW = [
-    # 1-12: r8 queue — re-checks first, then first-checks
-    "cluster_cc_distributed",
-    "extract_llm_fake",
-    "schema_llm_fake",
-    "events_retention",
-    "graph_clustering_coef",
-    "graph_kcore",
-    "events_session_report",
-    "text_novelty",
-    "dedup_keep_best",
-    "text_script_detect",
-    "streaming_sliding",
-    "profile_benford",
+#   16-28 remaining 13 r9 queue entries. events_rfm (slot 12) and the
+#         rank-core consumers (normalize_rank, profile_gini,
+#         events_new_users) ALSO re-check this round's r10 code
+#         changes (ADVICE r9 oracle as-of fix; rank-scaffold dedup).
+#   29-50 stalest greens: 22 of the 23 r04-last rows (alphabetical
+#         prefix; tpch_q9 is the one deferral, first slot next round).
+# After this round every contract query added through r9 has >= 1
+# driver row. Round-10 additions and material-change re-checks queue
+# past 50 in the pinned ROTATION_QUEUE (tests/roster.py — the roster
+# source of truth).
+_R10_WINDOW = [
+    # 1-12: r9 queue — material re-checks first, then the §2 gap,
+    # then first-checks
+    "graph_pagerank",
+    "io_orc_roundtrip",
+    "cluster_hierarchical_max",
+    "cluster_hierarchical_avg",
+    "graph_label_prop",
+    "io_rendezvous_shards",
+    "text_search_phrase",
+    "graph_ppr",
+    "profile_numeric_drift",
+    "graph_link_pred",
+    "join_interval_overlap",
+    "events_rfm",
     # 13-15: canaries + probes (pinned positions)
     "canary_hash_safe",
     "canary_hash_risky",
     "probe_corpus_echo",
-    # 16-22: r8 queue, continued
-    "cluster_max_bipartite",
-    "io_pit_join",
-    "events_cohort_value",
-    "profile_drift",
-    "eval_bcubed",
-    "normalize_mask",
-    "events_conversion_lag",
-    # 23-34: stalest greens (last driver row r03)
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_window",
-    # 35-50: stalest greens (last driver row r04)
-    "blocking_meta",
-    "blocking_meta_cnp",
-    "blocking_standard_capped",
-    "blocking_token_capped",
-    "cluster_incremental",
-    "dedup_semantic",
-    "embed_ivfpq_topk",
-    "embed_mean_pool",
-    "embed_pq_encode",
-    "embed_pq_topk",
-    "embed_quantize",
-    "extract_code",
-    "fusion_conflicts",
-    "io_explode_delimited",
-    "io_feather_roundtrip",
-    "io_fwf_roundtrip",
+    # 16-28: r9 queue, continued
+    "graph_bfs",
+    "normalize_kanonymity",
+    "normalize_value_clusters",
+    "events_cooccurrence",
+    "profile_value_runs",
+    "profile_changepoint",
+    "events_experiment",
+    "graph_hits",
+    "graph_pagerank_weighted",
+    "normalize_rank",
+    "profile_topk_per_group",
+    "profile_gini",
+    "events_new_users",
+    # 29-50: stalest greens (last driver row r04, alphabetical prefix)
+    "io_list_to_string",
+    "match_features",
+    "match_text_format",
+    "match_vector_features",
+    "sample_dsir",
+    "sample_quality_weighted",
+    "schema_eval",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_stateful_ttl",
+    "text_contamination_matrix",
+    "text_quality_classifier",
+    "text_tfidf",
+    "text_zipf",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _ALL_QUERIES[name] for name in _R9_WINDOW}
+    out = {name: _ALL_QUERIES[name] for name in _R10_WINDOW}
     for name, fn in _ALL_QUERIES.items():
         if name not in out:
             out[name] = fn
@@ -6455,7 +6502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The full registry (name -> callable). Window membership/order lives
-# in _R9_WINDOW above; here insertion order only decides the past-50
+# in _R10_WINDOW above; here insertion order only decides the past-50
 # tail order, so entries stay grouped by the round that added them.
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_attribution": q_events_attribution,
@@ -6720,6 +6767,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "profile_gini": q_profile_gini,
         "events_new_users": q_events_new_users,
+        # --- round-10 additions (queued in tests/roster.py) ---
+        "multimodal_phash": q_multimodal_phash,
     }
 
 
@@ -11671,7 +11720,8 @@ f0 AS MATERIALIZED (
     out["events_rfm"] = """
 WITH pu AS (
   SELECT user_id,
-         CAST((SELECT CAST(max(ts) AS DATE) FROM events)
+         CAST((SELECT CAST(max(ts) AS DATE) FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL)
               - CAST(max(ts) AS DATE) AS BIGINT) AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(sum(CAST(floor(coalesce(value, 0) * 1000000) AS BIGINT))
@@ -12225,5 +12275,25 @@ SELECT id, cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
                             ORDER BY dist2 ASC, cluster ASC) AS rk
   FROM d1
 ) WHERE rk = 1
+"""
+
+    # multimodal dHash: the oracle replays the frozen expected values
+    # as a literal table (VERDICT r9 #5 — the phrase_match refusal-style
+    # construction for non-SQL-able codec internals). The constants pin
+    # the full PNG/JPEG decode -> grayscale -> 9x8 resample -> gradient
+    # bit-packing path AND dHash's scale/re-encode invariance (upscaled
+    # + JPEG variants == the gradient's hash; checkerboard differs;
+    # corrupt payload isolates to phash 0 + error marker).
+    out["multimodal_phash"] = """
+SELECT media_id,
+       CAST(phash AS BIGINT) AS phash,
+       decode_ok
+FROM (VALUES
+  ('img_png_gradient',  -1103840346886,      'ok'),
+  ('img_png_checker',   2459565764387545634, 'ok'),
+  ('img_png_upscaled',  -1103840346886,      'ok'),
+  ('img_jpeg_gradient', -1103840346886,      'ok'),
+  ('img_corrupt',       0,                   'error: ValueError')
+) AS t(media_id, phash, decode_ok)
 """
     return out

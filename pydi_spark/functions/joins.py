@@ -41,6 +41,75 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _bucket_tools(is_ts: bool, bucket_width, duration_sides):
+    """The shared bucketize core behind ``range_join`` and
+    ``interval_overlap_join`` (r9 self-review dedup): returns
+    ``(scalar, bucket)`` where ``scalar`` maps a column to comparable
+    units (``unix_micros`` for timestamps, identity for numerics) and
+    ``bucket`` maps it to a coarse bucket id.
+
+    ``bucket_width`` is in user units (SECONDS for timestamps, value
+    units otherwise); when None it is auto-derived as the median
+    POSITIVE interval duration over ``duration_sides`` (a list of
+    ``(df, start_col, end_col)``) via one bounded ``approxQuantile``
+    driver action. Positive-only is load-bearing: a majority of
+    zero-length (point) or inverted intervals would drag the median to
+    <= 0, and the ``max(..., 1.0)`` floor then means 1 MICROSECOND for
+    timestamps — a 1-hour window would explode into 3.6e9 buckets.
+    Zero-length intervals are safe under ANY width (one bucket each);
+    the width only needs to fit the positive tail."""
+    def scalar(col):
+        return F.unix_micros(col) if is_ts else col
+
+    if bucket_width is None:
+        dur = None
+        for df, s_col, e_col in duration_sides:
+            d = df.select(
+                (scalar(F.col(e_col)) - scalar(F.col(s_col)))
+                .cast("double").alias("d")
+            )
+            dur = d if dur is None else dur.unionByName(d)
+        med = dur.where(F.col("d") > 0).approxQuantile("d", [0.5], 0.01)
+        bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)
+    else:
+        bucket_width_units = float(bucket_width) * (1_000_000 if is_ts else 1)
+    width = F.lit(bucket_width_units)
+
+    def bucket(col):
+        return F.floor(scalar(col) / width).cast("long")
+
+    return scalar, bucket
+
+
+def _explode_to_buckets(
+    df: DataFrame,
+    by_cols: list,
+    carry: list,
+    prefix: str,
+    s_col: str,
+    e_col: str,
+    scalar,
+    bucket,
+    start_bucket_col: str | None = None,
+) -> DataFrame:
+    """Explode an interval table to the coarse buckets each interval
+    covers: rows with ``start > end`` are dropped, carried columns are
+    renamed ``{prefix}{col}``, and ``__bucket`` enumerates
+    ``sequence(bucket(start), bucket(end))``. ``start_bucket_col``
+    additionally materializes ``bucket(start)`` (the exactly-once
+    emission guard of the overlap join)."""
+    cols = [F.col(c) for c in by_cols]
+    cols += [F.col(c).alias(f"{prefix}{c}") for c in carry]
+    if start_bucket_col is not None:
+        cols.append(bucket(F.col(s_col)).alias(start_bucket_col))
+    cols.append(
+        F.explode(
+            F.sequence(bucket(F.col(s_col)), bucket(F.col(e_col)))
+        ).alias("__bucket")
+    )
+    return df.where(scalar(F.col(s_col)) <= scalar(F.col(e_col))).select(*cols)
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -64,11 +133,12 @@ def range_join(
     on (by…, bucket) with the range predicate as a residual filter. Pick
     ``bucket_width`` near the typical interval length so each interval
     lands in O(1) buckets; by default it is auto-derived as the median
-    interval length (one bounded ``approxQuantile`` driver action on the
-    intervals side only). A point is in exactly one bucket, so no
-    post-join dedup is needed. The probe side is explicitly repartitioned
-    on the bucket key — same lesson as the band joins: AQE otherwise
-    serializes the fan-out stage behind a narrow scan.
+    POSITIVE interval length (``_bucket_tools``, one bounded
+    ``approxQuantile`` driver action on the intervals side only). A
+    point is in exactly one bucket, so no post-join dedup is needed.
+    The probe side is explicitly repartitioned on the bucket key — same
+    lesson as the band joins: AQE otherwise serializes the fan-out
+    stage behind a narrow scan.
 
     ``on``/``between`` columns must share a type: timestamps (bucketed on
     ``unix_micros``; ``bucket_width`` in SECONDS) or numerics
@@ -90,23 +160,9 @@ def range_join(
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     is_ts = isinstance(points.schema[on].dataType, TimestampType)
-
-    def scalar(col):
-        return F.unix_micros(col) if is_ts else col
-
-    if bucket_width is None:
-        dur = intervals.select(
-            (scalar(F.col(end_col)) - scalar(F.col(start_col)))
-            .cast("double").alias("d")
-        )
-        med = dur.approxQuantile("d", [0.5], 0.01)
-        bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)
-    else:
-        bucket_width_units = float(bucket_width) * (1_000_000 if is_ts else 1)
-    width = F.lit(bucket_width_units)
-
-    def bucket(col):
-        return F.floor(scalar(col) / width).cast("long")
+    scalar, bucket = _bucket_tools(
+        is_ts, bucket_width, [(intervals, start_col, end_col)]
+    )
 
     parallelism = points.sparkSession.sparkContext.defaultParallelism
     carry = [c for c in intervals.columns if c not in by_cols]
@@ -114,14 +170,9 @@ def range_join(
         c: (c + suffix if c in points.columns else c) for c in carry
     }
 
-    iv = intervals.where(
-        scalar(F.col(start_col)) <= scalar(F.col(end_col))
-    ).select(
-        *[F.col(c) for c in by_cols],
-        *[F.col(c).alias(f"__i_{c}") for c in carry],
-        F.explode(
-            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))
-        ).alias("__bucket"),
+    iv = _explode_to_buckets(
+        intervals, by_cols, carry, "__i_", start_col, end_col,
+        scalar, bucket,
     )
     pt = points.withColumn("__bucket", bucket(F.col(on))).repartition(
         parallelism, *(by_cols + ["__bucket"])
@@ -223,37 +274,10 @@ def interval_overlap_join(
         )
     is_ts = l_is_ts
 
-    def scalar(col):
-        return F.unix_micros(col) if is_ts else col
-
-    if bucket_width is None:
-        # median of POSITIVE durations only: a majority of zero-length
-        # (point) or inverted intervals would otherwise drag the median
-        # to <= 0 and the max(..., 1.0) floor means 1 MICROSECOND for
-        # timestamps — a 1-hour window would then explode into 3.6e9
-        # buckets. Zero-length intervals are safe under ANY width (one
-        # bucket each); the width only needs to fit the positive tail.
-        dur = (
-            left.select(
-                (scalar(F.col(le_col)) - scalar(F.col(ls_col)))
-                .cast("double").alias("d")
-            )
-            .unionByName(
-                right.select(
-                    (scalar(F.col(re_col)) - scalar(F.col(rs_col)))
-                    .cast("double").alias("d")
-                )
-            )
-            .where(F.col("d") > 0)
-        )
-        med = dur.approxQuantile("d", [0.5], 0.01)
-        bucket_width_units = max(float(med[0]) if med else 1.0, 1.0)
-    else:
-        bucket_width_units = float(bucket_width) * (1_000_000 if is_ts else 1)
-    width = F.lit(bucket_width_units)
-
-    def bucket(col):
-        return F.floor(scalar(col) / width).cast("long")
+    scalar, bucket = _bucket_tools(
+        is_ts, bucket_width,
+        [(left, ls_col, le_col), (right, rs_col, re_col)],
+    )
 
     parallelism = left.sparkSession.sparkContext.defaultParallelism
     l_carry = [c for c in left.columns if c not in by_cols]
@@ -262,25 +286,13 @@ def interval_overlap_join(
         c: (c + suffix if c in left.columns else c) for c in r_carry
     }
 
-    lv = left.where(
-        scalar(F.col(ls_col)) <= scalar(F.col(le_col))
-    ).select(
-        *[F.col(c) for c in by_cols],
-        *[F.col(c).alias(f"__l_{c}") for c in l_carry],
-        bucket(F.col(ls_col)).alias("__lsb"),
-        F.explode(
-            F.sequence(bucket(F.col(ls_col)), bucket(F.col(le_col)))
-        ).alias("__bucket"),
+    lv = _explode_to_buckets(
+        left, by_cols, l_carry, "__l_", ls_col, le_col, scalar, bucket,
+        start_bucket_col="__lsb",
     ).repartition(parallelism, *(by_cols + ["__bucket"]))
-    rv = right.where(
-        scalar(F.col(rs_col)) <= scalar(F.col(re_col))
-    ).select(
-        *[F.col(c) for c in by_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in r_carry],
-        bucket(F.col(rs_col)).alias("__rsb"),
-        F.explode(
-            F.sequence(bucket(F.col(rs_col)), bucket(F.col(re_col)))
-        ).alias("__bucket"),
+    rv = _explode_to_buckets(
+        right, by_cols, r_carry, "__r_", rs_col, re_col, scalar, bucket,
+        start_bucket_col="__rsb",
     )
 
     ls, le = F.col(f"__l_{ls_col}"), F.col(f"__l_{le_col}")

@@ -13,6 +13,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+
+
+def _prefix_with_offsets(
+    df: DataFrame,
+    order_cols: list,
+    local_expr,
+    total_expr,
+    out_col: str,
+    num_partitions: int | None,
+):
+    """The shared range-partition + broadcast-offsets core behind
+    ``global_row_number`` and ``global_running_sum`` (r9 self-review
+    dedup): range-partition on the ordering, compute a per-partition
+    prefix column (``local_expr(window)``), collect the per-partition
+    totals (``total_expr``), and join the broadcast cumulative offsets
+    back — two narrow passes, no single-partition window anywhere.
+
+    Returns ``(frame, grand_total)`` where ``frame`` has ``out_col`` =
+    local prefix + partition offset, cast to long (callers pass
+    integral inputs — enforced by global_running_sum)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # materialize the prefixed frame before the totals action: the
+    # collect and the final join are two separate actions, and a
+    # recomputed range partitioning (nondeterministic upstream, AQE
+    # replan) could shift rows across partition boundaries between
+    # them, corrupting the global values
+    local = with_pid.withColumn("__local", local_expr(w)).localCheckpoint(
+        eager=True
+    )
+    totals = (
+        local.groupBy("__pid").agg(total_expr.alias("__t"))
+        .orderBy("__pid").collect()
+    )
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["__pid"]] = acc
+        acc += row["__t"] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    out = (
+        local.join(off_df, "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+    return out, acc
+
 
 def global_row_number(
     df: DataFrame,
@@ -26,38 +85,11 @@ def global_row_number(
 
     With ``return_count=True`` returns ``(df, total_rows)`` — the total
     falls out of the offset collect for free (no extra job)."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    # materialize the ranked frame before the counts action: the count
-    # collect and the final join are two separate actions, and a
-    # recomputed range partitioning (nondeterministic upstream, AQE
-    # replan) could shift rows across partition boundaries between them,
-    # corrupting the global ranks
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
-    counts = (
-        local.groupBy("__pid").count().orderBy("__pid").collect()
-    )
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
-        )
-    )
-    out = (
-        local.join(off_df, "__pid")
-        .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local_rn", "__off")
+    out, acc = _prefix_with_offsets(
+        df, order_cols,
+        lambda w: F.row_number().over(w),
+        F.count(F.lit(1)),
+        out_col, num_partitions,
     )
     return (out, acc) if return_count else out
 
@@ -78,42 +110,30 @@ def global_running_sum(
     within-partition order, so pass a TOTAL order when per-row values
     under ties must be reproducible; sums of full tie groups are
     order-free either way.
+
+    ``value_col`` must be an integral type (byte/short/int/long): the
+    running sum is carried exactly in long arithmetic, and a fractional
+    input would be silently truncated (ADVICE r9). Quantize floats to
+    micros first (the engine-wide exact-integer policy).
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
-        *order_cols
-    )
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     from pyspark.sql import Window
 
-    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    local = with_pid.withColumn(
-        "__local_sum", F.sum(value_col).over(w)
-    ).localCheckpoint(eager=True)  # same recompute hazard as the ranks
-    totals = (
-        local.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__t"))
-        .orderBy("__pid")
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for row in totals:
-        offsets[row["__pid"]] = acc
-        acc += row["__t"] or 0
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()],
-            "__pid int, __off long",
+    dtype = df.schema[value_col].dataType.typeName()
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"global_running_sum carries the running total in exact long "
+            f"arithmetic; value_col {value_col!r} is {dtype}, not integral. "
+            f"Quantize to micros (floor(v * 1e6) as bigint) first."
         )
+    out, _ = _prefix_with_offsets(
+        df, order_cols,
+        lambda w: F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+        F.sum(value_col),
+        out_col, num_partitions,
     )
-    return (
-        local.join(off_df, "__pid")
-        .withColumn(out_col, (F.col("__local_sum") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local_sum", "__off")
-    )
+    return out
 
 
 def rank_normalize(

@@ -50,34 +50,38 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 19 round-8 rotation-queue entries hold window positions 1-12
-    # and 16-22: re-checks first (material r8 code changes), then the
-    # r8-addition first checks
-    r8_queue_head = [
-        "cluster_cc_distributed", "extract_llm_fake", "schema_llm_fake",
-        "events_retention", "graph_clustering_coef", "graph_kcore",
-        "events_session_report", "text_novelty", "dedup_keep_best",
-        "text_script_detect", "streaming_sliding", "profile_benford",
+    # the 25 round-9 rotation-queue entries hold window positions 1-12
+    # and 16-28: the 2 material-change re-checks first (graph_pagerank
+    # shared-core refactor; io_orc_roundtrip last row r5), then the §2
+    # driver-confirmation gap (hierarchical MAX/AVG), then the r9
+    # first-checks
+    r9_queue_head = [
+        "graph_pagerank", "io_orc_roundtrip",
+        "cluster_hierarchical_max", "cluster_hierarchical_avg",
+        "graph_label_prop", "io_rendezvous_shards", "text_search_phrase",
+        "graph_ppr", "profile_numeric_drift", "graph_link_pred",
+        "join_interval_overlap", "events_rfm",
     ]
-    r8_queue_tail = [
-        "cluster_max_bipartite", "io_pit_join", "events_cohort_value",
-        "profile_drift", "eval_bcubed", "normalize_mask",
-        "events_conversion_lag",
+    r9_queue_tail = [
+        "graph_bfs", "normalize_kanonymity", "normalize_value_clusters",
+        "events_cooccurrence", "profile_value_runs", "profile_changepoint",
+        "events_experiment", "graph_hits", "graph_pagerank_weighted",
+        "normalize_rank", "profile_topk_per_group", "profile_gini",
+        "events_new_users",
     ]
-    assert window[:12] == r8_queue_head, f"r9 first-checks moved: {window[:12]}"
-    assert window[15:22] == r8_queue_tail, f"r9 queue tail moved: {window[15:22]}"
-    # backfill slots 23-50 carry the stalest greens (last driver row
-    # r03/r04) so staleness keeps rotating down
+    assert window[:12] == r9_queue_head, f"r10 first-checks moved: {window[:12]}"
+    assert window[15:28] == r9_queue_tail, f"r10 queue tail moved: {window[15:28]}"
+    # backfill slots 29-50 carry the stalest greens (last driver row
+    # r04, alphabetical prefix; tpch_q9 is the one deferral) so
+    # staleness keeps rotating down
     stalest = {
-        "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-        "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19",
-        "tpch_q22", "tpch_window",
-        "blocking_meta", "blocking_meta_cnp", "blocking_standard_capped",
-        "blocking_token_capped", "cluster_incremental", "dedup_semantic",
-        "embed_ivfpq_topk", "embed_mean_pool", "embed_pq_encode",
-        "embed_pq_topk", "embed_quantize", "extract_code",
-        "fusion_conflicts", "io_explode_delimited", "io_feather_roundtrip",
-        "io_fwf_roundtrip",
+        "io_list_to_string", "match_features", "match_text_format",
+        "match_vector_features", "sample_dsir", "sample_quality_weighted",
+        "schema_eval", "streaming_dedup", "streaming_enrich",
+        "streaming_stateful_ttl", "text_contamination_matrix",
+        "text_quality_classifier", "text_tfidf", "text_zipf",
+        "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q17",
+        "tpch_q2", "tpch_q20", "tpch_q21",
     }
     assert stalest <= set(window), f"fell out: {stalest - set(window)}"
     past_window = set(names[50:])
