@@ -6407,6 +6407,51 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(media)
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity audit (llmdata/graph.py
+    modularity_score) of the TRUE 4-clique assignment over the
+    clique+bridge graph: communities = the (nation, block) cliques
+    themselves, so Q is high and only the stride-4 bridges count
+    against it. Exact integers end to end (q_num/q_den BIGINTs via
+    2*D*Σe_c - Σd_c² over decimal(38,0) products); the only float is
+    the one final division q = q_num/q_den (the bcubed F1 policy) —
+    both engines divide the same two exact integers."""
+    from pydi_spark.llmdata import modularity_score
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    comm = cust.withColumn("rk", F.row_number().over(w)).select(
+        F.col("c_custkey").alias("id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.expr("(rk - 1) div 4")
+        ).alias("community"),
+    )
+    return modularity_score(_clique_bridge_edges(spark, sf_dir), comm)
+
+
+def q_graph_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style numeric feature smoothing (llmdata/graph.py
+    feature_propagation): 2 synchronous rounds of self-inclusive
+    neighbour-mean over the clique+bridge graph, features = customer
+    account balance in offset cents (floor(c_acctbal*100) + 100000 —
+    the offset keeps values non-negative, the operator's integer-div
+    portability contract). Every round is one edge⋈state join + one
+    (sum, count) aggregate + one truncating integer division, replayed
+    verbatim by the oracle (DuckDB SUM cast to BIGINT, the r3 rule)."""
+    from pydi_spark.llmdata import feature_propagation
+
+    cust = _t(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)") + F.lit(100000)
+        ).cast("long").alias("value_micro"),
+    )
+    return feature_propagation(
+        _clique_bridge_edges(spark, sf_dir), feats, n_iter=2
+    )
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
 # arithmetic). Round-10 window (the pinned r9-verdict rotation —
@@ -6769,6 +6814,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_new_users": q_events_new_users,
         # --- round-10 additions (queued in tests/roster.py) ---
         "multimodal_phash": q_multimodal_phash,
+        "graph_modularity": q_graph_modularity,
+        "graph_feature_prop": q_graph_feature_prop,
     }
 
 
@@ -12295,5 +12342,113 @@ FROM (VALUES
   ('img_jpeg_gradient', -1103840346886,      'ok'),
   ('img_corrupt',       0,                   'error: ValueError')
 ) AS t(media_id, phash, decode_ok)
+"""
+
+    # modularity: independent replay over the clique+bridge edge CTE —
+    # degrees, intra-community edges, and the exact integer identity
+    # sum_c(2*e_c*D - d_c^2) = 2*D*E_in - sum(d_c^2); every SUM cast to
+    # BIGINT (the r3 HUGEINT rule); q is the ONE double division of two
+    # exact integers
+    out["graph_modularity"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+cm AS (
+  SELECT id, CAST(n AS VARCHAR) || ':' || CAST(blk AS VARCHAR) AS c FROM r
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY v
+),
+dj AS (
+  SELECT deg.v, deg.d, cm.c FROM deg JOIN cm ON cm.id = deg.v
+),
+percs AS (
+  SELECT c, CAST(SUM(d) AS BIGINT) AS dc,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM dj GROUP BY c
+),
+ein AS (
+  SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS e_in
+  FROM e0
+  JOIN cm ca ON ca.id = e0.a
+  JOIN cm cb ON cb.id = e0.b
+  WHERE ca.c = cb.c
+),
+tot AS (
+  SELECT CAST(SUM(nv) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_communities,
+         CAST(SUM(dc) AS BIGINT) AS big_d,
+         CAST(SUM(dc * dc) AS BIGINT) AS sd2
+  FROM percs
+)
+SELECT n_nodes, n_communities,
+       CAST(big_d // 2 AS BIGINT) AS m_edges,
+       CAST(2 * e_in * big_d - sd2 AS BIGINT) AS q_num,
+       CAST(big_d * big_d AS BIGINT) AS q_den,
+       CAST(CAST(2 * e_in * big_d - sd2 AS BIGINT) AS DOUBLE)
+         / CAST(CAST(big_d * big_d AS BIGINT) AS DOUBLE) AS q
+FROM tot, ein
+"""
+
+    # feature propagation: 2 inlined rounds of the self-inclusive
+    # neighbour mean — non-negative values by construction (offset
+    # cents), so // (floor) and Spark div (truncate) agree
+    out["graph_feature_prop"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+x0 AS (
+  SELECT c_custkey AS id,
+         CAST(floor(c_acctbal * 100) AS BIGINT) + 100000 AS x
+  FROM customer
+),
+a1 AS (
+  SELECT sym.d AS id, CAST(SUM(x0.x) AS BIGINT) AS nsum,
+         CAST(count(*) AS BIGINT) AS ncnt
+  FROM sym JOIN x0 ON x0.id = sym.s GROUP BY sym.d
+),
+x1 AS MATERIALIZED (
+  SELECT x0.id,
+         CAST((x0.x + COALESCE(a1.nsum, 0))
+              // (1 + COALESCE(a1.ncnt, 0)) AS BIGINT) AS x
+  FROM x0 LEFT JOIN a1 ON a1.id = x0.id
+),
+a2 AS (
+  SELECT sym.d AS id, CAST(SUM(x1.x) AS BIGINT) AS nsum,
+         CAST(count(*) AS BIGINT) AS ncnt
+  FROM sym JOIN x1 ON x1.id = sym.s GROUP BY sym.d
+)
+SELECT x1.id, CAST((x1.x + COALESCE(a2.nsum, 0))
+                   // (1 + COALESCE(a2.ncnt, 0)) AS BIGINT) AS value_micro
+FROM x1 LEFT JOIN a2 ON a2.id = x1.id
 """
     return out

@@ -255,6 +255,63 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Cross-RUN minima merge (VERDICT r9 #6): one contended window can
+    # inflate a whole BENCH_rN headline (r9's 278.9 s vs a quiet 7.2 s
+    # dedup_incremental). Persist per-query best-of-ALL-runs into a
+    # sidecar so the round's closing record can cite minima that span
+    # every sample taken, not just this process's N passes. Each best
+    # records the git HEAD it was measured at — a best taken on since-
+    # changed code is visibly stale (compare the sha) and the sidecar
+    # resets per sf or via SPARK_GRAFT_BENCH_RESET=1. The sidecar never
+    # touches stdout: the driver's official record stays this run's own
+    # timings.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    minima_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_minima.json"
+    )
+    merged = {"sf": sf_val, "queries": {}}
+    if not os.environ.get("SPARK_GRAFT_BENCH_RESET"):
+        try:
+            with open(minima_path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf_val:
+                merged = prev
+        except Exception:
+            pass
+    mq = merged["queries"]
+    for name, t in timings.items():
+        e = mq.get(name)
+        if e is None or t < e["best"]:
+            mq[name] = {"best": t, "n": (e["n"] if e else 0) + runs,
+                        "head": head}
+        else:
+            e["n"] += runs
+    merged["total_best"] = round(
+        sum(mq[n]["best"] for n in timings if n in mq), 3
+    )
+    merged["n_queries"] = len(timings)
+    try:
+        with open(minima_path, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+        print(
+            f"# merged minima: total_best={merged['total_best']}s over "
+            f"{merged['n_queries']} queries "
+            f"(max samples/query: {max(v['n'] for v in mq.values())}; "
+            f"sidecar {os.path.basename(minima_path)})",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# minima sidecar write failed: {exc}", file=sys.stderr)
     # Full per-query map first (own line, for humans / log scrapers)...
     print(
         json.dumps(

@@ -754,3 +754,194 @@ def hits_micro(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             scores = scores.localCheckpoint(eager=True)
     return scores.select("id", "hub_micro", "auth_micro")
+
+
+def modularity_score(
+    edges: DataFrame,
+    communities: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    node_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """ONE row [n_nodes, n_communities, m_edges, q_num, q_den, q] — the
+    Newman-Girvan modularity of a community assignment over the
+    undirected simple graph (self-loops dropped, multi-edges
+    collapsed): Q = sum_c ( e_c/m - (d_c/2m)^2 ) where e_c counts
+    intra-community edges and d_c sums member degrees. The community-
+    QUALITY audit next to label_propagation (which finds communities
+    but says nothing about how good the cut is): Q near 0 means the
+    split is no better than random wiring, Q >= ~0.3 means real
+    structure. Use it to gate whether LPA communities are worth
+    sharding a corpus by.
+
+    Exact-arithmetic contract: with D = 2m (the total degree),
+    Q = sum_c (2*e_c*D - d_c^2) / D^2 — both sides are EXACT integers
+    (decimal(38,0) products, no per-community rationals), emitted as
+    ``q_num``/``q_den`` BIGINTs plus the one final double division
+    ``q`` (the bcubed F1 policy: floats only at the very end, never
+    inside an aggregate). No integer division anywhere, so the
+    truncate-vs-floor negative-numerator trap (changepoint rule)
+    cannot occur even though q_num CAN be negative.
+
+    Preconditions (refused loudly — silent fixes would be
+    shuffle-order dependent, the bcubed lesson): the assignment must
+    COVER every graph node and be a PARTITION (one community per
+    node). Both checks ride one O(V) node-sized frame — the degree
+    table joined to the assignment — with a single validation action.
+
+    Scale shape: one degree aggregate, one node-sized join + eager
+    validation pass, one edge⋈assignment⋈assignment equi-join chain
+    for e_c (shuffled by node id twice — linear in |E|), two
+    map-side-combinable aggregates. Nothing quadratic; the output is
+    one row.
+
+    No reference counterpart (PyDI has no graph analytics) —
+    north-star addition.
+    """
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
+    comm = communities.select(
+        F.col(node_col).cast("string").alias("v"),
+        F.col(community_col).cast("string").alias("c"),
+    ).distinct()
+    w = Window.partitionBy("v")
+    comm = comm.withColumn("nm", F.count(F.lit(1)).over(w))
+    deg = _degrees(e).select(F.col("v").cast("string").alias("v"), "d")
+    dj = deg.join(comm, "v", "left").localCheckpoint(eager=True)
+    viol = dj.where(F.col("c").isNull() | (F.col("nm") > 1)).limit(1).collect()
+    if viol:
+        r = viol[0]
+        if r["c"] is None:
+            raise ValueError(
+                f"modularity_score: graph node {r['v']!r} has no community "
+                "assignment — the assignment must cover every node"
+            )
+        raise ValueError(
+            f"modularity_score: node {r['v']!r} belongs to {r['nm']} "
+            "communities — modularity is defined over partitions"
+        )
+    c_by_node = dj.select("v", "c")
+    intra = (
+        e.select(F.col("a").cast("string").alias("v"), "b")
+        .join(c_by_node.withColumnRenamed("c", "ca"), "v")
+        .select(F.col("b").cast("string").alias("v"), "ca")
+        .join(c_by_node.withColumnRenamed("c", "cb"), "v")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    per_c = (
+        dj.groupBy("c")
+        .agg(F.sum("d").alias("dc"), F.count(F.lit(1)).alias("nv"))
+        .join(intra, "c", "left")
+        .select(
+            "c", "dc", "nv", F.coalesce("ec", F.lit(0)).alias("ec"),
+        )
+    )
+    # sum_c (2*e_c*D - d_c^2) = 2*D*sum(e_c) - sum(d_c^2): one pass of
+    # map-side-combinable sums, the D-dependent term applied after
+    tot = per_c.agg(
+        F.sum("nv").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("dc").cast("long").alias("__D"),
+        F.sum("ec").cast("long").alias("__Ein"),
+        F.expr(
+            "CAST(sum(CAST(dc AS DECIMAL(38,0)) * dc) AS DECIMAL(38,0))"
+        ).alias("__sd2"),
+    )
+    return tot.select(
+        "n_nodes", "n_communities",
+        F.expr("CAST(__D div 2 AS BIGINT)").alias("m_edges"),
+        F.expr(
+            "CAST(2 * CAST(__Ein AS DECIMAL(38,0)) * __D - __sd2 AS BIGINT)"
+        ).alias("q_num"),
+        F.expr("CAST(CAST(__D AS DECIMAL(38,0)) * __D AS BIGINT)").alias("q_den"),
+        F.expr(
+            "CAST(CASE WHEN __D = 0 THEN 0.0 ELSE "
+            "CAST(CAST(2 * CAST(__Ein AS DECIMAL(38,0)) * __D - __sd2 AS BIGINT) AS DOUBLE)"
+            " / CAST(CAST(CAST(__D AS DECIMAL(38,0)) * __D AS BIGINT) AS DOUBLE) END AS DOUBLE)"
+        ).alias("q"),
+    )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    n_iter: int = 2,
+    id1: str = "id1",
+    id2: str = "id2",
+    id_col: str = "id",
+    value_col: str = "value_micro",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """[id, value_micro] — ``n_iter`` synchronous rounds of
+    self-inclusive neighbour-mean smoothing over the undirected graph:
+    x_i' = (x_i + sum_{j in N(i) with a feature} x_j)
+           div (1 + |N(i) with a feature|).
+    The GNN-style feature-smoothing primitive for link graphs: pull a
+    node's quality / spam / trust score toward its neighbourhood
+    (label spreading for numeric features, where label_propagation
+    spreads categorical ones). Self-inclusion means isolated nodes and
+    nodes whose neighbours carry no feature keep their value —
+    totality without special cases.
+
+    Exact-arithmetic contract: values are NON-NEGATIVE integral micros
+    (enforced — fractional dtypes raise like global_running_sum, and
+    one setup aggregate refuses negatives: ``div`` truncates toward
+    zero on Spark but floors in DuckDB, so a negative running value
+    would be oracle-divergent). Each round is a pure integer function
+    of the previous state, so a fixed round count replays in SQL
+    verbatim (the label_propagation bound-alignment rule).
+
+    Scale shape: one round = one co-partitioned edge⋈state join +
+    one map-side-combinable (sum, count) aggregate by neighbour + one
+    node-sized left join — the pagerank_micro discipline; state is one
+    row per featured node, lineage cut every ``checkpoint_every``
+    rounds. Neighbours WITHOUT a feature row are excluded from both
+    the sum and the divisor (never imputed zero, which would drag
+    scores toward 0 at corpus boundaries).
+
+    No reference counterpart — north-star addition.
+    """
+    dtype = features.schema[value_col].dataType.typeName()
+    if dtype not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"feature_propagation carries values in exact long arithmetic; "
+            f"value_col {value_col!r} is {dtype}, not integral. Quantize to "
+            "micros (floor(v * 1e6) as bigint) first."
+        )
+    e = _canonical_edges(edges, id1, id2)
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
+    state = features.select(
+        F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("x")
+    ).where(F.col("id").isNotNull() & F.col("x").isNotNull())
+    neg = state.where(F.col("x") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"feature_propagation: negative value {neg[0]['x']} for id "
+            f"{neg[0]['id']!r} — integer division of negatives truncates "
+            "on Spark but floors in SQL replicas; shift or clip to >= 0"
+        )
+    for i in range(int(n_iter)):
+        agg = (
+            sym.join(
+                state.select(F.col("id").alias("s"), F.col("x").alias("xs")),
+                "s",
+            )
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum("xs").alias("nsum"), F.count(F.lit(1)).alias("ncnt"))
+        )
+        state = state.join(agg, "id", "left").select(
+            "id",
+            F.expr(
+                "CAST((x + coalesce(nsum, 0)) div (1 + coalesce(ncnt, 0)) "
+                "AS BIGINT)"
+            ).alias("x"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            state = state.localCheckpoint(eager=True)
+    return state.select("id", F.col("x").alias("value_micro"))

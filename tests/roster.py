@@ -35,4 +35,9 @@ ROTATION_QUEUE: set[str] = {
     # frozen dHash constants over the real PNG/JPEG codec paths
     # (VERDICT r9 #5)
     "multimodal_phash",
+    # r10 new operators: Newman-Girvan modularity audit (exact integer
+    # q_num/q_den + one final double division) and GNN-style numeric
+    # feature smoothing (self-inclusive neighbour mean, 2 rounds)
+    "graph_modularity",
+    "graph_feature_prop",
 }

@@ -917,6 +917,29 @@ def test_perceptual_hash_near_dups(spark):
         image_near_duplicates(df, max_hamming=8)
 
 
+def test_multimodal_phash_frozen_constants(spark):
+    """The multimodal_phash oracle replays frozen dHash constants as a
+    literal table (VERDICT r9 #5) — pin the SAME constants here so a
+    codec/resample/bit-packing change breaks pytest BEFORE the driver
+    window goes red. Also pins the invariance the constants encode:
+    2x-nearest upscale and JPEG re-encode hash IDENTICALLY to the
+    source image; the checkerboard differs; the corrupt payload
+    isolates per-record."""
+    import __spark_entry__ as entry
+
+    got = {
+        r["media_id"]: (r["phash"], r["decode_ok"])
+        for r in entry.q_multimodal_phash(spark, "unused").collect()
+    }
+    assert got == {
+        "img_png_gradient": (-1103840346886, "ok"),
+        "img_png_checker": (2459565764387545634, "ok"),
+        "img_png_upscaled": (-1103840346886, "ok"),
+        "img_jpeg_gradient": (-1103840346886, "ok"),
+        "img_corrupt": (0, "error: ValueError"),
+    }
+
+
 def test_auto_n_centroids_scales_with_corpus():
     from pydi_spark.llmdata import auto_n_centroids
 
@@ -2350,3 +2373,74 @@ def test_weighted_pagerank_rejects_masked_bad_weights(spark):
     )
     with _pytest.raises(ValueError, match="positive"):
         weighted_pagerank_micro(masked_neg)
+
+
+def test_modularity_score_hand_computed(spark):
+    """Two triangles + one bridge, communities = the triangles:
+    m=7, D=14, e_A=e_B=3, d_A=d_B=7 ->
+    q_num = 2*14*6 - (49+49) = 70, q_den = 196, q = 70/196."""
+    import pytest
+
+    from pydi_spark.llmdata import modularity_score
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id1 int, id2 int",
+    )
+    comm = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "B")],
+        "id int, community string",
+    )
+    row = modularity_score(edges, comm).collect()[0]
+    assert (row["n_nodes"], row["n_communities"], row["m_edges"]) == (6, 2, 7)
+    assert (row["q_num"], row["q_den"]) == (70, 196)
+    assert abs(row["q"] - 70 / 196) < 1e-12
+    # everything in ONE community: e_in = m, d_c = D -> q = 0 exactly
+    one = comm.select("id", F.lit("Z").alias("community"))
+    r1 = modularity_score(edges, one).collect()[0]
+    assert r1["q_num"] == 0 and r1["q"] == 0.0
+    # refusals: uncovered node / overlapping assignment
+    with pytest.raises(ValueError, match="no community"):
+        modularity_score(edges, comm.where("id != 6")).collect()
+    with pytest.raises(ValueError, match="partitions"):
+        modularity_score(
+            edges,
+            comm.union(
+                spark.createDataFrame([(1, "B")], "id int, community string")
+            ),
+        ).collect()
+
+
+def test_feature_propagation_hand_computed(spark):
+    """Path 1-2-3 with x=[0, 600, 0]: one round of the self-inclusive
+    neighbour mean gives [300, 200, 300]; isolated featured nodes keep
+    their value; negative and fractional inputs are refused."""
+    import pytest
+
+    from pydi_spark.llmdata import feature_propagation
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "id1 int, id2 int")
+    feats = spark.createDataFrame(
+        [(1, 0), (2, 600), (3, 0), (9, 77)], "id int, value_micro long"
+    )
+    got = {
+        r["id"]: r["value_micro"]
+        for r in feature_propagation(e, feats, n_iter=1).collect()
+    }
+    assert got == {1: 300, 2: 200, 3: 300, 9: 77}
+    # two rounds: x1=[300,200,300] -> node2: (200+600) div 3 = 266
+    got2 = {
+        r["id"]: r["value_micro"]
+        for r in feature_propagation(e, feats, n_iter=2).collect()
+    }
+    assert got2 == {1: 250, 2: 266, 3: 250, 9: 77}
+    with pytest.raises(ValueError, match="negative"):
+        feature_propagation(
+            e, spark.createDataFrame([(1, -5)], "id int, value_micro long"),
+            n_iter=1,
+        ).collect()
+    with pytest.raises(TypeError, match="integral"):
+        feature_propagation(
+            e, spark.createDataFrame([(1, 0.5)], "id int, value_micro double"),
+            n_iter=1,
+        )

@@ -471,6 +471,9 @@ def main() -> None:
         "events_cooccurrence": cooccur,
         "join_interval_overlap": interval_overlap,
         "graph_link_pred": link_pred,
+        "graph_hits": hits,
+        "graph_pagerank_weighted": pr_weighted,
+        "graph_bfs": bfs,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
@@ -488,6 +491,18 @@ def main() -> None:
             spark.read.parquet(cust10),
         ),
         "graph_link_pred": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "graph_hits": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "graph_pagerank_weighted": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "graph_bfs": (
             spark.read.parquet(f"{sf_dir}/customer.parquet"),
             spark.read.parquet(cust10),
         ),
