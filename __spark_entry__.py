@@ -6452,6 +6452,35 @@ def q_graph_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (llmdata/graph.py degree_assortativity)
+    of the clique+bridge graph: over the symmetrized edge list the two
+    endpoint-degree marginals are identical, so Newman's r needs NO
+    square root — r = (M*Σxy - S1²) / (M*Σx² - S1²) over exact
+    decimal(38,0) sums, emitted as r_num/r_den BIGINTs plus the one
+    final double division (the bcubed F1 policy)."""
+    from pydi_spark.llmdata import degree_assortativity
+
+    return degree_assortativity(_clique_bridge_edges(spark, sf_dir))
+
+
+def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table (profiling/profiler.py lorenz_curve)
+    of per-customer order counts, 10 buckets: cum_value_ppm = exact
+    integer ppm share owned by the poorest k deciles. Tie groups may
+    straddle bucket boundaries, but tied rows carry EQUAL values, so
+    bucket sums and counts are tie-order-free — the oracle replays
+    with an arbitrary-tie row_number and must agree."""
+    from pydi_spark.profiling import lorenz_curve
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return lorenz_curve(per_cust, "n_orders", n_buckets=10)
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
 # arithmetic). Round-10 window (the pinned r9-verdict rotation —
@@ -6816,6 +6845,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_phash": q_multimodal_phash,
         "graph_modularity": q_graph_modularity,
         "graph_feature_prop": q_graph_feature_prop,
+        "graph_assortativity": q_graph_assortativity,
+        "profile_lorenz": q_profile_lorenz,
     }
 
 
@@ -12450,5 +12481,87 @@ a2 AS (
 SELECT x1.id, CAST((x1.x + COALESCE(a2.nsum, 0))
                    // (1 + COALESCE(a2.ncnt, 0)) AS BIGINT) AS value_micro
 FROM x1 LEFT JOIN a2 ON a2.id = x1.id
+"""
+
+    # assortativity: symmetric-marginal Pearson over edge endpoint
+    # degrees — no sqrt (the marginals coincide), every SUM cast to
+    # BIGINT, one final double division
+    out["graph_assortativity"] = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS n,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey) AS rk,
+         (row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_custkey) - 1) // 4 AS blk
+  FROM customer
+),
+e0 AS MATERIALIZED (
+  SELECT LEAST(a.id, b.id) AS a, GREATEST(a.id, b.id) AS b
+  FROM r a JOIN r b ON a.n = b.n AND a.blk = b.blk AND b.rk > a.rk
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM r a JOIN r b ON a.n = b.n AND b.rk - a.rk = 4
+),
+sym AS (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY v
+),
+j AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM sym JOIN deg ds ON ds.v = sym.s JOIN deg dd ON dd.v = sym.d
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_m,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(SUM(x * y) AS BIGINT) AS p
+  FROM j
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes,
+       CAST(big_m // 2 AS BIGINT) AS m_edges,
+       CAST(big_m * p - s1 * s1 AS BIGINT) AS r_num,
+       CAST(big_m * s2 - s1 * s1 AS BIGINT) AS r_den,
+       CAST(CASE WHEN big_m * s2 - s1 * s1 = 0 THEN 0.0
+            ELSE CAST(CAST(big_m * p - s1 * s1 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(big_m * s2 - s1 * s1 AS BIGINT) AS DOUBLE) END
+            AS DOUBLE) AS r
+FROM a, nn
+"""
+
+    # Lorenz: arbitrary-tie row_number replay — tied rows carry equal
+    # values so bucket sums/counts are tie-order-free; integer ppm via
+    # one non-negative division per bucket
+    out["profile_lorenz"] = """
+WITH pc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+v AS (SELECT CAST(floor(cnt * 1000000) AS BIGINT) AS vm FROM pc),
+rk AS (
+  SELECT vm, row_number() OVER (ORDER BY vm) AS rn,
+         (SELECT CAST(count(*) AS BIGINT) FROM v) AS nt
+  FROM v
+),
+pb AS (
+  SELECT CAST((rn - 1) * 10 // nt + 1 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(vm) AS BIGINT) AS bucket_micro
+  FROM rk GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, bucket_micro,
+         CAST(SUM(bucket_micro) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(bucket_micro) OVER () AS BIGINT) AS tot
+  FROM pb
+)
+SELECT bucket, n, bucket_micro,
+       CAST(CASE WHEN tot <= 0 THEN 0
+            ELSE cum * 1000000 // tot END AS BIGINT) AS cum_value_ppm
+FROM c
 """
     return out

@@ -945,3 +945,68 @@ def feature_propagation(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             state = state.localCheckpoint(eager=True)
     return state.select("id", F.col("x").alias("value_micro"))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """ONE row [n_nodes, m_edges, r_num, r_den, r] — the degree
+    assortativity coefficient of the undirected simple graph (Newman's
+    degree-degree Pearson correlation over edge endpoints): r > 0
+    means hubs link to hubs (social-network shape), r < 0 means hubs
+    link to leaves (web/crawl shape). The structural prior that tells
+    a corpus pipeline whether link-based quality propagation
+    (feature_propagation / pagerank) will concentrate or diffuse.
+
+    Exact-arithmetic contract: over the SYMMETRIZED edge list (each
+    undirected edge counted in both directions, M = 2m rows) the two
+    endpoint-degree marginals are identical, so the usual
+    sqrt(var_x)*sqrt(var_y) denominator collapses to a plain variance
+    and NO square root is needed:
+        r = (M*Σxy - S1²) / (M*Σx² - S1²),  S1 = Σx = Σy.
+    Both sides are EXACT integers (decimal(38,0) sums/products),
+    emitted as ``r_num``/``r_den`` BIGINTs plus the one final double
+    division ``r`` (0.0 for the degenerate regular graph, where every
+    degree is equal and r_den = 0). No integer division anywhere, so
+    sign does not matter (the changepoint rule is moot).
+
+    Scale shape: one degree aggregate + two edge⋈degree joins
+    (shuffled by node id) + one map-side-combinable aggregate —
+    linear in |E|, one output row.
+
+    No reference counterpart — north-star addition.
+    """
+    e = _canonical_edges(edges, id1, id2)
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = _degrees(e)
+    j = (
+        sym.join(deg.select(F.col("v").alias("s"), F.col("d").alias("ds")), "s")
+        .join(deg.select(F.col("v").alias("d"), F.col("d").alias("dd")), "d")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__M"),
+        F.expr("CAST(sum(CAST(ds AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("__s1"),
+        F.expr(
+            "CAST(sum(CAST(ds AS DECIMAL(38,0)) * ds) AS DECIMAL(38,0))"
+        ).alias("__s2"),
+        F.expr(
+            "CAST(sum(CAST(ds AS DECIMAL(38,0)) * dd) AS DECIMAL(38,0))"
+        ).alias("__p"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return agg.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.expr("CAST(__M div 2 AS BIGINT)").alias("m_edges"),
+        F.expr("CAST(__M * __p - __s1 * __s1 AS BIGINT)").alias("r_num"),
+        F.expr("CAST(__M * __s2 - __s1 * __s1 AS BIGINT)").alias("r_den"),
+        F.expr(
+            "CAST(CASE WHEN __M * __s2 - __s1 * __s1 = 0 THEN 0.0 ELSE "
+            "CAST(CAST(__M * __p - __s1 * __s1 AS BIGINT) AS DOUBLE) / "
+            "CAST(CAST(__M * __s2 - __s1 * __s1 AS BIGINT) AS DOUBLE) END "
+            "AS DOUBLE)"
+        ).alias("r"),
+    )

@@ -40,4 +40,9 @@ ROTATION_QUEUE: set[str] = {
     # feature smoothing (self-inclusive neighbour mean, 2 rounds)
     "graph_modularity",
     "graph_feature_prop",
+    # r10 new operators: degree assortativity (sqrt-free symmetric
+    # Pearson, exact integer num/den) and the Lorenz concentration
+    # table (companion to profile_gini; tie-order-free bucket sums)
+    "graph_assortativity",
+    "profile_lorenz",
 }

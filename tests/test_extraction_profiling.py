@@ -1133,3 +1133,37 @@ def test_new_users_curve(spark):
     assert [(d - d0, nn, nc) for d, nn, nc in out] == [
         (0, 2, 2), (1, 0, 2), (2, 1, 3), (3, 1, 4),
     ]
+
+
+def test_lorenz_curve_hand_computed(spark):
+    """Values 1..10 in 5 buckets: sums 3/7/11/15/19, cumulative ppm =
+    floor(cum*1e6/55). Negative values and n_buckets < 2 are refused;
+    an all-equal column reads exactly k/n_buckets per row."""
+    import pytest
+
+    from pydi_spark.profiling import lorenz_curve
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    got = {
+        r["bucket"]: (r["n"], r["bucket_micro"], r["cum_value_ppm"])
+        for r in lorenz_curve(df, "v", n_buckets=5).collect()
+    }
+    exp, cum = {}, 0
+    for b, s in enumerate([3, 7, 11, 15, 19], start=1):
+        cum += s
+        exp[b] = (2, s * 1_000_000, cum * 1_000_000 // 55)
+    assert got == exp
+    # perfect equality: cumulative shares are the diagonal (ties
+    # straddle every boundary; sums must not care about tie order)
+    eq = spark.createDataFrame([(2.0,)] * 10, "v double")
+    diag = {
+        r["bucket"]: r["cum_value_ppm"]
+        for r in lorenz_curve(eq, "v", n_buckets=5).collect()
+    }
+    assert diag == {b: b * 1_000_000 // 5 for b in range(1, 6)}
+    with pytest.raises(ValueError, match="negative"):
+        lorenz_curve(
+            spark.createDataFrame([(-1.0,)], "v double"), "v"
+        ).collect()
+    with pytest.raises(ValueError, match="n_buckets"):
+        lorenz_curve(df, "v", n_buckets=1)

@@ -2444,3 +2444,20 @@ def test_feature_propagation_hand_computed(spark):
             e, spark.createDataFrame([(1, 0.5)], "id int, value_micro double"),
             n_iter=1,
         )
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """Star K_{1,3} is perfectly disassortative: M=6, S1=12, S2=30,
+    P=18 -> r_num=-36, r_den=36, r=-1. A cycle is regular: r_den=0 ->
+    r defined as 0."""
+    from pydi_spark.llmdata import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id1 int, id2 int"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["m_edges"]) == (4, 3)
+    assert (r["r_num"], r["r_den"], r["r"]) == (-36, 36, -1.0)
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id1 int, id2 int")
+    rc = degree_assortativity(cyc).collect()[0]
+    assert rc["r_den"] == 0 and rc["r"] == 0.0

@@ -255,7 +255,11 @@ def test_operators_total_on_empty_inputs(spark):
         changepoint_report(ev2, ["user_id"], "event_id", "value"),
         hits_micro(dedges),
         weighted_pagerank_micro(wedges),
-        global_running_sum(num, ["x"], "x"),
+        # integral frame: global_running_sum now REFUSES fractional
+        # value columns (ADVICE r9 — exact long arithmetic contract)
+        global_running_sum(
+            spark.createDataFrame([], "x long"), ["x"], "x"
+        ),
         rank_normalize(num, "x"),
         top_k_per_group(ev2, ["user_id"], ["event_id"], 3),
     ]
