@@ -132,6 +132,20 @@ def main() -> None:
     communities = label_propagation(pairs.select("id1", "id2"), n_iter=4)
     n_comm = communities.select("label").distinct().count()
 
+    # ...and how GOOD is that community split? Newman-Girvan modularity
+    # says whether the LPA labels carve real structure (Q >= ~0.3) or
+    # random wiring (Q ~ 0) — the gate before sharding the corpus by
+    # community. Degree assortativity says whether the near-dup graph
+    # is hub-to-hub (template families chaining) or hub-to-leaf
+    # (one boilerplate source fanning out).
+    from pydi_spark.llmdata import degree_assortativity, modularity_score
+
+    q_row = modularity_score(
+        pairs.select("id1", "id2"), communities, node_col="id",
+        community_col="label",
+    ).collect()[0]
+    assort = degree_assortativity(pairs.select("id1", "id2")).collect()[0]
+
     # 3c. which links is the near-dup graph MISSING? structural link
     # prediction ranks non-edge pairs that share verified neighbours —
     # a blocked-pair recovery list for the next dedup pass
@@ -256,7 +270,9 @@ def main() -> None:
 
     print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
           f"-> decontaminated {n_clean}; "
-          f"{n_comm} near-dup communities; "
+          f"{n_comm} near-dup communities "
+          f"(modularity q={q_row['q']:.3f} over {q_row['m_edges']} edges, "
+          f"assortativity r={assort['r']:.3f}); "
           f"{n_predicted} predicted missing links; "
           f"top weighted-pagerank docs: "
           f"{[r['id'] for r in top_rank]}")
