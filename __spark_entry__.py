@@ -6464,6 +6464,22 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_clique_bridge_edges(spark, sf_dir))
 
 
+def q_events_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation detection (events/ops.py bot_report): exact median
+    inter-event gap per user in integer milliseconds, is_bot = 1 when
+    >= 10 events AND median gap <= 1 hour. The median of an even gap
+    count is floor((lo+hi)/2) — one non-negative integer division;
+    which tied row holds the middle RANK is arbitrary but the middle
+    VALUES of the sorted multiset are not, so the oracle replays with
+    an arbitrary-tie row_number."""
+    from pydi_spark.events import bot_report
+
+    return bot_report(
+        _events(spark, sf_dir), min_events=10,
+        max_median_gap_ms=3_600_000,
+    )
+
+
 def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz concentration table (profiling/profiler.py lorenz_curve)
     of per-customer order counts, 10 buckets: cum_value_ppm = exact
@@ -6847,6 +6863,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_feature_prop": q_graph_feature_prop,
         "graph_assortativity": q_graph_assortativity,
         "profile_lorenz": q_profile_lorenz,
+        "events_bots": q_events_bots,
     }
 
 
@@ -12563,5 +12580,42 @@ SELECT bucket, n, bucket_micro,
        CAST(CASE WHEN tot <= 0 THEN 0
             ELSE cum * 1000000 // tot END AS BIGINT) AS cum_value_ppm
 FROM c
+"""
+
+    # bot report: arbitrary-tie rank replay of the exact gap median —
+    # the middle VALUES of the sorted gap multiset are tie-order-free;
+    # gaps in integer ms via // 1000 (non-negative: floor == truncate)
+    out["events_bots"] = """
+WITH base AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id))) // 1000
+           AS gap_ms
+  FROM base
+),
+gg AS (SELECT user_id, CAST(gap_ms AS BIGINT) AS gap_ms FROM g
+       WHERE gap_ms IS NOT NULL),
+rk AS (
+  SELECT user_id, gap_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_ms) AS r,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS m
+  FROM gg
+),
+pu AS (
+  SELECT user_id, CAST(max(m) AS BIGINT) AS m,
+         CAST(min(CASE WHEN r = (m + 1) // 2 THEN gap_ms END) AS BIGINT) AS lo,
+         CAST(min(CASE WHEN r = (m + 2) // 2 THEN gap_ms END) AS BIGINT) AS hi
+  FROM rk GROUP BY user_id
+)
+SELECT user_id,
+       CAST(m + 1 AS BIGINT) AS n_events,
+       CAST((lo + hi) // 2 AS BIGINT) AS median_gap_ms,
+       CAST(CASE WHEN m + 1 >= 10 AND (lo + hi) // 2 <= 3600000
+            THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM pu
 """
     return out

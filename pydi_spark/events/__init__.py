@@ -5,6 +5,7 @@ from pydi_spark.events.ops import (
     cohort_value,
     event_cooccurrence,
     event_path_ngrams,
+    bot_report,
     experiment_report,
     funnel_stages,
     new_users_curve,
@@ -32,6 +33,7 @@ __all__ = [
     "cohort_value",
     "event_cooccurrence",
     "event_path_ngrams",
+    "bot_report",
     "experiment_report",
     "funnel_stages",
     "new_users_curve",

@@ -841,3 +841,94 @@ def new_users_curve(
     from pydi_spark.functions.ranks import global_running_sum
 
     return global_running_sum(filled, ["day"], "n_new", "n_cumulative")
+
+
+def bot_report(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_events: int = 20,
+    max_median_gap_ms: int = 2000,
+) -> DataFrame:
+    """[user_id, n_events, median_gap_ms, is_bot] — automation /
+    scripted-traffic detection per user: the EXACT median inter-event
+    gap in milliseconds for every user with >= 2 events, flagged
+    ``is_bot = 1`` when the user has at least ``min_events`` events
+    AND a median gap at or under ``max_median_gap_ms`` (sub-human
+    cadence sustained over a real event volume — one fast burst alone
+    does not flag). The training-data hygiene gate before any
+    events-derived corpus: bot sessions poison funnels, retention,
+    RFM and co-occurrence alike.
+
+    Exact-arithmetic contract: gaps are integer milliseconds
+    (unix_millis diffs — non-negative after the per-user time order);
+    the median of an even count is floor((lo + hi) / 2) — one
+    non-negative integer division, truncate == floor on both engines.
+    Which tied row sits at the middle RANK is arbitrary, but the
+    VALUES at the middle ranks of the sorted gap multiset are not, so
+    the median is tie-order-free. ``is_bot`` is an integer 0/1 (the
+    hash-safe flag convention, never boolean).
+
+    Scale shape: one hash exchange by user + two per-user window
+    passes (lag for gaps, row_number for the middle ranks) + one
+    map-side-combinable aggregate — per-user groups are assumed
+    partition-sized (the assign_sessions caveat: pre-split
+    pathologically hot users by time range first).
+    """
+    if min_events < 2:
+        raise ValueError(f"min_events must be >= 2: {min_events}")
+    if max_median_gap_ms < 0:
+        raise ValueError(
+            f"max_median_gap_ms must be >= 0: {max_median_gap_ms}"
+        )
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # integer div, not /1000 + cast: a double division then cast
+    # truncates on Spark but a double->int CAST rounds in SQL replicas
+    # (the gap is non-negative after the time order, so div == floor)
+    gaps = base.withColumn(
+        "__gap_ms",
+        F.expr(
+            f"(unix_micros({ts_col}) - unix_micros(lag({ts_col}) OVER "
+            f"(PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})))"
+            " div 1000"
+        ),
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col("__gap_ms").cast("long").alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("gap_ms")
+    # the rank pass shares the (user) hash partitioning with the count
+    # window — one exchange feeds both
+    ranked = gaps.withColumn("__rk", F.row_number().over(wg)).withColumn(
+        "__m", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    per_user = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max("__m").alias("__m"),
+            # middle values of the sorted gap multiset: ranks
+            # (m+1) div 2 and (m+2) div 2 (equal when m is odd)
+            F.min(
+                F.expr("CASE WHEN __rk = (__m + 1) div 2 "
+                       "THEN gap_ms END")
+            ).alias("__lo"),
+            F.min(
+                F.expr("CASE WHEN __rk = (__m + 2) div 2 "
+                       "THEN gap_ms END")
+            ).alias("__hi"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        (F.col("__m") + 1).cast("long").alias("n_events"),
+        F.expr("CAST((__lo + __hi) div 2 AS BIGINT)").alias("median_gap_ms"),
+        F.expr(
+            f"CAST(CASE WHEN __m + 1 >= {int(min_events)} AND "
+            f"(__lo + __hi) div 2 <= {int(max_median_gap_ms)} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_bot"),
+    )

@@ -45,4 +45,8 @@ ROTATION_QUEUE: set[str] = {
     # table (companion to profile_gini; tie-order-free bucket sums)
     "graph_assortativity",
     "profile_lorenz",
+    # r10 new operator: automation detection via exact per-user median
+    # inter-event gap (training-data hygiene gate for events-derived
+    # corpora)
+    "events_bots",
 }

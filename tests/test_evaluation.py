@@ -703,3 +703,42 @@ def test_rfm_segments_null_hygiene(spark):
                                      "value double")
     out = {r["user_id"] for r in rfm_segments(df).collect()}
     assert out == {"u1", "u2"}
+
+
+def test_bot_report_hand_computed(spark):
+    """25 events 1s apart -> median 1000ms, flagged; 60s apart -> not
+    flagged; 5 fast events -> under min_events, not flagged; a
+    single-event user has no gaps and is absent. Even gap count:
+    median = floor((lo+hi)/2)."""
+    import datetime as dt
+
+    import pytest
+
+    from pydi_spark.events import bot_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(25):
+        rows.append((1, i, t0 + dt.timedelta(seconds=i)))
+        rows.append((2, i, t0 + dt.timedelta(seconds=60 * i)))
+    for i in range(5):
+        rows.append((3, i, t0 + dt.timedelta(seconds=i)))
+    rows.append((4, 0, t0))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {
+        r["user_id"]: (r["n_events"], r["median_gap_ms"], r["is_bot"])
+        for r in bot_report(df, min_events=20, max_median_gap_ms=2000).collect()
+    }
+    assert out == {1: (25, 1000, 1), 2: (25, 60000, 0), 3: (5, 1000, 0)}
+    # even count: gaps 1000/3000 -> median 2000
+    df2 = spark.createDataFrame(
+        [(9, 0, t0), (9, 1, t0 + dt.timedelta(seconds=1)),
+         (9, 2, t0 + dt.timedelta(seconds=4))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    o2 = bot_report(df2).collect()[0]
+    assert (o2["n_events"], o2["median_gap_ms"]) == (3, 2000)
+    with pytest.raises(ValueError, match="min_events"):
+        bot_report(df, min_events=1)
+    with pytest.raises(ValueError, match="max_median_gap_ms"):
+        bot_report(df, max_median_gap_ms=-1)

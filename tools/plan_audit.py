@@ -101,6 +101,12 @@ ALLOWED = {
     # ONE-row corpus-span (min/max day) broadcast onto the user-day
     # grain table for the window clamp: O(user-days)
     "events_active_users": {"nested_loop"},
+    # ONE-row node-count aggregate broadcast onto the ONE-row
+    # sufficient-stats frame: O(1)
+    "graph_assortativity": {"nested_loop"},
+    # ONE-row grand-total broadcast onto the <= n_buckets bucket table:
+    # O(n_buckets)
+    "profile_lorenz": {"nested_loop"},
 }
 
 
