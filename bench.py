@@ -178,6 +178,13 @@ BENCH_QUERIES = [
     "io_orc_roundtrip",
     "profile_gini",
     "events_new_users",
+    # round-10 additions
+    "multimodal_phash",
+    "graph_modularity",
+    "graph_feature_prop",
+    "graph_assortativity",
+    "profile_lorenz",
+    "events_bots",
 ]
 
 

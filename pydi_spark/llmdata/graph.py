@@ -842,13 +842,16 @@ def modularity_score(
     )
     # sum_c (2*e_c*D - d_c^2) = 2*D*sum(e_c) - sum(d_c^2): one pass of
     # map-side-combinable sums, the D-dependent term applied after
+    # coalesce: SUM over the empty graph is NULL — the audit row must
+    # read all-zeros, not all-NULLs (empty-input totality sweep)
     tot = per_c.agg(
-        F.sum("nv").cast("long").alias("n_nodes"),
+        F.coalesce(F.sum("nv"), F.lit(0)).cast("long").alias("n_nodes"),
         F.count(F.lit(1)).cast("long").alias("n_communities"),
-        F.sum("dc").cast("long").alias("__D"),
-        F.sum("ec").cast("long").alias("__Ein"),
+        F.coalesce(F.sum("dc"), F.lit(0)).cast("long").alias("__D"),
+        F.coalesce(F.sum("ec"), F.lit(0)).cast("long").alias("__Ein"),
         F.expr(
-            "CAST(sum(CAST(dc AS DECIMAL(38,0)) * dc) AS DECIMAL(38,0))"
+            "CAST(coalesce(sum(CAST(dc AS DECIMAL(38,0)) * dc), 0) "
+            "AS DECIMAL(38,0))"
         ).alias("__sd2"),
     )
     return tot.select(
@@ -987,14 +990,21 @@ def degree_assortativity(
         sym.join(deg.select(F.col("v").alias("s"), F.col("d").alias("ds")), "s")
         .join(deg.select(F.col("v").alias("d"), F.col("d").alias("dd")), "d")
     )
+    # coalesce: SUM over the empty graph is NULL — the audit row must
+    # read all-zeros, not all-NULLs (empty-input totality sweep)
     agg = j.agg(
         F.count(F.lit(1)).cast("long").alias("__M"),
-        F.expr("CAST(sum(CAST(ds AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias("__s1"),
         F.expr(
-            "CAST(sum(CAST(ds AS DECIMAL(38,0)) * ds) AS DECIMAL(38,0))"
+            "CAST(coalesce(sum(CAST(ds AS DECIMAL(38,0))), 0) "
+            "AS DECIMAL(38,0))"
+        ).alias("__s1"),
+        F.expr(
+            "CAST(coalesce(sum(CAST(ds AS DECIMAL(38,0)) * ds), 0) "
+            "AS DECIMAL(38,0))"
         ).alias("__s2"),
         F.expr(
-            "CAST(sum(CAST(ds AS DECIMAL(38,0)) * dd) AS DECIMAL(38,0))"
+            "CAST(coalesce(sum(CAST(ds AS DECIMAL(38,0)) * dd), 0) "
+            "AS DECIMAL(38,0))"
         ).alias("__p"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -216,6 +216,9 @@ def test_partition_independence_of_new_queries(spark):
         "graph_pagerank_weighted", "normalize_rank",
         "profile_topk_per_group", "io_orc_roundtrip", "profile_gini",
         "events_new_users",
+        # round-10 additions
+        "multimodal_phash", "graph_modularity", "graph_feature_prop",
+        "graph_assortativity", "profile_lorenz", "events_bots",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

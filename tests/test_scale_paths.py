@@ -277,6 +277,32 @@ def test_operators_total_on_empty_inputs(spark):
     with pytest.raises(ValueError, match="empty seed"):
         bfs_hops(pairs, spark.createDataFrame([], "id string"), 2)
 
+    # round-10 widening: graph audits read all-zero rows on the empty
+    # graph (never all-NULL); row-shaped ops are empty; lorenz REFUSES
+    # an empty value column loudly (a fabricated flat curve would hide
+    # a broken upstream filter)
+    from pydi_spark.events import bot_report
+    from pydi_spark.llmdata import (
+        degree_assortativity, feature_propagation, modularity_score,
+    )
+    from pydi_spark.profiling import lorenz_curve
+
+    mod0 = modularity_score(
+        pairs, spark.createDataFrame([], "id string, community string")
+    ).collect()[0]
+    assert (mod0["n_nodes"], mod0["m_edges"], mod0["q_num"],
+            mod0["q"]) == (0, 0, 0, 0.0)
+    as0 = degree_assortativity(pairs).collect()[0]
+    assert (as0["n_nodes"], as0["m_edges"], as0["r_num"],
+            as0["r"]) == (0, 0, 0, 0.0)
+    assert feature_propagation(
+        pairs, spark.createDataFrame([], "id string, value_micro long"),
+        n_iter=1,
+    ).count() == 0
+    assert bot_report(ev2).count() == 0
+    with pytest.raises(ValueError, match="no non-null"):
+        lorenz_curve(num, "x").collect()
+
     # trainers on empty input fail FAST with a clear message — a silent
     # NaN/garbage model is the failure mode these guards close
     assert m.train_bpe_merges(docs, n_merges=3) == []
