@@ -286,28 +286,35 @@ def main() -> None:
     minima_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_minima.json"
     )
-    merged = {"sf": sf_val, "queries": {}}
-    if not os.environ.get("SPARK_GRAFT_BENCH_RESET"):
-        try:
-            with open(minima_path) as fh:
-                prev = json.load(fh)
-            if prev.get("sf") == sf_val:
-                merged = prev
-        except Exception:
-            pass
-    mq = merged["queries"]
-    for name, t in timings.items():
-        e = mq.get(name)
-        if e is None or t < e["best"]:
-            mq[name] = {"best": t, "n": (e["n"] if e else 0) + runs,
-                        "head": head}
-        else:
-            e["n"] += runs
-    merged["total_best"] = round(
-        sum(mq[n]["best"] for n in timings if n in mq), 3
-    )
-    merged["n_queries"] = len(timings)
+    # the entire merge is best-effort: a malformed sidecar (valid JSON,
+    # wrong shape) must never crash the run AFTER the timing passes and
+    # BEFORE the official stdout record — fall back to a fresh file
     try:
+        merged = {"sf": sf_val, "queries": {}}
+        if not os.environ.get("SPARK_GRAFT_BENCH_RESET"):
+            try:
+                with open(minima_path) as fh:
+                    prev = json.load(fh)
+                pq = prev.get("queries")
+                if prev.get("sf") == sf_val and isinstance(pq, dict) and all(
+                    isinstance(v, dict) and "best" in v and "n" in v
+                    for v in pq.values()
+                ):
+                    merged = prev
+            except Exception:
+                pass
+        mq = merged["queries"]
+        for name, t in timings.items():
+            e = mq.get(name)
+            if e is None or t < e["best"]:
+                mq[name] = {"best": t, "n": (e["n"] if e else 0) + runs,
+                            "head": head}
+            else:
+                e["n"] += runs
+        merged["total_best"] = round(
+            sum(mq[n]["best"] for n in timings if n in mq), 3
+        )
+        merged["n_queries"] = len(timings)
         with open(minima_path, "w") as fh:
             json.dump(merged, fh, indent=1, sort_keys=True)
         print(
@@ -318,7 +325,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as exc:
-        print(f"# minima sidecar write failed: {exc}", file=sys.stderr)
+        print(f"# minima sidecar merge failed: {exc}", file=sys.stderr)
     # Full per-query map first (own line, for humans / log scrapers)...
     print(
         json.dumps(

@@ -885,7 +885,6 @@ def bot_report(
     base = df.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     )
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     # integer div, not /1000 + cast: a double division then cast
     # truncates on Spark but a double->int CAST rounds in SQL replicas
     # (the gap is non-negative after the time order, so div == floor)

@@ -854,17 +854,33 @@ def modularity_score(
             "AS DECIMAL(38,0))"
         ).alias("__sd2"),
     )
+    # the exact q_num/q_den pair is BIGINT: past ~1.5e9 edges D^2
+    # overflows int64, and Spark's decimal->bigint cast would return a
+    # silent NULL (the audit's own never-NULL totality contract) while
+    # the SQL replica's bigint multiply errors loudly — align both
+    # engines on LOUD (raise_error) and keep `q` valid at any scale by
+    # dividing the decimals directly, never the bigint casts
+    big = "9223372036854775807"
+    qn = "2 * CAST(__Ein AS DECIMAL(38,0)) * __D - __sd2"
+    qd = "CAST(__D AS DECIMAL(38,0)) * __D"
     return tot.select(
         "n_nodes", "n_communities",
         F.expr("CAST(__D div 2 AS BIGINT)").alias("m_edges"),
         F.expr(
-            "CAST(2 * CAST(__Ein AS DECIMAL(38,0)) * __D - __sd2 AS BIGINT)"
+            f"CASE WHEN abs({qn}) > {big} OR {qd} > {big} THEN "
+            f"CAST(raise_error('modularity_score: exact q_num/q_den "
+            f"overflow int64 (graph beyond ~1.5e9 edges); read q') "
+            f"AS BIGINT) ELSE CAST({qn} AS BIGINT) END"
         ).alias("q_num"),
-        F.expr("CAST(CAST(__D AS DECIMAL(38,0)) * __D AS BIGINT)").alias("q_den"),
         F.expr(
-            "CAST(CASE WHEN __D = 0 THEN 0.0 ELSE "
-            "CAST(CAST(2 * CAST(__Ein AS DECIMAL(38,0)) * __D - __sd2 AS BIGINT) AS DOUBLE)"
-            " / CAST(CAST(CAST(__D AS DECIMAL(38,0)) * __D AS BIGINT) AS DOUBLE) END AS DOUBLE)"
+            f"CASE WHEN abs({qn}) > {big} OR {qd} > {big} THEN "
+            f"CAST(raise_error('modularity_score: exact q_num/q_den "
+            f"overflow int64 (graph beyond ~1.5e9 edges); read q') "
+            f"AS BIGINT) ELSE CAST({qd} AS BIGINT) END"
+        ).alias("q_den"),
+        F.expr(
+            f"CAST(CASE WHEN __D = 0 THEN 0.0 ELSE "
+            f"CAST({qn} AS DOUBLE) / CAST({qd} AS DOUBLE) END AS DOUBLE)"
         ).alias("q"),
     )
 
@@ -919,9 +935,15 @@ def feature_propagation(
     sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
         e.select(F.col("b").alias("s"), F.col("a").alias("d"))
     ).localCheckpoint(eager=True)
+    # materialize BEFORE the validation collect: a nondeterministic
+    # upstream recomputed between the guard and the first round could
+    # smuggle a negative past the refusal (the rank-core recompute
+    # hazard)
     state = features.select(
         F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("x")
-    ).where(F.col("id").isNotNull() & F.col("x").isNotNull())
+    ).where(
+        F.col("id").isNotNull() & F.col("x").isNotNull()
+    ).localCheckpoint(eager=True)
     neg = state.where(F.col("x") < 0).limit(1).collect()
     if neg:
         raise ValueError(
@@ -1008,15 +1030,29 @@ def degree_assortativity(
         ).alias("__p"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # same int64-overflow discipline as modularity_score: loud
+    # raise_error on the exact pair (Spark's decimal->bigint cast
+    # would silently NULL), `r` divides the decimals directly
+    big = "9223372036854775807"
+    rn = "__M * __p - __s1 * __s1"
+    rd = "__M * __s2 - __s1 * __s1"
     return agg.crossJoin(F.broadcast(n_nodes)).select(
         "n_nodes",
         F.expr("CAST(__M div 2 AS BIGINT)").alias("m_edges"),
-        F.expr("CAST(__M * __p - __s1 * __s1 AS BIGINT)").alias("r_num"),
-        F.expr("CAST(__M * __s2 - __s1 * __s1 AS BIGINT)").alias("r_den"),
         F.expr(
-            "CAST(CASE WHEN __M * __s2 - __s1 * __s1 = 0 THEN 0.0 ELSE "
-            "CAST(CAST(__M * __p - __s1 * __s1 AS BIGINT) AS DOUBLE) / "
-            "CAST(CAST(__M * __s2 - __s1 * __s1 AS BIGINT) AS DOUBLE) END "
-            "AS DOUBLE)"
+            f"CASE WHEN abs({rn}) > {big} OR abs({rd}) > {big} THEN "
+            f"CAST(raise_error('degree_assortativity: exact r_num/r_den "
+            f"overflow int64; read r') AS BIGINT) "
+            f"ELSE CAST({rn} AS BIGINT) END"
+        ).alias("r_num"),
+        F.expr(
+            f"CASE WHEN abs({rn}) > {big} OR abs({rd}) > {big} THEN "
+            f"CAST(raise_error('degree_assortativity: exact r_num/r_den "
+            f"overflow int64; read r') AS BIGINT) "
+            f"ELSE CAST({rd} AS BIGINT) END"
+        ).alias("r_den"),
+        F.expr(
+            f"CAST(CASE WHEN {rd} = 0 THEN 0.0 ELSE "
+            f"CAST({rn} AS DOUBLE) / CAST({rd} AS DOUBLE) END AS DOUBLE)"
         ).alias("r"),
     )

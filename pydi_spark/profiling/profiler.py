@@ -1259,9 +1259,13 @@ def lorenz_curve(
         raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
     from pydi_spark.functions.ranks import global_row_number, global_running_sum
 
+    # materialize BEFORE the validation collect: a nondeterministic
+    # upstream recomputed between the guard and the rank job could
+    # smuggle a negative past the refusal (the rank-core recompute
+    # hazard), and the checkpoint also saves the second full scan
     vals = df.where(F.col(value_col).isNotNull()).select(
         F.expr(f"CAST(floor({value_col} * 1000000) AS BIGINT)").alias("__vm")
-    )
+    ).localCheckpoint(eager=True)
     neg = vals.where(F.col("__vm") < 0).limit(1).collect()
     if neg:
         raise ValueError(
