@@ -6480,6 +6480,21 @@ def q_events_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sample (llmdata/sampling.py
+    pps_systematic_sample): 50 selection points on the cumulative
+    length-weighted line in md5(doc_id) order; sum(n_hits) == 50
+    exactly, heavy docs absorb multiple hits. Weight = length+1
+    (positive-integral contract). The oracle replays the running sum
+    and the floor-crossing arithmetic over the same md5 walk."""
+    from pydi_spark.llmdata import pps_systematic_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") + F.lit(1)).cast("long").alias("w")
+    )
+    return pps_systematic_sample(docs, 50, "w", "doc_id")
+
+
 def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz concentration table (profiling/profiler.py lorenz_curve)
     of per-customer order counts, 10 buckets: cum_value_ppm = exact
@@ -6864,6 +6879,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "graph_assortativity": q_graph_assortativity,
         "profile_lorenz": q_profile_lorenz,
         "events_bots": q_events_bots,
+        "sample_pps": q_sample_pps,
     }
 
 
@@ -12617,5 +12633,27 @@ SELECT user_id,
        CAST(CASE WHEN m + 1 >= 10 AND (lo + hi) // 2 <= 3600000
             THEN 1 ELSE 0 END AS BIGINT) AS is_bot
 FROM pu
+"""
+
+    # systematic PPS: replay the md5 walk, the inclusive running sum,
+    # and the floor-crossing hit count (non-negative // == div)
+    out["sample_pps"] = """
+WITH b AS (
+  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, w,
+         CAST(SUM(w) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c,
+         CAST(SUM(w) OVER () AS BIGINT) AS t
+  FROM b
+)
+SELECT doc_id, w,
+       CAST(c * 50 // t - (c - w) * 50 // t AS BIGINT) AS n_hits
+FROM c
+WHERE c * 50 // t - (c - w) * 50 // t >= 1
 """
     return out

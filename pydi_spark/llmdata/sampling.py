@@ -493,3 +493,76 @@ def epoch_expand(
         )
     )
     return full.unionAll(frac)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[input columns..., n_hits] — deterministic SYSTEMATIC
+    probability-proportional-to-size sample: lay every row on the
+    cumulative-weight line in md5(id) order and keep the rows whose
+    weight span crosses one of the k equally-spaced selection points
+    (offset 0 — deterministic, where textbook PPS draws a random
+    offset). A row's inclusion probability is min(1, k*w/T), the PPS
+    design the quality-weighted corpus samplers approximate; unlike
+    ``quality_weighted_sample``'s per-row independent keeps, the
+    systematic walk returns a FIXED total of k hits, so budget-exact
+    weighted corpus draws need no rejection loop.
+
+    ``n_hits`` = how many selection points landed in the row's span
+    (>= 2 means the row is HEAVY: w > T/k — the caller decides whether
+    to repeat it or cap it; the output has <= k rows and
+    sum(n_hits) == k exactly). Exact-arithmetic contract: weights are
+    POSITIVE integral micros (enforced; fractional dtypes raise like
+    global_running_sum), hits = floor(c*k/T) - floor((c-w)*k/T) with
+    non-negative decimal(38,0) products only — floor == truncate on
+    both engines, and the md5 walk order is partition-independent, so
+    the selected set is a pure function of (ids, weights, k).
+
+    Scale shape: one distributed running sum over the md5 order
+    (functions/ranks.py — never a single-partition window) + one
+    broadcast one-row total + one filter. Nothing quadratic; the
+    output is sample-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    dtype = df.schema[weight_col].dataType.typeName()
+    if dtype not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"pps_systematic_sample carries the cumulative-weight line "
+            f"in exact long arithmetic; weight_col {weight_col!r} is "
+            f"{dtype}, not integral. Quantize to micros first."
+        )
+    from pydi_spark.functions.ranks import global_running_sum
+
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).withColumn("__h", F.md5(F.col(id_col).cast("string"))).localCheckpoint(
+        eager=True
+    )  # guard and walk must see the same rows (the recompute hazard)
+    bad = base.where(F.col(weight_col) <= 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"pps_systematic_sample: non-positive weight "
+            f"{bad[0][weight_col]} for id {bad[0][id_col]!r} — weights "
+            "must be positive integers (a zero-weight row can never be "
+            "hit; silence would mask an upstream scoring bug)"
+        )
+    cum = global_running_sum(
+        base, ["__h", id_col], weight_col, "__c"
+    )
+    total = cum.agg(F.max("__c").alias("__t"))
+    hits = F.expr(
+        f"CAST(CAST(__c AS DECIMAL(38,0)) * {int(k)} div __t AS BIGINT) - "
+        f"CAST(CAST(__c - {weight_col} AS DECIMAL(38,0)) * {int(k)} "
+        f"div __t AS BIGINT)"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("n_hits", hits)
+        .where(F.col("n_hits") >= 1)
+        .drop("__h", "__c", "__t")
+    )

@@ -49,4 +49,7 @@ ROTATION_QUEUE: set[str] = {
     # inter-event gap (training-data hygiene gate for events-derived
     # corpora)
     "events_bots",
+    # r10 new operator: deterministic systematic PPS sampling (exact
+    # k hits on the cumulative-weight line, md5 walk order)
+    "sample_pps",
 }

@@ -2461,3 +2461,50 @@ def test_degree_assortativity_hand_computed(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id1 int, id2 int")
     rc = degree_assortativity(cyc).collect()[0]
     assert rc["r_den"] == 0 and rc["r"] == 0.0
+
+
+def test_pps_systematic_sample_invariants(spark):
+    """sum(n_hits) == k always; uniform weights give exactly k distinct
+    rows; a heavy row (w > T/k) absorbs multiple hits; the selection is
+    partition-independent; zero/fractional weights and k < 1 refuse."""
+    import pytest
+
+    from pydi_spark.llmdata import pps_systematic_sample
+
+    uni = spark.createDataFrame(
+        [(i, 1) for i in range(100)], "doc_id long, w long"
+    )
+    out = pps_systematic_sample(uni, 10, "w", "doc_id").collect()
+    assert len(out) == 10 and all(r["n_hits"] == 1 for r in out)
+
+    skew = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(57)], "doc_id long, w long"
+    )
+    o2 = pps_systematic_sample(skew, 10, "w", "doc_id").collect()
+    assert sum(r["n_hits"] for r in o2) == 10
+
+    heavy = spark.createDataFrame(
+        [(0, 900)] + [(i, 10) for i in range(1, 11)], "doc_id long, w long"
+    )
+    o3 = {r["doc_id"]: r["n_hits"]
+          for r in pps_systematic_sample(heavy, 5, "w", "doc_id").collect()}
+    assert o3[0] >= 4 and sum(o3.values()) == 5
+
+    a = sorted(
+        (r["doc_id"], r["n_hits"])
+        for r in pps_systematic_sample(
+            skew.repartition(13), 10, "w", "doc_id"
+        ).collect()
+    )
+    assert a == sorted((r["doc_id"], r["n_hits"]) for r in o2)
+
+    with pytest.raises(ValueError, match="non-positive"):
+        pps_systematic_sample(
+            uni.withColumn("w", F.lit(0)), 3, "w", "doc_id"
+        ).collect()
+    with pytest.raises(TypeError, match="integral"):
+        pps_systematic_sample(
+            uni.withColumn("w", F.col("w").cast("double")), 3, "w", "doc_id"
+        )
+    with pytest.raises(ValueError, match="k must"):
+        pps_systematic_sample(uni, 0, "w", "doc_id")
