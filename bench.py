@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "profile_lorenz",
     "events_bots",
+    "sample_pps",
 ]
 
 

@@ -107,6 +107,9 @@ ALLOWED = {
     # ONE-row grand-total broadcast onto the <= n_buckets bucket table:
     # O(n_buckets)
     "profile_lorenz": {"nested_loop"},
+    # ONE-row weight-total broadcast onto the cumulative-weight line:
+    # O(n), the PPS selection filter
+    "sample_pps": {"nested_loop"},
 }
 
 
