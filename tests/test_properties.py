@@ -606,3 +606,192 @@ def test_gini_matches_python_formula(spark):
     want = (2 * t - (n + 1) * s) * 1_000_000 // (n * s)
     assert got["gini_ppm"] == want and got["n"] == n
     assert got["total_micro"] == s
+
+
+def test_lorenz_matches_python_formula(spark):
+    """Seeded random values (with heavy ties) vs the pure-python bucket
+    arithmetic: ranks 1..n over the sorted micro multiset, bucket =
+    (rank-1)*k div n + 1, cumulative ppm = cum*1e6 div total."""
+    import math
+    import random
+
+    from pydi_spark.profiling import lorenz_curve
+
+    rng = random.Random(47)
+    vals = [rng.randrange(8) / 3 for _ in range(157)]  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["bucket"]: (r["n"], r["bucket_micro"], r["cum_value_ppm"])
+        for r in lorenz_curve(df, "v", n_buckets=7).collect()
+    }
+    vm = sorted(int(math.floor(v * 1_000_000)) for v in vals)
+    n, total = len(vm), sum(vm)
+    buckets = {}
+    for i, x in enumerate(vm):
+        b = i * 7 // n + 1
+        cnt, s = buckets.get(b, (0, 0))
+        buckets[b] = (cnt + 1, s + x)
+    want, cum = {}, 0
+    for b in sorted(buckets):
+        cnt, s = buckets[b]
+        cum += s
+        want[b] = (cnt, s, cum * 1_000_000 // total)
+    assert got == want
+
+
+def test_modularity_matches_python_formula(spark):
+    """Seeded random graph + random partition vs the textbook
+    sum_c(e_c/m - (d_c/2m)^2) computed in exact fractions."""
+    import random
+    from fractions import Fraction
+
+    from pydi_spark.llmdata import modularity_score
+
+    rng = random.Random(53)
+    nodes = list(range(24))
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    comm = {v: f"c{rng.randrange(4)}" for v in nodes}
+    edf = spark.createDataFrame(sorted(edges), "id1 int, id2 int")
+    cdf = spark.createDataFrame(
+        [(v, c) for v, c in comm.items()], "id int, community string"
+    )
+    row = modularity_score(edf, cdf).collect()[0]
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    cs = sorted({comm[v] for v in deg})
+    q = Fraction(0)
+    for c in cs:
+        ec = sum(1 for a, b in edges if comm[a] == c and comm[b] == c)
+        dc = sum(d for v, d in deg.items() if comm[v] == c)
+        q += Fraction(ec, m) - Fraction(dc, 2 * m) ** 2
+    assert Fraction(row["q_num"], row["q_den"]) == q
+    assert abs(row["q"] - float(q)) < 1e-12
+    assert row["m_edges"] == m and row["n_nodes"] == len(deg)
+
+
+def test_assortativity_matches_python_formula(spark):
+    """Seeded random graph vs the sqrt-free symmetric-marginal Pearson
+    computed in exact fractions over the doubled edge list."""
+    import random
+    from fractions import Fraction
+
+    from pydi_spark.llmdata import degree_assortativity
+
+    rng = random.Random(59)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.sample(range(18), 2)
+        edges.add((min(a, b), max(a, b)))
+    edf = spark.createDataFrame(sorted(edges), "id1 int, id2 int")
+    row = degree_assortativity(edf).collect()[0]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in edges]
+    pairs += [(y, x) for x, y in pairs]
+    M = len(pairs)
+    s1 = sum(x for x, _ in pairs)
+    s2 = sum(x * x for x, _ in pairs)
+    p = sum(x * y for x, y in pairs)
+    num, den = M * p - s1 * s1, M * s2 - s1 * s1
+    assert (row["r_num"], row["r_den"]) == (num, den)
+    if den:
+        assert abs(row["r"] - num / den) < 1e-12
+
+
+def test_pps_matches_python_walk(spark):
+    """Seeded random weights vs the pure-python cumulative walk in the
+    same md5 order — selected ids, hit counts, and the sum(n_hits)==k
+    telescoping identity."""
+    import hashlib
+    import random
+
+    from pydi_spark.llmdata import pps_systematic_sample
+
+    rng = random.Random(61)
+    rows = [(i, rng.randrange(1, 30)) for i in range(83)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k = 13
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in pps_systematic_sample(df, k, "w", "doc_id").collect()
+    }
+    walk = sorted(rows, key=lambda r: (
+        hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    want, c, total = {}, 0, sum(w for _, w in rows)
+    for i, w in walk:
+        c += w
+        hits = c * k // total - (c - w) * k // total
+        if hits:
+            want[i] = hits
+    assert got == want and sum(got.values()) == k
+
+
+def test_bot_report_median_matches_python(spark):
+    """Seeded random event times vs pure-python floor-mean-of-middles
+    medians per user."""
+    import datetime as dt
+    import random
+
+    from pydi_spark.events import bot_report
+
+    rng = random.Random(67)
+    t0 = dt.datetime(2024, 3, 1)
+    rows, want = [], {}
+    for u in range(12):
+        n = rng.randrange(2, 15)
+        offs = sorted(rng.sample(range(100_000), n))
+        for j, o in enumerate(offs):
+            rows.append((u, j, t0 + dt.timedelta(milliseconds=o)))
+        gaps = sorted(b - a for a, b in zip(offs, offs[1:]))
+        m = len(gaps)
+        lo, hi = gaps[(m + 1) // 2 - 1], gaps[(m + 2) // 2 - 1]
+        want[u] = (n, (lo + hi) // 2)
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_events"], r["median_gap_ms"])
+        for r in bot_report(df, min_events=5, max_median_gap_ms=10).collect()
+    }
+    assert got == want
+
+
+def test_feature_propagation_matches_python_sim(spark):
+    """Seeded random graph + features vs a pure-python synchronous
+    simulation of the self-inclusive neighbour mean (3 rounds)."""
+    import random
+
+    from pydi_spark.llmdata import feature_propagation
+
+    rng = random.Random(71)
+    edges = set()
+    while len(edges) < 30:
+        a, b = rng.sample(range(15), 2)
+        edges.add((min(a, b), max(a, b)))
+    feats = {v: rng.randrange(0, 5000) for v in range(15) if rng.random() < 0.8}
+    edf = spark.createDataFrame(sorted(edges), "id1 int, id2 int")
+    fdf = spark.createDataFrame(
+        [(v, x) for v, x in feats.items()], "id int, value_micro long"
+    )
+    got = {
+        r["id"]: r["value_micro"]
+        for r in feature_propagation(edf, fdf, n_iter=3).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    state = dict(feats)
+    for _ in range(3):
+        nxt = {}
+        for v, x in state.items():
+            known = [state[u] for u in adj.get(v, ()) if u in state]
+            nxt[v] = (x + sum(known)) // (1 + len(known))
+        state = nxt
+    assert got == state
