@@ -6495,6 +6495,20 @@ def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(docs, 50, "w", "doc_id")
 
 
+def q_text_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (llmdata/textstats.py
+    encoding_quality_report): exact integer counts of U+FFFD
+    replacement chars, C1 controls, curated UTF-8-as-latin1 mojibake
+    digraphs, and stray C0 controls per document, plus a 0/1 flag.
+    Pure codegen'd regex counts; patterns stick to literal
+    alternations and \\x char-class escapes — the subset Java regex
+    and RE2 interpret identically (verified row-by-row on synthetic
+    mojibake in the unit test)."""
+    from pydi_spark.llmdata import encoding_quality_report
+
+    return encoding_quality_report(_t(spark, sf_dir, "documents"))
+
+
 def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz concentration table (profiling/profiler.py lorenz_curve)
     of per-customer order counts, 10 buckets: cum_value_ppm = exact
@@ -6880,6 +6894,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "profile_lorenz": q_profile_lorenz,
         "events_bots": q_events_bots,
         "sample_pps": q_sample_pps,
+        "text_encoding": q_text_encoding,
     }
 
 
@@ -12656,4 +12671,27 @@ SELECT doc_id, w,
 FROM c
 WHERE c * 50 // t - (c - w) * 50 // t >= 1
 """
+
+    # encoding audit: identical literal alternations + \\x char-class
+    # escapes on both engines (Java regex vs RE2 agree on this subset);
+    # counts via regexp_extract_all length
+    out["text_encoding"] = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(regexp_extract_all(text, '\ufffd')) AS BIGINT)
+    AS n_replacement,
+  CAST(length(regexp_extract_all(text, '[\\x80-\\x9f]')) AS BIGINT)
+    AS n_c1,
+  CAST(length(regexp_extract_all(text, 'MOJI')) AS BIGINT)
+    AS n_mojibake,
+  CAST(length(regexp_extract_all(text,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_ctrl,
+  CAST(CASE WHEN length(regexp_extract_all(text, '\ufffd'))
+         + length(regexp_extract_all(text, '[\\x80-\\x9f]'))
+         + length(regexp_extract_all(text, 'MOJI'))
+         + length(regexp_extract_all(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) > 0
+       THEN 1 ELSE 0 END AS BIGINT) AS enc_flag
+FROM documents
+""".replace("MOJI", "Ã©|Ã¨|Ã¼|Ã¤|Ã¶|Ã±|Ã¡|Ã³|Ãº|Ã§|â€™|â€œ|â€“|â€”|Â°|Â·|Â ")
     return out

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "profile_lorenz",
     "events_bots",
     "sample_pps",
+    "text_encoding",
 ]
 
 

@@ -772,3 +772,62 @@ def blocklist_filter(
         hits.cast("int").alias("n_hits"),
         (hits == 0).cast("int").alias("keep"),
     )
+
+
+# UTF-8-decoded-as-latin1/cp1252 digraphs — the classic double-encoding
+# artifacts ("é" -> "Ã©", curly quotes -> "â€™"). A curated literal
+# alternation: both regex engines (Java on Spark, RE2 in SQL replicas)
+# treat literal alternations identically, which is what keeps the
+# oracle replayable (the RE2-safe discipline).
+MOJIBAKE_DIGRAPHS = [
+    "Ã©", "Ã¨", "Ã¼", "Ã¤",
+    "Ã¶", "Ã±", "Ã¡", "Ã³",
+    "Ãº", "Ã§",
+    "â€™", "â€œ", "â€“",
+    "â€”",
+    "Â°", "Â·", "Â ",
+]
+
+
+def encoding_quality_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[id, n_chars, n_replacement, n_c1, n_mojibake, n_ctrl, enc_flag]
+    — per-document encoding-damage audit, the hygiene gate a crawl
+    corpus needs BEFORE tokenization (mojibake survives dedup and
+    poisons BPE merges):
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up once);
+    - ``n_c1``: C1 control block U+0080-U+009F (bytes that only appear
+      when cp1252/latin1 text is mislabeled);
+    - ``n_mojibake``: curated UTF-8-as-latin1 digraphs
+      (``MOJIBAKE_DIGRAPHS`` — "Ã©", "â€™", "Â°", ...);
+    - ``n_ctrl``: other C0 controls excluding tab/newline/CR;
+    - ``enc_flag``: integer 0/1 (any signal fired — the hash-safe
+      flag convention).
+
+    All counts are exact integers from literal/char-class regex counts
+    — pure codegen'd column expressions, no UDF, no shuffle beyond the
+    caller's. Patterns stick to literal alternations and ``\\x``
+    char-class escapes, the subset Java regex and RE2 interpret
+    identically (the oracle-replay contract).
+    """
+    c = F.col(text_col)
+    n_repl = F.regexp_count(c, F.lit("�"))
+    n_c1 = F.regexp_count(c, F.lit("[\\x80-\\x9f]"))
+    n_moji = F.regexp_count(c, F.lit("|".join(MOJIBAKE_DIGRAPHS)))
+    n_ctrl = F.regexp_count(
+        c, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    )
+    total = n_repl + n_c1 + n_moji + n_ctrl
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_c1.cast("long").alias("n_c1"),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("enc_flag"),
+    )

@@ -52,4 +52,7 @@ ROTATION_QUEUE: set[str] = {
     # r10 new operator: deterministic systematic PPS sampling (exact
     # k hits on the cumulative-weight line, md5 walk order)
     "sample_pps",
+    # r10 new operator: encoding-damage audit (mojibake / replacement /
+    # control-char counts, pure codegen regex)
+    "text_encoding",
 }

@@ -219,7 +219,7 @@ def test_partition_independence_of_new_queries(spark):
         # round-10 additions
         "multimodal_phash", "graph_modularity", "graph_feature_prop",
         "graph_assortativity", "profile_lorenz", "events_bots",
-        "sample_pps",
+        "sample_pps", "text_encoding",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

@@ -2508,3 +2508,50 @@ def test_pps_systematic_sample_invariants(spark):
         )
     with pytest.raises(ValueError, match="k must"):
         pps_systematic_sample(uni, 0, "w", "doc_id")
+
+
+def test_encoding_quality_report_signals(spark):
+    """Synthetic damage: replacement chars, C1 controls, mojibake
+    digraphs, C0 controls (tab/newline exempt) — counted exactly, and
+    the same regex subset counts identically in DuckDB (the oracle's
+    engine), verified row-by-row."""
+    import duckdb
+    import pandas as pd
+
+    from pydi_spark.llmdata import encoding_quality_report
+    from pydi_spark.llmdata.textstats import MOJIBAKE_DIGRAPHS
+
+    rows = [
+        (1, "clean prose with nothing wrong"),
+        (2, "broken \ufffd twice \ufffd here"),
+        (3, "caf\u00c3\u00a9 and \u00c3\u00a9clair mojibake"),
+        (4, "c1 control \u0085 inside"),
+        (5, "bell \u0007 and null-ish \u0001"),
+        (6, "tabs\tand\nnewlines are fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_quality_report(df).collect()}
+    assert out[1]["enc_flag"] == 0
+    assert out[2]["n_replacement"] == 2 and out[2]["enc_flag"] == 1
+    assert out[3]["n_mojibake"] == 2 and out[3]["enc_flag"] == 1
+    assert out[4]["n_c1"] == 1 and out[4]["enc_flag"] == 1
+    assert out[5]["n_ctrl"] == 2 and out[5]["enc_flag"] == 1
+    assert out[6]["enc_flag"] == 0 and out[6]["n_ctrl"] == 0
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    moji = "|".join(MOJIBAKE_DIGRAPHS)
+    odf = con.sql(
+        "SELECT doc_id,"
+        " CAST(length(regexp_extract_all(text, '\ufffd')) AS BIGINT) AS a,"
+        " CAST(length(regexp_extract_all(text, '[\\x80-\\x9f]')) AS BIGINT) AS b,"
+        f" CAST(length(regexp_extract_all(text, '{moji}')) AS BIGINT) AS c,"
+        " CAST(length(regexp_extract_all(text,"
+        " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS d"
+        " FROM t ORDER BY doc_id"
+    ).df()
+    for i, r in odf.iterrows():
+        s = out[r["doc_id"]]
+        assert (r["a"], r["b"], r["c"], r["d"]) == (
+            s["n_replacement"], s["n_c1"], s["n_mojibake"], s["n_ctrl"]
+        ), r["doc_id"]

@@ -449,6 +449,47 @@ def main() -> None:
         )
         return bfs_hops(edges, seeds, max_hops=3)
 
+    def modularity(cust):
+        # one-row audit: ring edges + nation communities; linear in |E|
+        from pyspark.sql import Window
+
+        from pydi_spark.llmdata import modularity_score
+
+        edges = ring_edges(cust).localCheckpoint(eager=True)
+        comm = cust.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").cast("string").alias("community"),
+        )
+        return modularity_score(edges, comm)
+
+    def bots(df):
+        # user-disjoint copies: 10x users -> 10x report rows; one
+        # exchange by user feeds both window passes
+        from pydi_spark.events import bot_report
+
+        return bot_report(df, min_events=10, max_median_gap_ms=3_600_000)
+
+    def lorenz(cust):
+        # distributed rank + bucket aggregate over 10x values; fixed
+        # 10-row output — read the time ratio (derived value: the
+        # synthetic customer10 carries only key/name/nation columns)
+        from pydi_spark.profiling import lorenz_curve
+
+        vals = cust.select(
+            ((F.col("c_custkey") * 13) % 10000).cast("double").alias("v")
+        )
+        return lorenz_curve(vals, "v", n_buckets=10)
+
+    def pps(df):
+        # fixed k=50 selection points over a 10x corpus: output stays
+        # sample-sized; the running-sum walk is the linear part
+        from pydi_spark.llmdata import pps_systematic_sample
+
+        docs = df.select(
+            "doc_id", (F.length("text") + F.lit(1)).cast("long").alias("w")
+        )
+        return pps_systematic_sample(docs, 50, "w", "doc_id")
+
     ops = {
         "dedup_exact": lambda df: exact_duplicates(df),
         "dedup_minhash": lambda df: minhash_near_duplicates(df),
@@ -474,6 +515,10 @@ def main() -> None:
         "graph_hits": hits,
         "graph_pagerank_weighted": pr_weighted,
         "graph_bfs": bfs,
+        "graph_modularity": modularity,
+        "events_bots": bots,
+        "profile_lorenz": lorenz,
+        "sample_pps": pps,
     }
     inputs = {
         "blocking_token": (part1, part10_df),
@@ -503,6 +548,15 @@ def main() -> None:
             spark.read.parquet(cust10),
         ),
         "graph_bfs": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "graph_modularity": (
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(cust10),
+        ),
+        "events_bots": (ev1, ev10),
+        "profile_lorenz": (
             spark.read.parquet(f"{sf_dir}/customer.parquet"),
             spark.read.parquet(cust10),
         ),
