@@ -551,6 +551,22 @@ def pps_systematic_sample(
             "must be positive integers (a zero-weight row can never be "
             "hit; silence would mask an upstream scoring bug)"
         )
+    # duplicate ids make the walk order (and therefore the selected
+    # rows) shuffle-order dependent — the (__h, id) tie-break cannot
+    # separate them, so refuse loudly (r10 self-review): PPS over an
+    # id appearing twice is ill-defined, and an upstream join fan-out
+    # is the usual cause
+    dup = (
+        base.groupBy(id_col).agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"pps_systematic_sample: id {dup[0][id_col]!r} appears "
+            f"{dup[0]['__c']} times — ids must be unique (the md5 walk "
+            "order cannot break exact-id ties deterministically); "
+            "aggregate weights per id first"
+        )
     cum = global_running_sum(
         base, ["__h", id_col], weight_col, "__c"
     )

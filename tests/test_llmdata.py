@@ -2508,6 +2508,14 @@ def test_pps_systematic_sample_invariants(spark):
         )
     with pytest.raises(ValueError, match="k must"):
         pps_systematic_sample(uni, 0, "w", "doc_id")
+    # duplicate ids: the md5 walk cannot order exact-id ties, so the
+    # selection would be shuffle-order dependent — refused loudly
+    with pytest.raises(ValueError, match="unique"):
+        pps_systematic_sample(
+            spark.createDataFrame(
+                [(5, 100), (5, 900)], "doc_id long, w long"
+            ), 1, "w", "doc_id",
+        ).collect()
 
 
 def test_encoding_quality_report_signals(spark):

@@ -451,8 +451,6 @@ def main() -> None:
 
     def modularity(cust):
         # one-row audit: ring edges + nation communities; linear in |E|
-        from pyspark.sql import Window
-
         from pydi_spark.llmdata import modularity_score
 
         edges = ring_edges(cust).localCheckpoint(eager=True)
