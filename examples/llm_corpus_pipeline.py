@@ -78,6 +78,17 @@ def main() -> None:
     langs = language_id(docs)
     docs = docs.join(langs.select("doc_id", "predicted_lang"), "doc_id")
 
+    # 1b. encoding-damage audit BEFORE tokenization: mojibake and
+    # control-char junk survives dedup and poisons BPE merges — drop
+    # flagged docs while the fix is cheap (re-fetch / re-decode)
+    from pydi_spark.llmdata import encoding_quality_report
+
+    enc = encoding_quality_report(docs)
+    n_enc_damaged = enc.where("enc_flag = 1").count()
+    docs = docs.join(
+        enc.where("enc_flag = 0").select("doc_id"), "doc_id", "left_semi"
+    )
+
     # 2. Gopher-style quality gate (per-rule booleans, conjunctive keep)
     gated = quality_filter(docs)
     keep_ids = gated.where("keep").select("doc_id")
@@ -268,7 +279,8 @@ def main() -> None:
         .orderBy("shard")
     )
 
-    print(f"loaded {n0} -> quality {n_quality} -> canonical {n_canon} "
+    print(f"loaded {n0} -> encoding-clean (-{n_enc_damaged}) "
+          f"-> quality {n_quality} -> canonical {n_canon} "
           f"-> decontaminated {n_clean}; "
           f"{n_comm} near-dup communities "
           f"(modularity q={q_row['q']:.3f} over {q_row['m_edges']} edges, "
