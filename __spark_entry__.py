@@ -6528,92 +6528,97 @@ def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
-# arithmetic). Round-10 window (the pinned r9-verdict rotation —
-# VERDICT r9 "Next round" #1/#7):
-#   1-12  first 12 of the 25 r9 ROTATION_QUEUE entries: 2 material-
-#         change re-checks first (graph_pagerank after the shared
-#         _pagerank_core refactor; io_orc_roundtrip, last row r5),
-#         then cluster_hierarchical_max/_avg (the last SURVEY §2
-#         driver-confirmation gap) and 8 more r9-addition first
-#         checks. All 25 pre-verified green + VANILLA-green by both
-#         the r9 builder gate and the r9 judge's independent re-run.
+# arithmetic). Round-11 window (the rotation pre-pinned at r10 close —
+# NOTES.md "r11 WINDOW PLAN", confirmed by VERDICT r10 "Next round" #1):
+#   1-12  the 12 r10 ROTATION_QUEUE entries: the 4 scaffold-dedup
+#         material re-checks FIRST (blocking_sorted_neighbourhood,
+#         io_id_injection, sample_contrastive after the
+#         _prefix_with_offsets ranks dedup; join_range after the
+#         _bucket_tools joins dedup), then the 8 r10-addition first
+#         checks (multimodal_phash — the image family's first driver
+#         row — modularity, feature-prop, assortativity, Lorenz, bots,
+#         PPS sampling, encoding audit). All 12 verified green under
+#         both gates at r10 close AND independently by the r10 judge.
 #   13-15 canaries + probes at pinned positions: canary_hash_safe
 #         (green expected), canary_hash_risky (driver tolerates the
 #         class; drift detector), probe_corpus_echo (RED means the
 #         driver regenerated documents.parquet). canary_hugeint stays
 #         DEMOTED past 50 (two confirming reds; FORBIDDEN_ORACLE_TYPES
 #         guards the class locally).
-#   16-28 remaining 13 r9 queue entries. events_rfm (slot 12) and the
-#         rank-core consumers (normalize_rank, profile_gini,
-#         events_new_users) ALSO re-check this round's r10 code
-#         changes (ADVICE r9 oracle as-of fix; rank-scaffold dedup).
-#   29-50 stalest greens: 22 of the 23 r04-last rows (alphabetical
-#         prefix; tpch_q9 is the one deferral, first slot next round).
-# After this round every contract query added through r9 has >= 1
-# driver row. Round-10 additions and material-change re-checks queue
-# past 50 in the pinned ROTATION_QUEUE (tests/roster.py — the roster
-# source of truth).
-_R10_WINDOW = [
-    # 1-12: r9 queue — material re-checks first, then the §2 gap,
-    # then first-checks
-    "graph_pagerank",
-    "io_orc_roundtrip",
-    "cluster_hierarchical_max",
-    "cluster_hierarchical_avg",
-    "graph_label_prop",
-    "io_rendezvous_shards",
-    "text_search_phrase",
-    "graph_ppr",
-    "profile_numeric_drift",
-    "graph_link_pred",
-    "join_interval_overlap",
-    "events_rfm",
+#   16-50 stalest greens (staleness table recomputed this round from
+#         CORRECTNESS_r01..r10): tpch_q9 (last row r4 — the one r10
+#         deferral), the 20 r5-last rows, then 14 of the 45 r6-last
+#         rows by alphabetical prefix. dedup_minhash / dedup_simhash
+#         sit in this block, so this round's perf work on them
+#         (VERDICT r10 #3/#4) is window-covered; their off-window
+#         siblings (dedup_canonical, eval_bcubed) queue on material
+#         change per the rule.
+# Round-11 additions and material-change re-checks queue past 50 in
+# the pinned ROTATION_QUEUE (tests/roster.py — the roster source of
+# truth).
+_R11_WINDOW = [
+    # 1-4: r10 scaffold-dedup material re-checks
+    "blocking_sorted_neighbourhood",
+    "io_id_injection",
+    "sample_contrastive",
+    "join_range",
+    # 5-12: r10-addition first checks
+    "multimodal_phash",
+    "graph_modularity",
+    "graph_feature_prop",
+    "graph_assortativity",
+    "profile_lorenz",
+    "events_bots",
+    "sample_pps",
+    "text_encoding",
     # 13-15: canaries + probes (pinned positions)
     "canary_hash_safe",
     "canary_hash_risky",
     "probe_corpus_echo",
-    # 16-28: r9 queue, continued
-    "graph_bfs",
-    "normalize_kanonymity",
-    "normalize_value_clusters",
-    "events_cooccurrence",
-    "profile_value_runs",
-    "profile_changepoint",
-    "events_experiment",
-    "graph_hits",
-    "graph_pagerank_weighted",
-    "normalize_rank",
-    "profile_topk_per_group",
-    "profile_gini",
-    "events_new_users",
-    # 29-50: stalest greens (last driver row r04, alphabetical prefix)
-    "io_list_to_string",
-    "match_features",
-    "match_text_format",
-    "match_vector_features",
-    "sample_dsir",
-    "sample_quality_weighted",
-    "schema_eval",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_stateful_ttl",
-    "text_contamination_matrix",
-    "text_quality_classifier",
-    "text_tfidf",
-    "text_zipf",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
+    # 16: the r10 deferral (last driver row r4 — stalest green)
+    "tpch_q9",
+    # 17-36: the 20 r5-last rows
+    "dedup_agreement",
+    "events_json",
+    "io_cdc_upsert",
+    "match_uncertainty",
+    "profile_key_skew",
+    "sample_exact_k",
+    "sample_split_leakage_safe",
+    "text_blocklist",
+    "text_bpe_fertility",
+    "text_bpe_segment",
+    "text_budget_select",
+    "text_clean_multiline",
+    "text_gram_duplication",
+    "text_inverted_index",
+    "text_line_dedup",
+    "text_lm_score",
+    "text_rerank",
+    "text_search_hybrid",
+    "text_vocab_coverage",
+    "tpch_grouping_sets",
+    # 37-50: first 14 r6-last rows by alphabetical prefix
+    # (canary_hugeint stays demoted past 50)
+    "ann_topk",
+    "blocking_progressive",
+    "blocking_standard",
+    "blocking_token",
+    "cluster_connected_components",
+    "dedup_bloom_incremental",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_lsh_recall",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "eval_matching",
+    "extract_rules",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _ALL_QUERIES[name] for name in _R10_WINDOW}
+    out = {name: _ALL_QUERIES[name] for name in _R11_WINDOW}
     for name, fn in _ALL_QUERIES.items():
         if name not in out:
             out[name] = fn
@@ -6621,7 +6626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The full registry (name -> callable). Window membership/order lives
-# in _R10_WINDOW above; here insertion order only decides the past-50
+# in _R11_WINDOW above; here insertion order only decides the past-50
 # tail order, so entries stay grouped by the round that added them.
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_attribution": q_events_attribution,

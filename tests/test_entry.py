@@ -50,38 +50,37 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 25 round-9 rotation-queue entries hold window positions 1-12
-    # and 16-28: the 2 material-change re-checks first (graph_pagerank
-    # shared-core refactor; io_orc_roundtrip last row r5), then the §2
-    # driver-confirmation gap (hierarchical MAX/AVG), then the r9
-    # first-checks
-    r9_queue_head = [
-        "graph_pagerank", "io_orc_roundtrip",
-        "cluster_hierarchical_max", "cluster_hierarchical_avg",
-        "graph_label_prop", "io_rendezvous_shards", "text_search_phrase",
-        "graph_ppr", "profile_numeric_drift", "graph_link_pred",
-        "join_interval_overlap", "events_rfm",
+    # the 12 round-10 rotation-queue entries hold window positions
+    # 1-12: the 4 scaffold-dedup material re-checks first
+    # (_prefix_with_offsets ranks dedup; _bucket_tools joins dedup),
+    # then the 8 r10-addition first checks
+    r10_queue = [
+        "blocking_sorted_neighbourhood", "io_id_injection",
+        "sample_contrastive", "join_range",
+        "multimodal_phash", "graph_modularity", "graph_feature_prop",
+        "graph_assortativity", "profile_lorenz", "events_bots",
+        "sample_pps", "text_encoding",
     ]
-    r9_queue_tail = [
-        "graph_bfs", "normalize_kanonymity", "normalize_value_clusters",
-        "events_cooccurrence", "profile_value_runs", "profile_changepoint",
-        "events_experiment", "graph_hits", "graph_pagerank_weighted",
-        "normalize_rank", "profile_topk_per_group", "profile_gini",
-        "events_new_users",
-    ]
-    assert window[:12] == r9_queue_head, f"r10 first-checks moved: {window[:12]}"
-    assert window[15:28] == r9_queue_tail, f"r10 queue tail moved: {window[15:28]}"
-    # backfill slots 29-50 carry the stalest greens (last driver row
-    # r04, alphabetical prefix; tpch_q9 is the one deferral) so
+    assert window[:12] == r10_queue, f"r11 first-checks moved: {window[:12]}"
+    # backfill slots 16-50 carry the stalest greens: tpch_q9 (last
+    # driver row r4 — the r10 deferral) at slot 16, then the 20
+    # r5-last rows, then 14 r6-last rows by alphabetical prefix, so
     # staleness keeps rotating down
+    assert window[15] == "tpch_q9"
     stalest = {
-        "io_list_to_string", "match_features", "match_text_format",
-        "match_vector_features", "sample_dsir", "sample_quality_weighted",
-        "schema_eval", "streaming_dedup", "streaming_enrich",
-        "streaming_stateful_ttl", "text_contamination_matrix",
-        "text_quality_classifier", "text_tfidf", "text_zipf",
-        "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q17",
-        "tpch_q2", "tpch_q20", "tpch_q21",
+        "dedup_agreement", "events_json", "io_cdc_upsert",
+        "match_uncertainty", "profile_key_skew", "sample_exact_k",
+        "sample_split_leakage_safe", "text_blocklist",
+        "text_bpe_fertility", "text_bpe_segment", "text_budget_select",
+        "text_clean_multiline", "text_gram_duplication",
+        "text_inverted_index", "text_line_dedup", "text_lm_score",
+        "text_rerank", "text_search_hybrid", "text_vocab_coverage",
+        "tpch_grouping_sets",
+        "ann_topk", "blocking_progressive", "blocking_standard",
+        "blocking_token", "cluster_connected_components",
+        "dedup_bloom_incremental", "dedup_exact", "dedup_incremental",
+        "dedup_lsh_recall", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_simhash", "eval_matching", "extract_rules",
     }
     assert stalest <= set(window), f"fell out: {stalest - set(window)}"
     past_window = set(names[50:])
