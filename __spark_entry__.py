@@ -6526,6 +6526,87 @@ def q_profile_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_curve(per_cust, "n_orders", n_buckets=10)
 
 
+def q_fusion_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fusion.analysis.analyze_attribute_coverage (reference
+    fusion/analysis.py:22-130) over two null-injected orders splits —
+    the fusion-analysis family's first oracle row (VERDICT r10 #2;
+    previously pytest-only). Nulls are injected deterministically so
+    coverage is non-trivially < 1; coverage = int/int division,
+    bit-identical cross-engine (the profile_coverage precedent)."""
+    from pydi_spark.core.dataset import Dataset
+    from pydi_spark.fusion.analysis import analyze_attribute_coverage
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 50000, F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("o_orderstatus"),
+    )
+    b = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias(
+            "o_orderpriority"
+        ),
+    )
+    return analyze_attribute_coverage(
+        [Dataset.wrap(a, "orders_even"), Dataset.wrap(b, "orders_odd")]
+    )
+
+
+def q_fusion_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_attribute_conflicts over the SPLIT orders datasets — the
+    multi-dataset union path (unionByName + per-dataset id tagging)
+    that fusion_conflicts' single-dataset construction never exercises.
+    Groups = per-customer order chains; timestamp values count as
+    distinct via their string cast (injective, so count(DISTINCT)
+    matches exactly)."""
+    from pydi_spark.fusion.analysis import detect_attribute_conflicts
+
+    datasets, edges = _orders_datasets(spark, sf_dir, split=True)
+    out = detect_attribute_conflicts(
+        datasets, edges, attributes=["o_orderpriority", "o_orderdate"]
+    )
+    return out.select(
+        "attribute", "conflicting_groups", "n_groups", "conflict_rate"
+    )
+
+
+def q_fusion_rule_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suggest_fusion_rules (reference fusion/reporting.py) — resolver
+    suggestion per attribute: numerics -> average, timestamps ->
+    most_recent, strings by conflict rate (> 0.3 -> voting, else
+    first_non_null). The dict is output-sized (one row per attribute);
+    the oracle replays the dtype branch as literals (the table schema
+    is static) and the conflict-rate branch from the same group
+    construction."""
+    from pydi_spark.fusion.analysis import suggest_fusion_rules
+
+    datasets, edges = _orders_datasets(spark, sf_dir, split=True)
+    rules = suggest_fusion_rules(datasets, edges)
+    return spark.createDataFrame(
+        sorted(rules.items()), "attribute string, resolver string"
+    )
+
+
+def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitters sketch (profiling/sketches.py
+    heavy_hitters_sketch) pinned in its EXACT regime: the key domain
+    (c_nationkey, 25 values) is below k=64, so no partition ever sheds
+    a counter and the sketch provably equals the exact counts with
+    max_undercount = 0 — deterministic under ANY partitioning and any
+    Arrow batch split, which is what makes the approx family
+    oracle-able at all (VERDICT r10 #6). The shed path (distinct > k)
+    stays property-tested in pytest, where the MG bound — not an exact
+    value — is the contract."""
+    from pydi_spark.profiling import heavy_hitters_sketch
+
+    cust = _t(spark, sf_dir, "customer")
+    return heavy_hitters_sketch(cust, "c_nationkey", k=64, top_n=20)
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
 # arithmetic). Round-11 window (the rotation pre-pinned at r10 close —
@@ -6900,6 +6981,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_bots": q_events_bots,
         "sample_pps": q_sample_pps,
         "text_encoding": q_text_encoding,
+        # --- round-11 additions (queued in tests/roster.py) ---
+        "fusion_coverage": q_fusion_coverage,
+        "fusion_conflict_detect": q_fusion_conflict_detect,
+        "fusion_rule_suggest": q_fusion_rule_suggest,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
     }
 
 
@@ -6919,16 +7005,42 @@ _IB_TOK_SQL = (
 )
 
 
-def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
-    rows = num_hashes // bands
-    sig_cols = ",\n    ".join(
-        f"min(md5('{i}:' || tok)) AS s{i}" for i in range(num_hashes)
+def _minhash_sig_sql(num_hashes: int) -> str:
+    """s0..s{n-1} aggregate expressions: affine lanes over the shared
+    31-bit token hash (h31 = (th // 2^28) mod P, the Carter-Wegman
+    family) — exact int64 arithmetic on both engines (a, h31 < 2^31
+    => a*h31 + b < 2^62). ONE generator emits the engine's literal
+    constants (llmdata.dedup.MINHASH_AB), so the families can never
+    drift."""
+    from pydi_spark.llmdata.dedup import MINHASH_AB, MINHASH_PRIME
+
+    return ",\n    ".join(
+        f"min(({a} * ((th // 268435456) % {MINHASH_PRIME}) + {b})"
+        f" % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     )
-    band_exprs = ",\n    ".join(
+
+
+def _minhash_band_sql(num_hashes: int, bands: int) -> str:
+    """b0..b{bands-1} band-key expressions over integer signature
+    lanes (decimal-string render, the engine's concat_ws form)."""
+    rows = num_hashes // bands
+    return ",\n    ".join(
         "'%d:' || md5(%s) AS b%d"
-        % (b, " || ',' || ".join(f"s{b * rows + r}" for r in range(rows)), b)
+        % (
+            b,
+            " || ',' || ".join(
+                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+            b,
+        )
         for b in range(bands)
     )
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    sig_cols = _minhash_sig_sql(num_hashes)
+    band_exprs = _minhash_band_sql(num_hashes, bands)
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, b{b} AS band_key FROM bands" for b in range(bands)
     )
@@ -7176,15 +7288,8 @@ def _incremental_minhash_sql(num_hashes: int, bands: int, threshold: float) -> s
     _minhash_sql, split into store (doc_id % 5 != 0) and batch, then the
     dedup_canonical transitive-closure walk over the surviving batch
     pairs."""
-    rows = num_hashes // bands
-    sig_cols = ",\n    ".join(
-        f"min(md5('{i}:' || tok)) AS s{i}" for i in range(num_hashes)
-    )
-    band_exprs = ",\n    ".join(
-        "'%d:' || md5(%s) AS b%d"
-        % (b, " || ',' || ".join(f"s{b * rows + r}" for r in range(rows)), b)
-        for b in range(bands)
-    )
+    sig_cols = _minhash_sig_sql(num_hashes)
+    band_exprs = _minhash_band_sql(num_hashes, bands)
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, b{b} AS band_key FROM bands" for b in range(bands)
     )
@@ -10147,27 +10252,12 @@ th_rows AS (
   FROM (SELECT id, tok, md5(tok) AS md5h FROM tok_rows)
 ),
 sigs AS (
-  SELECT id, min(md5('0:' || tok)) AS s0,
-    min(md5('1:' || tok)) AS s1,
-    min(md5('2:' || tok)) AS s2,
-    min(md5('3:' || tok)) AS s3,
-    min(md5('4:' || tok)) AS s4,
-    min(md5('5:' || tok)) AS s5,
-    min(md5('6:' || tok)) AS s6,
-    min(md5('7:' || tok)) AS s7,
-    min(md5('8:' || tok)) AS s8,
-    min(md5('9:' || tok)) AS s9,
-    min(md5('10:' || tok)) AS s10,
-    min(md5('11:' || tok)) AS s11,
-    min(md5('12:' || tok)) AS s12,
-    min(md5('13:' || tok)) AS s13,
-    min(md5('14:' || tok)) AS s14,
-    min(md5('15:' || tok)) AS s15, list_distinct(list(th)) AS tok_set
+  SELECT id, {SIGS}, list_distinct(list(th)) AS tok_set
   FROM th_rows GROUP BY id
 ),
 bands AS (
   SELECT id, tok_set, [b0, b1, b2, b3] AS bk
-  FROM (SELECT id, tok_set, '0:' || md5(s0 || ',' || s1 || ',' || s2 || ',' || s3) AS b0, '1:' || md5(s4 || ',' || s5 || ',' || s6 || ',' || s7) AS b1, '2:' || md5(s8 || ',' || s9 || ',' || s10 || ',' || s11) AS b2, '3:' || md5(s12 || ',' || s13 || ',' || s14 || ',' || s15) AS b3 FROM sigs)
+  FROM (SELECT id, tok_set, {BANDS} FROM sigs)
 ),
 pairs AS (
   SELECT CAST(floor((CASE
@@ -10184,7 +10274,9 @@ SELECT bucket, count(*) AS n_pairs,
        CAST(sum(cand) AS BIGINT) AS n_candidates,
        (1000000 * CAST(sum(cand) AS BIGINT)) // count(*) AS recall_ppm
 FROM pairs GROUP BY bucket
-""".replace("{TOK}", _TOK_SQL.format(col="text"))
+""".replace("{TOK}", _TOK_SQL.format(col="text")).replace(
+        "{SIGS}", _minhash_sig_sql(16)
+    ).replace("{BANDS}", _minhash_band_sql(16, 4))
     out["io_excel_roundtrip"] = """
 SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -12657,11 +12749,23 @@ FROM pu
 
     # systematic PPS: replay the md5 walk, the inclusive running sum,
     # and the floor-crossing hit count (non-negative // == div)
+    # loudness parity with the engine (ADVICE r10): the engine REFUSES
+    # duplicate ids (the md5 walk can't break exact-id ties); the `dup`
+    # CTE makes the oracle error on the same input class instead of
+    # silently walking an ill-defined order. Null ids/weights are
+    # filtered on both sides (w = length+1 is never NULL for non-null
+    # text; doc_id IS NOT NULL mirrors the engine's base filter).
     out["sample_pps"] = """
-WITH b AS (
+WITH dup AS (
+  SELECT CASE WHEN count(*) > count(DISTINCT doc_id)
+         THEN error('sample_pps oracle: duplicate doc_id — the engine refuses this input')
+         ELSE 1 END AS ok
+  FROM documents WHERE doc_id IS NOT NULL
+),
+b AS (
   SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
          md5(CAST(doc_id AS VARCHAR)) AS h
-  FROM documents WHERE doc_id IS NOT NULL
+  FROM documents, dup WHERE doc_id IS NOT NULL AND dup.ok = 1
 ),
 c AS (
   SELECT doc_id, w,
@@ -12680,6 +12784,133 @@ WHERE c * 50 // t - (c - w) * 50 // t >= 1
     # encoding audit: identical literal alternations + \\x char-class
     # escapes on both engines (Java regex vs RE2 agree on this subset);
     # counts via regexp_extract_all length
+    # coverage = count(col)/count(*): int/int division is bit-identical
+    # cross-engine (fusion_conflicts precedent); counts stay BIGINT
+    out["fusion_coverage"] = """
+WITH a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice >= 50000 THEN o_totalprice END AS tp,
+         nullif(o_orderstatus, 'P') AS st
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+b AS (
+  SELECT o_orderkey, o_totalprice AS tp,
+         nullif(o_orderpriority, '3-MEDIUM') AS pri
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT 'orders_even' AS dataset, 'o_orderkey' AS attribute,
+       count(o_orderkey) AS non_null, count(*) AS total,
+       count(o_orderkey)::DOUBLE / count(*) AS coverage FROM a
+UNION ALL
+SELECT 'orders_even', 'o_totalprice', count(tp), count(*),
+       count(tp)::DOUBLE / count(*) FROM a
+UNION ALL
+SELECT 'orders_even', 'o_orderstatus', count(st), count(*),
+       count(st)::DOUBLE / count(*) FROM a
+UNION ALL
+SELECT 'orders_odd', 'o_orderkey', count(o_orderkey), count(*),
+       count(o_orderkey)::DOUBLE / count(*) FROM b
+UNION ALL
+SELECT 'orders_odd', 'o_totalprice', count(tp), count(*),
+       count(tp)::DOUBLE / count(*) FROM b
+UNION ALL
+SELECT 'orders_odd', 'o_orderpriority', count(pri), count(*),
+       count(pri)::DOUBLE / count(*) FROM b
+"""
+
+    # groups = per-customer order chains (the fusion_conflicts
+    # construction); timestamp distinctness is injective under the
+    # string cast, so count(DISTINCT od) matches the engine's
+    # count-distinct-over-string-cast exactly
+    out["fusion_conflict_detect"] = """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2, o_custkey
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+members AS (
+  SELECT DISTINCT o_custkey, id FROM (
+    SELECT o_custkey, id1 AS id FROM edges
+    UNION ALL SELECT o_custkey, id2 FROM edges
+  )
+),
+grp AS (
+  SELECT m.o_custkey g, o.o_orderpriority pri, o.o_orderdate od
+  FROM members m JOIN orders o ON CAST(o.o_orderkey AS VARCHAR) = m.id
+),
+per AS (
+  SELECT g,
+         count(DISTINCT pri) > 1 AS c_pri,
+         count(DISTINCT od) > 1 AS c_od
+  FROM grp GROUP BY g
+)
+SELECT 'o_orderpriority' AS attribute,
+       count(*) FILTER (WHERE c_pri) AS conflicting_groups,
+       count(*) AS n_groups,
+       count(*) FILTER (WHERE c_pri)::DOUBLE / count(*) AS conflict_rate
+FROM per
+UNION ALL
+SELECT 'o_orderdate',
+       count(*) FILTER (WHERE c_od), count(*),
+       count(*) FILTER (WHERE c_od)::DOUBLE / count(*)
+FROM per
+"""
+
+    # the dtype branch is static (the orders schema): bigint/double ->
+    # average, timestamp -> most_recent; only the string attrs' choice
+    # depends on data, via the same chain-group conflict rates
+    out["fusion_rule_suggest"] = """
+WITH edges AS (
+  SELECT CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS VARCHAR) id1,
+         CAST(o_orderkey AS VARCHAR) id2, o_custkey
+  FROM orders
+  QUALIFY id1 IS NOT NULL
+),
+members AS (
+  SELECT DISTINCT o_custkey, id FROM (
+    SELECT o_custkey, id1 AS id FROM edges
+    UNION ALL SELECT o_custkey, id2 FROM edges
+  )
+),
+grp AS (
+  SELECT m.o_custkey g, o.o_orderstatus st, o.o_orderpriority pri
+  FROM members m JOIN orders o ON CAST(o.o_orderkey AS VARCHAR) = m.id
+),
+rates AS (
+  SELECT count(*) FILTER (WHERE c_st)::DOUBLE / count(*) AS r_st,
+         count(*) FILTER (WHERE c_pri)::DOUBLE / count(*) AS r_pri
+  FROM (
+    SELECT g, count(DISTINCT st) > 1 AS c_st,
+           count(DISTINCT pri) > 1 AS c_pri
+    FROM grp GROUP BY g
+  )
+)
+SELECT 'o_custkey' AS attribute, 'average' AS resolver
+UNION ALL SELECT 'o_orderdate', 'most_recent'
+UNION ALL SELECT 'o_orderkey', 'average'
+UNION ALL SELECT 'o_orderpriority',
+  (SELECT CASE WHEN r_pri > 0.3 THEN 'voting' ELSE 'first_non_null' END FROM rates)
+UNION ALL SELECT 'o_orderstatus',
+  (SELECT CASE WHEN r_st > 0.3 THEN 'voting' ELSE 'first_non_null' END FROM rates)
+UNION ALL SELECT 'o_totalprice', 'average'
+"""
+
+    # exact-regime MG: domain (25 nations) < k=64, so est == true count
+    # and undercount == 0 under any partitioning / Arrow batching
+    out["profile_heavy_hitters"] = """
+WITH cnt AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS est_count
+  FROM customer GROUP BY 1
+)
+SELECT key, est_count, CAST(0 AS BIGINT) AS max_undercount,
+       CAST(row_number() OVER (ORDER BY est_count DESC, key) AS INT) AS rank
+FROM cnt
+ORDER BY est_count DESC, key
+LIMIT 20
+"""
+
     out["text_encoding"] = """
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,

@@ -187,6 +187,11 @@ BENCH_QUERIES = [
     "events_bots",
     "sample_pps",
     "text_encoding",
+    # round-11 additions
+    "fusion_coverage",
+    "fusion_conflict_detect",
+    "fusion_rule_suggest",
+    "profile_heavy_hitters",
 ]
 
 
@@ -306,6 +311,14 @@ def main() -> None:
             except Exception:
                 pass
         mq = merged["queries"]
+        # prune entries for queries no longer in BENCH_QUERIES (ADVICE
+        # r10: stale bests would otherwise accumulate forever and skew
+        # the max-samples stderr stat over dead keys). Membership, not
+        # this run's timings: a transiently-errored query must not
+        # lose its history
+        for name in list(mq):
+            if name not in BENCH_QUERIES:
+                del mq[name]
         for name, t in timings.items():
             e = mq.get(name)
             if e is None or t < e["best"]:

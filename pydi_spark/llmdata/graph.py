@@ -918,7 +918,10 @@ def feature_propagation(
     one map-side-combinable (sum, count) aggregate by neighbour + one
     node-sized left join — the pagerank_micro discipline; state is one
     row per featured node, lineage cut every ``checkpoint_every``
-    rounds. Neighbours WITHOUT a feature row are excluded from both
+    rounds. Neighbour sums aggregate in DECIMAL(38,0) with a loud
+    raise_error past int64 (the modularity/assortativity overflow
+    discipline — a plain long SUM would wrap silently under non-ANSI
+    sessions while the SQL replica errors). Neighbours WITHOUT a feature row are excluded from both
     the sum and the divisor (never imputed zero, which would drag
     scores toward 0 at corpus boundaries).
 
@@ -951,6 +954,13 @@ def feature_propagation(
             f"{neg[0]['id']!r} — integer division of negatives truncates "
             "on Spark but floors in SQL replicas; shift or clip to >= 0"
         )
+    # neighbour sums ride DECIMAL(38,0) with a loud raise_error past
+    # int64 — the modularity/assortativity overflow discipline (a plain
+    # long SUM wraps silently under Spark's non-ANSI arithmetic while
+    # the SQL replica's HUGEINT->BIGINT cast errors; keep both engines
+    # loud together). The div result itself always fits: a mean of
+    # non-negative longs is bounded by their max.
+    big = "9223372036854775807"
     for i in range(int(n_iter)):
         agg = (
             sym.join(
@@ -958,13 +968,29 @@ def feature_propagation(
                 "s",
             )
             .groupBy(F.col("d").alias("id"))
-            .agg(F.sum("xs").alias("nsum"), F.count(F.lit(1)).alias("ncnt"))
+            .agg(
+                F.sum(F.col("xs").cast("decimal(38,0)")).alias("nsum_dec"),
+                F.count(F.lit(1)).alias("ncnt"),
+            )
+            .select(
+                "id",
+                F.expr(
+                    f"CASE WHEN nsum_dec > {big} THEN "
+                    f"CAST(raise_error('feature_propagation: neighbour sum "
+                    f"overflows int64; rescale value_micro') AS BIGINT) "
+                    f"ELSE CAST(nsum_dec AS BIGINT) END"
+                ).alias("nsum"),
+                "ncnt",
+            )
         )
+        # the addition rides decimal too (x + nsum can exceed int64 even
+        # when each fits); the div RESULT is a mean of non-negative
+        # longs, so the final bigint cast can never overflow
         state = state.join(agg, "id", "left").select(
             "id",
             F.expr(
-                "CAST((x + coalesce(nsum, 0)) div (1 + coalesce(ncnt, 0)) "
-                "AS BIGINT)"
+                "CAST((CAST(x AS DECIMAL(38,0)) + coalesce(nsum, 0)) "
+                "div (1 + coalesce(ncnt, 0)) AS BIGINT)"
             ).alias("x"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:

@@ -522,10 +522,12 @@ def pps_systematic_sample(
     both engines, and the md5 walk order is partition-independent, so
     the selected set is a pure function of (ids, weights, k).
 
-    Scale shape: one distributed running sum over the md5 order
-    (functions/ranks.py — never a single-partition window) + one
-    broadcast one-row total + one filter. Nothing quadratic; the
-    output is sample-sized.
+    Scale shape: one eager validation aggregate over the input (min
+    weight + distinct-id count, a single map-side-combinable pass that
+    enforces both preconditions), then one distributed running sum
+    over the md5 order (functions/ranks.py — never a single-partition
+    window) + one broadcast one-row total + one filter. Nothing
+    quadratic; the output is sample-sized.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
@@ -543,8 +545,17 @@ def pps_systematic_sample(
     ).withColumn("__h", F.md5(F.col(id_col).cast("string"))).localCheckpoint(
         eager=True
     )  # guard and walk must see the same rows (the recompute hazard)
-    bad = base.where(F.col(weight_col) <= 0).limit(1).collect()
-    if bad:
+    # BOTH preconditions ride ONE validation aggregate (min weight +
+    # distinct-id count in a single pass — ADVICE r10 folded the two
+    # eager probes); the detailed example-row probes below only run on
+    # the failure paths
+    stats = base.agg(
+        F.min(weight_col).alias("__minw"),
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.col(id_col)).alias("__nid"),
+    ).collect()[0]
+    if stats["__n"] and stats["__minw"] <= 0:
+        bad = base.where(F.col(weight_col) <= 0).limit(1).collect()
         raise ValueError(
             f"pps_systematic_sample: non-positive weight "
             f"{bad[0][weight_col]} for id {bad[0][id_col]!r} — weights "
@@ -556,11 +567,11 @@ def pps_systematic_sample(
     # separate them, so refuse loudly (r10 self-review): PPS over an
     # id appearing twice is ill-defined, and an upstream join fan-out
     # is the usual cause
-    dup = (
-        base.groupBy(id_col).agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1).limit(1).collect()
-    )
-    if dup:
+    if stats["__nid"] != stats["__n"]:
+        dup = (
+            base.groupBy(id_col).agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1).limit(1).collect()
+        )
         raise ValueError(
             f"pps_systematic_sample: id {dup[0][id_col]!r} appears "
             f"{dup[0]['__c']} times — ids must be unique (the md5 walk "

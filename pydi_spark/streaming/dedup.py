@@ -326,7 +326,8 @@ def streaming_incremental_dedup(
         try:
             return spark.read.parquet(store_path)
         except AnalysisException:
-            sig_cols = ", ".join(f"s{i} string" for i in range(num_hashes))
+            # signature lanes are bigint (the affine MINHASH_AB family)
+            sig_cols = ", ".join(f"s{i} bigint" for i in range(num_hashes))
             return spark.createDataFrame(
                 [], f"id string, {sig_cols}, toks array<bigint>"
             )

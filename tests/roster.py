@@ -16,4 +16,26 @@ fixtures or a SparkSession).
 # window (_R11_WINDOW in __spark_entry__.py) exactly as pre-pinned at
 # r10 close. New r11 additions and material-change re-checks for
 # queries OUTSIDE the r11 window queue here for the r12 window.
-ROTATION_QUEUE: set[str] = set()
+ROTATION_QUEUE: set[str] = {
+    # r11 new queries: the fusion-analysis family's oracle rows
+    # (VERDICT r10 #2 — analyze_attribute_coverage,
+    # detect_attribute_conflicts via the multi-dataset union path, and
+    # suggest_fusion_rules' dtype+conflict-rate branch)
+    "fusion_coverage",
+    "fusion_conflict_detect",
+    "fusion_rule_suggest",
+    # r11 new query: Misra-Gries heavy hitters pinned in its exact
+    # regime (domain < k ==> sketch == exact counts, undercount 0,
+    # deterministic under any partitioning — VERDICT r10 #6)
+    "profile_heavy_hitters",
+    # r11 material change: minhash family rewrite (md5-per-lane ->
+    # Carter-Wegman over one shared per-token hash; VERDICT r10 #4) and
+    # simhash integer band keys (VERDICT r10 #3). The in-window
+    # consumers (dedup_minhash, dedup_incremental, dedup_lsh_recall,
+    # dedup_agreement, dedup_simhash) re-check this round; the
+    # out-of-window simhash consumers queue:
+    "dedup_canonical",
+    "eval_bcubed",
+    "dedup_keep_best",
+    "text_corpus_cleanup",
+}

@@ -219,6 +219,9 @@ def test_partition_independence_of_new_queries(spark):
         "multimodal_phash", "graph_modularity", "graph_feature_prop",
         "graph_assortativity", "profile_lorenz", "events_bots",
         "sample_pps", "text_encoding",
+        # round-11 additions
+        "fusion_coverage", "fusion_conflict_detect", "fusion_rule_suggest",
+        "profile_heavy_hitters",
     ]
     def none_safe(t):
         # a NULL category (profile_drift) is a legitimate output value;

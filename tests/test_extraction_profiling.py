@@ -371,6 +371,24 @@ def test_heavy_hitters_sketch(spark):
         assert r["est_count"] <= true <= r["est_count"] + r["max_undercount"]
 
 
+def test_heavy_hitters_exact_regime(spark):
+    """Domain cardinality <= k: no partition can ever shed a counter,
+    so the sketch equals the exact counts with max_undercount == 0
+    under ANY partitioning — the property the profile_heavy_hitters
+    oracle row (r11) rests on."""
+    from pydi_spark.profiling.sketches import heavy_hitters_sketch
+
+    rows = [(f"k{i % 7}",) for i in range(400)]
+    expected = {f"k{i}": 400 // 7 + (1 if i < 400 % 7 else 0) for i in range(7)}
+    base = spark.createDataFrame(rows, "k string")
+    for n_part in (1, 3, 32):
+        out = heavy_hitters_sketch(
+            base.repartition(n_part), "k", k=8, top_n=7
+        ).collect()
+        assert {r["key"]: r["est_count"] for r in out} == expected
+        assert all(r["max_undercount"] == 0 for r in out)
+
+
 def test_batch_stream_sessionize_parity(spark, sf_dir):
     """The lag-based batch sessionizer and session_window agree on the
     session partitioning (boundary semantics differ only at an exact

@@ -110,6 +110,9 @@ ALLOWED = {
     # ONE-row weight-total broadcast onto the cumulative-weight line:
     # O(n), the PPS selection filter
     "sample_pps": {"nested_loop"},
+    # ONE-row total-shed aggregate broadcast onto the <= top_n sketch
+    # summary: O(top_n)
+    "profile_heavy_hitters": {"nested_loop"},
 }
 
 
