@@ -73,16 +73,38 @@ class TokenBlocker:
             dl.sparkSession.sparkContext.defaultParallelism, "block_key", "id1"
         )
         if self.max_token_frequency is not None:
+            # Prune via an anti-join against the HOT list (tokens with
+            # df > cap) — the head of the frequency distribution, small
+            # at any corpus size — NOT a semi-join against the keep
+            # list, which is VOCABULARY-sized and grows with the corpus
+            # (open vocabulary). The r11 100x fixed-output probe caught
+            # the old pinned broadcast(keep) collecting ~1 GiB of
+            # unique-token keys to the driver; the hot list at the same
+            # scale is a few hundred rows. No broadcast pin: AQE
+            # measures the hot aggregate's runtime size and broadcasts
+            # it when (as in practice) it is tiny.
             cap = int(self.max_token_frequency)
-            freq = (
-                l.groupBy("block_key").count()
-                .unionByName(r.groupBy("block_key").count())
-                .groupBy("block_key").agg(F.max("count").alias("df"))
-                .where(F.col("df") <= cap)
-                .select("block_key")
-            )
-            l = l.join(F.broadcast(freq), "block_key", "left_semi")
-            r = r.join(F.broadcast(freq), "block_key", "left_semi")
+            if self_join:
+                # both sides explode the same table: one vocabulary
+                # aggregate, not a union of two identical ones (the r11
+                # 100x probe measured the vocab agg as THE dominant
+                # stage on open-vocabulary corpora)
+                freq = l.groupBy("block_key").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+            else:
+                freq = (
+                    l.groupBy("block_key").count()
+                    .unionByName(r.groupBy("block_key").count())
+                    .groupBy("block_key").agg(F.max("count").alias("df"))
+                )
+            # materialize: hot feeds BOTH anti-joins — unmaterialized,
+            # the vocabulary aggregate would execute once per consumer
+            hot = freq.where(F.col("df") > cap).select(
+                "block_key"
+            ).localCheckpoint(eager=True)
+            l = l.join(hot, "block_key", "left_anti")
+            r = r.join(hot, "block_key", "left_anti")
         pairs = l.join(r, "block_key").select("id1", "id2", "block_key")
         if self_join:
             pairs = pairs.where(F.col("id1") < F.col("id2"))

@@ -38,4 +38,10 @@ ROTATION_QUEUE: set[str] = {
     "eval_bcubed",
     "dedup_keep_best",
     "text_corpus_cleanup",
+    # r11 material change: the hot-token cap now prunes via an anti-join
+    # against the small HOT head instead of a pinned broadcast of the
+    # vocabulary-sized keep list (the 100x fixed-output probe caught the
+    # old shape collecting ~1 GiB to the driver). blocking_token itself
+    # (cap off) is in-window; the capped variant queues:
+    "blocking_token_capped",
 }

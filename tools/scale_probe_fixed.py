@@ -1,0 +1,139 @@
+"""Fixed-OUTPUT scale-up probe: 100x the corpus, constant emitted pairs.
+
+The 10x probe (tools/scale_probe.py) scales true output with the input,
+so the emit-bound pair generators (dedup_minhash 3.3-3.7x, blocking_token
+~10x for 10x data) read as linear-in-OUTPUT — correct, but it leaves the
+scan+shuffle side unmeasured past 10x (VERDICT r10 #5). This probe holds
+the output CONSTANT while the input grows 10x and 100x: the original 1x
+slice keeps its full near-dup / shared-token structure, and every added
+row is token-UNIQUE filler (tokens are md5(id:i) hex strings — globally
+unique, so filler rows join nothing, band-collide with nothing, and emit
+nothing). A linear scan+shuffle pipeline should then scale ~linearly in
+INPUT rows; a hidden quadratic stage (all-pairs on the banded table, a
+fanout on the token table) would blow past it.
+
+    python3 tools/scale_probe_fixed.py [sf_dir] [ops...]
+
+Synthetic tables land under spark-warehouse/scale_probe_fixed/ (real
+parquet scans, so size estimates and broadcast gates behave as in
+production). Prints one JSON line per op:
+  {"op": ..., "rows": {"1x": n, ...}, "out_rows": {"1x": n, ...},
+   "sec": {"1x": t, ...}, "time_ratio_100x": r}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = [1, 10, 100]
+FILLER_TOKENS = 25  # ~ the real corpus' mean distinct tokens per doc
+
+
+def _synth(spark, src_path: str, out_path: str, id_col: str,
+           text_col: str, scale: int) -> None:
+    """1x slice verbatim + (scale-1) filler clones whose every token is
+    md5(id:i) — globally unique, pair-inert."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_path, "_SUCCESS")):
+        return
+    base = spark.read.parquet(src_path).select(id_col, text_col)
+    parts = [base]
+    for k in range(1, scale):
+        filler_text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(FILLER_TOKENS)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(k)), F.col(id_col).cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+            ),
+        )
+        parts.append(
+            base.select(
+                (F.col(id_col) + F.lit(k * 10_000_000)).alias(id_col),
+                filler_text.alias(text_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if not sf_dir.startswith("/"):
+        sf_dir = f"/root/testdata/{sf_dir}"
+    ops = sys.argv[2:] or ["dedup_minhash", "blocking_token"]
+
+    from pydi_spark import get_spark
+
+    spark = get_spark("scale_probe_fixed")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", "scale_probe_fixed",
+    )
+
+    def minhash(df):
+        from pydi_spark.llmdata import minhash_near_duplicates
+
+        return minhash_near_duplicates(
+            df, num_hashes=8, bands=4, jaccard_threshold=0.7
+        )
+
+    def tok_block(df):
+        from pydi_spark.blocking import TokenBlocker
+
+        # the production hot-token cap: bounds any one token's pair
+        # fanout; on this corpus the filler tokens are all unique so the
+        # cap only guards the 1x slice's hot tokens (same output at
+        # every scale)
+        df = df.select(
+            F.col("p_partkey").alias("rid"), F.col("p_name").alias("name")
+        )
+        return TokenBlocker("name", max_token_frequency=250).block(
+            df, df, id_column="rid"
+        )
+
+    from pyspark.sql import functions as F
+
+    specs = {
+        "dedup_minhash": (
+            f"{sf_dir}/documents.parquet", "doc_id", "text", minhash),
+        "blocking_token": (
+            f"{sf_dir}/part.parquet", "p_partkey", "p_name", tok_block),
+    }
+    results = {}
+    for op in ops:
+        src, id_col, text_col, fn = specs[op]
+        rows, out_rows, secs = {}, {}, {}
+        for scale in SCALES:
+            path = os.path.join(scratch, f"{op}_{scale}x")
+            _synth(spark, src, path, id_col, text_col, scale)
+            df = spark.read.parquet(path)
+            n_in = df.count()  # warm the scan
+            t0 = time.time()
+            n_out = fn(df).count()
+            dt = round(time.time() - t0, 2)
+            key = f"{scale}x"
+            rows[key], out_rows[key], secs[key] = n_in, n_out, dt
+        results[op] = {
+            "rows": rows, "out_rows": out_rows, "sec": secs,
+            "time_ratio_10x": round(secs["10x"] / secs["1x"], 2),
+            "time_ratio_100x": round(secs["100x"] / secs["1x"], 2),
+        }
+        print(json.dumps({op: results[op]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
