@@ -8,8 +8,10 @@ is the shuffle, the dedup set is a shuffle, both scale linearly.
 
 Scale knob the reference lacks: ``max_token_frequency`` prunes stop-token
 hot keys (a token appearing in f docs per side creates f^2 pairs — at
-100 TB one hot token is the whole job). Pruning is computed with one small
-aggregate and applied as a semi-join filter.
+100 TB one hot token is the whole job). Pruning computes one vocabulary
+aggregate and applies it as an ANTI-join against the small hot head
+(r11: the earlier keep-list semi-join broadcast a vocabulary-sized
+table — ~1 GiB to the driver at the 100x probe scale).
 """
 
 from __future__ import annotations

@@ -346,6 +346,22 @@ def incremental_minhash_dedup(
     No reference counterpart (PyDI has no incremental surface);
     composes minhash_near_duplicates' audited primitives.
     """
+    # Refuse pre-r11 stores loudly: the Carter-Wegman rewrite changed
+    # signature lanes from md5-hex STRINGS to bigints. An old store
+    # would read fine, band-collide with nothing (silent total recall
+    # loss against history), and then get bigint rows appended into a
+    # string-lane parquet directory — schema corruption. Rebuild the
+    # store with minhash_signature_table to migrate.
+    for lane in (f"s{i}" for i in range(num_hashes)):
+        t = store_sigs.schema[lane].dataType.typeName()
+        if t not in ("byte", "short", "integer", "long"):
+            raise TypeError(
+                f"incremental_minhash_dedup: store lane {lane!r} is {t}, "
+                "not integral — this store was built with a pre-r11 "
+                "(md5-string) signature family and CANNOT match the "
+                "current Carter-Wegman lanes. Rebuild it with "
+                "minhash_signature_table over the historical corpus."
+            )
     parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
     new_sigs = minhash_signature_table(
         new_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes

@@ -38,6 +38,11 @@ ROTATION_QUEUE: set[str] = {
     "eval_bcubed",
     "dedup_keep_best",
     "text_corpus_cleanup",
+    # (r11 self-review) graph_pagerank also builds its edge set from
+    # simhash_near_duplicates — the one simhash consumer the first
+    # rotation pass missed; sample_split_leakage_safe, the other one,
+    # sits in the r11 window already
+    "graph_pagerank",
     # r11 material change: the hot-token cap now prunes via an anti-join
     # against the small HOT head instead of a pinned broadcast of the
     # vocabulary-sized keep list (the 100x fixed-output probe caught the

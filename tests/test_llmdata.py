@@ -1302,6 +1302,25 @@ def test_incremental_minhash_dedup_semantics(spark):
                     for k, v in out.items()}
 
 
+def test_incremental_minhash_dedup_refuses_pre_r11_string_store(spark):
+    """A signature store persisted before the r11 Carter-Wegman rewrite
+    carries md5-hex STRING lanes: it would band-collide with nothing
+    (silent total recall loss against history) and then get bigint rows
+    appended into a string-lane parquet directory. Refused loudly."""
+    import pytest
+
+    from pydi_spark.llmdata import incremental_minhash_dedup
+
+    old_store = spark.createDataFrame(
+        [("1", *["ab" * 16] * 8, [1, 2])],
+        "id string, " + ", ".join(f"s{i} string" for i in range(8))
+        + ", toks array<bigint>",
+    )
+    batch = spark.createDataFrame([(10, "some text")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="pre-r11"):
+        incremental_minhash_dedup(batch, old_store, num_hashes=8, bands=4)
+
+
 def test_incremental_minhash_dedup_tokenless_docs_survive(spark):
     """Docs whose text tokenizes to zero tokens produce no signature
     row; they must still appear in the output as survivors

@@ -79,9 +79,14 @@ def main() -> None:
 
     spark = get_spark("scale_probe_fixed")
     spark.sparkContext.setLogLevel("ERROR")
+    # cache key includes the sf and the filler width: a rerun against a
+    # different corpus must never silently reuse the previous corpus'
+    # synthetic tables (r11 self-review)
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse", "scale_probe_fixed",
+        "spark-warehouse",
+        f"scale_probe_fixed_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_ft{FILLER_TOKENS}",
     )
 
     def minhash(df):
