@@ -6607,6 +6607,21 @@ def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_sketch(cust, "c_nationkey", k=64, top_n=20)
 
 
+def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample (llmdata/sampling.py
+    proportional_stratified_sample): a 120-doc budget apportioned across languages
+    by exact largest-remainder (Hamilton) integer arithmetic, each
+    stratum's quota then picked by md5(doc_id) order (the exact_k
+    rule). The oracle replays the floor/remainder quota vector and the
+    per-stratum rank from (counts, K) alone — exactly 120 rows, every
+    language within 1 of its proportional share."""
+    from pydi_spark.llmdata import proportional_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = proportional_stratified_sample(docs, 120, "doc_id", "lang")
+    return out.select("doc_id", "lang", "quota", "sample_rank")
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
 # arithmetic). Round-11 window (the rotation pre-pinned at r10 close —
@@ -6986,6 +7001,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fusion_conflict_detect": q_fusion_conflict_detect,
         "fusion_rule_suggest": q_fusion_rule_suggest,
         "profile_heavy_hitters": q_profile_heavy_hitters,
+        "sample_proportional": q_sample_proportional,
     }
 
 
@@ -12930,4 +12946,45 @@ SELECT doc_id,
        THEN 1 ELSE 0 END AS BIGINT) AS enc_flag
 FROM documents
 """.replace("MOJI", "Ã©|Ã¨|Ã¼|Ã¤|Ã¶|Ã±|Ã¡|Ã³|Ãº|Ã§|â€™|â€œ|â€“|â€”|Â°|Â·|Â ")
+
+    # Hamilton apportionment replay: quota = floor(K*n/N) + 1 for the
+    # largest remainders (ties: lang asc), then the md5 per-stratum
+    # rank — integer-only until the final BIGINT/INT output casts
+    out["sample_proportional"] = """
+WITH base AS (
+  SELECT doc_id, lang FROM documents
+  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+a AS (
+  SELECT lang,
+         CAST(120 * n // nn AS BIGINT) AS fl,
+         CAST(120 * n % nn AS BIGINT) AS rem
+  FROM c, t
+),
+r AS (
+  SELECT lang, fl,
+         CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT)
+           AS pos,
+         CAST((SELECT 120 - sum(fl) FROM a) AS BIGINT) AS topup
+  FROM a
+),
+k AS (
+  SELECT lang,
+         CAST(fl + CASE WHEN pos <= topup THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+  FROM r
+  WHERE fl + CASE WHEN pos <= topup THEN 1 ELSE 0 END > 0
+),
+s AS (
+  SELECT b.doc_id, b.lang,
+         row_number() OVER (PARTITION BY b.lang
+           ORDER BY substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 12),
+                    CAST(b.doc_id AS VARCHAR)) AS rn
+  FROM base b
+)
+SELECT s.doc_id, s.lang, k.quota, CAST(rn AS INT) AS sample_rank
+FROM s JOIN k USING (lang) WHERE rn <= quota
+"""
     return out

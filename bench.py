@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "fusion_conflict_detect",
     "fusion_rule_suggest",
     "profile_heavy_hitters",
+    "sample_proportional",
 ]
 
 

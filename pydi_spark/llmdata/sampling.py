@@ -593,3 +593,100 @@ def pps_systematic_sample(
         .where(F.col("n_hits") >= 1)
         .drop("__h", "__c", "__t")
     )
+
+
+def proportional_stratified_sample(
+    df: DataFrame,
+    total_k: int,
+    key_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """[input columns..., quota, sample_rank] — PROPORTIONAL stratified
+    sample: split one total budget of ``total_k`` rows across the
+    strata by exact largest-remainder (Hamilton) apportionment, then
+    pick each stratum's quota by md5 order of the key (the
+    ``exact_k_sample`` rule — float-free, partition-independent,
+    SQL-replayable). Where ``exact_k_sample(stratum_col=...)`` takes a
+    FIXED k per stratum, this takes the corpus-level budget a training
+    mix is actually specified in ("500k docs, language balance as-is")
+    and returns exactly ``total_k`` rows with every stratum's share
+    within 1 of ``total_k * n_s / N``.
+
+    Apportionment is all-integer: ``floor_s = K*n_s div N`` in
+    decimal(38,0) (K*n_s can pass int64 at corpus scale), remainder
+    ``K*n_s - floor_s*N`` (always < N, so bigint-safe), and the
+    ``K - sum(floor_s)`` leftover units go to the strata with the
+    largest remainders, ties broken by stratum value ascending — a
+    deterministic quota vector any engine reproduces from (counts, K)
+    alone. Refuses ``total_k > N`` loudly (a "sample" larger than the
+    corpus is an upstream budget bug, not a request for everything);
+    rows with a NULL key or NULL stratum are excluded like
+    ``pps_systematic_sample`` excludes NULL ids. Duplicate keys within
+    a stratum share an md5 prefix, leaving the rank tie broken only by
+    the equal key itself — unique keys are the caller's contract, as
+    in ``exact_k_sample``.
+
+    Scale shape: one map-side-combined count aggregate over the corpus
+    + one scalar validation collect (N, #strata); the apportionment
+    window runs single-partition over #strata rows BY DESIGN (strata
+    are a mixing dimension — languages, sources, buckets — bounded in
+    the millions, not corpus-sized); quotas broadcast back; selection
+    is one exchange by stratum + a rank window, k << stratum per the
+    exact_k_sample note. Nothing quadratic; output is exactly
+    ``total_k`` rows.
+    """
+    if total_k < 1:
+        raise ValueError(f"total_k must be >= 1: {total_k}")
+    K = int(total_k)
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(stratum_col).isNotNull()
+    )
+    counts = base.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__N"),
+        F.count(F.lit(1)).alias("__S"),
+    ).collect()[0]
+    n_total = int(tot["__N"])
+    if K > n_total:
+        raise ValueError(
+            f"proportional_stratified_sample: total_k={K} exceeds the corpus "
+            f"({n_total} rows with non-null {key_col!r}/{stratum_col!r}) "
+            "— a quota above a stratum's size is unfillable; fix the "
+            "budget upstream"
+        )
+    # exact Hamilton apportionment over the (tiny) per-stratum counts:
+    # floor share in decimal(38,0), remainder < N is bigint-safe
+    alloc = counts.select(
+        stratum_col,
+        "__n",
+        F.expr(
+            f"CAST(CAST({K} AS DECIMAL(38,0)) * __n div {n_total} AS BIGINT)"
+        ).alias("__fl"),
+        F.expr(
+            f"CAST(CAST({K} AS DECIMAL(38,0)) * __n "
+            f"- (CAST({K} AS DECIMAL(38,0)) * __n div {n_total}) "
+            f"* {n_total} AS BIGINT)"
+        ).alias("__rem"),
+    )
+    w_top = Window.orderBy(F.col("__rem").desc(), F.col(stratum_col).asc())
+    w_all = Window.partitionBy()
+    alloc = alloc.select(
+        stratum_col,
+        (
+            F.col("__fl")
+            + F.when(
+                F.row_number().over(w_top)
+                <= F.lit(K) - F.sum("__fl").over(w_all),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("quota"),
+    ).where(F.col("quota") > 0)
+    frac = F.substring(F.md5(F.col(key_col).cast("string")), 1, 12)
+    w_pick = Window.partitionBy(stratum_col).orderBy(
+        frac.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        base.join(F.broadcast(alloc), stratum_col)
+        .withColumn("sample_rank", F.row_number().over(w_pick).cast("int"))
+        .where(F.col("sample_rank") <= F.col("quota"))
+    )

@@ -49,4 +49,9 @@ ROTATION_QUEUE: set[str] = {
     # old shape collecting ~1 GiB to the driver). blocking_token itself
     # (cap off) is in-window; the capped variant queues:
     "blocking_token_capped",
+    # r11 new query: proportional stratified sampling — one corpus
+    # budget split across strata by exact largest-remainder (Hamilton)
+    # apportionment, per-stratum picks by the md5 exact_k rule
+    # (llmdata/sampling.py proportional_stratified_sample)
+    "sample_proportional",
 }

@@ -2537,6 +2537,79 @@ def test_pps_systematic_sample_invariants(spark):
         ).collect()
 
 
+def test_proportional_stratified_sample_invariants(spark):
+    """Exactly total_k rows out; per-stratum quotas equal the Hamilton
+    apportionment computed in pure Python (floor share + largest
+    remainders, ties by stratum asc); within-stratum picks follow the
+    md5 exact_k order; the selection is partition-independent; NULL
+    key/stratum rows are excluded; total_k > N and total_k < 1 refuse."""
+    import hashlib
+    from collections import Counter
+
+    import pytest
+
+    from pydi_spark.llmdata import proportional_stratified_sample
+
+    sizes = {"a": 3, "b": 10, "c": 37, "d": 150}
+    data, nxt = [], 0
+    for s, c in sorted(sizes.items()):
+        data += [(nxt + i, s) for i in range(c)]
+        nxt += c
+    df = spark.createDataFrame(data, "doc_id long, lang string")
+    K, N = 23, len(data)
+
+    out = proportional_stratified_sample(df, K, "doc_id", "lang").collect()
+    assert len(out) == K
+
+    fl = {s: K * c // N for s, c in sizes.items()}
+    rem = {s: K * c % N for s, c in sizes.items()}
+    order = sorted(sizes, key=lambda s: (-rem[s], s))
+    topup = K - sum(fl.values())
+    quota = {s: fl[s] + (1 if order.index(s) < topup else 0) for s in sizes}
+    got = Counter(r["lang"] for r in out)
+    assert dict(got) == {s: q for s, q in quota.items() if q > 0}
+    assert all(r["quota"] == quota[r["lang"]] for r in out)
+    # every stratum within 1 of its exact proportional share
+    assert all(abs(quota[s] - K * sizes[s] / N) < 1 for s in sizes)
+
+    # within-stratum picks replay the md5 exact_k rule
+    for s in sizes:
+        ids = [i for i, t in data if t == s]
+        pick = sorted(
+            ids,
+            key=lambda i: (
+                hashlib.md5(str(i).encode()).hexdigest()[:12],
+                str(i),
+            ),
+        )[: quota[s]]
+        assert sorted(r["doc_id"] for r in out if r["lang"] == s) == sorted(
+            pick
+        )
+
+    o2 = proportional_stratified_sample(
+        df.repartition(17), K, "doc_id", "lang"
+    ).collect()
+    assert sorted((r["doc_id"], r["lang"]) for r in o2) == sorted(
+        (r["doc_id"], r["lang"]) for r in out
+    )
+
+    # NULL key/stratum rows are excluded from counts and selection
+    withnull = df.unionByName(
+        spark.createDataFrame(
+            [(None, "a"), (999, None)], "doc_id long, lang string"
+        )
+    )
+    o3 = proportional_stratified_sample(withnull, K, "doc_id", "lang")
+    assert sorted(
+        (r["doc_id"], r["lang"]) for r in o3.collect()
+    ) == sorted((r["doc_id"], r["lang"]) for r in out)
+
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        proportional_stratified_sample(df, N + 1, "doc_id", "lang")
+    with pytest.raises(ValueError, match="total_k must"):
+        proportional_stratified_sample(df, 0, "doc_id", "lang")
+
+
 def test_encoding_quality_report_signals(spark):
     """Synthetic damage: replacement chars, C1 controls, mojibake
     digraphs, C0 controls (tab/newline exempt) — counted exactly, and
