@@ -6624,97 +6624,104 @@ def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
-# arithmetic). Round-11 window (the rotation pre-pinned at r10 close —
-# NOTES.md "r11 WINDOW PLAN", confirmed by VERDICT r10 "Next round" #1):
-#   1-12  the 12 r10 ROTATION_QUEUE entries: the 4 scaffold-dedup
-#         material re-checks FIRST (blocking_sorted_neighbourhood,
-#         io_id_injection, sample_contrastive after the
-#         _prefix_with_offsets ranks dedup; join_range after the
-#         _bucket_tools joins dedup), then the 8 r10-addition first
-#         checks (multimodal_phash — the image family's first driver
-#         row — modularity, feature-prop, assortativity, Lorenz, bots,
-#         PPS sampling, encoding audit). All 12 verified green under
-#         both gates at r10 close AND independently by the r10 judge.
+# arithmetic). Round-12 window (the rotation pre-pinned at r11 close —
+# NOTES.md "Round-11 r12 WINDOW PLAN", confirmed by VERDICT r11 "Next
+# round" #1):
+#   1-6   the 6 r11 material-change re-checks FIRST: dedup_canonical,
+#         eval_bcubed, dedup_keep_best, text_corpus_cleanup,
+#         graph_pagerank (all five consume simhash pairs after the
+#         integer-band-key rewrite / minhash Carter-Wegman family
+#         rewrite), blocking_token_capped (hot-token cap now an
+#         anti-join against the HOT head, not a ~1 GiB broadcast).
+#   7-11  the 5 r11-addition first checks: fusion_coverage,
+#         fusion_conflict_detect, fusion_rule_suggest (the fusion
+#         analysis family's oracle rows), profile_heavy_hitters
+#         (Misra-Gries pinned in its exact regime), sample_proportional
+#         (Hamilton apportionment sampler). All 11 queue entries were
+#         re-verified green under BOTH gates at r11 close and
+#         independently by the r11 judge.
+#   12    first stalest green (r6-last tier, alphabetical):
+#         fusion_debug.
 #   13-15 canaries + probes at pinned positions: canary_hash_safe
 #         (green expected), canary_hash_risky (driver tolerates the
 #         class; drift detector), probe_corpus_echo (RED means the
 #         driver regenerated documents.parquet). canary_hugeint stays
 #         DEMOTED past 50 (two confirming reds; FORBIDDEN_ORACLE_TYPES
 #         guards the class locally).
-#   16-50 stalest greens (staleness table recomputed this round from
-#         CORRECTNESS_r01..r10): tpch_q9 (last row r4 — the one r10
-#         deferral), the 20 r5-last rows, then 14 of the 45 r6-last
-#         rows by alphabetical prefix. dedup_minhash / dedup_simhash
-#         sit in this block, so this round's perf work on them
-#         (VERDICT r10 #3/#4) is window-covered; their off-window
-#         siblings (dedup_canonical, eval_bcubed) queue on material
-#         change per the rule.
-# Round-11 additions and material-change re-checks queue past 50 in
+#   16-44 the remaining 29 r6-last rows (staleness table recomputed
+#         this round from CORRECTNESS_r01..r11; this exhausts the r6
+#         tier — after r12 no query's last driver row predates r7,
+#         VERDICT r11 "Next round" #2).
+#   45-50 first 6 r7-last rows by alphabetical prefix: blocking_cross,
+#         blocking_phonetic, blocking_stats, cluster_centre,
+#         cluster_greedy_one_to_one, cluster_stable_matching.
+# Round-12 additions and material-change re-checks queue past 50 in
 # the pinned ROTATION_QUEUE (tests/roster.py — the roster source of
 # truth).
-_R11_WINDOW = [
-    # 1-4: r10 scaffold-dedup material re-checks
-    "blocking_sorted_neighbourhood",
-    "io_id_injection",
-    "sample_contrastive",
-    "join_range",
-    # 5-12: r10-addition first checks
-    "multimodal_phash",
-    "graph_modularity",
-    "graph_feature_prop",
-    "graph_assortativity",
-    "profile_lorenz",
-    "events_bots",
-    "sample_pps",
-    "text_encoding",
+_R12_WINDOW = [
+    # 1-6: r11 material-change re-checks (minhash/simhash family
+    # rewrite consumers + the hot-token-cap anti-join fix)
+    "dedup_canonical",
+    "eval_bcubed",
+    "dedup_keep_best",
+    "text_corpus_cleanup",
+    "graph_pagerank",
+    "blocking_token_capped",
+    # 7-11: r11-addition first checks
+    "fusion_coverage",
+    "fusion_conflict_detect",
+    "fusion_rule_suggest",
+    "profile_heavy_hitters",
+    "sample_proportional",
+    # 12: first stalest green (r6 tier, alphabetical)
+    "fusion_debug",
     # 13-15: canaries + probes (pinned positions)
     "canary_hash_safe",
     "canary_hash_risky",
     "probe_corpus_echo",
-    # 16: the r10 deferral (last driver row r4 — stalest green)
-    "tpch_q9",
-    # 17-36: the 20 r5-last rows
-    "dedup_agreement",
-    "events_json",
-    "io_cdc_upsert",
-    "match_uncertainty",
-    "profile_key_skew",
-    "sample_exact_k",
-    "sample_split_leakage_safe",
-    "text_blocklist",
-    "text_bpe_fertility",
-    "text_bpe_segment",
-    "text_budget_select",
-    "text_clean_multiline",
-    "text_gram_duplication",
-    "text_inverted_index",
-    "text_line_dedup",
-    "text_lm_score",
-    "text_rerank",
-    "text_search_hybrid",
-    "text_vocab_coverage",
-    "tpch_grouping_sets",
-    # 37-50: first 14 r6-last rows by alphabetical prefix
-    # (canary_hugeint stays demoted past 50)
-    "ann_topk",
-    "blocking_progressive",
-    "blocking_standard",
-    "blocking_token",
-    "cluster_connected_components",
-    "dedup_bloom_incremental",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_lsh_recall",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "eval_matching",
-    "extract_rules",
+    # 16-44: the remaining 29 r6-last rows (alphabetical — exhausts
+    # the r6 staleness tier)
+    "fusion_numeric",
+    "fusion_selection",
+    "io_excel_roundtrip",
+    "io_html_roundtrip",
+    "io_pickle_roundtrip",
+    "io_roundtrip",
+    "io_zorder_key",
+    "match_ml_linear",
+    "match_rule_based",
+    "normalize_locale",
+    "normalize_parsers",
+    "profile_cms_words",
+    "profile_compare",
+    "profile_summary",
+    "schema_label_based",
+    "streaming_windowed",
+    "text_clean",
+    "text_langid",
+    "text_search_bm25",
+    "text_span_remove",
+    "text_stats",
+    "text_vocabulary",
+    "tpch_cube",
+    "tpch_pivot",
+    "tpch_q1",
+    "tpch_q3",
+    "type_detection",
+    "units_convert",
+    "units_normalize",
+    # 45-50: first 6 r7-last rows by alphabetical prefix
+    "blocking_cross",
+    "blocking_phonetic",
+    "blocking_stats",
+    "cluster_centre",
+    "cluster_greedy_one_to_one",
+    "cluster_stable_matching",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _ALL_QUERIES[name] for name in _R11_WINDOW}
+    out = {name: _ALL_QUERIES[name] for name in _R12_WINDOW}
     for name, fn in _ALL_QUERIES.items():
         if name not in out:
             out[name] = fn
@@ -6722,7 +6729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The full registry (name -> callable). Window membership/order lives
-# in _R11_WINDOW above; here insertion order only decides the past-50
+# in _R12_WINDOW above; here insertion order only decides the past-50
 # tail order, so entries stay grouped by the round that added them.
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_attribution": q_events_attribution,

@@ -50,37 +50,38 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 12 round-10 rotation-queue entries hold window positions
-    # 1-12: the 4 scaffold-dedup material re-checks first
-    # (_prefix_with_offsets ranks dedup; _bucket_tools joins dedup),
-    # then the 8 r10-addition first checks
-    r10_queue = [
-        "blocking_sorted_neighbourhood", "io_id_injection",
-        "sample_contrastive", "join_range",
-        "multimodal_phash", "graph_modularity", "graph_feature_prop",
-        "graph_assortativity", "profile_lorenz", "events_bots",
-        "sample_pps", "text_encoding",
+    # the 11 round-11 rotation-queue entries hold window positions
+    # 1-11: the 6 material re-checks first (simhash/minhash-family
+    # rewrite consumers + the hot-token-cap anti-join fix), then the
+    # 5 r11-addition first checks
+    r11_queue = [
+        "dedup_canonical", "eval_bcubed", "dedup_keep_best",
+        "text_corpus_cleanup", "graph_pagerank",
+        "blocking_token_capped",
+        "fusion_coverage", "fusion_conflict_detect",
+        "fusion_rule_suggest", "profile_heavy_hitters",
+        "sample_proportional",
     ]
-    assert window[:12] == r10_queue, f"r11 first-checks moved: {window[:12]}"
-    # backfill slots 16-50 carry the stalest greens: tpch_q9 (last
-    # driver row r4 — the r10 deferral) at slot 16, then the 20
-    # r5-last rows, then 14 r6-last rows by alphabetical prefix, so
-    # staleness keeps rotating down
-    assert window[15] == "tpch_q9"
+    assert window[:11] == r11_queue, f"r12 first-checks moved: {window[:11]}"
+    # slot 12 + backfill slots 16-50 carry the stalest greens: the 30
+    # r6-last rows (exhausting the r6 tier — after r12 no query's last
+    # driver row predates r7), then the first 6 r7-last rows by
+    # alphabetical prefix
+    assert window[11] == "fusion_debug"
     stalest = {
-        "dedup_agreement", "events_json", "io_cdc_upsert",
-        "match_uncertainty", "profile_key_skew", "sample_exact_k",
-        "sample_split_leakage_safe", "text_blocklist",
-        "text_bpe_fertility", "text_bpe_segment", "text_budget_select",
-        "text_clean_multiline", "text_gram_duplication",
-        "text_inverted_index", "text_line_dedup", "text_lm_score",
-        "text_rerank", "text_search_hybrid", "text_vocab_coverage",
-        "tpch_grouping_sets",
-        "ann_topk", "blocking_progressive", "blocking_standard",
-        "blocking_token", "cluster_connected_components",
-        "dedup_bloom_incremental", "dedup_exact", "dedup_incremental",
-        "dedup_lsh_recall", "dedup_minhash", "dedup_ngram_jaccard",
-        "dedup_simhash", "eval_matching", "extract_rules",
+        "fusion_debug", "fusion_numeric", "fusion_selection",
+        "io_excel_roundtrip", "io_html_roundtrip",
+        "io_pickle_roundtrip", "io_roundtrip", "io_zorder_key",
+        "match_ml_linear", "match_rule_based", "normalize_locale",
+        "normalize_parsers", "profile_cms_words", "profile_compare",
+        "profile_summary", "schema_label_based", "streaming_windowed",
+        "text_clean", "text_langid", "text_search_bm25",
+        "text_span_remove", "text_stats", "text_vocabulary",
+        "tpch_cube", "tpch_pivot", "tpch_q1", "tpch_q3",
+        "type_detection", "units_convert", "units_normalize",
+        "blocking_cross", "blocking_phonetic", "blocking_stats",
+        "cluster_centre", "cluster_greedy_one_to_one",
+        "cluster_stable_matching",
     }
     assert stalest <= set(window), f"fell out: {stalest - set(window)}"
     past_window = set(names[50:])
