@@ -68,12 +68,6 @@ class TokenBlocker:
 
         l = self._exploded(dl, idl, "id1")
         r = self._exploded(dr, idr, "id2")
-        # pin probe-side parallelism: the join output is quadratic per
-        # token, and a broadcast-join plan would otherwise inherit the
-        # scan's partitioning (possibly 1 partition for a single file)
-        l = l.repartition(
-            dl.sparkSession.sparkContext.defaultParallelism, "block_key", "id1"
-        )
         if self.max_token_frequency is not None:
             # Prune via an anti-join against the HOT list (tokens with
             # df > cap) — the head of the frequency distribution, small
@@ -85,28 +79,69 @@ class TokenBlocker:
             # scale is a few hundred rows. No broadcast pin: AQE
             # measures the hot aggregate's runtime size and broadcasts
             # it when (as in practice) it is tiny.
+            #
+            # The count itself is TWO-PHASE over the RAW exploded rows
+            # (r12; the r11 100x probe measured the vocabulary
+            # aggregate as THE dominant stage on open-vocabulary
+            # corpora, and the old shape aggregated the post-
+            # repartition table — paying a full-width (id, token)
+            # shuffle inside the hot job before counting anything):
+            #   1. count by xxhash64(token) — the partial-agg shuffle
+            #      carries fixed 8-byte keys instead of arbitrary-width
+            #      token strings; hash collisions can only MERGE counts
+            #      upward, so every truly-hot token's hash survives the
+            #      > cap filter (no false negatives, a few stray
+            #      collision hashes at 2^-64 rates).
+            #   2. recount EXACTLY by token, restricted (semi-join, AQE
+            #      broadcasts the tiny candidate set) to rows whose
+            #      hash is candidate-hot — all rows of a token share
+            #      its hash, so the recount sees every occurrence and
+            #      the final hot set is exactly {token : df > cap}.
+            # Output is bit-identical to the one-phase exact count; the
+            # SQL oracle replays the plain per-token frequency rule.
             cap = int(self.max_token_frequency)
+            hk = F.xxhash64("block_key").alias("__hk")
+
+            def hashed_counts(tok: DataFrame) -> DataFrame:
+                return tok.groupBy(hk).agg(F.count(F.lit(1)).alias("__df"))
+
+            def exact_counts(tok: DataFrame, cand: DataFrame) -> DataFrame:
+                return (
+                    tok.select("block_key", hk)
+                    .join(cand, "__hk", "left_semi")
+                    .groupBy("block_key")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                )
+
             if self_join:
                 # both sides explode the same table: one vocabulary
-                # aggregate, not a union of two identical ones (the r11
-                # 100x probe measured the vocab agg as THE dominant
-                # stage on open-vocabulary corpora)
-                freq = l.groupBy("block_key").agg(
-                    F.count(F.lit(1)).alias("df")
-                )
+                # aggregate, not a union of two identical ones
+                tok = l.select("block_key")
+                cand = hashed_counts(tok).where(F.col("__df") > cap).select("__hk")
+                hot = exact_counts(tok, cand).where(F.col("__df") > cap)
             else:
-                freq = (
-                    l.groupBy("block_key").count()
-                    .unionByName(r.groupBy("block_key").count())
-                    .groupBy("block_key").agg(F.max("count").alias("df"))
+                lt, rt = l.select("block_key"), r.select("block_key")
+                cand = (
+                    hashed_counts(lt).unionByName(hashed_counts(rt))
+                    .groupBy("__hk").agg(F.max("__df").alias("__df"))
+                    .where(F.col("__df") > cap).select("__hk")
+                )
+                hot = (
+                    exact_counts(lt, cand).unionByName(exact_counts(rt, cand))
+                    .groupBy("block_key").agg(F.max("__df").alias("__df"))
+                    .where(F.col("__df") > cap)
                 )
             # materialize: hot feeds BOTH anti-joins — unmaterialized,
             # the vocabulary aggregate would execute once per consumer
-            hot = freq.where(F.col("df") > cap).select(
-                "block_key"
-            ).localCheckpoint(eager=True)
+            hot = hot.select("block_key").localCheckpoint(eager=True)
             l = l.join(hot, "block_key", "left_anti")
             r = r.join(hot, "block_key", "left_anti")
+        # pin probe-side parallelism: the join output is quadratic per
+        # token, and a broadcast-join plan would otherwise inherit the
+        # scan's partitioning (possibly 1 partition for a single file)
+        l = l.repartition(
+            dl.sparkSession.sparkContext.defaultParallelism, "block_key", "id1"
+        )
         pairs = l.join(r, "block_key").select("id1", "id2", "block_key")
         if self_join:
             pairs = pairs.where(F.col("id1") < F.col("id2"))

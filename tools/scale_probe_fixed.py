@@ -112,23 +112,160 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    # --- r12 families: synthetic shapes beyond (id, text) -------------
+    # Filler design notes (each op's filler is PAIR-INERT and disjoint
+    # from the 1x slice, so output is constant at every scale):
+    #   edit_distance: filler strings are md5 hex TRANSLATED to the
+    #     uppercase alphabet G..V — disjoint from lowercase p_name, so
+    #     with the gram cap every filler gram goes hot and prunes away
+    #     without shifting any 1x gram frequency; 32 > short_len keeps
+    #     filler out of the short-string fallback.
+    #   grid_distance: filler points on a distant line spaced 3*cell
+    #     apart — no two within radius, <= 1 per cell.
+    #   interval_overlap: probe (left) side pinned to the 1x table;
+    #     the build side scales with far-future intervals spaced 10x
+    #     their length — overlap nothing, ~1 bucket each.
+    #   dedup_simhash: unique-token filler docs => effectively random
+    #     60-bit fingerprints. This probe EXPECTS superlinear growth at
+    #     bands=4 (15-bit keys: buckets densify as N / 2^15) and
+    #     near-linear at bands=3 (20-bit keys) — the documented knob:
+    #     band width must grow with log2(corpus); the recall guarantee
+    #     drops from Hamming<=3 to Hamming<=2.
+
+    part_src = f"{sf_dir}/part.parquet"
+
+    def synth_strings(path, scale):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        base = spark.read.parquet(part_src).select(
+            F.col("p_partkey").alias("rid"), F.col("p_name").alias("name"))
+        parts = [base]
+        for k in range(1, scale):
+            parts.append(base.select(
+                (F.col("rid") + F.lit(k * 10_000_000)).alias("rid"),
+                F.translate(
+                    F.md5(F.concat_ws(":", F.lit(str(k)),
+                                      F.col("rid").cast("string"))),
+                    "0123456789abcdef", "GHIJKLMNOPQRSTUV",
+                ).alias("name")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(path)
+
+    GRID_CELL = 5.0
+
+    def synth_points(path, scale):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        base = spark.read.parquet(part_src).select(
+            F.col("p_partkey").alias("rid"))
+        parts = [base.select(
+            "rid",
+            ((F.col("rid") * 7919 % 10000) / 10.0).alias("x"),
+            ((F.col("rid") * 104729 % 10000) / 10.0).alias("y"))]
+        for k in range(1, scale):
+            parts.append(base.select(
+                (F.col("rid") + F.lit(k * 10_000_000)).alias("rid"),
+                (F.lit(1e6) + (F.lit(k * 20_000_000) + F.col("rid"))
+                 * F.lit(3 * GRID_CELL)).alias("x"),
+                F.lit(0.0).alias("y")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(path)
+
+    def synth_intervals(path, scale):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        base = spark.read.parquet(part_src).select(
+            F.col("p_partkey").alias("rid"))
+        s = (F.col("rid") * 13 % 100000).cast("double")
+        parts = [base.select(
+            "rid", s.alias("s"),
+            (s + 50 + F.col("rid") % 200).alias("e"))]
+        for k in range(1, scale):
+            fs = (F.lit(1e7) + (F.lit(k * 20_000_000) + F.col("rid"))
+                  * F.lit(1000.0))
+            parts.append(base.select(
+                (F.col("rid") + F.lit(k * 10_000_000)).alias("rid"),
+                fs.alias("s"), (fs + F.lit(100.0)).alias("e")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(path)
+
+    def edit_dist(df):
+        from pydi_spark.functions.joins import edit_distance_join
+
+        return edit_distance_join(
+            df, None, "name", max_distance=1, id_column="rid", q=2,
+            max_gram_frequency=500)
+
+    def grid(df):
+        from pydi_spark.functions.joins import grid_distance_join
+
+        return grid_distance_join(
+            df, None, "x", "y", radius=GRID_CELL, id_column="rid")
+
+    def simhash4(df):
+        from pydi_spark.llmdata.dedup import simhash_near_duplicates
+
+        return simhash_near_duplicates(df, max_hamming=3, bands=4)
+
+    def simhash3(df):
+        from pydi_spark.llmdata.dedup import simhash_near_duplicates
+
+        return simhash_near_duplicates(df, max_hamming=2, bands=3)
+
     specs = {
         "dedup_minhash": (
             f"{sf_dir}/documents.parquet", "doc_id", "text", minhash),
         "blocking_token": (
             f"{sf_dir}/part.parquet", "p_partkey", "p_name", tok_block),
+        "dedup_simhash": (
+            f"{sf_dir}/documents.parquet", "doc_id", "text", simhash4),
+        "dedup_simhash_b3": (
+            f"{sf_dir}/documents.parquet", "doc_id", "text", simhash3),
+    }
+    custom = {
+        "edit_distance": (synth_strings, edit_dist),
+        "grid_distance": (synth_points, grid),
+        "interval_overlap": (synth_intervals, None),  # needs the 1x left
     }
     results = {}
     for op in ops:
-        src, id_col, text_col, fn = specs[op]
         rows, out_rows, secs = {}, {}, {}
         for scale in SCALES:
             path = os.path.join(scratch, f"{op}_{scale}x")
-            _synth(spark, src, path, id_col, text_col, scale)
-            df = spark.read.parquet(path)
+            if op in custom:
+                synth_fn, run_fn = custom[op]
+                synth_fn(path, scale)
+                df = spark.read.parquet(path)
+                if op == "interval_overlap":
+                    from pydi_spark.functions.joins import (
+                        interval_overlap_join,
+                    )
+
+                    one_path = os.path.join(scratch, f"{op}_1x")
+                    synth_fn(one_path, 1)
+                    left = spark.read.parquet(one_path)
+                    out_df = interval_overlap_join(
+                        left, df, ("s", "e"), ("s", "e"),
+                        bucket_width=256.0)
+                else:
+                    out_df = None
+            else:
+                src, id_col, text_col, fn = specs[op]
+                _synth(spark, src, path, id_col, text_col, scale)
+                df = spark.read.parquet(path)
+                out_df = None
             n_in = df.count()  # warm the scan
             t0 = time.time()
-            n_out = fn(df).count()
+            if out_df is None:
+                run = custom[op][1] if op in custom else specs[op][3]
+                out_df = run(df)
+            n_out = out_df.count()
             dt = round(time.time() - t0, 2)
             key = f"{scale}x"
             rows[key], out_rows[key], secs[key] = n_in, n_out, dt
