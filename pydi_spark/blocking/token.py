@@ -80,55 +80,33 @@ class TokenBlocker:
             # measures the hot aggregate's runtime size and broadcasts
             # it when (as in practice) it is tiny.
             #
-            # The count itself is TWO-PHASE over the RAW exploded rows
-            # (r12; the r11 100x probe measured the vocabulary
-            # aggregate as THE dominant stage on open-vocabulary
-            # corpora, and the old shape aggregated the post-
-            # repartition table — paying a full-width (id, token)
-            # shuffle inside the hot job before counting anything):
-            #   1. count by xxhash64(token) — the partial-agg shuffle
-            #      carries fixed 8-byte keys instead of arbitrary-width
-            #      token strings; hash collisions can only MERGE counts
-            #      upward, so every truly-hot token's hash survives the
-            #      > cap filter (no false negatives, a few stray
-            #      collision hashes at 2^-64 rates).
-            #   2. recount EXACTLY by token, restricted (semi-join, AQE
-            #      broadcasts the tiny candidate set) to rows whose
-            #      hash is candidate-hot — all rows of a token share
-            #      its hash, so the recount sees every occurrence and
-            #      the final hot set is exactly {token : df > cap}.
-            # Output is bit-identical to the one-phase exact count; the
-            # SQL oracle replays the plain per-token frequency rule.
+            # The count runs over the RAW exploded rows, NOT the
+            # repartitioned table (r12): the old shape aggregated the
+            # post-repartition table, paying a full-width (id, token)
+            # shuffle inside the hot job before counting anything —
+            # measured 77.3 s vs 36.2 s at the 100x fixed-output probe
+            # scale. A fancier two-phase xxhash64 pre-count was
+            # measured WORSE (57.6 s): with an open vocabulary the
+            # partial aggregate sees ~unique keys, so hashing the key
+            # buys nothing and the exact recount pass rescans the
+            # corpus (NOTES.md r12).
             cap = int(self.max_token_frequency)
-            hk = F.xxhash64("block_key").alias("__hk")
-
-            def hashed_counts(tok: DataFrame) -> DataFrame:
-                return tok.groupBy(hk).agg(F.count(F.lit(1)).alias("__df"))
-
-            def exact_counts(tok: DataFrame, cand: DataFrame) -> DataFrame:
-                return (
-                    tok.select("block_key", hk)
-                    .join(cand, "__hk", "left_semi")
-                    .groupBy("block_key")
-                    .agg(F.count(F.lit(1)).alias("__df"))
-                )
-
             if self_join:
                 # both sides explode the same table: one vocabulary
                 # aggregate, not a union of two identical ones
-                tok = l.select("block_key")
-                cand = hashed_counts(tok).where(F.col("__df") > cap).select("__hk")
-                hot = exact_counts(tok, cand).where(F.col("__df") > cap)
-            else:
-                lt, rt = l.select("block_key"), r.select("block_key")
-                cand = (
-                    hashed_counts(lt).unionByName(hashed_counts(rt))
-                    .groupBy("__hk").agg(F.max("__df").alias("__df"))
-                    .where(F.col("__df") > cap).select("__hk")
-                )
                 hot = (
-                    exact_counts(lt, cand).unionByName(exact_counts(rt, cand))
-                    .groupBy("block_key").agg(F.max("__df").alias("__df"))
+                    l.select("block_key")
+                    .groupBy("block_key")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .where(F.col("__df") > cap)
+                )
+            else:
+                hot = (
+                    l.select("block_key").groupBy("block_key").count()
+                    .unionByName(
+                        r.select("block_key").groupBy("block_key").count()
+                    )
+                    .groupBy("block_key").agg(F.max("count").alias("__df"))
                     .where(F.col("__df") > cap)
                 )
             # materialize: hot feeds BOTH anti-joins — unmaterialized,
