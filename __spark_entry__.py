@@ -6622,6 +6622,24 @@ def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "quota", "sample_rank")
 
 
+def q_sample_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (llmdata/sampling.py pareto_front): parts
+    not dominated on (p_size, p_retailprice), both maximized — the
+    multi-criteria data-selection primitive. Distributed shape: one
+    groupBy to the distinct-size table, one exclusive prefix max over
+    it in size-DESC order (functions/ranks.py global_running_max:
+    range partition + broadcast offsets, never a single-partition
+    window), one equi-join back. The oracle replays the same dominance
+    rule with a plain SQL window over the 50-row distinct-size
+    table."""
+    from pydi_spark.llmdata import pareto_front
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return pareto_front(part, "p_size", "p_retailprice")
+
+
 # ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
 # FIRST 50 queries() entries (counted; tests/test_entry.py pins the
 # arithmetic). Round-12 window (the rotation pre-pinned at r11 close —
@@ -7009,6 +7027,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "fusion_rule_suggest": q_fusion_rule_suggest,
         "profile_heavy_hitters": q_profile_heavy_hitters,
         "sample_proportional": q_sample_proportional,
+        "sample_pareto_front": q_sample_pareto_front,
     }
 
 
@@ -7471,6 +7490,19 @@ FROM blocked
 def oracle_sql() -> dict[str, str]:
     toks_text = _TOK_SQL.format(col="text")
     out = {
+        "sample_pareto_front": """
+WITH t AS (SELECT p_partkey, p_size, p_retailprice FROM part
+           WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+g AS (SELECT p_size, max(p_retailprice) AS gy FROM t GROUP BY p_size),
+p AS (SELECT p_size, gy,
+             max(gy) OVER (ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+      FROM g)
+SELECT t.p_partkey, t.p_size, t.p_retailprice
+FROM t JOIN p USING (p_size)
+WHERE NOT (COALESCE(pm >= t.p_retailprice, FALSE) OR gy > t.p_retailprice)
+""",
         "blocking_standard": """
 SELECT CAST(s_suppkey AS VARCHAR) id1, CAST(c_custkey AS VARCHAR) id2,
        CAST(s_nationkey AS VARCHAR) block_key

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "fusion_rule_suggest",
     "profile_heavy_hitters",
     "sample_proportional",
+    "sample_pareto_front",
 ]
 
 

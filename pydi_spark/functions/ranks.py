@@ -208,3 +208,70 @@ def top_k_per_group(
         df.withColumn(out_col, F.row_number().over(w))
         .where(F.col(out_col) <= F.lit(int(k)))
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Distributed global running max of ``value_col`` in ``order_cols``
+    order: range-partition on the ordering, per-partition window max,
+    plus broadcast per-partition maxima combined with ``greatest`` —
+    the max sibling of ``global_running_sum`` (a bare
+    ``Window.orderBy`` cummax funnels everything through one task).
+
+    ``exclusive=True`` returns the max over STRICTLY prior rows (null
+    for the global first row) — the shape dominance checks need
+    (``pareto_front``). With ``exclusive=True`` the ``order_cols``
+    must TOTALLY order the rows (e.g. a distinct-key table): tied rows
+    are ordered arbitrarily within a partition, so an exclusive frame
+    over ties would leak an arbitrary subset of the tie group into the
+    prefix.
+    """
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    # materialize before the totals action (see _prefix_with_offsets:
+    # a recomputed range partitioning between the two actions could
+    # shift rows across partition boundaries)
+    local = with_pid.withColumn(
+        "__local", F.max(value_col).over(w)
+    ).localCheckpoint(eager=True)
+    totals = (
+        local.groupBy("__pid").agg(F.max(value_col).alias("__t"))
+        .orderBy("__pid").collect()
+    )
+    offsets, acc = {}, None
+    for row in totals:
+        offsets[row["__pid"]] = acc  # max over PRIOR partitions: exclusive
+        t = row["__t"]
+        if t is not None and (acc is None or t > acc):
+            acc = t
+    spark = df.sparkSession
+    vtype = dict(df.dtypes)[value_col]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), o) for p, o in offsets.items()],
+            f"__pid int, __off {vtype}",
+        )
+    )
+    return (
+        local.join(off_df, "__pid")
+        # greatest skips nulls; null only when BOTH sides are null
+        # (global first rows under exclusive=True)
+        .withColumn(out_col, F.greatest(F.col("__local"), F.col("__off")))
+        .drop("__pid", "__local", "__off")
+    )

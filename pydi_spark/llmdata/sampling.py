@@ -690,3 +690,42 @@ def proportional_stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w_pick).cast("int"))
         .where(F.col("sample_rank") <= F.col("quota"))
     )
+
+
+def pareto_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rows on the 2-D Pareto frontier of (``x_col``, ``y_col``), both
+    maximized: a row survives unless some other row is >= on both
+    dimensions and strictly greater on at least one. Exact duplicates
+    on (x, y) do not dominate each other, so a frontier point's full
+    tie group survives. Rows with a null in either column are dropped.
+
+    Multi-criteria data selection (e.g. keep documents not dominated
+    on (length, quality) before budgeted sampling) — no reference
+    counterpart; north-star op.
+
+    Scale design: the naive check is an all-pairs quadratic join. A
+    2-D frontier needs only per-x maxima plus a suffix max over
+    strictly-greater x: dominated(r) <=> max(y | x > r.x) >= r.y
+    OR max(y | x = r.x) > r.y. That is ONE groupBy to the distinct-x
+    table, one distributed exclusive prefix max over it in x-DESC
+    order (``global_running_max`` — range partition + broadcast
+    offsets, never a single-partition window), and one equi-join back
+    to re-attach full rows. Everything is linear in input plus a
+    distinct-x-sized scan; at 100 TB the distinct-x table is the only
+    re-sorted structure.
+    """
+    from pydi_spark.functions.ranks import global_running_max
+
+    t = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    g = t.groupBy(x_col).agg(F.max(y_col).alias("__gy"))
+    p = global_running_max(
+        g, [F.col(x_col).desc()], "__gy", "__pm", exclusive=True
+    )
+    dominated = F.coalesce(
+        F.col("__pm") >= F.col(y_col), F.lit(False)
+    ) | (F.col("__gy") > F.col(y_col))
+    return (
+        t.join(p.select(x_col, "__gy", "__pm"), x_col)
+        .where(~dominated)
+        .select(*df.columns)  # the equi-join moved x_col first
+    )

@@ -16,4 +16,10 @@ fixtures or a SparkSession).
 # window (_R12_WINDOW in __spark_entry__.py) exactly as pre-pinned at
 # r11 close. New r12 additions and material-change re-checks for
 # queries OUTSIDE the r12 window queue here for the r13 window.
-ROTATION_QUEUE: set[str] = set()
+ROTATION_QUEUE: set[str] = {
+    # r12 new query: 2-D Pareto frontier selection (llmdata/sampling.py
+    # pareto_front over functions/ranks.py global_running_max — the
+    # distributed exclusive prefix max); green under both gates at
+    # birth, first driver row in the r13 window
+    "sample_pareto_front",
+}

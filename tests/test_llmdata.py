@@ -2655,3 +2655,42 @@ def test_encoding_quality_report_signals(spark):
         assert (r["a"], r["b"], r["c"], r["d"]) == (
             s["n_replacement"], s["n_c1"], s["n_mojibake"], s["n_ctrl"]
         ), r["doc_id"]
+
+
+def test_pareto_front_matches_brute_force(spark):
+    """pareto_front == the quadratic dominance check on seeded random
+    point sets with heavy x/y ties (integer grid — exercises the
+    tie-group and duplicate-point rules); null rows are dropped; the
+    distributed prefix-max path handles a frontier spanning partition
+    boundaries."""
+    import random
+
+    from pydi_spark.llmdata import pareto_front
+
+    rnd = random.Random(7)
+    for _ in range(4):
+        n = rnd.randint(1, 60)
+        rows = [
+            (i, rnd.randint(0, 6), float(rnd.randint(0, 6)))
+            for i in range(n)
+        ]
+
+        def dominated(a):
+            return any(
+                b[1] >= a[1] and b[2] >= a[2]
+                and (b[1] > a[1] or b[2] > a[2])
+                for b in rows
+            )
+
+        expect = sorted(r for r in rows if not dominated(r))
+        df = spark.createDataFrame(rows, "id long, x int, y double")
+        got = sorted(tuple(r) for r in pareto_front(df, "x", "y").collect())
+        assert got == expect
+
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (2, 3, None), (3, 1, 1.0)],
+        "id long, x int, y double",
+    )
+    assert [tuple(r) for r in pareto_front(df, "x", "y").collect()] == [
+        (3, 1, 1.0)
+    ]
