@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "profile_heavy_hitters",
     "sample_proportional",
     "sample_pareto_front",
+    "text_source_overlap",
 ]
 
 

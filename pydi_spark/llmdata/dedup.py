@@ -222,6 +222,79 @@ def minhash_signature_table(
     )
 
 
+def corpus_minhash_similarity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """[group_a, group_b, agreeing_lanes, est_jaccard]: ONE MinHash
+    signature per GROUP over the group's token VOCABULARY (min per
+    affine lane across every token hash the group contains), compared
+    pairwise. (# agreeing lanes) / num_hashes is the standard unbiased
+    estimator of the vocabulary Jaccard J(vocab_a, vocab_b) — crawl-
+    snapshot / source overlap monitoring without ever materializing a
+    vocabulary.
+
+    Scale design: min-per-lane is fully map-side combinable and
+    duplicate-insensitive (min over a multiset equals min over its
+    set), so the corpus tokenizes in one pass and shuffles exactly
+    ``num_hashes`` longs per group — no distinct, no vocabulary
+    shuffle, nothing output-sized. The pair table is #groups^2
+    (driver-small). Signatures persist and MERGE by plain min, so
+    yesterday's corpus signature combines with today's delta for free
+    (the mergeable-sketch pattern). Same Carter-Wegman family as the
+    document-level minhash (MINHASH_AB over the shared 60-bit token
+    hash), mirrored lane-for-lane by the SQL oracle. Null groups are
+    dropped; groups pair as ``group_a < group_b`` (string order).
+    """
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"num_hashes={num_hashes} > {len(MINHASH_AB)} pinned "
+            "permutation constants (extend MINHASH_AB to widen)"
+        )
+    tok = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.explode(
+            F.array_distinct(word_tokens(F.col(text_col)))
+        ).alias("tok"),
+    )
+    hashed = tok.withColumn("h60", _token_hash60(F.col("tok")))
+    h31 = F.shiftrightunsigned(F.col("h60"), 28) % F.lit(MINHASH_PRIME)
+    sigs = hashed.groupBy("grp").agg(
+        *[
+            F.min(
+                (F.lit(a) * h31 + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+        ]
+    )
+    a = sigs.select(
+        F.col("grp").alias("group_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("grp").alias("group_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    return (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            agree.cast("int").alias("agreeing_lanes"),
+            F.round(
+                agree.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def _band_key_cols(num_hashes: int, bands: int) -> list[Column]:
     """Band-key expressions over a signature table's s0..s{n-1}
     (bigint lanes render as decimal strings inside the md5 — ONE md5

@@ -22,4 +22,8 @@ ROTATION_QUEUE: set[str] = {
     # distributed exclusive prefix max); green under both gates at
     # birth, first driver row in the r13 window
     "sample_pareto_front",
+    # r12 new query: corpus-level MinHash similarity between sources
+    # (llmdata/dedup.py corpus_minhash_similarity — mergeable per-group
+    # vocabulary signatures); green under both gates at birth
+    "text_source_overlap",
 }

@@ -2694,3 +2694,53 @@ def test_pareto_front_matches_brute_force(spark):
     assert [tuple(r) for r in pareto_front(df, "x", "y").collect()] == [
         (3, 1, 1.0)
     ]
+
+
+def test_corpus_minhash_similarity_python_replay(spark):
+    """Engine lanes == a pure-Python replay of the Carter-Wegman
+    construction on a tiny corpus; sources with identical vocabularies
+    but different documents agree on every lane (duplicate-insensitive
+    min), and each pair's agreement count matches the replay exactly."""
+    import hashlib
+    import re
+
+    from pydi_spark.llmdata import corpus_minhash_similarity
+    from pydi_spark.llmdata.dedup import MINHASH_AB, MINHASH_PRIME
+
+    docs = [
+        ("a", "red fox jumps"),
+        ("a", "red dog"),
+        ("b", "red fox sleeps"),
+        ("c", "red fox jumps red dog dog"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r.group_a, r.group_b): (r.agreeing_lanes, r.est_jaccard)
+        for r in corpus_minhash_similarity(df, "text", "source", 16).collect()
+    }
+
+    def lanes(texts):
+        vocab = set()
+        for t in texts:
+            vocab |= {w for w in re.split(r"[^0-9a-z#']+", t.lower()) if w}
+        out = []
+        for a, b in MINHASH_AB[:16]:
+            best = None
+            for tok in vocab:
+                h60 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                h31 = (h60 >> 28) % MINHASH_PRIME
+                v = (a * h31 + b) % MINHASH_PRIME
+                best = v if best is None or v < best else best
+            out.append(best)
+        return out
+
+    sig = {
+        g: lanes([t for s, t in docs if s == g]) for g in ("a", "b", "c")
+    }
+    expect = {}
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        agree = sum(1 for i in range(16) if sig[x][i] == sig[y][i])
+        expect[(x, y)] = (agree, round(agree / 16.0, 6))
+    assert got == expect
+    # a and c share a vocabulary (duplicates and multiplicity ignored)
+    assert got[("a", "c")] == (16, 1.0)
