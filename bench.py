@@ -212,12 +212,24 @@ def main() -> None:
 
     qs = entry.queries()
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b restricts this RUN to a query subset
+    # (minima chasing in short quiet windows). The sidecar prune and
+    # its totals stay keyed to the FULL BENCH_QUERIES list, so a
+    # subset run can only improve bests, never evict or skew history;
+    # the official stdout record of a subset run is partial by
+    # construction and must not be cited as a headline.
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q
+    }
+    bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
+
     # warm the JVM (codegen, shuffle paths, Python workers) with one
     # pass of every query at the smallest SF — timings then measure the
     # engine, not JIT cold-start
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             try:
                 qs[name](spark, warm_dir).count()
             except Exception as exc:
@@ -257,7 +269,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for _ in range(runs):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             counts[name] = df.count()
@@ -265,7 +277,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, float("inf")), el)
             del df
         _drop_block_garbage()
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         timings[name] = round(timings[name], 3)
         print(f"# {name}: {timings[name]:.3f}s ({counts[name]} rows, "
               f"best of {runs} interleaved)", file=sys.stderr)
@@ -329,10 +341,14 @@ def main() -> None:
                             "head": head}
             else:
                 e["n"] += runs
+        # totals over the PRUNED sidecar (== BENCH_QUERIES members with
+        # any history), not this run's timings — identical on a full
+        # run, and keeps subset runs (SPARK_GRAFT_BENCH_ONLY) from
+        # shrinking the recorded total to the subset
         merged["total_best"] = round(
-            sum(mq[n]["best"] for n in timings if n in mq), 3
+            sum(v["best"] for v in mq.values()), 3
         )
-        merged["n_queries"] = len(timings)
+        merged["n_queries"] = len(mq)
         with open(minima_path, "w") as fh:
             json.dump(merged, fh, indent=1, sort_keys=True)
         print(
