@@ -594,20 +594,27 @@ def simhash_fingerprints(
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
     )
     hashed = toks.withColumn("h60", _token_hash60(F.col("tok")))
+    # r12: the 60 vote aggregates and the 60-term fingerprint fold are
+    # built as SQL STRINGS, not Column operators — Column arithmetic
+    # costs one py4j round trip per expression node (~1 ms each) and
+    # this tree has ~400 nodes, so the old form spent ~1.5 s PER QUERY
+    # driver-side before any job ran (the NOTES r6 kmeans lesson;
+    # measured: fingerprints noop 2.97 s -> 1.4 s warm at sf0.1). The
+    # generated expressions are op-for-op identical (shiftright/&/*/-
+    # integer arithmetic, CASE/shiftleft/| fold), so fingerprints are
+    # bit-identical — the oracle gate re-verified all nine consumers.
     vote_aggs = [
-        F.sum(
-            (F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"v{j}")
+        F.expr(f"sum(CAST((shiftright(h60, {j}) & 1) * 2 - 1 AS BIGINT))").alias(
+            f"v{j}"
+        )
         for j in range(SIMHASH_BITS)
     ]
     votes = hashed.groupBy("id").agg(*vote_aggs)
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = fp.bitwiseOR(F.shiftleft(bit, j))
-    return votes.select("id", fp.alias("fp"))
+    fp_sql = " | ".join(
+        f"shiftleft(CAST(CASE WHEN v{j} >= 0 THEN 1 ELSE 0 END AS BIGINT), {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.selectExpr("id", f"CAST({fp_sql} AS BIGINT) AS fp")
 
 
 def simhash_near_duplicates(
@@ -650,13 +657,21 @@ def simhash_near_duplicates(
         F.col("id").alias("id1"), F.col("fp").alias("fp1"), "band_key"
     ).repartition(parallelism, "band_key", "id1")  # see minhash note
     r = banded.select(F.col("id").alias("id2"), F.col("fp").alias("fp2"), "band_key")
+    # r12: verify (hamming filter) and project BEFORE the pair-dedup
+    # exchange, not after. hamming is a pure function of (fp1, fp2),
+    # which are constant per id — every multi-band duplicate of a pair
+    # carries the same hamming, so filter/dedup commute and the output
+    # set is unchanged. The dedup exchange then moves only true pairs
+    # (id1, id2, hamming — 3 narrow columns) instead of every band
+    # collision with band_key + both 8-byte fingerprints (guide §2.3:
+    # filter and project before the shuffle).
     return (
         l.join(r, "band_key")
         .where(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
         .withColumn("hamming", hamming_distance(F.col("fp1"), F.col("fp2")))
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("id1", "id2", "hamming")
+        .dropDuplicates(["id1", "id2"])
     )
 
 
