@@ -722,7 +722,13 @@ def hits_micro(
 
     def half(frame, join_key, sum_col, out_col):
         """One HITS half-round: aggregate ``sum_col`` over the edges
-        incident via ``join_key``, renormalize to n*1e6 total."""
+        incident via ``join_key``, renormalize to n*1e6 total.
+
+        r12: the fully-sparse variant (zero-fill deferred to the end)
+        measured SLOWER (6.5-7.7 s vs 4.4-5.0 s at sf0.1) — the
+        node-anchored left join keeps the state frame's size estimate
+        exact so every edge⋈state join stays broadcast; keep the
+        zero-fill. The redundant joins removed below stand."""
         agg = (
             e.join(
                 frame.select(F.col("id").alias(join_key), sum_col),
@@ -744,13 +750,16 @@ def hits_micro(
             ).alias(out_col),
         )
 
+    # r12: hub's half consumes ``auth`` DIRECTLY (it only reads
+    # auth_micro — the old scores.drop(...).join(auth) carried hub
+    # columns it never used), and the round's scores frame is
+    # hub ⋈ auth (both already node-complete from the zero-fill) —
+    # the extra nodes join in the rebuild was a no-op. 2 joins fewer
+    # per round, output byte-identical (oracle re-verified).
     for i in range(int(n_iter)):
         auth = half(scores, "s", "hub_micro", "auth_micro")
-        hub = half(
-            scores.drop("auth_micro").join(auth, "id"),
-            "d", "auth_micro", "hub_micro",
-        )
-        scores = nodes.join(hub, "id").join(auth, "id")
+        hub = half(auth, "d", "auth_micro", "hub_micro")
+        scores = hub.join(auth, "id")
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             scores = scores.localCheckpoint(eager=True)
     return scores.select("id", "hub_micro", "auth_micro")
