@@ -132,6 +132,16 @@ def meta_blocking(
     if pruning == "none":
         return edges
 
+    # r12: the pruning stage consumes the weighted graph FOUR times
+    # (union of both directions x {node statistics, kept-edge filter}),
+    # and without materialization each consumer re-runs the whole
+    # quadratic pair generation + weighting chain — the blocking_meta
+    # plan re-read the input scan 64 times (190 Exchange nodes).
+    # localCheckpoint (eager, the minhash-sigs discipline) computes the
+    # graph once; the pruning joins/aggregates re-widen through their
+    # own exchanges, so the checkpoint's narrow partitioning is safe.
+    edges = edges.localCheckpoint(eager=True)
+
     both = edges.select(
         F.col("id1").alias("node"), "id1", "id2", "cbs", "w_ppm"
     ).unionByName(

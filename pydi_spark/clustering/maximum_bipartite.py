@@ -21,7 +21,15 @@ class MaximumBipartiteMatcher:
     threshold: float | None = None
 
     def cluster(self, correspondences: DataFrame) -> DataFrame:
-        corr = apply_threshold(correspondences, self.threshold)
+        # r12: corr is consumed twice (the driver-side collect AND the
+        # final left_semi re-attach) — without materialization the
+        # whole upstream correspondence construction re-runs for the
+        # second consumer (the cluster_max_bipartite plan re-read its
+        # input 48 times). Output-sized by SURVEY §4.3, so the
+        # checkpoint is small.
+        corr = apply_threshold(correspondences, self.threshold).localCheckpoint(
+            eager=True
+        )
         rows = corr.select("id1", "id2", "score").collect()
         if not rows:
             return corr.limit(0)

@@ -272,7 +272,15 @@ def triangle_count(
     No reference counterpart (PyDI has no graph analytics) — the
     community/cohesion diagnostic next to pagerank_micro.
     """
-    oriented = _oriented(_canonical_edges(edges, id1, id2))
+    # r12: the oriented edge list feeds THREE consumers (both wedge
+    # sides + the closing semi-join); without materialization each
+    # re-runs the canonical-dedup + degree + orientation chain — the
+    # graph_triangles plan re-read its input 60 times. localCheckpoint
+    # computes it once (the minhash-sigs discipline); the wedge join
+    # re-widens through its own src exchange.
+    oriented = _oriented(_canonical_edges(edges, id1, id2)).localCheckpoint(
+        eager=True
+    )
     l = oriented.select(F.col("src"), F.col("dst").alias("v"))
     r = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = l.join(r, "src").where(F.col("v") < F.col("w"))
@@ -349,7 +357,9 @@ def clustering_coefficient(
     """
     e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
     deg = _degrees(e)
-    oriented = _oriented(e)
+    # r12: oriented feeds three consumers (wedge l/r + closing) — same
+    # materialization as triangle_count, on top of the e checkpoint
+    oriented = _oriented(e).localCheckpoint(eager=True)
     l = oriented.select(F.col("src"), F.col("dst").alias("v"))
     r = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = l.join(r, "src").where(F.col("v") < F.col("w"))
@@ -1038,11 +1048,16 @@ def degree_assortativity(
 
     No reference counterpart — north-star addition.
     """
-    e = _canonical_edges(edges, id1, id2)
+    # r12: e is consumed ~8x through sym (2x) and the three deg
+    # references (each a 2-way union) — uncheckpointed, the
+    # graph_assortativity plan re-read its input 64 times. Materialize
+    # both once (e edge-sized, deg node-sized; the modularity_score
+    # discipline).
+    e = _canonical_edges(edges, id1, id2).localCheckpoint(eager=True)
     sym = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
         e.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    deg = _degrees(e)
+    deg = _degrees(e).localCheckpoint(eager=True)
     j = (
         sym.join(deg.select(F.col("v").alias("s"), F.col("d").alias("ds")), "s")
         .join(deg.select(F.col("v").alias("d"), F.col("d").alias("dd")), "d")
