@@ -26,4 +26,34 @@ ROTATION_QUEUE: set[str] = {
     # (llmdata/dedup.py corpus_minhash_similarity — mergeable per-group
     # vocabulary signatures); green under both gates at birth
     "text_source_overlap",
+    # --- r12 OPTIMIZATION-round material-change re-checks (operator
+    # code changed; outputs verified identical under both local gates,
+    # but the driver row is the signal of record). The simhash
+    # fingerprint expressions moved to SQL strings + the hamming filter
+    # moved before the pair-dedup exchange (llmdata/dedup.py) — the
+    # five in-window consumers (dedup_canonical, eval_bcubed,
+    # dedup_keep_best, text_corpus_cleanup, graph_pagerank) get their
+    # r12 driver row on the new code already; these four consumers sit
+    # outside the r12 window:
+    "dedup_simhash",
+    "dedup_agreement",
+    "sample_split_leakage_safe",
+    "sample_contrastive",
+    # hits_micro dropped two redundant per-round joins (llmdata/graph.py)
+    "graph_hits",
+    # meta_blocking materializes the weighted graph before pruning
+    # (blocking/meta.py) — all three consumers
+    "blocking_meta",
+    "blocking_meta_cnp",
+    "blocking_progressive",
+    # oriented-edge / canonical-edge materialization (llmdata/graph.py)
+    "graph_triangles",
+    "graph_clustering_coef",
+    "graph_assortativity",
+    # thresholded-correspondence materialization before the driver
+    # solve (clustering/maximum_bipartite.py)
+    "cluster_max_bipartite",
+    # dead per-column distinct aggregates removed from discover_fds
+    # (profiling/dependencies.py)
+    "profile_fds",
 }
