@@ -90,8 +90,12 @@ class PhoneticBlocker:
         from pydi_spark.blocking.base import resolve_side
 
         dl, idl = resolve_side(left, id_column)
+        # repartition_probe: Soundex collapses any vocabulary onto few
+        # fat codes, so pair emission needs explicit probe width (the
+        # quadratic join output inherits the probe's partitioning)
         inner = StandardBlocker(
-            on=["_phonetic"], max_block_size=self.max_block_size
+            on=["_phonetic"], max_block_size=self.max_block_size,
+            repartition_probe=True,
         )
         if right is None:
             return inner.block(

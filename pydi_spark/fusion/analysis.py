@@ -58,17 +58,27 @@ def detect_attribute_conflicts(
 
     meta = {"__record_id", "__dataset", "__trust", "group_id", "record_id", "cluster_id"}
     attrs = attributes or [c for c in grouped.columns if c not in meta]
+    # r12: a group "conflicts" on attr a iff it holds >1 distinct
+    # non-null value, and that is exactly min(a) < max(a) over the
+    # group's non-null string casts. min/max replace the old
+    # size(array_distinct(collect_list)) — same boolean, but ONE
+    # map-side-combinable exchange with two strings of per-group state
+    # instead of shipping EVERY value into an unbounded per-group
+    # array (one hot merge group would hold all its values in a single
+    # task — guide §2.3/§5; count_distinct was measured too: its
+    # Expand + extra exchange cost ~1 s at sf0.1).
     aggs = []
     for a in attrs:
-        distinct_vals = F.size(
-            F.array_distinct(F.collect_list(F.col(a).cast("string")))
-        )
-        aggs.append(distinct_vals.alias(f"__d_{a}"))
+        s = F.col(a).cast("string")
+        aggs.append(F.min(s).alias(f"__lo_{a}"))
+        aggs.append(F.max(s).alias(f"__hi_{a}"))
     per_group = grouped.groupBy("group_id").agg(*aggs)
     out_aggs = [F.count("*").alias("n_groups")]
     for a in attrs:
         out_aggs.append(
-            F.sum((F.col(f"__d_{a}") > 1).cast("int")).alias(f"__c_{a}")
+            F.sum(
+                (F.col(f"__lo_{a}") < F.col(f"__hi_{a}")).cast("int")
+            ).alias(f"__c_{a}")
         )
     row = per_group.agg(*out_aggs).collect()[0]
     spark = datasets[0].df.sparkSession
@@ -95,22 +105,39 @@ def suggest_fusion_rules(
     from pydi_spark.fusion.engine import union_datasets
 
     union = union_datasets(datasets, id_column)
-    conflicts = {
-        r["attribute"]: r["conflict_rate"]
-        for r in detect_attribute_conflicts(
-            datasets, correspondences, id_column=id_column
-        ).collect()
-    }
-    out = {}
+    # r12: the conflict rate is only consulted for attributes that fall
+    # through the dtype branches (plain strings) — compute it for those
+    # alone instead of every column (the per-attribute distinct
+    # aggregates are the job's cost; numerics/timestamps/arrays never
+    # read theirs). Rules are unchanged for every attribute.
+    decided = {}
+    undecided = []
     for name, dtype in union.dtypes:
         if name.startswith("__"):
             continue
         if dtype in ("double", "float", "int", "bigint"):
-            out[name] = "average"
+            decided[name] = "average"
         elif dtype.startswith("timestamp") or dtype == "date":
-            out[name] = "most_recent"
+            decided[name] = "most_recent"
         elif dtype.startswith("array"):
-            out[name] = "union"
+            decided[name] = "union"
+        else:
+            undecided.append(name)
+    conflicts = {}
+    if undecided:
+        conflicts = {
+            r["attribute"]: r["conflict_rate"]
+            for r in detect_attribute_conflicts(
+                datasets, correspondences, attributes=undecided,
+                id_column=id_column,
+            ).collect()
+        }
+    out = {}
+    for name, dtype in union.dtypes:
+        if name.startswith("__"):
+            continue
+        if name in decided:
+            out[name] = decided[name]
         elif conflicts.get(name, 0.0) > 0.3:
             out[name] = "voting"
         else:

@@ -284,6 +284,11 @@ def cross_source_overlap(
             ).alias("gh"),
         )
         .dropDuplicates(["src", "gh"])
+        # r12: materialize once — the distinct (src, gram-hash) frame
+        # feeds FOUR consumers (per-source sizes ×2, both join sides);
+        # without this each consumer re-runs scan+explode+window+dedup
+        # (4 duplicated subtrees in the physical plan, guide §2.4/§5)
+        .localCheckpoint(eager=True)
     )
     sizes = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
     left = grams.repartition(parallelism, "gh")

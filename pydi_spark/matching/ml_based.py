@@ -86,7 +86,15 @@ class MLBasedMatcher:
                 return pd.Series(model.predict_proba(X)[:, 1])
             return pd.Series(model.predict(X).astype(float))
 
-        return feats.withColumn("score", score_udf(*[F.col(c) for c in fcols])).select(
+        # asNondeterministic: a threshold filter on the score column
+        # (match()) otherwise gets pushed BELOW the projection and the
+        # optimizer duplicates the ArrowEvalPython node — every row pays
+        # model inference twice (optimization guide §4.4). Marking the
+        # UDF non-deterministic forbids the duplication; scores are
+        # unchanged (the model is a pure function of its inputs).
+        score = score_udf.asNondeterministic()
+
+        return feats.withColumn("score", score(*[F.col(c) for c in fcols])).select(
             "id1", "id2", "score", F.lit("ml_based").alias("notes")
         )
 

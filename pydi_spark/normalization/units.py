@@ -15,8 +15,13 @@ extend and the join broadcasts for free.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# session -> units dim DataFrame (see units_dim)
+_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # Unit catalog, mirroring the reference's comprehensive registry
 # (units.py:105-345: 18 categories; symbol + full name + plural all
@@ -234,9 +239,20 @@ QUANTITY_RE = r"^\s*" + _NUM + _MOD + _UNIT
 
 
 def units_dim(spark) -> DataFrame:
-    return spark.createDataFrame(
-        UNITS_TABLE, "alias string, category string, factor double, base_unit string"
-    )
+    # One dim DataFrame per session (weak-keyed; a stopped session's
+    # entry dies with it): repeated normalize/convert calls in one
+    # pipeline then share a canonically-equal plan subtree, so
+    # ReuseExchange builds the broadcast ONCE instead of once per call
+    # (5 identical broadcasts in the units_normalize 5-column chain).
+    # The table is a static code constant — this caches no query data.
+    df = _DIM_CACHE.get(spark)
+    if df is None:
+        df = spark.createDataFrame(
+            UNITS_TABLE,
+            "alias string, category string, factor double, base_unit string",
+        )
+        _DIM_CACHE[spark] = df
+    return df
 
 
 def parse_quantity_expr(col: Column | str) -> Column:
@@ -246,9 +262,17 @@ def parse_quantity_expr(col: Column | str) -> Column:
     mod = F.lower(F.regexp_extract(c, QUANTITY_RE, 2))
     unit = F.lower(F.regexp_extract(c, QUANTITY_RE, 3))
     value = (F.regexp_replace(num, ",", ".")).try_cast("double")
-    mod_factor = F.lit(1.0)
-    for k, v in QUANTITY_MODIFIERS.items():
-        mod_factor = F.when(mod == k, F.lit(v)).otherwise(mod_factor)
+    # r12: map-literal lookup instead of a 17-branch CASE chain. The
+    # chain inlined the `mod` regexp_extract tree once PER BRANCH
+    # (~19 copies of the regex in the physical plan per parsed column);
+    # one try_element_at keeps a single copy and a tiny expression tree
+    # (guide §1.2 per-task work). Missing/empty modifier -> NULL ->
+    # coalesce 1.0, exactly the old chain's fall-through; factor
+    # literals are the same doubles, so values are bit-identical.
+    mod_map = F.create_map(
+        *[F.lit(x) for kv in QUANTITY_MODIFIERS.items() for x in kv]
+    )
+    mod_factor = F.coalesce(F.try_element_at(mod_map, mod), F.lit(1.0))
     return F.struct(
         (value * mod_factor).alias("value"),
         F.nullif(mod, F.lit("")).alias("modifier"),

@@ -56,4 +56,27 @@ ROTATION_QUEUE: set[str] = {
     # dead per-column distinct aggregates removed from discover_fds
     # (profiling/dependencies.py)
     "profile_fds",
+    # --- r12 optimization batch 2 (outputs verified identical under
+    # both local gates; in-window consumers blocking_phonetic,
+    # blocking_stats, match_ml_linear, units_normalize, units_convert,
+    # fusion_conflict_detect, fusion_rule_suggest get their r12 driver
+    # row on the new code directly). StandardBlocker grew an opt-in
+    # probe repartition (blocking/standard.py) — every out-of-window
+    # blocker consumer re-checks:
+    "blocking_standard",
+    "blocking_standard_capped",
+    "match_features",
+    "match_fellegi_sunter",
+    "match_llm_fake",
+    "match_plm_fake",
+    "movies_parity",
+    "ann_ivf",
+    # parse_quantity_expr modifier map-lookup (normalization/units.py)
+    "extract_rules",
+    # detect_attribute_conflicts min/max aggregate (fusion/analysis.py)
+    "fusion_conflicts",
+    # discover_inds single-job tagged union (profiling/dependencies.py)
+    "profile_inds",
+    # cross_source_overlap gram-frame materialization (llmdata/cleaning.py)
+    "text_contamination_matrix",
 }
