@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread_for_agg(sel: DataFrame) -> DataFrame:
+    """Round-robin the (column-pruned) input across the default
+    parallelism when it arrives in FEWER partitions — a dimension-sized
+    parquet file is ONE input split, so the k-way Expand of a
+    multi-distinct aggregate otherwise runs its whole partial phase in
+    a single task (measured: the profile_fds aggregate was
+    single-threaded at sf0.1). Inputs already wider than the default
+    parallelism (any real corpus) pass through untouched — no shuffle
+    is added at scale. Aggregate results are partition-independent, so
+    output is unchanged."""
+    parallelism = sel.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < parallelism:
+        sel = sel.repartition(parallelism)
+    return sel
+
+
 def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact single-determinant FD check over every ordered column pair.
 
@@ -48,28 +64,66 @@ def discover_fds(df: DataFrame, cols: list[str]) -> DataFrame:
     # the __p_/__dn_ pair statistics, and every distinct aggregate adds
     # an Expand group (k dead groups = k extra copies of every input
     # row through the aggregate; measured 2.84 -> 2.40 s at sf0.1).
+    #
+    # r12 batch 2 — halve the Expand again via two exact identities:
+    # (1) count_distinct(a, b) is SYMMETRIC (the distinct both-non-null
+    #     pair set is one set), so k(k-1) pair aggregates collapse to
+    #     k(k-1)/2;
+    # (2) when column b holds NO nulls, the null-guarded determinant
+    #     count count_distinct(when(b notnull, a)) IS count_distinct(a)
+    #     — one shared per-column aggregate replaces k-1 guarded ones.
+    # A first near-free pass (plain count aggregates, no Expand) reads
+    # the per-column null counts that decide identity (2); for 4
+    # null-free columns the distinct pass drops from 24 Expand groups
+    # to 10 (6 unordered pairs + 4 per-column).
+    df = _spread_for_agg(df.select(*cols))
+    null_counts = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(c)).alias(f"__nn_{c}") for c in cols],
+    ).collect()[0]
+    n_rows = int(null_counts["__n"])
+    no_nulls = {c for c in cols if int(null_counts[f"__nn_{c}"]) == n_rows}
     aggs = []
+    seen_pairs = set()
+    shared_det = set()
     for a in cols:
         for b in cols:
             if a != b:
-                # pairwise distinct over rows where BOTH are non-null:
-                # count_distinct(a, b) ignores rows with any null —
-                # matching count(DISTINCT (a, b)) FILTER (both NOT NULL)
-                aggs.append(
-                    F.count_distinct(F.col(a), F.col(b)).alias(f"__p_{a}_{b}")
-                )
-                aggs.append(
-                    F.count_distinct(
-                        F.when(F.col(b).isNotNull(), F.col(a))
-                    ).alias(f"__dn_{a}_{b}")
-                )
+                key = tuple(sorted((a, b)))
+                if key not in seen_pairs:
+                    seen_pairs.add(key)
+                    # pairwise distinct over rows where BOTH are
+                    # non-null: count_distinct(a, b) ignores rows with
+                    # any null — matching count(DISTINCT (a, b))
+                    # FILTER (both NOT NULL); symmetric in (a, b)
+                    aggs.append(
+                        F.count_distinct(
+                            F.col(key[0]), F.col(key[1])
+                        ).alias(f"__p_{key[0]}_{key[1]}")
+                    )
+                if b in no_nulls:
+                    if a not in shared_det:
+                        shared_det.add(a)
+                        aggs.append(
+                            F.count_distinct(F.col(a)).alias(f"__d_{a}")
+                        )
+                else:
+                    aggs.append(
+                        F.count_distinct(
+                            F.when(F.col(b).isNotNull(), F.col(a))
+                        ).alias(f"__dn_{a}_{b}")
+                    )
     stats = df.agg(*aggs).collect()[0]
     rows = []
     for a in cols:
         for b in cols:
             if a != b:
-                n_det = int(stats[f"__dn_{a}_{b}"])
-                n_pair = int(stats[f"__p_{a}_{b}"])
+                key = tuple(sorted((a, b)))
+                n_det = int(
+                    stats[f"__d_{a}"] if b in no_nulls
+                    else stats[f"__dn_{a}_{b}"]
+                )
+                n_pair = int(stats[f"__p_{key[0]}_{key[1]}"])
                 rows.append((a, b, n_det, n_pair, int(n_det == n_pair)))
     return df.sparkSession.createDataFrame(
         rows, "determinant string, dependent string, n_det bigint, "
@@ -184,7 +238,7 @@ def discover_keys(
                 F.struct(*[F.col(c) for c in combo])
             ).alias(f"__u_{i}")
         )
-    stats = df.agg(*aggs).collect()[0]
+    stats = _spread_for_agg(df.select(*cols)).agg(*aggs).collect()[0]
     total = int(stats["__total"])
     rows = [
         (",".join(combo), int(stats[f"__u_{i}"]), total,
