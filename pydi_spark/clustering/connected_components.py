@@ -139,13 +139,29 @@ def _driver_union_find(spark, forest_pdf) -> DataFrame:
 
 
 def _hybrid_components(edges: DataFrame) -> DataFrame:
-    """Partition-local contraction + driver union-find on the forest.
+    """Driver union-find — directly over the edges when the EDGE set
+    itself is driver-safe, else over the partition-local contraction
+    forest.
 
-    Two Spark jobs total instead of O(log n) shuffle rounds — the right
-    trade whenever the *node* set fits driver memory (cluster graphs
-    usually contract well below the raw edge count)."""
+    One or two Spark jobs total instead of O(log n) shuffle rounds —
+    the right trade whenever the *node* set fits driver memory (cluster
+    graphs usually contract well below the raw edge count). The
+    contraction pass exists only to shrink what is collected; when the
+    edge frame's size estimate is already inside the driver gate,
+    running it is pure overhead (r12 measured: the mapInPandas forest
+    build + collect was ~73% of hybrid CC time at sf0.1 — Python
+    workers and an Arrow round trip to save a collect that was small
+    either way). Union-find over raw edges and over the forest produce
+    identical components with identical min-roots (union-by-min is
+    order-free), so the output is bit-identical either way."""
     from pydi_spark.core.arrowio import collect_pandas
+    from pydi_spark.core.plansize import fits_estimate
 
+    if fits_estimate(edges, DRIVER_SAFE_EDGE_BYTES):
+        pdf = collect_pandas(
+            edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        )
+        return _driver_union_find(edges.sparkSession, pdf)
     return _driver_union_find(
         edges.sparkSession, collect_pandas(_build_forest(edges))
     )

@@ -125,10 +125,18 @@ def funnel_stages(
     if within_hours <= 0:
         raise ValueError(f"within_hours must be > 0: {within_hours}")
     base = df.select(user_col, type_col, ts_col)
+    # each stage frame feeds TWO consumers (the next stage's time gate
+    # and the final left-join chain); materialized so stage i's
+    # aggregate — whose lineage contains every earlier stage — runs
+    # once, and the event stream is scanned exactly once per stage
+    # instead of once per (stage, consumer) pair (r12; the frames are
+    # per-user aggregates, the node-frame class the CC/minhash
+    # checkpoint discipline already covers)
     prev = (
         base.where(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t_0"))
+        .localCheckpoint(eager=True)
     )
     frames = [prev]
     for i, st in enumerate(stages[1:], start=1):
@@ -147,6 +155,9 @@ def funnel_stages(
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t_{i}"))
         )
+        if i < len(stages) - 1:
+            # the LAST stage has a single consumer (the join chain)
+            prev = prev.localCheckpoint(eager=True)
         frames.append(prev)
     staged = frames[0]
     for i, f in enumerate(frames[1:], start=1):

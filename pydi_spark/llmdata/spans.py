@@ -49,6 +49,13 @@ def exact_span_stats(
     )
     wpos = Window.partitionBy("doc_id").orderBy("pos")
     lead_cols = [F.lead("tok", j).over(wpos).alias(f"t{j}") for j in range(1, n)]
+    # spans feeds the duplicate vote, the per-doc counts and (via the
+    # repeated flag) coverage. Its consumers re-derive from the SAME
+    # doc_id-partitioned window exchange, which runtime ReuseExchange
+    # shares (r12: an eager localCheckpoint here was measured WORSE,
+    # 1.5 -> 2.0 s at sf0.1 — the barrier jobs cost more than the
+    # reuse saves); the flag restructure below still folds the two
+    # per-doc count aggregates into one
     spans = (
         tok_rows.select("doc_id", "pos", "tok", *lead_cols)
         .where(F.col(f"t{n - 1}").isNotNull())
@@ -66,9 +73,15 @@ def exact_span_stats(
         .where(F.col("__nd") >= int(min_docs))
         .select("h")
     )
-    rep_spans = spans.join(repeated, "h", "left_semi")
+    # left join + flag instead of a semi-join: the SAME joined frame
+    # then yields both per-doc count aggregates in one groupBy
+    # (repeated has distinct h, so the join never multiplies rows)
+    flagged = spans.join(
+        repeated.withColumn("__r", F.lit(1)), "h", "left"
+    )
     coverage = (
-        rep_spans.select(
+        flagged.where(F.col("__r") == 1)
+        .select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
@@ -77,11 +90,11 @@ def exact_span_stats(
         .groupBy("doc_id")
         .agg(F.count_distinct("p").alias("n_covered_tokens"))
     )
-    span_counts = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans")
-    )
-    rep_counts = rep_spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_repeated_spans")
+    span_counts = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.coalesce(F.sum("__r"), F.lit(0)).cast("bigint").alias(
+            "n_repeated_spans"
+        ),
     )
     per_doc = df.select(
         F.col(id_col).alias("doc_id"),
@@ -89,7 +102,6 @@ def exact_span_stats(
     )
     out = (
         per_doc.join(span_counts, "doc_id", "left")
-        .join(rep_counts, "doc_id", "left")
         .join(coverage, "doc_id", "left")
         .na.fill(
             0, ["n_spans", "n_repeated_spans", "n_covered_tokens"]

@@ -738,6 +738,50 @@ def find_sequence_gaps(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _lower_median_from_hist(
+    hist: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    cnt_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Lower median from a weighted per-group value histogram
+    ``[*group_cols, val_col, cnt_col]`` — the shared rank-math core of
+    :func:`grouped_lower_median` and the MAD pass of
+    :func:`detect_anomalies` (which re-weights an existing histogram
+    instead of rescanning input-sized frames)."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy(*group_cols).orderBy(val_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        *group_cols,
+        F.col(val_col).alias("__val"),
+        F.sum(cnt_col).over(wc).alias("__cum"),
+        F.sum(cnt_col).over(wn).alias("__n"),
+    )
+    return cum.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.min(
+            F.when(F.expr("__cum >= (__n + 1) div 2"), F.col("__val"))
+        ).alias(out_col)
+    )
+
+
+def _value_hist(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Per-group non-null value histogram [*group_cols, __val, __c]."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*[F.col(g) for g in group_cols], F.col(col).alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
 def grouped_lower_median(
     df: DataFrame,
     group_cols: list[str],
@@ -751,29 +795,8 @@ def grouped_lower_median(
     exact_quantiles). Empty/all-null groups are absent from the output.
     The shared primitive behind median imputation and MAD anomaly
     detection."""
-    from pyspark.sql import Window
-
-    counts = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(*[F.col(g) for g in group_cols], F.col(col).alias("__val"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    wc = Window.partitionBy(*group_cols).orderBy("__val").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wn = Window.partitionBy(*group_cols).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = counts.select(
-        *group_cols,
-        "__val",
-        F.sum("__c").over(wc).alias("__cum"),
-        F.sum("__c").over(wn).alias("__n"),
-    )
-    return cum.groupBy(*[F.col(g) for g in group_cols]).agg(
-        F.min(
-            F.when(F.expr("__cum >= (__n + 1) div 2"), F.col("__val"))
-        ).alias(out_col)
+    return _lower_median_from_hist(
+        _value_hist(df, group_cols, col), group_cols, "__val", "__c", out_col
     )
 
 
@@ -795,32 +818,49 @@ def detect_anomalies(
     already emits micro sums). A constant series has mad=0, so any
     deviation flags; null values never flag.
 
-    Scale: two grouped-median passes (cardinality-bounded histograms)
-    + one |keys|-sized broadcast-eligible join back.
+    Scale: ONE value histogram built from the input feeds both median
+    passes — the MAD median re-weights the same histogram
+    (|val - median| keyed, counts summed) instead of rescanning an
+    input-sized deviation frame — then one |keys|-sized
+    broadcast-eligible join back. The input is read exactly twice
+    (histogram + output join); the r12-before shape read it three
+    times and sorted the full deviation frame.
     """
     if k_num <= 0 or k_den <= 0:
         raise ValueError(f"k must be positive: {k_num}/{k_den}")
-    med = grouped_lower_median(df, key_cols, value_col, "median")
-    # left joins: a key group with no non-null values has no median
+    hist = _value_hist(df, key_cols, value_col)
+    med = _lower_median_from_hist(hist, key_cols, "__val", "__c", "median")
+    # the deviation histogram is a re-keying of the value histogram:
+    # |val - median| with summed counts — same weighted multiset as the
+    # per-row |value - median| over the input, so the MAD is identical
+    dev_hist = (
+        hist.join(med, key_cols)
+        .select(
+            *key_cols,
+            F.abs(F.col("__val") - F.col("median")).alias("__dval"),
+            "__c",
+        )
+        .groupBy(*[F.col(g) for g in key_cols], "__dval")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    mad = _lower_median_from_hist(dev_hist, key_cols, "__dval", "__c", "mad")
+    # left join: a key group with no non-null values has no median/mad
     # row, but its INPUT rows must survive (with is_anomaly=0, nulls
     # never flag) — an inner join would silently delete whole series
-    dev = df.join(med, key_cols, "left").withColumn(
-        "__dev", F.abs(F.col(value_col) - F.col("median"))
-    )
-    mad = grouped_lower_median(dev, key_cols, "__dev", "mad")
+    stats = med.join(mad, key_cols)
     return (
-        dev.join(mad, key_cols, "left")
+        df.join(stats, key_cols, "left")
         .withColumn(
             "is_anomaly",
             F.when(
-                F.col("__dev") * F.lit(int(k_den))
+                F.abs(F.col(value_col) - F.col("median"))
+                * F.lit(int(k_den))
                 > F.lit(int(k_num)) * F.col("mad"),
                 1,
             )
             .otherwise(0)
             .cast("int"),
         )
-        .drop("__dev")
     )
 
 

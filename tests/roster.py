@@ -79,4 +79,35 @@ ROTATION_QUEUE: set[str] = {
     "profile_inds",
     # cross_source_overlap gram-frame materialization (llmdata/cleaning.py)
     "text_contamination_matrix",
+    # --- r12 optimization batch 3 (outputs verified identical under
+    # both local gates). connected_components' hybrid path now collects
+    # the edge list directly when the edge frame is inside the driver
+    # gate (the mapInPandas forest contraction was ~73% of hybrid CC
+    # time and only shrinks what is collected) — every out-of-window
+    # CC consumer re-checks; the in-window ones (dedup_canonical,
+    # eval_bcubed, dedup_keep_best, text_corpus_cleanup, fusion_debug,
+    # fusion_numeric, fusion_selection, fusion_coverage,
+    # fusion_conflict_detect, fusion_rule_suggest) get their r12 driver
+    # row on the new code directly:
+    "cluster_connected_components",
+    "cluster_consistency",
+    "cluster_size_dist",
+    "cluster_incremental",
+    "fusion_lists",
+    "fusion_custom_resolver",
+    "fusion_accuracy",
+    "fusion_trust",
+    "fusion_most_complete",
+    "dedup_incremental",
+    "normalize_canonicalize",
+    # detect_anomalies now derives the MAD median from the shared value
+    # histogram; grouped_lower_median refactored onto the same core
+    # (profiling/profiler.py)
+    "events_anomalies",
+    "normalize_impute",
+    # funnel_stages materializes each per-user stage frame (events/ops.py)
+    "events_funnel",
+    # exact_span_stats folds its two per-doc count aggregates into one
+    # via a repeated-flag left join (llmdata/spans.py)
+    "text_span_dedup",
 }
