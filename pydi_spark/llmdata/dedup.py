@@ -174,6 +174,20 @@ def token_set_jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
+def jaccard_size_gate(a: Column, b: Column, threshold: float) -> Column:
+    """Lossless size-ratio pre-filter for an exact ``jaccard >= t``
+    verification: J = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so any
+    pair with min < t*max can NEVER pass — prune it on two int lengths
+    BEFORE the O(|A|+|B|) array intersect (guide §2.3; codegen
+    short-circuits the AND). The 1e-9 slack makes float rounding fail
+    OPEN (a borderline pair proceeds to the exact verify, never the
+    other way), so the verified pair set is provably unchanged. The
+    empty-vs-empty pair (J defined as 1.0) passes: min = max = 0."""
+    lo = F.least(F.size(a), F.size(b)).cast("double")
+    hi = F.greatest(F.size(a), F.size(b)).cast("double")
+    return lo >= F.lit(float(threshold) - 1e-9) * hi
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -462,9 +476,16 @@ def incremental_minhash_dedup(
         store_band_toks = store_band_toks.repartition(parallelism)
     matched = (
         store_band_toks.join(F.broadcast(new_band_toks), "band_key")
+        # size gate first: prunes collisions on two int lengths before
+        # the O(|toks|) intersect (r12; lossless — see jaccard_size_gate)
         .where(
-            token_set_jaccard(F.col("toks_new"), F.col("toks_old"))
-            >= F.lit(float(jaccard_threshold))
+            jaccard_size_gate(
+                F.col("toks_new"), F.col("toks_old"), jaccard_threshold
+            )
+            & (
+                token_set_jaccard(F.col("toks_new"), F.col("toks_old"))
+                >= F.lit(float(jaccard_threshold))
+            )
         )
         .select(F.col("new_id").alias("id"))
         .distinct()  # batch-sized: first (and only) store-path shuffle
@@ -493,6 +514,9 @@ def incremental_minhash_dedup(
         sb1.join(F.broadcast(sb2), "band_key")
         .where(
             (F.col("id1") < F.col("id2"))
+            & jaccard_size_gate(
+                F.col("toks1"), F.col("toks2"), jaccard_threshold
+            )
             & (
                 token_set_jaccard(F.col("toks1"), F.col("toks2"))
                 >= F.lit(float(jaccard_threshold))
@@ -761,19 +785,30 @@ def ngram_containment_duplicates(
         parallelism, "shingle", "id1"
     )
     r = exploded.select(F.col("id").alias("id2"), "shingle")
-    cands = (
-        l.join(r, "shingle")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .repartition(parallelism, "id1", "id2")
-        .dropDuplicates(["id1", "id2"])
+    raw = l.join(r, "shingle").where(F.col("id1") < F.col("id2")).select(
+        "id1", "id2"
     )
     s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
-    if broadcast_verify:
-        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     containment = inter / F.least(F.size("sh1"), F.size("sh2"))
+    if broadcast_verify:
+        # verify before the pair-dedup exchange — see the jaccard twin
+        # (containment is constant per pair, so filter/dedup commute
+        # and only surviving pairs reach the dedup exchange)
+        return (
+            raw.join(F.broadcast(s1), "id1")
+            .join(F.broadcast(s2), "id2")
+            .withColumn("containment", containment)
+            .where(
+                F.col("containment") >= F.lit(float(containment_threshold))
+            )
+            .select("id1", "id2", "containment")
+            .dropDuplicates(["id1", "id2"])
+        )
+    cands = raw.repartition(parallelism, "id1", "id2").dropDuplicates(
+        ["id1", "id2"]
+    )
     return (
         cands.join(s1, "id1")
         .join(s2, "id2")
@@ -846,25 +881,50 @@ def ngram_jaccard_duplicates(
         parallelism, "shingle", "id1"
     )
     r = cand_rows.select(F.col("id").alias("id2"), "shingle")
-    cands = (
-        l.join(r, "shingle")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        # explicit width BEFORE the dedup: repartition by (id1, id2)
-        # satisfies dropDuplicates' distribution requirement, so the
-        # dedup aggregate and the verify stage behind it run at full
-        # parallelism instead of on an AQE-coalesced handful of tasks
-        .repartition(parallelism, "id1", "id2")
-        .dropDuplicates(["id1", "id2"])
+    raw = l.join(r, "shingle").where(F.col("id1") < F.col("id2")).select(
+        "id1", "id2"
     )
     s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    jaccard = token_set_jaccard(F.col("sh1"), F.col("sh2"))
+    size_gate = jaccard_size_gate(
+        F.col("sh1"), F.col("sh2"), jaccard_threshold
+    )
     if broadcast_verify:
-        s1, s2 = F.broadcast(s1), F.broadcast(s2)
+        # verify BEFORE the pair-dedup exchange (the simhash r12 rule:
+        # jaccard is constant per pair, so filter/dedup commute): both
+        # set joins are map-side broadcasts inside the candidate join's
+        # partitioning, and the dedup exchange then moves only the
+        # SURVIVING pairs instead of every shingle collision. A pair
+        # colliding in k shingles is verified k times — at the measured
+        # ~12% multi-collision rate that re-intersect is far cheaper
+        # than shuffling the full candidate set twice (repartition +
+        # dedup) as the r12-before shape did. The size gate prunes
+        # candidates on two int lengths before any array intersect.
+        return (
+            raw.join(F.broadcast(s1), "id1")
+            .join(F.broadcast(s2), "id2")
+            .where(size_gate)
+            .withColumn("jaccard", jaccard)
+            .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+            .select("id1", "id2", "jaccard")
+            .dropDuplicates(["id1", "id2"])
+        )
+    # corpus scale (no broadcast): the verify joins shuffle by id, so
+    # dedup FIRST — shuffling raw collisions with their attached
+    # shingle arrays would multiply the exchange bytes by doc length.
+    # Explicit width before the dedup: repartition by (id1, id2)
+    # satisfies dropDuplicates' distribution requirement, so the dedup
+    # aggregate and the verify stage behind it run at full parallelism
+    # instead of on an AQE-coalesced handful of tasks.
+    cands = raw.repartition(parallelism, "id1", "id2").dropDuplicates(
+        ["id1", "id2"]
+    )
     return (
         cands.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn("jaccard", token_set_jaccard(F.col("sh1"), F.col("sh2")))
+        .where(size_gate)
+        .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
         .select("id1", "id2", "jaccard")
     )

@@ -110,4 +110,9 @@ ROTATION_QUEUE: set[str] = {
     # exact_span_stats folds its two per-doc count aggregates into one
     # via a repeated-flag left join (llmdata/spans.py)
     "text_span_dedup",
+    # ngram jaccard/containment verify BEFORE the pair-dedup exchange
+    # on the broadcast-verify path (llmdata/dedup.py)
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
+    "dedup_containment",
 }
