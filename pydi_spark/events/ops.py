@@ -629,6 +629,13 @@ def rfm_segments(
         F.datediff(F.col("__as_of"), F.col("__last")).cast("long"),
     ).drop("__as_of", "__last")
 
+    # three chained global ranks follow, and each one's range-partition
+    # SAMPLING job plus offset collect re-executes its full input
+    # lineage — without materialization the raw-stream aggregate above
+    # re-runs ~6 times across the chain (r12). per_user is one row per
+    # user: the node-frame class the checkpoint discipline covers.
+    per_user = per_user.localCheckpoint(eager=True)
+
     ranked, n = global_row_number(
         per_user, ["recency_days", "user_id"], "__rn_r", return_count=True
     )

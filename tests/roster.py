@@ -115,4 +115,7 @@ ROTATION_QUEUE: set[str] = {
     "dedup_ngram_jaccard",
     "dedup_ngram_prefix",
     "dedup_containment",
+    # rfm_segments materializes per_user before the three chained
+    # global ranks (events/ops.py)
+    "events_rfm",
 }
