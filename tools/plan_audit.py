@@ -55,6 +55,10 @@ ALLOWED = {
     # ONE-row corpus-stats frame (N, avgdl, per-term df) broadcast onto
     # the per-doc frame: the keyless join is O(n) by construction
     "text_search_bm25": {"nested_loop"},
+    # corpus_minhash_similarity pairs the per-SOURCE vocabulary
+    # signatures all-vs-all: #groups^2 rows (groups = a handful of
+    # sources), num_hashes ints per row — driver-small by construction
+    "text_source_overlap": {"nested_loop"},
     # same bm25 scalar-stats broadcast inside the lexical channel; the
     # RRF fusion itself joins two top-50 lists (request-sized)
     "text_search_hybrid": {"nested_loop"},
