@@ -1142,25 +1142,49 @@ def dedup_method_agreement(
     join operates on pair KEYS only (narrow), and the output is at most
     7 rows. Run on a sample at corpus scale — three full passes over
     100 TB is a deliberate decision, not a default."""
-    mh = minhash_near_duplicates(
-        df, text_col=text_col, id_col=id_col, **(minhash_params or {})
-    ).select("id1", "id2", F.lit(1).alias("minhash"))
-    sh = simhash_near_duplicates(
-        df, text_col=text_col, id_col=id_col, **(simhash_params or {})
-    ).select("id1", "id2", F.lit(1).alias("simhash"))
-    ng = ngram_jaccard_duplicates(
-        df, text_col=text_col, id_col=id_col, **(ngram_params or {})
-    ).select("id1", "id2", F.lit(1).alias("ngram"))
-    joined = (
-        mh.join(sh, ["id1", "id2"], "full_outer")
-        .join(ng, ["id1", "id2"], "full_outer")
-        .select(
-            F.coalesce(F.col("minhash"), F.lit(0)).alias("minhash"),
-            F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"),
-            F.coalesce(F.col("ngram"), F.lit(0)).alias("ngram"),
+    # Each generator's output is distinct on (id1, id2) (each ends in a
+    # pair dedup), so the presence-flag matrix is a tagged UNION + one
+    # max-aggregate — not the two full-outer joins a literal reading
+    # suggests. Full outer cannot broadcast either side, so the join
+    # form sort-merge-joined the multi-million-row minhash pair set
+    # twice; the union form shuffles each pair exactly once into a hash
+    # aggregate, no sorts (measured r12: 11.9 -> ~9.7 s at sf0.1, and
+    # two SMJ barriers fewer at any scale).
+    def _tagged(pairs: DataFrame, m: int, s: int, n: int) -> DataFrame:
+        return pairs.select(
+            "id1",
+            "id2",
+            F.lit(m).alias("minhash"),
+            F.lit(s).alias("simhash"),
+            F.lit(n).alias("ngram"),
+        )
+
+    mh = _tagged(
+        minhash_near_duplicates(
+            df, text_col=text_col, id_col=id_col, **(minhash_params or {})
+        ), 1, 0, 0,
+    )
+    sh = _tagged(
+        simhash_near_duplicates(
+            df, text_col=text_col, id_col=id_col, **(simhash_params or {})
+        ), 0, 1, 0,
+    )
+    ng = _tagged(
+        ngram_jaccard_duplicates(
+            df, text_col=text_col, id_col=id_col, **(ngram_params or {})
+        ), 0, 0, 1,
+    )
+    flags = (
+        mh.unionByName(sh)
+        .unionByName(ng)
+        .groupBy("id1", "id2")
+        .agg(
+            F.max("minhash").alias("minhash"),
+            F.max("simhash").alias("simhash"),
+            F.max("ngram").alias("ngram"),
         )
     )
-    return joined.groupBy("minhash", "simhash", "ngram").agg(
+    return flags.groupBy("minhash", "simhash", "ngram").agg(
         F.count("*").alias("n_pairs")
     )
 
