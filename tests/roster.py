@@ -118,4 +118,16 @@ ROTATION_QUEUE: set[str] = {
     # rfm_segments materializes per_user before the three chained
     # global ranks (events/ops.py)
     "events_rfm",
+    # MIN-linkage-to-exhaustion now routes through connected
+    # components instead of the collected sequential merge loop
+    # (clustering/hierarchical.py) — output proven identical at three
+    # SFs; MAX/AVG keep the sequential path (merge-order dependent),
+    # so only the MIN query re-checks
+    "cluster_hierarchical",
+    # evaluate_blocking / evaluate_matching fold their 3- and 4-action
+    # semi/anti-join counts into ONE tagged-union aggregate each
+    # (evaluation/matching_eval.py) — outputs proven hash-identical at
+    # three SFs; movies_parity (the third caller) is already queued
+    "eval_blocking",
+    "eval_matching",
 }
