@@ -130,4 +130,12 @@ ROTATION_QUEUE: set[str] = {
     # three SFs; movies_parity (the third caller) is already queued
     "eval_blocking",
     "eval_matching",
+    # edit_distance_join: positional q-gram prefix filtering on the
+    # uncapped path + bounded-threshold levenshtein verify
+    # (functions/joins.py) — outputs proven hash-identical at three
+    # SFs; the capped path keeps the r6 set semantics its replay
+    # oracle pins, but its gram-generation code moved, so it re-checks
+    # too; normalize_canonicalize (third consumer) is already queued
+    "join_edit_distance",
+    "join_edit_distance_capped",
 }
