@@ -195,6 +195,17 @@ BENCH_QUERIES = [
     "sample_proportional",
     "sample_pareto_front",
     "text_source_overlap",
+    # round-12 session-3 additions: the heaviest NON-bench queries found
+    # by timing the full declared roster (OPTIMIZATION_r12.md §§10-13) —
+    # added so the operators optimized there stay perf-guarded
+    # (additions only; the driver contract never removes or renames)
+    "cluster_hierarchical",
+    "eval_blocking",
+    "eval_matching",
+    "movies_parity",
+    "join_edit_distance",
+    "normalize_canonicalize",
+    "dedup_agreement",
 ]
 
 
