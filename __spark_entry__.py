@@ -571,7 +571,13 @@ def q_eval_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = part.count()
-    return evaluate_blocking(cands, gold, n, n).select(
+    # TokenBlocker.block() emits one row per distinct pair by
+    # construction (min-shared-token filter), and the gold self-join
+    # emits each same-name pair exactly once (partkey is unique, pairs
+    # oriented a < b) — both dedup exchanges provably skippable (r13)
+    return evaluate_blocking(
+        cands, gold, n, n, candidates_distinct=True, gold_distinct=True
+    ).select(
         F.round("pair_completeness", 6).alias("pair_completeness"),
         F.round("pair_quality", 6).alias("pair_quality"),
         "total_candidates",

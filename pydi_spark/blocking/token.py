@@ -54,6 +54,20 @@ class TokenBlocker:
             F.explode(self._tokens()).alias("block_key"),
         )
 
+    def _exploded_with_set(
+        self, df: DataFrame, idc: str, out_id: str, out_arr: str
+    ) -> DataFrame:
+        # uncapped fast path: carry the (distinct) token array alongside
+        # each exploded row so the pair join can decide "is this my
+        # minimum shared token?" locally, without a pair-level dedup
+        # exchange (r13, guide §2.4). The array is O(tokens-per-record)
+        # extra bytes on the LINEAR exploded shuffle — negligible for
+        # blocking columns — and it removes the O(#pairs) groupBy
+        # exchange entirely.
+        return df.select(
+            F.col(idc).alias(out_id), self._tokens().alias(out_arr)
+        ).select(out_id, out_arr, F.explode(out_arr).alias("block_key"))
+
     def block(
         self,
         left: Dataset | DataFrame,
@@ -66,54 +80,106 @@ class TokenBlocker:
         dl, idl = resolve_side(left, id_column)
         dr, idr = resolve_side(left if self_join else right, id_column)
 
+        if self.max_token_frequency is None:
+            # r13 fast path: NO pair-level dedup exchange. Each pair
+            # (a, b) with shared token set S = tokens(a) ∩ tokens(b) is
+            # emitted once per t ∈ S by the equi-join (the per-record
+            # token arrays are array_distinct, so exactly once per
+            # shared token); keeping only the emission where
+            # t == min(S) yields exactly one row per distinct pair with
+            # block_key == min shared token — the precise declared
+            # output of the old groupBy(id1, id2).agg(min(block_key)),
+            # with the quadratic exchange replaced by an in-stage
+            # filter (guide §2.3/§2.4: never shuffle the pair set to
+            # decide something computable from per-row metadata). The
+            # capped path below cannot use this: pruning removes tokens
+            # from the emission but not from the carried arrays, so
+            # min(S) there would name (or select on) a pruned token.
+            l = self._exploded_with_set(dl, idl, "id1", "__t1")
+            r = self._exploded_with_set(dr, idr, "id2", "__t2")
+            # pin probe-side parallelism (same rationale as the capped
+            # path): the join output is quadratic per token and a
+            # broadcast plan would inherit the scan's partitioning.
+            # Width = max(cores, shuffle.partitions): this stage is now
+            # the FINAL stage of the plan (no dedup exchange follows to
+            # re-dice it), so its partition count also sizes the
+            # quadratic output's task results — at defaultParallelism
+            # alone, a low-core session collecting the pair set builds
+            # task-result blocks big enough to be evicted from the
+            # block manager (measured: vanilla local[8] collect of the
+            # 46.8M-pair sf0.1 output died with TaskResultLost at width
+            # 8, passes at 200).
+            spark = dl.sparkSession
+            try:
+                width = max(
+                    spark.sparkContext.defaultParallelism,
+                    int(spark.conf.get("spark.sql.shuffle.partitions")),
+                )
+            except (TypeError, ValueError):
+                width = spark.sparkContext.defaultParallelism
+            l = l.repartition(width, "block_key", "id1")
+            pairs = l.join(r, "block_key")
+            if self_join:
+                pairs = pairs.where(F.col("id1") < F.col("id2"))
+            pairs = pairs.where(
+                F.col("block_key")
+                == F.array_min(F.array_intersect("__t1", "__t2"))
+            )
+            return pairs.select(
+                F.col("id1").cast("string").alias("id1"),
+                F.col("id2").cast("string").alias("id2"),
+                "block_key",
+            )
+
+        # capped path (max_token_frequency set): prune hot tokens, then
+        # pair + groupBy dedup (the r12 shape)
         l = self._exploded(dl, idl, "id1")
         r = self._exploded(dr, idr, "id2")
-        if self.max_token_frequency is not None:
-            # Prune via an anti-join against the HOT list (tokens with
-            # df > cap) — the head of the frequency distribution, small
-            # at any corpus size — NOT a semi-join against the keep
-            # list, which is VOCABULARY-sized and grows with the corpus
-            # (open vocabulary). The r11 100x fixed-output probe caught
-            # the old pinned broadcast(keep) collecting ~1 GiB of
-            # unique-token keys to the driver; the hot list at the same
-            # scale is a few hundred rows. No broadcast pin: AQE
-            # measures the hot aggregate's runtime size and broadcasts
-            # it when (as in practice) it is tiny.
-            #
-            # The count runs over the RAW exploded rows, NOT the
-            # repartitioned table (r12): the old shape aggregated the
-            # post-repartition table, paying a full-width (id, token)
-            # shuffle inside the hot job before counting anything —
-            # measured 77.3 s vs 36.2 s at the 100x fixed-output probe
-            # scale. A fancier two-phase xxhash64 pre-count was
-            # measured WORSE (57.6 s): with an open vocabulary the
-            # partial aggregate sees ~unique keys, so hashing the key
-            # buys nothing and the exact recount pass rescans the
-            # corpus (NOTES.md r12).
-            cap = int(self.max_token_frequency)
-            if self_join:
-                # both sides explode the same table: one vocabulary
-                # aggregate, not a union of two identical ones
-                hot = (
-                    l.select("block_key")
-                    .groupBy("block_key")
-                    .agg(F.count(F.lit(1)).alias("__df"))
-                    .where(F.col("__df") > cap)
+        # Prune via an anti-join against the HOT list (tokens with
+        # df > cap) — the head of the frequency distribution, small
+        # at any corpus size — NOT a semi-join against the keep
+        # list, which is VOCABULARY-sized and grows with the corpus
+        # (open vocabulary). The r11 100x fixed-output probe caught
+        # the old pinned broadcast(keep) collecting ~1 GiB of
+        # unique-token keys to the driver; the hot list at the same
+        # scale is a few hundred rows. No broadcast pin: AQE
+        # measures the hot aggregate's runtime size and broadcasts
+        # it when (as in practice) it is tiny.
+        #
+        # The count runs over the RAW exploded rows, NOT the
+        # repartitioned table (r12): the old shape aggregated the
+        # post-repartition table, paying a full-width (id, token)
+        # shuffle inside the hot job before counting anything —
+        # measured 77.3 s vs 36.2 s at the 100x fixed-output probe
+        # scale. A fancier two-phase xxhash64 pre-count was
+        # measured WORSE (57.6 s): with an open vocabulary the
+        # partial aggregate sees ~unique keys, so hashing the key
+        # buys nothing and the exact recount pass rescans the
+        # corpus (NOTES.md r12).
+        cap = int(self.max_token_frequency)
+        if self_join:
+            # both sides explode the same table: one vocabulary
+            # aggregate, not a union of two identical ones
+            hot = (
+                l.select("block_key")
+                .groupBy("block_key")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > cap)
+            )
+        else:
+            hot = (
+                l.select("block_key").groupBy("block_key").count()
+                .unionByName(
+                    r.select("block_key").groupBy("block_key").count()
                 )
-            else:
-                hot = (
-                    l.select("block_key").groupBy("block_key").count()
-                    .unionByName(
-                        r.select("block_key").groupBy("block_key").count()
-                    )
-                    .groupBy("block_key").agg(F.max("count").alias("__df"))
-                    .where(F.col("__df") > cap)
-                )
-            # materialize: hot feeds BOTH anti-joins — unmaterialized,
-            # the vocabulary aggregate would execute once per consumer
-            hot = hot.select("block_key").localCheckpoint(eager=True)
-            l = l.join(hot, "block_key", "left_anti")
-            r = r.join(hot, "block_key", "left_anti")
+                .groupBy("block_key").agg(F.max("count").alias("__df"))
+                .where(F.col("__df") > cap)
+            )
+        # materialize: hot feeds BOTH anti-joins — unmaterialized,
+        # the vocabulary aggregate would execute once per consumer
+        hot = hot.select("block_key").localCheckpoint(eager=True)
+        l = l.join(hot, "block_key", "left_anti")
+        r = r.join(hot, "block_key", "left_anti")
         # pin probe-side parallelism: the join output is quadratic per
         # token, and a broadcast-join plan would otherwise inherit the
         # scan's partitioning (possibly 1 partition for a single file)

@@ -41,50 +41,109 @@ def evaluate_blocking(
     test_pairs: DataFrame,
     left_count: int,
     right_count: int,
+    candidates_distinct: bool = False,
+    gold_distinct: bool = False,
 ) -> DataFrame:
     """pair_completeness, pair_quality, reduction_ratio
     (evaluation.py:100-242; math :196-208).
 
     ``test_pairs`` carries a ``label`` column (1=match) or is assumed
-    all-positive.
+    all-positive. ``candidates_distinct=True`` asserts the caller
+    guarantees ``candidate_pairs`` holds one row per (id1, id2) pair
+    (true for every blocker in this package), which removes the only
+    candidate-keyed exchange from the evaluator; ``gold_distinct=True``
+    asserts the same for the (label-filtered) gold pairs.
+
+    Null-key convention (r13, per ADVICE r12): above the small-universe
+    gate membership is JOIN semantics — a pair with a NULL id never
+    matches gold (exactly the oracle's ``JOIN ... USING (id1, id2)``),
+    while null-keyed candidate rows still count toward ``n_cand`` as
+    one deduped row. Below the gate the r12 union+groupBy shape is kept
+    (one action), which groups null keys as equal. Real id columns are
+    never null; null-id behaviour on degenerate inputs is deliberately
+    left shape-dependent rather than paying a filter on every row.
     """
     gold = test_pairs
     if "label" in gold.columns:
         gold = gold.where(normalize_labels_expr(F.col("label")) == 1)
 
-    # r12: ONE job instead of three. The old shape ran cands.count(),
-    # gold.count() and a semi-join count as separate actions, so the
-    # candidate generator's full lineage (e.g. a TokenBlocker's
-    # quadratic pair emission) executed TWICE and gold's twice. All
-    # three counts are functions of the per-pair membership flags, so a
-    # tagged union + one (id1, id2) max-aggregate computes them in a
-    # single pass per input — and the groupBy subsumes _norm_pairs'
-    # per-side dropDuplicates exchanges (max(flag) over duplicate rows
-    # == membership of the deduped pair set). Measured: eval_blocking
-    # 35.4 -> ~13 s at sf0.1 (one blocker emission instead of two).
-    def _tag(df: DataFrame, c: int, g: int) -> DataFrame:
-        return df.select(
+    # r13: count WITHOUT re-keying the candidate set. The r12 shape
+    # union'd candidates with gold and max-aggregated by (id1, id2) —
+    # one pass per input, but the aggregate still EXCHANGED every
+    # candidate pair just to produce three numbers (VERDICT r12 #1: a
+    # scale-killer at 100 TB). n_found only needs gold-side membership,
+    # so: dedup gold (unless asserted distinct), count it (the exact
+    # count is the join-strategy gate — a number, not a Catalyst
+    # estimate), then stream the candidate set ONCE through a left join
+    # against gold and take count/sum in the same stage (guide
+    # §2.3/§3.2). Strategy by measured n_gold (sf0.1 A/B, 46.8M cands /
+    # 3.1M gold): broadcast when gold is truly small (the evaluator
+    # then adds ZERO exchanges to the generator's plan); above the
+    # broadcast gate a SHUFFLED HASH join — the 3.1M-pair broadcast
+    # build alone cost more than the whole SHJ (10.9 s vs 7.5 s), and
+    # a plain left join sort-merge-sorted the 46.8M-pair stream
+    # (14.7 s). Above the SHJ gate (per-partition build memory), let
+    # the planner pick.
+    total_universe = int(left_count) * int(right_count)
+    if 0 < total_universe <= 10_000_000:
+        # Fixture/sample scale, bounded EXACTLY by the caller-supplied
+        # record counts (no estimate): the candidate set cannot exceed
+        # the pair universe, so the r12 one-action tagged union is the
+        # cheapest shape — the n_gold pre-count + branch below costs
+        # two extra job round-trips that dominate at this size
+        # (measured on the movies fixtures: 1.3 s -> 1.9 s per call).
+        def _tag(df: DataFrame, c: int, g: int) -> DataFrame:
+            return df.select(
+                F.col("id1").cast("string").alias("id1"),
+                F.col("id2").cast("string").alias("id2"),
+                F.lit(c).alias("__c"),
+                F.lit(g).alias("__g"),
+            )
+
+        stats = (
+            _tag(candidate_pairs, 1, 0)
+            .unionByName(_tag(gold, 0, 1))
+            .groupBy("id1", "id2")
+            .agg(F.max("__c").alias("__c"), F.max("__g").alias("__g"))
+            .agg(
+                F.sum("__c").alias("n_cand"),
+                F.sum("__g").alias("n_gold"),
+                F.sum(F.col("__c") * F.col("__g")).alias("n_found"),
+            )
+            .collect()[0]
+        )
+        n_cand = int(stats["n_cand"] or 0)
+        n_gold = int(stats["n_gold"] or 0)
+        n_found = int(stats["n_found"] or 0)
+    else:
+        gold_d = gold.select(
             F.col("id1").cast("string").alias("id1"),
             F.col("id2").cast("string").alias("id2"),
-            F.lit(c).alias("__c"),
-            F.lit(g).alias("__g"),
         )
-
-    stats = (
-        _tag(candidate_pairs, 1, 0)
-        .unionByName(_tag(gold, 0, 1))
-        .groupBy("id1", "id2")
-        .agg(F.max("__c").alias("__c"), F.max("__g").alias("__g"))
-        .agg(
-            F.sum("__c").alias("n_cand"),
-            F.sum("__g").alias("n_gold"),
-            F.sum(F.col("__c") * F.col("__g")).alias("n_found"),
+        if not gold_distinct:
+            gold_d = gold_d.dropDuplicates(["id1", "id2"])
+        n_gold = gold_d.count()
+        cands = candidate_pairs.select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
         )
-        .collect()[0]
-    )
-    n_cand = int(stats["n_cand"] or 0)
-    n_gold = int(stats["n_gold"] or 0)
-    n_found = int(stats["n_found"] or 0)
+        if not candidates_distinct:
+            cands = cands.dropDuplicates(["id1", "id2"])
+        tagged = gold_d.withColumn("__g", F.lit(1))
+        if n_gold <= 1_000_000:
+            tagged = F.broadcast(tagged)
+        elif n_gold <= 100_000_000:
+            tagged = tagged.hint("shuffle_hash")
+        stats = (
+            cands.join(tagged, ["id1", "id2"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.sum("__g").alias("n_found"),
+            )
+            .collect()[0]
+        )
+        n_cand = int(stats["n_cand"] or 0)
+        n_found = int(stats["n_found"] or 0)
     # Python ints are exact, so the RATIO below is always right — but
     # the stored long column overflows at ~3e9 x 3e9 total pairs
     # (the r6/r7 count-product rule); report NULL rather than garbage
