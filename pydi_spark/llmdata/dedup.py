@@ -370,24 +370,36 @@ def minhash_near_duplicates(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
     banded = sigs.select(
-        "id", F.explode(F.array(*_band_key_cols(num_hashes, bands))).alias("band_key")
-    )
+        "id", F.array(*_band_key_cols(num_hashes, bands)).alias("__bks")
+    ).select("id", "__bks", F.explode("__bks").alias("band_key"))
     # explicit parallelism on the probe side: the banded table is tiny
     # (docs x bands rows) so AQE coalesces it to ~1 partition — but the
     # band join EXPLODES output quadratically per key, and that explosion
     # inherits the probe side's partitioning. Without this, the whole
     # candidate generation serializes into one task.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    l = banded.select(F.col("id").alias("id1"), "band_key").repartition(
-        parallelism, "band_key", "id1"
+    l = banded.select(
+        F.col("id").alias("id1"), F.col("__bks").alias("__bks1"), "band_key"
+    ).repartition(parallelism, "band_key", "id1")
+    r = banded.select(
+        F.col("id").alias("id2"), F.col("__bks").alias("__bks2"), "band_key"
     )
-    r = banded.select(F.col("id").alias("id2"), "band_key")
+    # r13: candidates distinct BY CONSTRUCTION — a pair colliding in k
+    # bands is emitted k times by the band join (band keys are "b:"-
+    # prefixed, so per-id arrays are duplicate-free and the shared set
+    # is exactly the colliding bands); keeping only the emission at the
+    # MINIMUM shared band key yields one row per candidate pair with no
+    # pair-keyed repartition+dropDuplicates exchange (the TokenBlocker
+    # r13 pattern; the carried 4-element band arrays ride the LINEAR
+    # banded table, not the quadratic output).
     cands = (
         l.join(r, "band_key")
         .where(F.col("id1") < F.col("id2"))
+        .where(
+            F.col("band_key")
+            == F.array_min(F.array_intersect("__bks1", "__bks2"))
+        )
         .select("id1", "id2")
-        .repartition(parallelism, "id1", "id2")  # see ngram note
-        .dropDuplicates(["id1", "id2"])
     )
     t1 = sigs.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
     t2 = sigs.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
@@ -678,38 +690,43 @@ def simhash_near_duplicates(
     # {hamming <= max_hamming} under ANY band-key representation — the
     # oracle replays fingerprints all-pairs and never sees band keys.
     banded = base.withColumn(
-        "band_key",
-        F.explode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), b * rows)
-                    .bitwiseAND(F.lit((1 << rows) - 1))
-                    + F.lit(b << rows)
-                    for b in range(bands)
-                ]
-            )
+        "__bks",
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("fp"), b * rows)
+                .bitwiseAND(F.lit((1 << rows) - 1))
+                + F.lit(b << rows)
+                for b in range(bands)
+            ]
         ),
-    )
+    ).withColumn("band_key", F.explode("__bks"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     l = banded.select(
-        F.col("id").alias("id1"), F.col("fp").alias("fp1"), "band_key"
+        F.col("id").alias("id1"), F.col("fp").alias("fp1"),
+        F.col("__bks").alias("__bks1"), "band_key"
     ).repartition(parallelism, "band_key", "id1")  # see minhash note
-    r = banded.select(F.col("id").alias("id2"), F.col("fp").alias("fp2"), "band_key")
-    # r12: verify (hamming filter) and project BEFORE the pair-dedup
-    # exchange, not after. hamming is a pure function of (fp1, fp2),
-    # which are constant per id — every multi-band duplicate of a pair
-    # carries the same hamming, so filter/dedup commute and the output
-    # set is unchanged. The dedup exchange then moves only true pairs
-    # (id1, id2, hamming — 3 narrow columns) instead of every band
-    # collision with band_key + both 8-byte fingerprints (guide §2.3:
-    # filter and project before the shuffle).
+    r = banded.select(
+        F.col("id").alias("id2"), F.col("fp").alias("fp2"),
+        F.col("__bks").alias("__bks2"), "band_key"
+    )
+    # r12 verified (hamming filter) BEFORE the pair-dedup exchange; r13
+    # removes the dedup exchange entirely: band keys carry a per-band
+    # prefix (b << rows), so each per-id band array is duplicate-free
+    # and a pair colliding in k bands is emitted exactly k times —
+    # keeping only the emission at the MINIMUM shared band key leaves
+    # one row per pair (the TokenBlocker r13 pattern). The carried
+    # 4-long arrays ride the LINEAR banded table; the quadratic output
+    # never hits an exchange.
     return (
         l.join(r, "band_key")
         .where(F.col("id1") < F.col("id2"))
+        .where(
+            F.col("band_key")
+            == F.array_min(F.array_intersect("__bks1", "__bks2"))
+        )
         .withColumn("hamming", hamming_distance(F.col("fp1"), F.col("fp2")))
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("id1", "id2", "hamming")
-        .dropDuplicates(["id1", "id2"])
     )
 
 
@@ -809,7 +826,27 @@ def ngram_containment_duplicates(
     if broadcast_verify:
         # verify before the pair-dedup exchange — see the jaccard twin
         # (containment is constant per pair, so filter/dedup commute
-        # and only surviving pairs reach the dedup exchange)
+        # and only surviving pairs reach the dedup exchange). r13,
+        # UNPRUNED path: min-shared-shingle emission filter replaces
+        # the dedup exchange outright (see the jaccard twin for why
+        # pruned paths cannot).
+        if not max_shingle_frequency:
+            raw_sh = l.join(r, "shingle").where(
+                F.col("id1") < F.col("id2")
+            ).select("id1", "id2", "shingle")
+            return (
+                raw_sh.join(F.broadcast(s1), "id1")
+                .join(F.broadcast(s2), "id2")
+                .where(
+                    F.col("shingle")
+                    == F.array_min(F.array_intersect("sh1", "sh2"))
+                )
+                .withColumn("containment", containment)
+                .where(
+                    F.col("containment") >= F.lit(float(containment_threshold))
+                )
+                .select("id1", "id2", "containment")
+            )
         return (
             raw.join(F.broadcast(s1), "id1")
             .join(F.broadcast(s2), "id2")
@@ -915,11 +952,38 @@ def ngram_jaccard_duplicates(
         # than shuffling the full candidate set twice (repartition +
         # dedup) as the r12-before shape did. The size gate prunes
         # candidates on two int lengths before any array intersect.
-        return (
+        #
+        # r13, UNPRUNED path only: the dedup exchange disappears too.
+        # With no hot-shingle prune and no prefix filter, a pair is
+        # emitted once per SHARED shingle, and the shared set is
+        # exactly array_intersect(sh1, sh2) — already attached for the
+        # Jaccard — so keeping only the emission at the minimum shared
+        # shingle leaves one row per pair (TokenBlocker r13 pattern).
+        # Pruned paths keep dropDuplicates: pruning removes emissions
+        # but not array members, so the min could name a never-emitted
+        # shingle and silently drop the pair.
+        unpruned = not max_shingle_frequency and not prefix_filter
+        if unpruned:
+            raw = l.join(r, "shingle").where(
+                F.col("id1") < F.col("id2")
+            ).select("id1", "id2", "shingle")
+        out = (
             raw.join(F.broadcast(s1), "id1")
             .join(F.broadcast(s2), "id2")
             .where(size_gate)
-            .withColumn("jaccard", jaccard)
+        )
+        if unpruned:
+            return (
+                out.where(
+                    F.col("shingle")
+                    == F.array_min(F.array_intersect("sh1", "sh2"))
+                )
+                .withColumn("jaccard", jaccard)
+                .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+                .select("id1", "id2", "jaccard")
+            )
+        return (
+            out.withColumn("jaccard", jaccard)
             .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
             .select("id1", "id2", "jaccard")
             .dropDuplicates(["id1", "id2"])
