@@ -40,6 +40,32 @@ from pydi_spark.clustering.base import apply_threshold, filter_min_cluster_size
 # (the unsafe direction fails toward the gated path, never toward an
 # unsafe collect).
 DRIVER_SAFE_EDGE_BYTES = 64 << 20
+# Hard row ceiling on any driver collect behind the size-ESTIMATE gate
+# (r13, VERDICT r12 #4/#8): fits_estimate trusts Catalyst; a
+# pathological under-estimate must degrade to the distributed path,
+# not melt the driver. 50M (a, b) string rows is ~2-4 GiB as pandas —
+# the practical ceiling for a driver that also holds the union-find
+# dict. spark.driver.maxResultSize remains the transfer-level backstop.
+DRIVER_COLLECT_ROW_CAP = 50_000_000
+
+
+def _collect_capped(df):
+    """Arrow-collect ``df``; None (caller falls back to the distributed
+    path) when the result exceeds the row cap or the driver refuses the
+    transfer (maxResultSize / task-result eviction). Any other failure
+    re-raises — a data error must not be silently retried distributed."""
+    from pydi_spark.core.arrowio import collect_pandas
+
+    try:
+        pdf = collect_pandas(df)
+    except Exception as exc:  # noqa: BLE001 — filtered by signature below
+        msg = str(exc)
+        if "maxResultSize" in msg or "TaskResultLost" in msg:
+            return None
+        raise
+    if len(pdf) > DRIVER_COLLECT_ROW_CAP:
+        return None
+    return pdf
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -154,17 +180,23 @@ def _hybrid_components(edges: DataFrame) -> DataFrame:
     either way). Union-find over raw edges and over the forest produce
     identical components with identical min-roots (union-by-min is
     order-free), so the output is bit-identical either way."""
-    from pydi_spark.core.arrowio import collect_pandas
     from pydi_spark.core.plansize import fits_estimate
 
     if fits_estimate(edges, DRIVER_SAFE_EDGE_BYTES):
-        pdf = collect_pandas(
+        pdf = _collect_capped(
             edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         )
-        return _driver_union_find(edges.sparkSession, pdf)
-    return _driver_union_find(
-        edges.sparkSession, collect_pandas(_build_forest(edges))
-    )
+        if pdf is not None:
+            return _driver_union_find(edges.sparkSession, pdf)
+        # the size estimate lied — contract first, then try again
+    forest_pdf = _collect_capped(_build_forest(edges))
+    if forest_pdf is None:
+        raise RuntimeError(
+            "hybrid connected components: even the contracted forest "
+            f"exceeds the driver collect cap ({DRIVER_COLLECT_ROW_CAP} "
+            "rows) — use strategy='distributed'"
+        )
+    return _driver_union_find(edges.sparkSession, forest_pdf)
 
 
 def connected_components(
@@ -220,7 +252,12 @@ def connected_components(
         from pydi_spark.core.plansize import fits_estimate
 
         if fits_estimate(edges, DRIVER_SAFE_EDGE_BYTES):
-            return _hybrid_components(edges)
+            pdf = _collect_capped(
+                edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+            )
+            if pdf is not None:
+                return _driver_union_find(edges.sparkSession, pdf)
+            # estimate lied: fall through to the exactly-counted forest
         forest = _build_forest(edges).localCheckpoint(eager=True)
         if forest.count() <= driver_node_limit:
             from pydi_spark.core.arrowio import collect_pandas

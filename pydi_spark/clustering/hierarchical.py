@@ -16,6 +16,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+# r13 defensive cap (VERDICT r12 #8): ceiling on rows entering the
+# driver-side sequential merge loop (O(n^3) Python by reference
+# contract — far beyond this it would never finish anyway).
+DRIVER_SOLVE_ROW_CAP = 1_000_000
+
 
 @dataclass
 class HierarchicalClusterer:
@@ -27,6 +32,14 @@ class HierarchicalClusterer:
         if self._cc_equivalent(correspondences):
             return self._assign_via_components(correspondences)
         rows = correspondences.select("id1", "id2", "score").collect()
+        if len(rows) > DRIVER_SOLVE_ROW_CAP:
+            raise ValueError(
+                f"HierarchicalClusterer({self.linkage}): {len(rows)} "
+                "correspondence rows exceed the driver-side sequential "
+                f"limit ({DRIVER_SOLVE_ROW_CAP}) — pre-threshold the "
+                "pairs or use MIN linkage to exhaustion (distributed "
+                "fast path)"
+            )
         nodes = sorted({r["id1"] for r in rows} | {r["id2"] for r in rows})
         sims: dict[frozenset, float] = {}
         for r in rows:

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame
 from pydi_spark.clustering.base import apply_threshold
 
 
+DRIVER_SOLVE_ROW_CAP = 1_000_000  # r13 defensive cap (VERDICT r12 #8)
+
+
 @dataclass
 class MaximumBipartiteMatcher:
     threshold: float | None = None
@@ -31,6 +34,16 @@ class MaximumBipartiteMatcher:
             eager=True
         )
         rows = corr.select("id1", "id2", "score").collect()
+        # r13 defensive cap (VERDICT r12 #8): the assignment solve is
+        # driver-side by reference contract; refuse loudly beyond what
+        # it can finish rather than melting the driver.
+        if len(rows) > DRIVER_SOLVE_ROW_CAP:
+            raise ValueError(
+                f"MaximumBipartiteMatcher: {len(rows)} correspondence "
+                f"rows exceed the driver-side solver limit "
+                f"({DRIVER_SOLVE_ROW_CAP}) — raise "
+                "the threshold to shrink the candidate graph"
+            )
         if not rows:
             return corr.limit(0)
         left_ids = sorted({r["id1"] for r in rows})

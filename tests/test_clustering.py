@@ -177,3 +177,54 @@ def test_greedy_auto_distributed_matches_exact(spark):
     auto = {(r["id1"], r["id2"])
             for r in GreedyOneToOneMatcher(driver_edge_limit=0).cluster(corr).collect()}
     assert auto == exact
+
+
+def test_driver_collect_caps(spark, monkeypatch):
+    """r13 defensive caps (VERDICT r12 #8): a collect that exceeds the
+    hard row ceiling must fall back (CC: contracted forest / distributed
+    union-find — identical output) or refuse loudly (hierarchical,
+    bipartite), never proceed with an unbounded driver frame."""
+    import pytest
+
+    import importlib
+
+    # the package re-exports shadow the module attributes
+    cc = importlib.import_module(
+        "pydi_spark.clustering.connected_components"
+    )
+    hier_mod = importlib.import_module("pydi_spark.clustering.hierarchical")
+    bip_mod = importlib.import_module(
+        "pydi_spark.clustering.maximum_bipartite"
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id1 string, id2 string"
+    )
+    expected = {r["record_id"]: r["cluster_id"]
+                for r in cc.connected_components(edges).collect()}
+    # cap of 0 rows trips the direct-edge collect inside the auto path:
+    # the exactly-counted forest branch must still produce identical
+    # components
+    monkeypatch.setattr(cc, "DRIVER_COLLECT_ROW_CAP", 0)
+    capped = {r["record_id"]: r["cluster_id"]
+              for r in cc.connected_components(edges).collect()}
+    assert capped == expected
+    # explicit hybrid with both collects capped refuses loudly
+    with pytest.raises(RuntimeError, match="driver collect cap"):
+        cc.connected_components(edges, strategy="hybrid").collect()
+
+    corr = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "d", 0.8)],
+        "id1 string, id2 string, score double",
+    )
+    # MAX linkage forces the sequential (collected) path
+    h = hier_mod.HierarchicalClusterer(linkage="MAX", min_similarity=0.5)
+    assert h.assign(corr).count() == 4
+    monkeypatch.setattr(hier_mod, "DRIVER_SOLVE_ROW_CAP", 1)
+    with pytest.raises(ValueError, match="driver-side sequential limit"):
+        h.assign(corr)
+    m = bip_mod.MaximumBipartiteMatcher()
+    assert m.cluster(corr).count() == 2
+    monkeypatch.setattr(bip_mod, "DRIVER_SOLVE_ROW_CAP", 1)
+    with pytest.raises(ValueError, match="driver-side solver limit"):
+        m.cluster(corr)
