@@ -6660,106 +6660,91 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_minhash_similarity(docs, "text", "source", num_hashes=16)
 
 
-# ORDER MATTERS: the driver records CORRECTNESS rows for exactly the
-# FIRST 50 queries() entries (counted; tests/test_entry.py pins the
-# arithmetic). Round-12 window (the rotation pre-pinned at r11 close —
-# NOTES.md "Round-11 r12 WINDOW PLAN", confirmed by VERDICT r11 "Next
-# round" #1):
-#   1-6   the 6 r11 material-change re-checks FIRST: dedup_canonical,
-#         eval_bcubed, dedup_keep_best, text_corpus_cleanup,
-#         graph_pagerank (all five consume simhash pairs after the
-#         integer-band-key rewrite / minhash Carter-Wegman family
-#         rewrite), blocking_token_capped (hot-token cap now an
-#         anti-join against the HOT head, not a ~1 GiB broadcast).
-#   7-11  the 5 r11-addition first checks: fusion_coverage,
-#         fusion_conflict_detect, fusion_rule_suggest (the fusion
-#         analysis family's oracle rows), profile_heavy_hitters
-#         (Misra-Gries pinned in its exact regime), sample_proportional
-#         (Hamilton apportionment sampler). All 11 queue entries were
-#         re-verified green under BOTH gates at r11 close and
-#         independently by the r11 judge.
-#   12    first stalest green (r6-last tier, alphabetical):
-#         fusion_debug.
-#   13-15 canaries + probes at pinned positions: canary_hash_safe
-#         (green expected), canary_hash_risky (driver tolerates the
-#         class; drift detector), probe_corpus_echo (RED means the
-#         driver regenerated documents.parquet). canary_hugeint stays
-#         DEMOTED past 50 (two confirming reds; FORBIDDEN_ORACLE_TYPES
-#         guards the class locally).
-#   16-44 the remaining 29 r6-last rows (staleness table recomputed
-#         this round from CORRECTNESS_r01..r11; this exhausts the r6
-#         tier — after r12 no query's last driver row predates r7,
-#         VERDICT r11 "Next round" #2).
-#   45-50 first 6 r7-last rows by alphabetical prefix: blocking_cross,
-#         blocking_phonetic, blocking_stats, cluster_centre,
-#         cluster_greedy_one_to_one, cluster_stable_matching.
-# Round-12 additions and material-change re-checks queue past 50 in
-# the pinned ROTATION_QUEUE (tests/roster.py — the roster source of
-# truth).
-_R12_WINDOW = [
-    # 1-6: r11 material-change re-checks (minhash/simhash family
-    # rewrite consumers + the hot-token-cap anti-join fix)
-    "dedup_canonical",
-    "eval_bcubed",
-    "dedup_keep_best",
-    "text_corpus_cleanup",
-    "graph_pagerank",
+# Round-13 WINDOW PLAN (second optimization round). The r12 queue held
+# 51 entries; r13 additionally touched TokenBlocker (min-shared-token
+# emission), evaluate_blocking (count-only join), the LSH dedup family
+# (min-shared-band/shingle dedup filters), dedup_method_agreement
+# (shared tokenize), clustering_coefficients + rfm_segments (checkpoint
+# reverts) and the CC/hierarchical/bipartite driver-collect caps —
+# adding 9 re-check obligations not already queued (blocking_token,
+# blocking_token_capped, dedup_minhash, dedup_lsh_recall,
+# graph_pagerank, dedup_canonical, dedup_keep_best, eval_bcubed,
+# text_corpus_cleanup). 60 total obligations > 47 usable slots, so:
+#   1-12  the r13 pair-set-construction re-checks FIRST (highest risk:
+#         the blocker/LSH emission shapes changed this round).
+#   13-15 canaries + probes at pinned positions (unchanged mechanism).
+#   16-35 remaining r13 material-change re-checks: the simhash/minhash
+#         consumers, the checkpoint reverts, the evaluator callers and
+#         the CC-cap clustering family.
+#   33-34 (within that run) the two never-checked r12 queries
+#         sample_pareto_front / text_source_overlap get their FIRST
+#         driver rows.
+#   36-50 stalest r12-queue entries that fit (edit-distance pair,
+#         graph/blocking/meta/fusion re-checks).
+# The 13 r12-queue entries that do not fit stay in
+# tests/roster.py::ROTATION_QUEUE for the next window (all are
+# lower-risk r12 touches — opt-in-off blocker knobs, matcher seams —
+# re-verified green under BOTH local gates at r13 close).
+_R13_WINDOW = [
+    # 1-12: r13 pair-set-construction re-checks
+    "blocking_token",
+    "eval_blocking",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_ngram_prefix",
+    "dedup_agreement",
+    "dedup_incremental",
     "blocking_token_capped",
-    # 7-11: r11-addition first checks
-    "fusion_coverage",
-    "fusion_conflict_detect",
-    "fusion_rule_suggest",
-    "profile_heavy_hitters",
-    "sample_proportional",
-    # 12: first stalest green (r6 tier, alphabetical)
-    "fusion_debug",
+    "movies_parity",
+    "dedup_lsh_recall",
     # 13-15: canaries + probes (pinned positions)
     "canary_hash_safe",
     "canary_hash_risky",
     "probe_corpus_echo",
-    # 16-44: the remaining 29 r6-last rows (alphabetical — exhausts
-    # the r6 staleness tier)
-    "fusion_numeric",
-    "fusion_selection",
-    "io_excel_roundtrip",
-    "io_html_roundtrip",
-    "io_pickle_roundtrip",
-    "io_roundtrip",
-    "io_zorder_key",
-    "match_ml_linear",
-    "match_rule_based",
-    "normalize_locale",
-    "normalize_parsers",
-    "profile_cms_words",
-    "profile_compare",
-    "profile_summary",
-    "schema_label_based",
-    "streaming_windowed",
-    "text_clean",
-    "text_langid",
-    "text_search_bm25",
-    "text_span_remove",
-    "text_stats",
-    "text_vocabulary",
-    "tpch_cube",
-    "tpch_pivot",
-    "tpch_q1",
-    "tpch_q3",
-    "type_detection",
-    "units_convert",
-    "units_normalize",
-    # 45-50: first 6 r7-last rows by alphabetical prefix
-    "blocking_cross",
-    "blocking_phonetic",
-    "blocking_stats",
-    "cluster_centre",
-    "cluster_greedy_one_to_one",
-    "cluster_stable_matching",
+    # 16-35: remaining r13 material-change re-checks
+    "sample_split_leakage_safe",
+    "sample_contrastive",
+    "graph_pagerank",
+    "dedup_canonical",
+    "dedup_keep_best",
+    "eval_bcubed",
+    "text_corpus_cleanup",
+    "graph_clustering_coef",
+    "events_rfm",
+    "eval_matching",
+    "normalize_canonicalize",
+    "cluster_connected_components",
+    "cluster_consistency",
+    "cluster_size_dist",
+    "cluster_incremental",
+    "cluster_hierarchical",
+    "cluster_max_bipartite",
+    "sample_pareto_front",
+    "text_source_overlap",
+    "join_edit_distance",
+    # 36-50: stalest r12-queue entries that fit
+    "join_edit_distance_capped",
+    "graph_hits",
+    "blocking_meta",
+    "blocking_meta_cnp",
+    "blocking_progressive",
+    "graph_triangles",
+    "graph_assortativity",
+    "profile_fds",
+    "fusion_lists",
+    "fusion_custom_resolver",
+    "fusion_accuracy",
+    "fusion_trust",
+    "fusion_most_complete",
+    "events_funnel",
+    "text_span_dedup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _ALL_QUERIES[name] for name in _R12_WINDOW}
+    out = {name: _ALL_QUERIES[name] for name in _R13_WINDOW}
     for name, fn in _ALL_QUERIES.items():
         if name not in out:
             out[name] = fn
@@ -6767,7 +6752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The full registry (name -> callable). Window membership/order lives
-# in _R12_WINDOW above; here insertion order only decides the past-50
+# in _R13_WINDOW above; here insertion order only decides the past-50
 # tail order, so entries stay grouped by the round that added them.
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_attribution": q_events_attribution,

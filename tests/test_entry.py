@@ -50,43 +50,43 @@ def test_driver_window_arithmetic():
     assert window[13] == "canary_hash_risky"
     assert window[14] == "probe_corpus_echo"
     assert names.index("canary_hugeint") >= 50
-    # the 11 round-11 rotation-queue entries hold window positions
-    # 1-11: the 6 material re-checks first (simhash/minhash-family
-    # rewrite consumers + the hot-token-cap anti-join fix), then the
-    # 5 r11-addition first checks
-    r11_queue = [
-        "dedup_canonical", "eval_bcubed", "dedup_keep_best",
-        "text_corpus_cleanup", "graph_pagerank",
-        "blocking_token_capped",
-        "fusion_coverage", "fusion_conflict_detect",
-        "fusion_rule_suggest", "profile_heavy_hitters",
-        "sample_proportional",
+    # positions 1-12: the r13 pair-set-construction re-checks (the
+    # blocker/LSH emission shapes changed in r13 — min-shared-key
+    # dedup filters replaced the pair-dedup exchanges)
+    r13_head = [
+        "blocking_token", "eval_blocking", "dedup_minhash",
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_containment",
+        "dedup_ngram_prefix", "dedup_agreement", "dedup_incremental",
+        "blocking_token_capped", "movies_parity", "dedup_lsh_recall",
     ]
-    assert window[:11] == r11_queue, f"r12 first-checks moved: {window[:11]}"
-    # slot 12 + backfill slots 16-50 carry the stalest greens: the 30
-    # r6-last rows (exhausting the r6 tier — after r12 no query's last
-    # driver row predates r7), then the first 6 r7-last rows by
-    # alphabetical prefix
-    assert window[11] == "fusion_debug"
-    stalest = {
-        "fusion_debug", "fusion_numeric", "fusion_selection",
-        "io_excel_roundtrip", "io_html_roundtrip",
-        "io_pickle_roundtrip", "io_roundtrip", "io_zorder_key",
-        "match_ml_linear", "match_rule_based", "normalize_locale",
-        "normalize_parsers", "profile_cms_words", "profile_compare",
-        "profile_summary", "schema_label_based", "streaming_windowed",
-        "text_clean", "text_langid", "text_search_bm25",
-        "text_span_remove", "text_stats", "text_vocabulary",
-        "tpch_cube", "tpch_pivot", "tpch_q1", "tpch_q3",
-        "type_detection", "units_convert", "units_normalize",
-        "blocking_cross", "blocking_phonetic", "blocking_stats",
-        "cluster_centre", "cluster_greedy_one_to_one",
-        "cluster_stable_matching",
+    assert window[:12] == r13_head, f"r13 first-checks moved: {window[:12]}"
+    # every remaining r13 material-change re-check + the two r12 new
+    # queries getting their FIRST driver rows sit inside the window
+    r13_rest = {
+        "sample_split_leakage_safe", "sample_contrastive",
+        "graph_pagerank", "dedup_canonical", "dedup_keep_best",
+        "eval_bcubed", "text_corpus_cleanup", "graph_clustering_coef",
+        "events_rfm", "eval_matching", "normalize_canonicalize",
+        "cluster_connected_components", "cluster_consistency",
+        "cluster_size_dist", "cluster_incremental",
+        "cluster_hierarchical", "cluster_max_bipartite",
+        "sample_pareto_front", "text_source_overlap",
+        "join_edit_distance", "join_edit_distance_capped",
+        "graph_hits", "blocking_meta", "blocking_meta_cnp",
+        "blocking_progressive", "graph_triangles",
+        "graph_assortativity", "profile_fds", "fusion_lists",
+        "fusion_custom_resolver", "fusion_accuracy", "fusion_trust",
+        "fusion_most_complete", "events_funnel", "text_span_dedup",
     }
-    assert stalest <= set(window), f"fell out: {stalest - set(window)}"
+    assert r13_rest <= set(window), f"fell out: {r13_rest - set(window)}"
     past_window = set(names[50:])
     missing = ROTATION_QUEUE - past_window - set(window)
     assert not missing, f"rotation-queue query vanished: {missing}"
+    # queue entries must sit PAST the window (else they'd be counted as
+    # checked this round while the queue still claims them)
+    assert not (ROTATION_QUEUE & set(window)), (
+        f"queued query inside the window: {ROTATION_QUEUE & set(window)}"
+    )
 
 
 def test_every_query_has_driver_row_or_awaits_one():
